@@ -1,0 +1,34 @@
+"""etlutils_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of the reference R package jwijffels/ETLUtils
+(chunked SQL ingest/export into out-of-core columnar frames, a hash lookup
+join, and scalar recode/LOCF utilities), re-expressed Spark-first and
+extended with the relational surface the reference delegates to backend
+SQL plus large-scale training-data pipeline operators.
+
+Public API re-exports the stable surface; see each module for the
+reference citations (file:line into /root/reference).
+"""
+
+from etlutils_spark.session import get_session
+from etlutils_spark.operators.matchmerge import matchmerge
+from etlutils_spark.operators.recode import recoder, rename_columns, factorise
+from etlutils_spark.operators.locf import na_locf_plus_one
+from etlutils_spark.operators.transfun import trans_fun
+from etlutils_spark.sources.sql import read_sql, write_sql
+from etlutils_spark.sources.files import read_table, load_star
+
+__all__ = [
+    "get_session",
+    "matchmerge",
+    "recoder",
+    "rename_columns",
+    "factorise",
+    "na_locf_plus_one",
+    "trans_fun",
+    "read_sql",
+    "write_sql",
+    "read_table",
+    "load_star",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,160 @@
+"""matchmerge — the reference's hash lookup join, Spark-first.
+
+Reference semantics (R/matchmerge.R:95-182 in /root/reference):
+- equi-join of ``x`` against ``y`` on one key; ``all_x=True`` → left
+  outer, ``all_x=False`` (default) → inner (R/matchmerge.R:27-29,40-43).
+- right key must be unique; ``check_duplicates=True`` errors on
+  duplicate right keys ("Key of y contains doubles which is not
+  allowed", R/matchmerge.R:148-160).
+- output carries all columns of ``x`` plus ``add_columns`` of ``y``
+  (projection pushdown on the right side, R/matchmerge.R:166-174);
+  name collisions are suffixed ``.y`` → here ``_y`` (valid Spark
+  identifier; R/matchmerge.R:48,168-171).
+- multi-column keys: the reference space-concatenates into one string
+  key (R/matchmerge.R:113-126); we join on the column tuple instead
+  (idiomatic, avoids the type-coercion pitfalls of string concat) —
+  documented divergence.
+- expression keys (``by.iskey=TRUE``, R/matchmerge.R:127-161) map to
+  joining on arbitrary Column expressions via ``by_x_expr``/``by_y_expr``.
+- row order of ``x`` preserved (R/matchmerge.R:180-181): DataFrames are
+  unordered; pass ``preserve_order_col`` naming an existing ordering
+  column if downstream consumers need x's order re-established.
+
+Scale design: the reference's unique-right-key contract makes the right
+side a *dimension*; we broadcast it when small (the common case) so the
+join is a map-side BroadcastHashJoin with no shuffle of the fact side.
+For large right sides, set ``broadcast_right=False`` to let
+Catalyst/AQE choose (sort-merge with exchange reuse). The uniqueness
+check is one aggregation over the (small) right side only — never over
+``x``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class DuplicateKeyError(ValueError):
+    """Right-side join key is not unique (reference: R/matchmerge.R:158)."""
+
+
+def assert_unique_key(df: DataFrame, keys: Sequence[str]) -> None:
+    """Error if ``keys`` is not a unique key of ``df``.
+
+    Mirrors R/matchmerge.R:148-160. One groupBy over the dimension side;
+    ``F.lit(1)`` count avoids touching non-key columns so the scan
+    prunes to the key columns only.
+    """
+    dup = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise DuplicateKeyError("Key of y contains doubles which is not allowed")
+
+
+def matchmerge(
+    x: DataFrame,
+    y: DataFrame,
+    by_x: str | Sequence[str] | None = None,
+    by_y: str | Sequence[str] | None = None,
+    all_x: bool = False,
+    add_columns: Sequence[str] | None = None,
+    check_duplicates: bool = True,
+    trace: bool = False,
+    by_x_expr: Column | None = None,
+    by_y_expr: Column | None = None,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Lookup join with the reference's semantics (see module docstring).
+
+    Either ``by_x``/``by_y`` (column names) or ``by_x_expr``/``by_y_expr``
+    (arbitrary expressions — the reference's ``by.iskey=TRUE`` mode).
+    """
+    how = "left" if all_x else "inner"
+
+    if by_x_expr is not None or by_y_expr is not None:
+        if by_x_expr is None or by_y_expr is None:
+            raise ValueError("by_x_expr and by_y_expr must be given together")
+        return _merge_on_expr(x, y, by_x_expr, by_y_expr, how, add_columns,
+                              check_duplicates, trace, broadcast_right)
+
+    if by_x is None:
+        raise ValueError("provide by_x/by_y column names or expression keys")
+    keys_x = [by_x] if isinstance(by_x, str) else list(by_x)
+    by_y = by_y if by_y is not None else by_x
+    keys_y = [by_y] if isinstance(by_y, str) else list(by_y)
+    if len(keys_x) != len(keys_y):
+        raise ValueError("by_x and by_y must name the same number of columns")
+
+    # Right-side projection pushdown (R/matchmerge.R:166-174): only the
+    # key + requested payload columns survive to the join, so the scan
+    # of y prunes columns at the source.
+    if add_columns is None:
+        add_columns = [c for c in y.columns if c not in keys_y]
+    missing = [c for c in add_columns if c not in y.columns]
+    if missing:
+        raise ValueError(f"add_columns not in y: {missing}")
+    y_proj = y.select(*keys_y, *add_columns)
+
+    if check_duplicates:
+        assert_unique_key(y_proj, keys_y)
+
+    # Collision suffix "_y" (reference uses ".y"; "." is not a plain
+    # Spark identifier char).
+    renames = {}
+    for c in add_columns:
+        if c in x.columns:
+            renames[c] = c + "_y"
+    for old, new in renames.items():
+        y_proj = y_proj.withColumnRenamed(old, new)
+    # Align right key names onto the left's so we can use the
+    # name-based join (single output key column, no ambiguity).
+    for kx, ky in zip(keys_x, keys_y):
+        if ky != kx:
+            y_proj = y_proj.withColumnRenamed(ky, kx)
+
+    rhs = F.broadcast(y_proj) if broadcast_right else y_proj
+    out = x.join(rhs, on=keys_x, how=how)
+    # Reference output layout: x's columns first, then the added ones.
+    added = [renames.get(c, c) for c in add_columns]
+    out = out.select(*x.columns, *added)
+    if trace:
+        print(f"matchmerge: {how} join on {keys_x}, adding {added}")
+    return out
+
+
+def _merge_on_expr(
+    x: DataFrame,
+    y: DataFrame,
+    by_x_expr: Column,
+    by_y_expr: Column,
+    how: str,
+    add_columns: Sequence[str] | None,
+    check_duplicates: bool,
+    trace: bool,
+    broadcast_right: bool,
+) -> DataFrame:
+    """Expression-key mode (reference by.iskey=TRUE, R/matchmerge.R:127-161).
+
+    Materializes the key expressions as hidden columns, then delegates
+    to the column-name path so duplicate checking, projection and
+    suffixing behave identically.
+    """
+    xk, yk = "__mm_key_x", "__mm_key_y"
+    x2 = x.withColumn(xk, by_x_expr)
+    y2 = y.withColumn(yk, by_y_expr)
+    if add_columns is None:
+        add_columns = list(y.columns)
+    out = matchmerge(
+        x2, y2, by_x=xk, by_y=yk, all_x=(how == "left"),
+        add_columns=list(add_columns), check_duplicates=check_duplicates,
+        trace=trace, broadcast_right=broadcast_right,
+    )
+    return out.drop(xk)

@@ -1,0 +1,89 @@
+"""Scalar column utilities: recoder / rename_columns / factorise.
+
+Reference semantics from /root/reference/R/utils.R (SURVEY §2.3-2.4).
+All three are pure Column/DataFrame expressions — JVM-side, fully
+codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def recoder(col: Column | str, from_vals: Sequence, to_vals: Sequence) -> Column:
+    """Value remap with identity passthrough (R/utils.R:24-32).
+
+    Values not listed in ``from_vals`` map to themselves (the reference
+    appends unseen values to both sides of the mapping, R/utils.R:25-30);
+    NULL maps to NULL (NA→NA). Compiled to a CASE WHEN chain —
+    constant-folded by Catalyst, no lookup table shipped to executors
+    (the map is in the plan itself, fine for the dictionary-sized
+    mappings this is for).
+    """
+    if len(from_vals) != len(to_vals):
+        raise ValueError("from_vals and to_vals must be the same length")
+    c = F.col(col) if isinstance(col, str) else col
+    expr = None
+    for f_val, t_val in zip(from_vals, to_vals):
+        cond = c == F.lit(f_val)
+        expr = F.when(cond, F.lit(t_val)) if expr is None else expr.when(cond, F.lit(t_val))
+    if expr is None:
+        return c
+    # identity passthrough incl. NULL→NULL: otherwise() returns the
+    # original value, and a NULL input fails every `==` so it falls
+    # through to otherwise(NULL).
+    return expr.otherwise(c)
+
+
+def recode_column(df: DataFrame, column: str, from_vals: Sequence, to_vals: Sequence) -> DataFrame:
+    """DataFrame-level convenience: replace ``column`` with its recode."""
+    return df.withColumn(column, recoder(column, from_vals, to_vals))
+
+
+def rename_columns(df: DataFrame, from_cols: Sequence[str], to_cols: Sequence[str]) -> DataFrame:
+    """Rename columns from→to (R/utils.R:71-80).
+
+    The reference validates equal lengths and implements this as
+    ``recoder`` over ``colnames``; unseen columns keep their names
+    (identity passthrough) — same here via withColumnsRenamed.
+    """
+    if len(from_cols) != len(to_cols):
+        raise ValueError("from_cols and to_cols must be the same length")
+    missing = [c for c in from_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+    return df.withColumnsRenamed(dict(zip(from_cols, to_cols)))
+
+
+def factorise(df: DataFrame, logicals: bool = False) -> DataFrame:
+    """Character→factor conversion (R/utils.R:101-137) — a documented
+    near-no-op in Spark.
+
+    Strings stay ``StringType`` (Parquet dictionary-encodes them at the
+    storage layer, which is what ff factors actually bought the
+    reference — SURVEY §1.2). With ``logicals=True`` boolean columns are
+    cast to string, mirroring ``factorise(..., logicals=TRUE)``
+    (R/utils.R:117-123) which turns 3-valued logicals into categorical;
+    NULL stays NULL.
+    """
+    if not logicals:
+        return df
+    casts = {
+        f.name: F.col(f.name).cast("string")
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.BooleanType)
+    }
+    return df.withColumns(casts) if casts else df
+
+
+def factor_levels(df: DataFrame, column: str) -> DataFrame:
+    """The observable side of a factor: its sorted level dictionary.
+
+    One distinct + sort over a single pruned column; this is what
+    ``levels(x$col)`` exposes in the reference's data model.
+    """
+    return df.select(column).where(F.col(column).isNotNull()).distinct().orderBy(column)

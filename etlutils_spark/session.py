@@ -1,0 +1,50 @@
+"""SparkSession builder with engine defaults.
+
+Defaults chosen for correctness-vs-oracle and scale:
+- AQE on (runtime re-planning, skew-join handling, partition coalescing).
+- Arrow on (vectorized pandas interchange for the mapInPandas surface).
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle (DuckDB timestamps are UTC-naive).
+- Shuffle partitions sized for the local harness; on a real cluster this
+  is expected to be overridden (or left to AQE coalescing, which makes
+  the static number mostly a ceiling).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.ui.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def get_session(app_name: str = "etlutils_spark", **extra_conf: str) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine defaults.
+
+    ``extra_conf`` entries override the defaults. In local mode the
+    master is ``local[$SPARK_GRAFT_CPUS]`` (default all cores); when a
+    cluster master is already configured by the environment the builder
+    leaves it alone.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name)
+    if "MASTER" not in os.environ and "SPARK_MASTER" not in os.environ:
+        builder = builder.master(master)
+    conf = {**DEFAULT_CONF, **extra_conf}
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,66 @@
+"""File sources: the driver's parquet star schema plus CSV/JSON convenience.
+
+The reference has no file formats at all (its only on-disk format is the
+ff binary column files, SURVEY §2.1); Parquet is the Spark-native
+equivalent of the ffdf — columnar, dictionary-encoded, out-of-core by
+construction. These helpers centralize how the engine loads the
+deterministic test tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def read_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Read one star-schema table from ``sf_dir`` (parquet).
+
+    ``events.ts`` is written as TIMESTAMP(NANOS), which vanilla Spark
+    rejects; we read nanos as long (legacy conf) and floor-convert to a
+    microsecond timestamp — the same truncation DuckDB applies casting
+    TIMESTAMP_NS → TIMESTAMP, so oracle comparisons line up.
+    """
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    nanos_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.LongType) and f.name in ("ts",)
+    ]
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_star(spark: SparkSession, sf_dir: str | None = None, register_views: bool = True) -> dict[str, DataFrame]:
+    """Load every table; optionally register each as a temp view so the
+    full Spark SQL surface (the reference's delegated-SQL role, SURVEY
+    §2.5-2.6) is directly usable via ``spark.sql``."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = read_table(spark, name, sf_dir)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

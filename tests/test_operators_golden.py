@@ -1,0 +1,153 @@
+"""Golden tests lifted from the reference's runnable examples (FIXTURES.md §2-3).
+
+These are the package's only correctness fixtures (the reference has no
+test suite, SURVEY §5) — exact expected values from the roxygen examples.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etlutils_spark.operators.locf import na_locf_plus_one
+from etlutils_spark.operators.matchmerge import DuplicateKeyError, matchmerge
+from etlutils_spark.operators.recode import (
+    factor_levels,
+    factorise,
+    recode_column,
+    recoder,
+    rename_columns,
+)
+
+
+# ---- matchmerge (R/matchmerge.R:56-68; FIXTURES.md §2a) -------------------
+
+@pytest.fixture(scope="module")
+def left(spark):
+    return spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C"), (4, "D"), (3, "E"), (4, "F"), (5, "G")],
+        "idlhs int, a string",
+    )
+
+
+@pytest.fixture(scope="module")
+def right(spark):
+    return spark.createDataFrame(
+        [(1, "H"), (2, "I"), (3, "J"), (4, "K")], "idrhs int, b string"
+    )
+
+
+def test_matchmerge_inner(left, right):
+    out = matchmerge(left, right, by_x="idlhs", by_y="idrhs")
+    rows = {(r.idlhs, r.a, r.b) for r in out.collect()}
+    assert rows == {(1, "A", "H"), (2, "B", "I"), (3, "C", "J"), (4, "D", "K"),
+                    (3, "E", "J"), (4, "F", "K")}  # id 5 dropped
+    assert out.columns == ["idlhs", "a", "b"]
+
+
+def test_matchmerge_left_outer(left, right):
+    out = matchmerge(left, right, by_x="idlhs", by_y="idrhs", all_x=True)
+    assert out.count() == 7
+    g = {r.idlhs: r.b for r in out.collect() if r.idlhs == 5}
+    assert g == {5: None}  # non-match NA-filled (R/matchmerge.R:41-43)
+
+
+def test_matchmerge_duplicate_right_key_errors(left, spark):
+    dup = spark.createDataFrame([(1, "H"), (1, "I")], "idrhs int, b string")
+    with pytest.raises(DuplicateKeyError, match="doubles"):
+        matchmerge(left, dup, by_x="idlhs", by_y="idrhs")
+    # check_duplicates=False skips the validation (R/matchmerge.R:50)
+    out = matchmerge(left, dup, by_x="idlhs", by_y="idrhs", check_duplicates=False)
+    assert out.count() == 2  # idlhs=1 matches both
+
+
+def test_matchmerge_add_columns_and_suffix(left, spark):
+    y = spark.createDataFrame([(1, "H", "x1"), (2, "I", "x2")], "idrhs int, b string, a string")
+    out = matchmerge(left, y, by_x="idlhs", by_y="idrhs", add_columns=["b", "a"])
+    assert out.columns == ["idlhs", "a", "b", "a_y"]  # collision suffixed (R/matchmerge.R:48)
+
+
+def test_matchmerge_expression_keys(spark):
+    # products×sales star (R/matchmerge.R:81-94): key is a concat expression
+    products = spark.createDataFrame(
+        [("p1", "t1", "s1", "d1"), ("p2", "t2", "s2", "d2")],
+        "product string, type string, size string, distributor string",
+    )
+    sales = spark.createDataFrame(
+        [("p1.t1.s1", 10.0), ("p1.t1.s1", 5.0), ("p2.t2.s2", 7.0)],
+        "item string, sales double",
+    )
+    out = matchmerge(
+        sales, products,
+        by_x_expr=F.col("item"),
+        by_y_expr=F.concat_ws(".", "product", "type", "size"),
+        all_x=True,
+        add_columns=["size", "distributor"],
+    )
+    assert out.count() == 3
+    assert set(out.columns) == {"item", "sales", "size", "distributor"}
+    agg = {r.distributor: r.total for r in
+           out.groupBy("distributor").agg(F.sum("sales").alias("total")).collect()}
+    assert agg == {"d1": 15.0, "d2": 7.0}
+
+
+# ---- recoder (R/utils.R:22-31; FIXTURES.md §3) ----------------------------
+
+def test_recoder_golden(spark):
+    letters = [chr(ord("A") + i) for i in range(26)]
+    data = [(v,) for v in letters[:5] + [None] + letters[5:]]
+    df = spark.createDataFrame(data, "x string")
+    out = recode_column(df, "x", ["A", "B"], ["a.123", "b.123"])
+    vals = [r.x for r in out.collect()]
+    expect = ["a.123", "b.123"] + letters[2:5] + [None] + letters[5:]
+    assert sorted(v for v in vals if v is not None) == sorted(v for v in expect if v is not None)
+    assert vals.count(None) == 1  # NA -> NA
+
+
+def test_recoder_numeric(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,), (None,)], "x int")
+    out = df.select(recoder("x", [1, 2], [10, 20]).alias("x"))
+    assert sorted([r.x for r in out.collect()], key=lambda v: (v is None, v)) == [3, 10, 20, None]
+
+
+# ---- na_locf_plus_one (R/utils.R:45-52) -----------------------------------
+
+def test_na_locf_plus_one_golden(spark):
+    xs = [2.0, None, None, 4.0, 5.0, 2.0, None]
+    df = spark.createDataFrame([Row(ord=i, x=v) for i, v in enumerate(xs)])
+    out = na_locf_plus_one(df, "x", order_by="ord")
+    got = [r.x for r in out.orderBy("ord").collect()]
+    assert got == [2.0, 3.0, 4.0, 4.0, 5.0, 2.0, 3.0]
+
+
+def test_na_locf_leading_nulls_partitioned(spark):
+    # leading NULLs have no LOCF anchor -> stay NULL-ish (locf is NULL);
+    # reference zoo::na.locf with na.rm=TRUE would drop them; we keep NULL.
+    rows = [Row(g="a", ord=0, x=None), Row(g="a", ord=1, x=1.0), Row(g="a", ord=2, x=None),
+            Row(g="b", ord=0, x=5.0), Row(g="b", ord=1, x=None)]
+    df = spark.createDataFrame(rows, "g string, ord int, x double")
+    out = na_locf_plus_one(df, "x", order_by="ord", partition_by="g", output_col="y")
+    got = {(r.g, r.ord): r.y for r in out.collect()}
+    assert got[("a", 1)] == 1.0
+    assert got[("a", 2)] == 2.0
+    assert got[("b", 1)] == 6.0
+    assert got[("a", 0)] is None
+
+
+# ---- rename_columns / factorise (R/utils.R:68-79, 96-137) -----------------
+
+def test_rename_columns_golden(spark):
+    df = spark.createDataFrame([(1, "A"), (2, "B")], "x int, y string")
+    out = rename_columns(df, ["x", "y"], ["digits", "letters"])
+    assert out.columns == ["digits", "letters"]
+    with pytest.raises(ValueError):
+        rename_columns(df, ["x"], ["a", "b"])
+
+
+def test_factorise(spark):
+    df = spark.createDataFrame([(1, "A", True), (2, "B", None)], "x int, y string, b boolean")
+    assert factorise(df) is df  # no-op without logicals
+    out = factorise(df, logicals=True)
+    assert dict(out.dtypes)["b"] == "string"
+    assert dict(out.dtypes)["x"] == "int"  # untouched
+    levels = [r.y for r in factor_levels(df, "y").collect()]
+    assert levels == ["A", "B"]
