@@ -1,38 +1,58 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship slice at sf0.001; ``queries()`` /
+``oracle_sql()`` — the declared operator inventory (SURVEY.md §2) with
+DuckDB oracles. Implementations live in ``etlutils_spark.entry_queries``
+(and the extension modules it imports); this file is the thin, stable
+driver-facing shim.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from etlutils_spark.entry_queries import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: chunked ingest -> broadcast lookup join (matchmerge) ->
+    decimal-exact revenue rollup per brand. Mirrors the reference's
+    flagship read.dbi.ffdf + matchmerge flow (R/ffsql.R:53-65,
+    R/matchmerge.R:81-94) on the sf0.001 star."""
+    from pyspark.sql import functions as F
+
+    from etlutils_spark.operators.matchmerge import matchmerge
+    from etlutils_spark.sources.files import read_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    li = read_table(spark, "lineitem", sf_dir)
+    part = read_table(spark, "part", sf_dir)
+    joined = matchmerge(li, part, by_x="l_partkey", by_y="p_partkey",
+                        add_columns=["p_brand"])
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _oracle) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: oracle
+        for name, (_fn, oracle) in REGISTRY.items()
+        if oracle is not None
+    }
