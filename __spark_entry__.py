@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 from etlutils_spark.entry_queries import REGISTRY  # noqa: E402
+import etlutils_spark.relational_queries  # noqa: E402,F401  (registers into REGISTRY)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,399 @@
+"""The delegated-SQL relational surface (SURVEY §2.5-2.6, §4.1).
+
+The reference implements no aggregation/window/sort/set-op of its own —
+it ships an opaque SQL string to the backend database (R/ffsql.R:20,
+171-176). Capability parity therefore means exposing Spark's full
+relational engine; each query here is a first-class, oracle-checked
+pass-through. Float aggregations use the decimal-exact pattern from
+``entry_queries`` so results are bitwise deterministic at any
+partitioning (and any cluster size).
+
+Scale notes are attached per query: these shapes are the ones whose
+plans matter at 100 TB (partial aggregation, broadcast vs shuffle join
+choice, single window pass, AQE skew handling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etlutils_spark.entry_queries import DAVG, DSUM, _t, davg, dsum, register
+
+CUTOFF = "1999-01-01"
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {DSUM('l_quantity', 'sum_qty')},
+           {DSUM('l_extendedprice', 'sum_base_price')},
+           {DSUM('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {DSUM('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)', 'sum_charge')},
+           {DAVG('l_quantity', 'avg_qty')},
+           {DAVG('l_extendedprice', 'avg_price')},
+           {DAVG('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter-aggregate over the fact table.
+
+    Scale: Catalyst plans partial (map-side) aggregation before the
+    shuffle on the 6-value group key; the parquet scan prunes to 7
+    columns and pushes the shipdate filter down. No UDFs — one
+    WholeStageCodegen span up to the exchange.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit(CUTOFF)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    f"""
+    SELECT l.l_orderkey,
+           {DSUM('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '{CUTOFF} 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '{CUTOFF} 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> fact joins -> top-k.
+
+    Scale: customer (filtered) broadcasts into orders; orders->lineitem
+    is the only big join (co-partitioned on orderkey at the shuffle).
+    Top-k is a TakeOrderedAndProject — no global sort materialization.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.to_timestamp(F.lit(CUTOFF)))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.to_timestamp(F.lit(CUTOFF)))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    f"""
+    SELECT n.n_name, r.r_name,
+           {DSUM('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def q5_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join up the dimension hierarchy.
+
+    Scale: nation/region/customer broadcast (dims); the only shuffled
+    join is lineitem⋈orders on orderkey. Group key is low-cardinality —
+    partial agg collapses the shuffle to ~|nations| rows per task.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "window_topk_per_customer",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 2
+    """,
+)
+def q_window_topk_per_customer(spark, sf_dir):
+    """Top-K per group — the canonical window pattern (SURVEY §2.6).
+
+    Scale: one shuffle on the partition key, one in-memory sort per
+    partition; rn<=2 filter is pushed into the window via
+    WindowGroupLimit in recent Spark (no full materialization).
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice",
+                 F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 2)
+    )
+
+
+@register(
+    "window_running_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER win AS DOUBLE)
+             AS running_spend,
+           lag(o_totalprice) OVER win AS prev_price
+    FROM orders
+    WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_running_spend(spark, sf_dir):
+    """Running aggregate + lag in one window pass (the generalization of
+    the reference's only windowed computation, F2's cumsum/cummax,
+    R/utils.R:49-52). Decimal accumulator -> order-independent exact."""
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wl = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w)
+        .cast("double").alias("running_spend"),
+        F.lag("o_totalprice").over(wl).alias("prev_price"),
+    )
+
+
+@register(
+    "agg_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+           {DSUM('l_quantity', 'sum_qty')}
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark, sf_dir):
+    """ROLLUP hierarchy subtotals (delegated-SQL surface)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum(F.col("l_quantity"), "sum_qty"))
+    )
+
+
+@register(
+    "agg_cube",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {DSUM('o_totalprice', 'total')}
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark, sf_dir):
+    """CUBE over two dimensions."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice"), "total")
+    )
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_set_intersect(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_set_except(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.subtract(b)  # EXCEPT (distinct) semantics, matching SQL EXCEPT
+
+
+@register(
+    "semi_join_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 400000)
+    """,
+)
+def q_semi_join_customers(spark, sf_dir):
+    """LEFT SEMI — the standalone form of matchmerge's inner-join
+    pre-filter (J1c, R/matchmerge.R:136-145)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "anti_join_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'P')
+    """,
+)
+def q_anti_join_customers(spark, sf_dir):
+    """LEFT ANTI — not expressible in the reference (delegated to SQL)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "distinct_agg_segments",
+    f"""
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           {DAVG('c_acctbal', 'avg_bal')}
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_distinct_agg_segments(spark, sf_dir):
+    """COUNT DISTINCT alongside plain aggregates (expand-based plan).
+
+    Scale: for approximate needs at 100 TB use approx_count_distinct
+    (HLL, single pass, no expand) — kept exact here for the oracle.
+    """
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        davg(F.col("c_acctbal"), "avg_bal"),
+    )
+
+
+@register(
+    "scalar_funcs_projection",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           upper(o_orderpriority) AS prio_uc,
+           substring(o_orderpriority, 1, 1) AS prio_code,
+           length(o_orderpriority) AS prio_len,
+           concat(o_orderstatus, '-', substring(o_orderpriority, 1, 1)) AS status_prio
+    FROM orders
+    """,
+)
+def q_scalar_funcs_projection(spark, sf_dir):
+    """String/date scalar function library (absent from the reference —
+    R base provides it, SURVEY §2.4; pyspark.sql.functions here)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.upper("o_orderpriority").alias("prio_uc"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderpriority").cast("bigint").alias("prio_len"),
+        F.concat_ws("-", "o_orderstatus", F.substring("o_orderpriority", 1, 1))
+        .alias("status_prio"),
+    )
+
+
+@register(
+    "pivot_status_counts",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status_counts(spark, sf_dir):
+    """Pivot (wide conditional aggregation). Spark's .pivot() with an
+    explicit value list — no extra pass to discover labels."""
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
+
+
+_DELEGATED_SQL = """
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal
+    FROM customer
+    WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+"""
+
+
+@register("delegated_sql", _DELEGATED_SQL)
+def q_delegated_sql(spark, sf_dir):
+    """The reference's core mode of operation — an opaque SQL string
+    executed verbatim (R/ffsql.R:20,171-176) — becomes spark.sql():
+    the SAME query text runs on Spark and on the DuckDB oracle."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_DELEGATED_SQL)
