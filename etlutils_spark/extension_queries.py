@@ -1,0 +1,356 @@
+"""Oracle-checked queries for the training-data pipeline extensions
+(dedup / similarity / text analysis / multimodal) over the documents and
+embeddings tables.
+
+The md5-hex portable-hash convention makes even the MinHash+LSH pipeline
+oracle-checkable end to end: both engines compute identical signatures,
+identical bands, identical candidate pairs, identical verified output.
+Queries that depend on engine-specific hashing (xxhash64 simhash) or
+literal-heavy constructions (hyperplane LSH) are declared rows-only, with
+unit tests covering their semantics instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etlutils_spark.entry_queries import _t, register
+from etlutils_spark.operators import multimodal
+from etlutils_spark.operators.dedup import (
+    dedup_exact,
+    embedding_neardup_pairs,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    shingle_rows,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from etlutils_spark.operators.similarity import cosine_topk, lsh_topk
+from etlutils_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    text_stats,
+    token_counts,
+)
+
+# ---- shared DuckDB CTE fragments ------------------------------------------
+
+DUCK_SH = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh0 AS (SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                        i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shl
+        FROM toks),
+sh AS (SELECT doc_id, s AS shingle FROM sh0, UNNEST(shl) AS t(s)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+DUCK_NORMS = """
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                   AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+  GROUP BY vec_id)
+"""
+
+_JAC = "CAST(n_common AS DOUBLE) / CAST(n_1 + n_2 - n_common AS DOUBLE)"
+
+
+# ---- dedup ----------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash,
+           min(doc_id) AS keep_id, count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: normalized-content digest -> keeper + group size.
+    Scale: one shuffle on a uniform hash key; payload never moves."""
+    return dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {DUCK_SH},
+    inter AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_id_1, doc_id_2, n_common, s1.n_sh AS n_1, s2.n_sh AS n_2,
+           {_JAC.replace('n_1', 's1.n_sh').replace('n_2', 's2.n_sh')} AS jaccard
+    FROM inter
+    JOIN sizes s1 ON doc_id_1 = s1.doc_id
+    JOIN sizes s2 ON doc_id_2 = s2.doc_id
+    WHERE {_JAC.replace('n_1', 's1.n_sh').replace('n_2', 's2.n_sh')} >= 0.2
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard >= 0.2 over co-shingled pairs."""
+    sh = shingle_rows(_t(spark, sf_dir, "documents"))
+    return jaccard_pairs(sh, threshold=0.2)
+
+
+def _duck_minhash_sql(num_hashes: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+    rpb = num_hashes // bands
+    mh = ",\n           ".join(
+        f"min(md5(concat('{i}|', shingle))) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_sig FROM sigs".format(
+            b=b, cols=", ".join(f"mh{b * rpb + r}" for r in range(rpb))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH {DUCK_SH},
+    sigs AS (
+      SELECT doc_id,
+           {mh}
+      FROM sh GROUP BY doc_id),
+    bands AS (
+      {band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.doc_id_1, c.doc_id_2, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_id_1
+      JOIN sh b ON b.doc_id = c.doc_id_2 AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT doc_id_1, doc_id_2,
+           {_JAC.replace('n_1', 's1.n_sh').replace('n_2', 's2.n_sh')} AS jaccard
+    FROM inter
+    JOIN sizes s1 ON doc_id_1 = s1.doc_id
+    JOIN sizes s2 ON doc_id_2 = s2.doc_id
+    WHERE {_JAC.replace('n_1', 's1.n_sh').replace('n_2', 's2.n_sh')} >= {threshold}
+    """
+
+
+@register("dedup_minhash_lsh", _duck_minhash_sql())
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(8) + LSH(4 bands x 2 rows) candidates, exact-Jaccard
+    verified >= 0.5. Portable md5 hashing -> the full pipeline
+    (signature, banding, candidates, verify) matches the oracle."""
+    return minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=8, bands=4, threshold=0.5, portable=True,
+    )
+
+
+@register("dedup_simhash", None)  # engine-specific xxhash64 -> rows-only
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 8 within 16-bit prefix
+    blocks). xxhash64 bit patterns are Spark-specific, so this is a
+    rows-only check; semantics are unit-tested against brute force."""
+    sigs = simhash_signatures(_t(spark, sf_dir, "documents"))
+    return simhash_near_pairs(sigs, max_hamming=8)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH {DUCK_NORMS},
+    dots AS (
+      SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+             CAST(SUM(CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                  AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < b.vec_id,
+      UNNEST(generate_series(1, len(a.embedding))) AS t(i)
+      GROUP BY 1, 2)
+    SELECT vec_id_1, vec_id_2, dot / (n1.nrm * n2.nrm) AS cosine
+    FROM dots
+    JOIN norms n1 ON vec_id_1 = n1.vec_id
+    JOIN norms n2 ON vec_id_2 = n2.vec_id
+    WHERE dot / (n1.nrm * n2.nrm) >= 0.4
+    """,
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup: all-pairs cosine >= 0.4 (decimal-exact dot).
+    At scale this exact form is the verify stage behind LSH blocking."""
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ---- similarity search ----------------------------------------------------
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH {DUCK_NORMS},
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                  AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      FROM embeddings q
+      JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id,
+      UNNEST(generate_series(1, len(q.embedding))) AS t(i)
+      GROUP BY 1, 2),
+    cos AS (
+      SELECT query_id, dots.vec_id AS vec_id, dot / (n1.nrm * n2.nrm) AS cosine
+      FROM dots
+      JOIN norms n1 ON query_id = n1.vec_id
+      JOIN norms n2 ON dots.vec_id = n2.vec_id)
+    SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rn
+          FROM cos)
+    WHERE rn <= 10
+    """,
+)
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for 5 query vectors: broadcast queries,
+    one corpus scan, per-query window top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register("ann_lsh_topk", None)  # hyperplane literals -> rows-only
+def q_ann_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH top-10 (the scale path): sign-bit bands ->
+    bucket join -> cosine within candidates. Deterministic seed; recall
+    vs brute force is unit-tested."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, dim=64)
+
+
+# ---- text analysis --------------------------------------------------------
+
+_STOP_LIT = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+@register(
+    "text_stats",
+    f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
+             CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) AS avg_token_len,
+             CAST(len(list_filter(w, t -> list_contains([{_STOP_LIT}], t))) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) AS stopword_ratio
+      FROM t)
+    SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, avg_token_len, stopword_ratio,
+           least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+             + stopword_ratio * 0.3
+             + least(avg_token_len / 8.0, 1.0) * 0.2 AS quality_score
+    FROM m
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    """Per-document quality stats + composite score (all JVM
+    expressions; one pass, no shuffle)."""
+    return text_stats(_t(spark, sf_dir, "documents"))
+
+
+def _duck_lang_case() -> str:
+    order = list(LANG_MARKERS)
+    score = {k: f"s_{k}" for k in order}
+    whens = []
+    for lang in order:
+        conds = [f"{score[lang]} > 0"]
+        for other in order:
+            if order.index(other) < order.index(lang):
+                conds.append(f"{score[lang]} > {score[other]}")
+            elif other != lang:
+                conds.append(f"{score[lang]} >= {score[other]}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+_LANG_SCORES_SQL = ",\n             ".join(
+    "CAST(len(list_filter(w, t -> list_contains([{lit}], t))) AS BIGINT) AS s_{k}".format(
+        lit=", ".join(f"'{w}'" for w in words), k=k
+    )
+    for k, words in LANG_MARKERS.items()
+)
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    m AS (
+      SELECT doc_id, lang AS lang_label,
+             {_LANG_SCORES_SQL}
+      FROM t)
+    SELECT doc_id, lang_label,
+           s_en AS score_en, s_de AS score_de, s_fr AS score_fr,
+           s_es AS score_es, s_zh AS score_zh,
+           {_duck_lang_case()} AS lang_pred
+    FROM m
+    """,
+)
+def q_text_lang_id(spark, sf_dir):
+    """Marker-word language-ID heuristic with deterministic tie order."""
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re_tokens
+    FROM documents
+    """,
+)
+def q_text_token_counts(spark, sf_dir):
+    """Whitespace + regex token counting."""
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, text,
+                 list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                                i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS shl
+          FROM toks)
+    SELECT doc_id, md5(text) AS content_md5,
+           list_aggregate(list_transform(list_distinct(shl), x -> md5(x)), 'min') AS winnow_fp
+    FROM s
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprints: full md5 + winnowing-style min-shingle-md5
+    (portable min-hash)."""
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---- multimodal -----------------------------------------------------------
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+           md5(text) AS content_md5,
+           'application/octet-stream' AS media_type
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-payload metadata extraction (the typed-metadata side of a
+    multimodal column)."""
+    df = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return df.select("doc_id", "payload_len", "content_md5", "media_type")
+
+
+@register("multimodal_features", None)  # pandas-UDF stub -> rows-only
+def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched feature extraction over binary payloads (decode
+    stubbed with a deterministic byte histogram; see operators.multimodal)."""
+    df = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(df)

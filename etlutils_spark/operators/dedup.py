@@ -1,0 +1,297 @@
+"""Deduplication operators for a large-scale training-data pipeline:
+exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale architecture (the 100 TB story):
+- *Exact*: hash-groupBy on a content digest — one shuffle keyed by the
+  digest, perfectly parallel, no skew (md5 keys are uniform).
+- *Near-dup*: never all-pairs. The pipeline is
+  shingle -> signature (per-doc, map-side) -> LSH banding (explode k
+  bands) -> bucket equi-join (shuffle on band signature) -> exact
+  verify on the candidate set only. Candidate count, not corpus size,
+  drives the expensive stage. Banding keys are uniform hashes -> no
+  join skew; giant buckets (boilerplate shingles) are the one skew
+  risk, mitigated by dropping over-frequent shingles (``max_doc_freq``).
+- *Embedding near-dup*: blocked by LSH (see similarity.py) at scale;
+  the exact pairwise form here is the verify stage / small-N baseline.
+
+Portable-hash convention: with ``portable=True`` signatures use md5 hex
+strings (bit-identical in DuckDB -> oracle-checkable end to end);
+default fast path uses xxhash64 (JVM, no md5 string materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etlutils_spark.functions.vectors import cosine_exact, cosine_fast
+from etlutils_spark.operators.text import word_shingles
+
+
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact-duplicate groups: content digest -> (keep_id, n_dups).
+
+    ``normalize`` lower-cases and collapses runs of whitespace before
+    hashing (near-universal practice for training corpora).
+    """
+    c = F.col(text_col)
+    if normalize:
+        c = F.lower(F.regexp_replace(c, "\\s+", " "))
+    return (
+        df.select(F.md5(c).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalize: bool = True
+) -> DataFrame:
+    """Keep one representative (min id) per content digest.
+
+    Implemented as a keeper-set semi-join so only ids shuffle, not
+    payloads — at 100 TB the text/binary columns never leave their
+    partitions except for the winners."""
+    keepers = dedup_exact(df, text_col, id_col, normalize).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+def shingle_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    extra_cols: tuple[str, ...] = (),
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Explode distinct word n-gram shingles to rows (doc_id, shingle).
+
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    documents — the skew guard for boilerplate at scale."""
+    out = df.select(
+        F.col(id_col), *extra_cols,
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    if max_doc_freq is not None:
+        freq = out.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        keep = freq.filter(F.col("__df") <= max_doc_freq).select("shingle")
+        out = out.join(keep, "shingle", "left_semi")
+    return out
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = (),
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing >=1 shingle (and block).
+
+    Pair generation is a self-equi-join on the shingle (plus optional
+    blocking columns) — only co-shingled pairs materialize. Output:
+    (id_1, id_2, n_common, n_1, n_2, jaccard >= threshold).
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # distinct aliases per side — avoids Spark's self-join attribute
+    # ambiguity (and its trivially-true-predicate warning)
+    a = shingles.select(
+        *[F.col(c).alias(f"{c}_1") for c in (id_col, *block_cols)],
+        F.col("shingle").alias("sh_1"),
+    )
+    b = shingles.select(
+        *[F.col(c).alias(f"{c}_2") for c in (id_col, *block_cols)],
+        F.col("shingle").alias("sh_2"),
+    )
+    cond = [F.col("sh_1") == F.col("sh_2"), F.col(f"{id_col}_1") < F.col(f"{id_col}_2")]
+    for c in block_cols:
+        cond.append(F.col(f"{c}_1") == F.col(f"{c}_2"))
+    inter = (
+        a.join(b, on=cond)
+        .groupBy(f"{id_col}_1", f"{id_col}_2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col(id_col).alias(f"{id_col}_1"), F.col("n_sh").alias("n_1"))
+    s2 = sizes.select(F.col(id_col).alias(f"{id_col}_2"), F.col("n_sh").alias("n_2"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_1") + F.col("n_2") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(s1, f"{id_col}_1").join(s2, f"{id_col}_2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(f"{id_col}_1", f"{id_col}_2", "n_common", "n_1", "n_2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-doc MinHash signature as ``num_hashes`` columns mh0..mhK.
+
+    One groupBy over the shingle rows computes every hash's min in a
+    single shuffle (map-side partial min -> tiny exchange). Portable
+    mode: mh_i = MIN(md5('i|' || shingle)) over hex strings; fast mode:
+    MIN(xxhash64(i || shingle)) as bigint."""
+    aggs = []
+    for i in range(num_hashes):
+        if portable:
+            h = F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))
+        else:
+            h = F.xxhash64(F.concat(F.lit(f"{i}|"), F.col("shingle")))
+        aggs.append(F.min(h).alias(f"mh{i}"))
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """Band the signature and bucket-join: pairs agreeing on >=1 band.
+
+    rows_per_band = num_hashes // bands; band signature = digest of the
+    concatenated row hashes. Output distinct (id_1, id_2)."""
+    rpb = num_hashes // bands
+    digest = F.md5 if portable else F.xxhash64
+    band_cols = [
+        digest(F.concat_ws("|", *[F.col(f"mh{b * rpb + r}").cast("string") for r in range(rpb)]))
+        .cast("string").alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select(id_col, *band_cols).select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_idx", "band_sig"),
+    )
+    a = banded.select(F.col(id_col).alias(f"{id_col}_1"), "band_idx", "band_sig")
+    b = banded.select(F.col(id_col).alias(f"{id_col}_2"), "band_idx", "band_sig")
+    return (
+        a.join(b, on=["band_idx", "band_sig"])
+        .filter(F.col(f"{id_col}_1") < F.col(f"{id_col}_2"))
+        .select(f"{id_col}_1", f"{id_col}_2")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    portable: bool = True,
+) -> DataFrame:
+    """Full MinHash+LSH pipeline: signatures -> banded candidates ->
+    exact-Jaccard verify on candidates only. Output verified pairs
+    (id_1, id_2, jaccard)."""
+    sh = shingle_rows(df, text_col, id_col, n)
+    sigs = minhash_signatures(sh, id_col, num_hashes, portable)
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, portable)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # verify join: attach id_1's shingles to each candidate pair, then
+    # count how many also belong to id_2 — work is O(candidates x
+    # shingles-per-doc), never all-pairs.
+    a = sh.select(F.col(id_col).alias(f"{id_col}_1"), "shingle")
+    b = sh.select(F.col(id_col).alias(f"{id_col}_2"), "shingle")
+    inter = (
+        cand.join(a, f"{id_col}_1")
+        .join(b, on=[f"{id_col}_2", "shingle"])
+        .groupBy(f"{id_col}_1", f"{id_col}_2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col(id_col).alias(f"{id_col}_1"), F.col("n_sh").alias("n_1"))
+    s2 = sizes.select(F.col(id_col).alias(f"{id_col}_2"), F.col("n_sh").alias("n_2"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_1") + F.col("n_2") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(s1, f"{id_col}_1").join(s2, f"{id_col}_2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(f"{id_col}_1", f"{id_col}_2", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (xxhash64 per token; each
+    bit's sign = sum of +-1 contributions).
+
+    Computed entirely with higher-order functions: per-doc, map-side,
+    no shuffle at all — the cheapest near-dup signature available.
+    Output: (id, simhash bigint).
+    """
+    toks = F.split(F.col(text_col), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))  # hash each token once
+
+    def bit_contrib(b: int):
+        # NB: capture b via closure, NOT a default arg — PySpark counts
+        # default params in the lambda arity and would pass a third
+        # lambda-variable Column as `b`.
+        def merge(acc, h):
+            return acc + (
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+            )
+
+        return F.aggregate(hashes, F.lit(0).cast("bigint"), merge)
+
+    bit_exprs = []
+    for b in range(bits):
+        contrib = bit_contrib(b)
+        bit_exprs.append(F.when(contrib > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0)))
+    sig = bit_exprs[0]
+    for b in range(1, bits):
+        sig = sig + F.when(bit_exprs[b] == 1, F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("bigint")).otherwise(F.lit(0))
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, prefix_bits: int = 16
+) -> DataFrame:
+    """Candidate pairs by identical high-bit prefix block, verified by
+    full Hamming distance <= max_hamming (bit_count(xor))."""
+    pref = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+    s = sigs.withColumn("block", pref)
+    a = s.select(F.col(id_col).alias(f"{id_col}_1"), F.col("simhash").alias("sig_1"), "block")
+    b = s.select(F.col(id_col).alias(f"{id_col}_2"), F.col("simhash").alias("sig_2"), "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col(f"{id_col}_1") < F.col(f"{id_col}_2"))
+        .withColumn("hamming", F.bit_count(F.col("sig_1").bitwiseXOR(F.col("sig_2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(f"{id_col}_1", f"{id_col}_2", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    exact: bool = True,
+) -> DataFrame:
+    """All-pairs cosine >= threshold (the verify stage / small-N form;
+    block with LSH from similarity.py before this at scale)."""
+    cos = cosine_exact if exact else cosine_fast
+    a = df.select(F.col(id_col).alias(f"{id_col}_1"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias(f"{id_col}_2"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, a[f"{id_col}_1"] < b[f"{id_col}_2"])
+        .select(f"{id_col}_1", f"{id_col}_2", cos("va", "vb").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,150 @@
+"""Text-analysis operators over a document corpus (training-data
+pipeline surface): tokenization, quality stats, language ID heuristic,
+token counting, fingerprinting.
+
+Everything is built-in expression work (split / higher-order functions /
+regexp / md5) — no Python in the hot path, so a 100 TB corpus scan stays
+inside whole-stage codegen with the parquet reader pruning to the text
+column.
+
+Portable-hash convention: md5 hex strings are the cross-engine hash
+domain (identical in Spark and DuckDB, byte-wise comparable/min-able);
+xxhash64 is the fast path where oracle parity is not required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny in-vocabulary stopword sets; EN list doubles as the quality
+# stopword list. Deterministic, dictionary-sized -> travel in the plan.
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "la", "y", "los"),
+    "zh": ("de5", "shi4", "le5", "he2"),  # romanized placeholders
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space convention of the corpus).
+    Mirrors DuckDB ``string_split(text, ' ')`` exactly."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column.
+
+    transform(sequence(...)) keeps shingle construction inside codegen —
+    no explode until the caller decides to."""
+    w = tokens(text)
+    # NB: Spark sequence(1, 0) yields [1, 0] (descending), unlike
+    # DuckDB generate_series(1, 0) = [] — guard texts shorter than n.
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)])
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(w) >= n, F.array_distinct(gram)).otherwise(empty)
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality stats + a composite quality score.
+
+    Columns: n_chars, n_tokens, n_distinct_tokens, avg_token_len,
+    stopword_ratio, quality_score. All divisions are double/double —
+    single IEEE ops, bit-identical to the DuckDB twin.
+    """
+    toks = tokens(text_col)
+    n_tokens = F.size(toks).cast("bigint")
+    sum_len = F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+    n_stop = _count_in(toks, STOPWORDS).cast("bigint")
+    avg_token_len = sum_len.cast("double") / n_tokens.cast("double")
+    stopword_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    quality = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+        + stopword_ratio * F.lit(0.3)
+        + F.least(avg_token_len / F.lit(8.0), F.lit(1.0)) * F.lit(0.2)
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        stopword_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID heuristic with a fixed priority order for
+    ties (en > de > fr > es > zh); all-zero scores -> 'und'."""
+    toks = tokens(text_col)
+    scores = {k: _count_in(toks, v).cast("bigint") for k, v in LANG_MARKERS.items()}
+    order = list(LANG_MARKERS)
+    pred = F.lit("und")
+    # build CASE from lowest priority upward so earlier langs win ties
+    expr = None
+    for lang in reversed(order):
+        s = scores[lang]
+        cond = s > 0
+        for other in order:
+            if order.index(other) < order.index(lang):
+                cond = cond & (s > scores[other])
+            elif other != lang:
+                cond = cond & (s >= scores[other])
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    pred = expr.otherwise(F.lit("und"))
+    out = df.select(
+        F.col(id_col),
+        F.col("lang").alias("lang_label"),
+        *[scores[k].alias(f"score_{k}") for k in order],
+        pred.alias("lang_pred"),
+    )
+    return out
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace vs regex ("BPE-ish" word/number pieces) token counts."""
+    toks = tokens(text_col)
+    re_toks = F.regexp_extract_all(F.col(text_col), F.lit("[a-z]+|[0-9]+"), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_ws_tokens"),
+        F.size(re_toks).cast("bigint").alias("n_re_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprints: full-text md5 + winnowing-style min-shingle
+    fingerprint (lexicographic min over shingle md5s — the portable-hash
+    equivalent of a min-hash over 3-gram shingles)."""
+    sh = word_shingles(text_col, 3)
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_md5"),
+        F.array_min(F.transform(sh, F.md5)).alias("winnow_fp"),
+    )
+
+
+# DuckDB twins ---------------------------------------------------------------
+
+DUCK_TOKENS = "string_split(text, ' ')"
+DUCK_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),"
+    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+)
+
+
+def duck_count_in(words: tuple[str, ...]) -> str:
+    lit = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(w, t -> list_contains([{lit}], t)))"
