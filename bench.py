@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (full
+computation, no driver collect). Timings are wall-clock per query after
+a small warmup that absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: the scans/joins/aggs/windows that dominate at scale plus
+# the extension pipelines (dedup, ANN, text) — the 100 TB-relevant shapes.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "matchmerge_inner",
+    "window_topk_per_customer",
+    "window_running_spend",
+    "locf_events",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_stats",
+    "text_fingerprint",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from etlutils_spark.session import get_session
+
+    qs = entry_mod.queries()
+    spark = get_session("bench")
+    # warmup: touch each table + run one small pipeline to absorb
+    # codegen/classloading costs outside the timed region
+    from etlutils_spark.sources.files import TABLES, read_table
+
+    for t in TABLES:
+        read_table(spark, t, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
