@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from etlutils_spark.entry_queries import REGISTRY  # noqa: E402
 import etlutils_spark.relational_queries  # noqa: E402,F401  (registers into REGISTRY)
 import etlutils_spark.extension_queries  # noqa: E402,F401  (registers into REGISTRY)
+import etlutils_spark.event_queries  # noqa: E402,F401  (registers into REGISTRY)
 
 
 def entry(spark: SparkSession) -> DataFrame:

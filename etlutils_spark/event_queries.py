@@ -1,0 +1,166 @@
+"""Event-stream analytics queries: streaming windowed aggregation,
+sessionization, as-of lookup, range join — the temporal surface a
+Structured-Streaming-capable engine adds over the batch-only reference
+(SURVEY §2.7: the reference's cursor loop is pagination, not a stream).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etlutils_spark.entry_queries import _t, register
+from etlutils_spark.streaming.ingest import (
+    run_available_now,
+    stream_events_file,
+    windowed_event_counts,
+)
+
+_stream_counter = itertools.count()
+
+
+@register(
+    "streaming_window_counts",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_window_counts(spark, sf_dir):
+    """A real Structured Streaming query (readStream -> watermark ->
+    tumbling window -> memory sink, availableNow trigger) driven to
+    completion and returned as a batch result. Epoch-aligned 1h windows
+    == date_trunc('hour') in the oracle. Complete output mode so
+    windows newer than the final watermark are emitted too."""
+    events = stream_events_file(spark, sf_dir)
+    agg = windowed_event_counts(events, window="1 hour", watermark="2 hours")
+    name = f"stream_out_{next(_stream_counter)}"
+    return run_available_now(spark, agg, query_name=name, output_mode="complete")
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), gaps AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize_events(spark, sf_dir):
+    """Sessionization: gap > 6h starts a new session (lag + running sum
+    — one window pass, one shuffle on user_id)."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 6 HOURS")), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(run))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "asof_last_purchase",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    )
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_ts
+    FROM e
+    """,
+)
+def q_asof_last_purchase(spark, sf_dir):
+    """As-of (backward) lookup as a composition of existing ops: latest
+    strictly-prior purchase per user via last(ignorenulls) over a
+    trailing frame — the same primitive as LOCF (F2), which is why the
+    engine gets as-of joins 'for free' on co-partitioned streams."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.last(purchase_ts, ignorenulls=True).over(w).alias("last_purchase_ts"),
+    )
+
+
+@register(
+    "range_join_purchase_window",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    ), p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase')
+    SELECT p.event_id AS purchase_id, p.user_id,
+           COUNT(f.event_id) AS n_following
+    FROM p LEFT JOIN e f
+      ON f.user_id = p.user_id
+     AND f.ts > p.ts
+     AND f.ts <= p.ts + INTERVAL 24 HOUR
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def q_range_join_purchase_window(spark, sf_dir):
+    """Range join: events within 24h after each purchase, per user.
+
+    Scale: the equi-key (user_id) carries the shuffle; the range
+    predicate filters within partitions. For range-only joins (no
+    equi-key) bucketize the time axis first — see SNIPPETS/guide
+    pattern; here the user_id key keeps it a plain partitioned join.
+    """
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    f = e.select(
+        F.col("event_id").alias("f_event_id"),
+        F.col("user_id").alias("f_user"),
+        F.col("ts").alias("f_ts"),
+    )
+    joined = p.join(
+        f,
+        on=[
+            F.col("f_user") == F.col("p_user"),
+            F.col("f_ts") > F.col("p_ts"),
+            F.col("f_ts") <= F.col("p_ts") + F.expr("INTERVAL 24 HOURS"),
+        ],
+        how="left",
+    )
+    return joined.groupBy(
+        F.col("purchase_id"), F.col("p_user").alias("user_id")
+    ).agg(F.count("f_event_id").alias("n_following"))

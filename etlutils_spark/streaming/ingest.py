@@ -1,0 +1,102 @@
+"""Structured Streaming mirror of the reference's chunked ingest loop.
+
+The reference's cursor loop (fetch chunk -> transFUN -> append,
+R/ffsql.R:276-333) is pull-based pagination; its Spark-native
+generalization is a stream: ``readStream`` -> transformations ->
+``writeStream``, where ``foreachBatch`` plays exactly the per-chunk
+``transFUN`` role and the sink append mirrors the ffdf grow-in-place
+append (R/ffsql.R:319-323). The reference has no watermarks/state
+(SURVEY §2.7) — those are pure extension.
+
+Scale: file-source streams partition per file; watermark bounds state
+for the windowed aggregates; ``availableNow`` gives batch-boundedness
+for backfills (process everything, then stop) — the pattern for
+replaying a 100 TB history through the same streaming query that then
+tails the live feed.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream exactly the events parquet (one-file source)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file-stream sources require a directory; glob-filter to the events file
+    df = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts + exact-decimal value sums per event_type,
+    tolerating ``watermark`` of event-time lateness."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(
+    spark: SparkSession,
+    agg: DataFrame,
+    query_name: str = "stream_out",
+    output_mode: str = "append",
+) -> DataFrame:
+    """Drive a streaming aggregate to completion over all currently
+    available input (availableNow trigger, memory sink) and return the
+    result as a batch DataFrame."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def foreach_batch_ingest(
+    events: DataFrame,
+    transform: Callable[[DataFrame, int], DataFrame],
+    path: str,
+    checkpoint: str,
+):
+    """The transFUN-per-chunk pattern verbatim: each micro-batch passes
+    through ``transform(df, epoch_id)`` then appends to partitioned
+    parquet — the streaming twin of read.dbi.ffdf's loop."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        out = transform(batch_df, epoch_id)
+        out.write.mode("append").parquet(path)
+
+    return (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

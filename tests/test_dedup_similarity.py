@@ -1,0 +1,123 @@
+"""Semantics tests for the dedup/similarity operators on planted data —
+covers the engine-specific (rows-only) paths the DuckDB oracle can't:
+simhash, LSH recall, and the multimodal stub."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlutils_spark.operators import multimodal
+from etlutils_spark.operators.dedup import (
+    dedup_exact,
+    drop_exact_duplicates,
+    embedding_neardup_pairs,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    shingle_rows,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from etlutils_spark.operators.similarity import cosine_topk, lsh_topk
+from etlutils_spark.operators.text import word_shingles
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")  # 1-word difference
+    rows = [
+        (0, base),
+        (1, base),              # exact duplicate of 0
+        (2, near),              # near duplicate of 0
+        (3, "completely different text about spark query engines and shuffles"),
+        (4, "another unrelated document mentioning joins aggregates and windows"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_dedup_exact_groups(docs):
+    groups = dedup_exact(docs).collect()
+    sizes = sorted(g.n_docs for g in groups)
+    assert sizes == [1, 1, 1, 2]  # 0 and 1 collapse
+    kept = drop_exact_duplicates(docs)
+    assert kept.count() == 4
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == {0, 2, 3, 4}
+
+
+def test_jaccard_finds_near_dup(docs):
+    pairs = jaccard_pairs(shingle_rows(docs), threshold=0.3).collect()
+    found = {(r.doc_id_1, r.doc_id_2) for r in pairs}
+    assert (0, 1) in found  # identical
+    assert (0, 2) in found and (1, 2) in found  # near dup
+    assert all(p[1] not in (3, 4) or p[0] in (3, 4) for p in found)
+
+
+def test_minhash_lsh_recall(docs):
+    got = minhash_dedup_pairs(docs, num_hashes=8, bands=4, threshold=0.3)
+    found = {(r.doc_id_1, r.doc_id_2) for r in got.collect()}
+    # exact/near duplicates must survive banding + verification
+    assert (0, 1) in found
+    assert (0, 2) in found
+
+
+def test_simhash_separates(docs):
+    sigs = simhash_signatures(docs)
+    vals = {r.doc_id: r.simhash for r in sigs.collect()}
+    assert vals[0] == vals[1]  # identical docs, identical signature
+    near = simhash_near_pairs(sigs, max_hamming=8, prefix_bits=8)
+    found = {(r.doc_id_1, r.doc_id_2): r.hamming for r in near.collect()}
+    assert found.get((0, 1)) == 0
+    # near-dup pair is close in hamming space if prefix-blocked together
+    if (0, 2) in found:
+        assert found[(0, 2)] <= 8
+
+
+def test_word_shingles_short_text(spark):
+    df = spark.createDataFrame([(1, "one two")], "id int, text string")
+    out = df.select(word_shingles("text", 3).alias("sh")).first()
+    assert out.sh == []  # shorter than n -> empty, not [1,0]-descending junk
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(10, 16).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # 10: near-duplicate of 0 (tiny noise)
+    rows.append((10, [float(x + 0.01) for x in base[0]]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_embedding_neardup(emb):
+    pairs = embedding_neardup_pairs(emb, threshold=0.95).collect()
+    assert {(r.vec_id_1, r.vec_id_2) for r in pairs} == {(0, 10)}
+
+
+def test_lsh_topk_recall_vs_bruteforce(emb):
+    queries = emb.filter(F.col("vec_id") < 2)
+    exact = cosine_topk(emb, queries, k=3)
+    approx = lsh_topk(emb, queries, k=3, num_planes=8, bands=4, dim=16)
+    exact_top1 = {r.query_id: r.vec_id for r in exact.collect() if r.rank == 1}
+    approx_top1 = {r.query_id: r.vec_id for r in approx.collect() if r.rank == 1}
+    # the near-duplicate neighbor (0 -> 10) must be found by LSH too
+    assert exact_top1[0] == 10
+    assert approx_top1.get(0) == 10
+
+
+def test_multimodal_feature_plumbing(docs):
+    df = multimodal.attach_binary_payload(docs)
+    feats = multimodal.extract_features(df).collect()
+    assert len(feats) == 5
+    by_id = {r.doc_id: r for r in feats}
+    # identical payloads -> identical features; histogram sums to ~1
+    assert by_id[0].features == by_id[1].features
+    assert abs(sum(by_id[0].features) - 1.0) < 1e-9
+    assert by_id[0].payload_len > 0
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError, match="PIL|pillow"):
+        multimodal.decode_image(b"\x89PNG")
