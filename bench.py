@@ -52,6 +52,19 @@ def main() -> None:
 
     for t in TABLES:
         read_table(spark, t, SF_DIR).write.format("noop").mode("overwrite").save()
+    # prewarm the Python worker pool (mapInPandas queries otherwise pay
+    # ~32 worker cold-starts inside their timed region)
+    import pandas as pd  # noqa: F401
+
+    def _idy(it):
+        for pdf in it:
+            yield pdf
+
+    (
+        spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism)
+        .mapInPandas(_idy, schema="id long")
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -23,9 +23,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from etlutils_spark.functions.vectors import cosine_exact, cosine_fast
-from etlutils_spark.operators.text import word_shingles
+from etlutils_spark.operators.text import TOKENS_COL, shingles_from_tokens, with_tokens
+from etlutils_spark.sources.files import spread
 
 
 def dedup_exact(
@@ -74,10 +76,13 @@ def shingle_rows(
     """Explode distinct word n-gram shingles to rows (doc_id, shingle).
 
     ``max_doc_freq`` drops shingles appearing in more than that many
-    documents — the skew guard for boilerplate at scale."""
-    out = df.select(
+    documents — the skew guard for boilerplate at scale. The input is
+    ``spread`` first: shingle construction is the CPU-heavy stage and
+    must not be serialized by a single-file scan."""
+    base = with_tokens(spread(df), text_col)
+    out = base.select(
         F.col(id_col), *extra_cols,
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
+        F.explode(shingles_from_tokens(TOKENS_COL, n)).alias("shingle"),
     )
     if max_doc_freq is not None:
         freq = out.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
@@ -97,7 +102,13 @@ def jaccard_pairs(
     Pair generation is a self-equi-join on the shingle (plus optional
     blocking columns) — only co-shingled pairs materialize. Output:
     (id_1, id_2, n_common, n_1, n_2, jaccard >= threshold).
+
+    The shingle input feeds three consumers (sizes + both join sides):
+    persisted (memory-and-disk) so shingling runs once, not 3x — the
+    same materialize-before-fan-out rule a 100 TB pipeline follows by
+    checkpointing its shingle table.
     """
+    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     # distinct aliases per side — avoids Spark's self-join attribute
     # ambiguity (and its trivially-true-predicate warning)
@@ -197,7 +208,7 @@ def minhash_dedup_pairs(
     """Full MinHash+LSH pipeline: signatures -> banded candidates ->
     exact-Jaccard verify on candidates only. Output verified pairs
     (id_1, id_2, jaccard)."""
-    sh = shingle_rows(df, text_col, id_col, n)
+    sh = shingle_rows(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(sh, id_col, num_hashes, portable)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, portable)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -235,8 +246,8 @@ def simhash_signatures(
     no shuffle at all — the cheapest near-dup signature available.
     Output: (id, simhash bigint).
     """
-    toks = F.split(F.col(text_col), " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))  # hash each token once
+    df = with_tokens(spread(df), text_col)
+    hashes = F.transform(F.col(TOKENS_COL), lambda t: F.xxhash64(t))  # hash each token once
 
     def bit_contrib(b: int):
         # NB: capture b via closure, NOT a default arg — PySpark counts
@@ -288,7 +299,7 @@ def embedding_neardup_pairs(
     """All-pairs cosine >= threshold (the verify stage / small-N form;
     block with LSH from similarity.py before this at scale)."""
     cos = cosine_exact if exact else cosine_fast
-    a = df.select(F.col(id_col).alias(f"{id_col}_1"), F.col(vec_col).alias("va"))
+    a = spread(df.select(F.col(id_col).alias(f"{id_col}_1"), F.col(vec_col).alias("va")))
     b = df.select(F.col(id_col).alias(f"{id_col}_2"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, a[f"{id_col}_1"] < b[f"{id_col}_2"])

@@ -90,7 +90,9 @@ def extract_features(
                 }
             )
 
-    narrowed = df.select(id_col, payload_col)
+    from etlutils_spark.sources.files import spread
+
+    narrowed = spread(df.select(id_col, payload_col))
     return narrowed.mapInPandas(
         run, schema=f"{id_col} bigint, features array<double>, payload_len bigint"
     )

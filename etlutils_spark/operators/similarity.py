@@ -39,11 +39,14 @@ def cosine_topk(
     queries, huge corpus). Output: (query_id, vec_id, cosine, rank).
     Self-matches (same id) are excluded.
     """
+    from etlutils_spark.sources.files import spread
+
     cos = cosine_exact if exact else cosine_fast
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    # spread: the per-(query, vector) cosine work is the CPU stage
+    c = spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(query_id_col) != F.col(id_col))

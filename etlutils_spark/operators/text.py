@@ -7,6 +7,13 @@ regexp / md5) — no Python in the hot path, so a 100 TB corpus scan stays
 inside whole-stage codegen with the parquet reader pruning to the text
 column.
 
+Performance invariant: the token array is MATERIALIZED once per row
+(``with_tokens``) before any consumer references it. Inlining the
+``split`` call into every consumer expression re-evaluates it per use —
+measured 25x slower for shingle construction (split embedded 3x per
+shingle element). Catalyst's CollapseProject will not duplicate a
+non-cheap aliased expression, so the projected column is computed once.
+
 Portable-hash convention: md5 hex strings are the cross-engine hash
 domain (identical in Spark and DuckDB, byte-wise comparable/min-able);
 xxhash64 is the fast path where oracle parity is not required.
@@ -28,6 +35,8 @@ LANG_MARKERS = {
     "zh": ("de5", "shi4", "le5", "he2"),  # romanized placeholders
 }
 
+TOKENS_COL = "__toks"
+
 
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization (single-space convention of the corpus).
@@ -36,20 +45,37 @@ def tokens(text: Column | str) -> Column:
     return F.split(c, " ")
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column.
+def with_tokens(df: DataFrame, text_col: str = "text", parallel: bool = True) -> DataFrame:
+    """Materialize the token array once (see module docstring), spreading
+    the input across the session's cores first (single-file scans are
+    1-task; tokenization is the CPU stage that must parallelize)."""
+    from etlutils_spark.sources.files import spread
 
-    transform(sequence(...)) keeps shingle construction inside codegen —
-    no explode until the caller decides to."""
-    w = tokens(text)
-    # NB: Spark sequence(1, 0) yields [1, 0] (descending), unlike
-    # DuckDB generate_series(1, 0) = [] — guard texts shorter than n.
+    if parallel:
+        df = spread(df)
+    return df.withColumn(TOKENS_COL, tokens(text_col))
+
+
+def shingles_from_tokens(tok_col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED token column.
+
+    NB: Spark ``sequence(1, 0)`` yields [1, 0] (descending), unlike
+    DuckDB ``generate_series(1, 0)`` = [] — short texts are guarded.
+    """
+    w = F.col(tok_col) if isinstance(tok_col, str) else tok_col
     idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
     gram = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)])
     )
     empty = F.array().cast("array<string>")
     return F.when(F.size(w) >= n, F.array_distinct(gram)).otherwise(empty)
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Shingles straight from a text column — convenience for one-shot
+    use. Multi-consumer pipelines must go through ``with_tokens`` +
+    ``shingles_from_tokens`` instead (25x difference, see module doc)."""
+    return shingles_from_tokens(tokens(text), n)
 
 
 def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
@@ -63,7 +89,8 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     stopword_ratio, quality_score. All divisions are double/double —
     single IEEE ops, bit-identical to the DuckDB twin.
     """
-    toks = tokens(text_col)
+    base = with_tokens(df, text_col)
+    toks = F.col(TOKENS_COL)
     n_tokens = F.size(toks).cast("bigint")
     sum_len = F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
     n_stop = _count_in(toks, STOPWORDS).cast("bigint")
@@ -74,7 +101,7 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         + stopword_ratio * F.lit(0.3)
         + F.least(avg_token_len / F.lit(8.0), F.lit(1.0)) * F.lit(0.2)
     )
-    return df.select(
+    return base.select(
         F.col(id_col),
         F.length(text_col).cast("bigint").alias("n_chars"),
         n_tokens.alias("n_tokens"),
@@ -88,11 +115,10 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-word language ID heuristic with a fixed priority order for
     ties (en > de > fr > es > zh); all-zero scores -> 'und'."""
-    toks = tokens(text_col)
+    base = with_tokens(df, text_col)
+    toks = F.col(TOKENS_COL)
     scores = {k: _count_in(toks, v).cast("bigint") for k, v in LANG_MARKERS.items()}
     order = list(LANG_MARKERS)
-    pred = F.lit("und")
-    # build CASE from lowest priority upward so earlier langs win ties
     expr = None
     for lang in reversed(order):
         s = scores[lang]
@@ -104,22 +130,21 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
                 cond = cond & (s >= scores[other])
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
     pred = expr.otherwise(F.lit("und"))
-    out = df.select(
+    return base.select(
         F.col(id_col),
         F.col("lang").alias("lang_label"),
         *[scores[k].alias(f"score_{k}") for k in order],
         pred.alias("lang_pred"),
     )
-    return out
 
 
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace vs regex ("BPE-ish" word/number pieces) token counts."""
-    toks = tokens(text_col)
+    base = with_tokens(df, text_col)
     re_toks = F.regexp_extract_all(F.col(text_col), F.lit("[a-z]+|[0-9]+"), 0)
-    return df.select(
+    return base.select(
         F.col(id_col),
-        F.size(toks).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.col(TOKENS_COL)).cast("bigint").alias("n_ws_tokens"),
         F.size(re_toks).cast("bigint").alias("n_re_tokens"),
     )
 
@@ -128,11 +153,13 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Content fingerprints: full-text md5 + winnowing-style min-shingle
     fingerprint (lexicographic min over shingle md5s — the portable-hash
     equivalent of a min-hash over 3-gram shingles)."""
-    sh = word_shingles(text_col, 3)
-    return df.select(
+    base = with_tokens(df, text_col).withColumn(
+        "__sh", shingles_from_tokens(TOKENS_COL, 3)
+    )
+    return base.select(
         F.col(id_col),
         F.md5(F.col(text_col)).alias("content_md5"),
-        F.array_min(F.transform(sh, F.md5)).alias("winnow_fp"),
+        F.array_min(F.transform("__sh", F.md5)).alias("winnow_fp"),
     )
 
 

@@ -53,6 +53,23 @@ def read_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return df
 
 
+def spread(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Repartition a narrow input up to the session's parallelism.
+
+    Single-file parquet tables (one row group) scan as ONE task no
+    matter how many cores exist — any CPU-heavy per-row stage downstream
+    then runs serially. ``spread`` is the explicit lever: cheap shuffle
+    of a small input, full parallelism after. On a real cluster with
+    splittable multi-file inputs the scan is already parallel and
+    callers skip it — which is why it is opt-in, not baked into
+    ``read_table`` (an unconditional exchange would poison every plan).
+    """
+    n = n or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def load_star(spark: SparkSession, sf_dir: str | None = None, register_views: bool = True) -> dict[str, DataFrame]:
     """Load every table; optionally register each as a temp view so the
     full Spark SQL surface (the reference's delegated-SQL role, SURVEY
