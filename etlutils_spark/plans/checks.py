@@ -48,6 +48,15 @@ def physical_plan(df: DataFrame) -> str:
     )
 
 
+def codegen_plan(df: DataFrame) -> str:
+    """The codegen-mode explain (WholeStageCodegen subtrees). With AQE
+    the formatted plan shows only AdaptiveSparkPlan pre-execution, so
+    codegen checks need this mode."""
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    )
+
+
 def assert_in_plan(df: DataFrame, *needles: str) -> None:
     plan = physical_plan(df)
     for needle in needles:
