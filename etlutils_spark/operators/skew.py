@@ -1,0 +1,91 @@
+"""Skew-mitigation and co-location join strategies.
+
+AQE's skew-join handling (on by default in our session) splits oversized
+post-shuffle partitions automatically; ``salted_join`` is the explicit
+fallback for the cases AQE can't fix (e.g., a single hot key inside one
+task during aggregation, or non-AQE environments). ``bucketed_table``
+writes the co-location layout that removes the shuffle from future
+joins entirely — the 100 TB pattern for fact-to-fact joins repeated
+across a pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Equi-join with the big side's hot keys spread over ``salt``
+    sub-keys and the small side replicated ``salt`` times.
+
+    The salt is derived deterministically from the row content hash (not
+    rand()) so retried tasks produce identical partitioning — a
+    requirement for speculative execution / fault replay at scale.
+    Output columns = plain ``big.join(small, on, how)``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (small side is replicated)")
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+    )
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = big_s.join(small_s, on=[on, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def aggregate_with_salt(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for skewed group keys: partial aggregate on
+    (key, salt), then final merge on key. ``aggs`` maps output name ->
+    (column, fn) with fn in {sum, count, min, max} (the mergeable set).
+
+    Catalyst already does map-side partial aggregation; explicit salting
+    additionally splits a hot key ACROSS reducers, bounding any single
+    task at ~1/salt of the hot key's rows.
+    """
+    fn_partial = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    fn_merge = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    for name, (col, fn) in aggs.items():
+        if fn not in fn_partial:
+            raise ValueError(f"{fn} is not mergeable through a salt stage")
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[fn_partial[fn](col).alias(name) for name, (col, fn) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[fn_merge[fn](name).alias(name) for name, (col, fn) in aggs.items()]
+    )
+
+
+def bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 8,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table: joins and
+    aggregations on the bucket columns then read co-located data and
+    skip the exchange (and the sort, if sorted)."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(name)

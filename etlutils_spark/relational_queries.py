@@ -378,6 +378,89 @@ def q_pivot_status_counts(spark, sf_dir):
     )
 
 
+@register(
+    "json_extract_props",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def q_json_extract_props(spark, sf_dir):
+    """Semi-structured access: JSON path extraction from a string column
+    (get_json_object — codegen'd, no Python)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+@register(
+    "explode_token_freq",
+    """
+    SELECT t AS token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+    GROUP BY t
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def q_explode_token_freq(spark, sf_dir):
+    """UDTF surface (SURVEY §2.8): explode/unnest — token frequency
+    top-20. Scale: explode is pipelined (no materialized blow-up);
+    the count groupBy does a partial-agg before its shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+_GROUPING_SETS_SQL = f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {DSUM('o_totalprice', 'total')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@register("grouping_sets_sql", _GROUPING_SETS_SQL)
+def q_grouping_sets_sql(spark, sf_dir):
+    """GROUPING SETS — identical query text on spark.sql and DuckDB
+    (the delegated-SQL mode of the reference, §4.1)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@register(
+    "percentile_quantity",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile_quantity(spark, sf_dir):
+    """Exact interpolated percentiles (l_quantity is integral-valued, so
+    interpolation is exact in both engines). At 100 TB use
+    percentile_approx (one-pass sketch) — kept exact for the oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+        F.min("l_quantity").alias("min_q"),
+        F.max("l_quantity").alias("max_q"),
+    )
+
+
 _DELEGATED_SQL = """
     SELECT c_mktsegment,
            COUNT(*) AS n,

@@ -1,0 +1,77 @@
+"""Scale patterns: salted joins/aggregations equal their plain
+counterparts; bucketed tables join without a shuffle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlutils_spark.operators.skew import aggregate_with_salt, bucketed_table, salted_join
+from etlutils_spark.plans.checks import physical_plan
+
+
+def test_salted_join_matches_plain(star):
+    li = star["lineitem"].select("l_orderkey", "l_quantity")
+    orders = star["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, "l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("s"),
+    ).first()
+    salted = salted_join(li, orders, on="l_orderkey", salt=4).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("s"),
+    ).first()
+    assert (plain.n, plain.s) == (salted.n, salted.s)
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (99, "z")], "k int, v string")
+    small = spark.createDataFrame([(1, "X"), (2, "Y")], "k int, w string")
+    out = salted_join(big, small, on="k", how="left", salt=3).collect()
+    assert len(out) == 3
+    assert {r.k: r.w for r in out} == {1: "X", 2: "Y", 99: None}
+
+
+def test_aggregate_with_salt_matches_plain(star):
+    li = star["lineitem"]
+    plain = {
+        (r.l_returnflag): (r.n, r.mx)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("l_quantity").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag): (r.n, r.mx)
+        for r in aggregate_with_salt(
+            li, ["l_returnflag"],
+            {"n": ("l_quantity", "count"), "mx": ("l_quantity", "max")},
+            salt=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+@pytest.mark.usefixtures("star")
+def test_bucketed_join_has_no_shuffle(spark, star, tmp_path_factory):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed_table(
+            star["orders"].select("o_orderkey", "o_totalprice"),
+            "b_orders", ["o_orderkey"], num_buckets=4,
+        )
+        bucketed_table(
+            star["lineitem"].select("l_orderkey", "l_quantity"),
+            "b_lineitem", ["l_orderkey"], num_buckets=4,
+        )
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = physical_plan(j)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan  # bucketing removed both shuffles
+        assert j.count() == star["lineitem"].count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
