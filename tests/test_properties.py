@@ -1,0 +1,61 @@
+"""Property-based tests (hypothesis): operator semantics vs pure-Python
+reference implementations of the R originals — beyond the fixed goldens.
+
+Kept to few, small examples per property: each example round-trips
+through a Spark job, so the budget is spent on semantic edge cases
+(leading NULLs, all-NULL, empty mappings, duplicate keys) rather than
+bulk."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etlutils_spark.operators.locf import na_locf_plus_one
+from etlutils_spark.operators.recode import recoder
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def ref_na_locf_plus_one(xs):
+    """Pure-Python transcription of R/utils.R:49-52 semantics."""
+    out, last, run = [], None, 0
+    for v in xs:
+        if v is None:
+            run += 1
+            out.append(None if last is None else last + run)
+        else:
+            last, run = v, 0
+            out.append(v)
+    return out
+
+
+@SET
+@given(st.lists(st.one_of(st.none(), st.integers(-5, 5).map(float)), max_size=12))
+def test_locf_matches_reference(spark, xs):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(xs)], "ord int, x double"
+    )
+    got = [r.x for r in na_locf_plus_one(df, "x", order_by="ord").orderBy("ord").collect()]
+    assert got == ref_na_locf_plus_one(xs)
+
+
+@SET
+@given(
+    st.lists(st.one_of(st.none(), st.sampled_from("ABCDE")), max_size=10),
+    st.dictionaries(st.sampled_from("ABC"), st.sampled_from("xyz"), max_size=3),
+)
+def test_recoder_identity_passthrough(spark, xs, mapping):
+    df = spark.createDataFrame([(v,) for v in xs], "v string")
+    out = [
+        r.v2
+        for r in df.select(
+            recoder("v", list(mapping), list(mapping.values())).alias("v2")
+        ).collect()
+    ]
+    expect = [mapping.get(v, v) if v is not None else None for v in xs]
+    # row order of collect() on a 1-partition local frame is stable, but
+    # compare as multisets to stay order-agnostic
+    assert sorted(out, key=str) == sorted(expect, key=str)
