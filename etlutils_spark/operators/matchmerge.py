@@ -17,8 +17,10 @@ Reference semantics (R/matchmerge.R:95-182 in /root/reference):
 - expression keys (``by.iskey=TRUE``, R/matchmerge.R:127-161) map to
   joining on arbitrary Column expressions via ``by_x_expr``/``by_y_expr``.
 - row order of ``x`` preserved (R/matchmerge.R:180-181): DataFrames are
-  unordered; pass ``preserve_order_col`` naming an existing ordering
-  column if downstream consumers need x's order re-established.
+  unordered; with ``preserve_order=True`` the join captures x's
+  partition-local position and re-sorts the output to x's row order
+  (meaningful locally / per-partition; at cluster scale order is a
+  presentation concern and the flag defaults off).
 
 Scale design: the reference's unique-right-key contract makes the right
 side a *dimension*; we broadcast it when small (the common case) so the
@@ -71,12 +73,24 @@ def matchmerge(
     by_x_expr: Column | None = None,
     by_y_expr: Column | None = None,
     broadcast_right: bool = True,
+    preserve_order: bool = False,
 ) -> DataFrame:
     """Lookup join with the reference's semantics (see module docstring).
 
     Either ``by_x``/``by_y`` (column names) or ``by_x_expr``/``by_y_expr``
     (arbitrary expressions — the reference's ``by.iskey=TRUE`` mode).
     """
+    if preserve_order:
+        order_col = "__mm_row_order"
+        x_ord = x.withColumn(order_col, F.monotonically_increasing_id())
+        out = matchmerge(
+            x_ord, y, by_x=by_x, by_y=by_y, all_x=all_x,
+            add_columns=add_columns, check_duplicates=check_duplicates,
+            trace=trace, by_x_expr=by_x_expr, by_y_expr=by_y_expr,
+            broadcast_right=broadcast_right, preserve_order=False,
+        )
+        return out.orderBy(order_col).drop(order_col)
+
     how = "left" if all_x else "inner"
 
     if by_x_expr is not None or by_y_expr is not None:

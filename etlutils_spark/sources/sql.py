@@ -138,11 +138,29 @@ def ingest_to_parquet(
     path: str,
     mode: str = "overwrite",
     partition_by: Sequence[str] | None = None,
+    verbose: bool = False,
 ) -> None:
     """Persist an ingested frame as the engine's at-rest format (the
     ffdf role, SURVEY §1.4): partitioned Parquet. ``mode="append"``
-    mirrors the ffdf grow-in-place path (R/ffsql.R:319-323)."""
+    mirrors the ffdf grow-in-place path (R/ffsql.R:319-323).
+
+    ``verbose`` prints read+write wall-clock and rows/sec, mirroring the
+    reference's per-run instrumentation format (R/ffsql.R:335-337:
+    "... dbi-read=...secs ffdf-write=...secs TOTAL=...secs"). Spark
+    fuses read and write into one pipelined job, so a single TOTAL is
+    reported (chunk-level split doesn't exist in a fused plan).
+    """
+    import time
+
+    t0 = time.time()
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    if verbose:
+        elapsed = time.time() - t0
+        n = df.sparkSession.read.parquet(path).count()
+        print(
+            f"ingest_to_parquet: {n} rows in TOTAL={elapsed:.3f}secs "
+            f"({n / elapsed:,.0f} rows/sec)"
+        )
