@@ -80,6 +80,32 @@ def factorise(df: DataFrame, logicals: bool = False) -> DataFrame:
     return df.withColumns(casts) if casts else df
 
 
+def with_ordered_levels(df: DataFrame, column: str, levels: Sequence[str]) -> DataFrame:
+    """Ordered-factor support (colClasses="ordered", R/ffsql.R:222-227).
+
+    Spark has no ordered-categorical type; the reference's virtual
+    ramclass patch becomes column METADATA carrying the level order,
+    plus a companion ``<column>__ord`` integer column so ordering ops
+    (sorts, comparisons, windows) can use the factor order directly.
+    Unknown values get NULL rank (sorts last).
+    """
+    meta = {"ordered_levels": list(levels)}
+    rank = None
+    for i, lv in enumerate(levels):
+        cond = F.col(column) == F.lit(lv)
+        rank = F.when(cond, F.lit(i)) if rank is None else rank.when(cond, F.lit(i))
+    rank = rank.otherwise(F.lit(None)) if rank is not None else F.lit(None)
+    return df.withColumn(column, F.col(column).alias(column, metadata=meta)).withColumn(
+        f"{column}__ord", rank.cast("int")
+    )
+
+
+def ordered_levels(df: DataFrame, column: str) -> list[str] | None:
+    """Read back the level order attached by ``with_ordered_levels``."""
+    meta = df.schema[column].metadata
+    return list(meta["ordered_levels"]) if "ordered_levels" in meta else None
+
+
 def factor_levels(df: DataFrame, column: str) -> DataFrame:
     """The observable side of a factor: its sorted level dictionary.
 

@@ -143,6 +143,22 @@ def test_rename_columns_golden(spark):
         rename_columns(df, ["x"], ["a", "b"])
 
 
+def test_ordered_levels_metadata(spark):
+    from etlutils_spark.operators.recode import ordered_levels, with_ordered_levels
+
+    df = spark.createDataFrame(
+        [("1-URGENT",), ("5-LOW",), ("3-MEDIUM",), ("weird",)], "prio string"
+    )
+    levels = ["5-LOW", "3-MEDIUM", "1-URGENT"]
+    out = with_ordered_levels(df, "prio", levels)
+    assert ordered_levels(out, "prio") == levels
+    ranks = {r.prio: r.prio__ord for r in out.collect()}
+    assert ranks == {"5-LOW": 0, "3-MEDIUM": 1, "1-URGENT": 2, "weird": None}
+    # factor order drives sorting (the point of ordered factors)
+    srt = [r.prio for r in out.orderBy("prio__ord").collect()]
+    assert srt[:3] == levels
+
+
 def test_factorise(spark):
     df = spark.createDataFrame([(1, "A", True), (2, "B", None)], "x int, y string, b boolean")
     assert factorise(df) is df  # no-op without logicals
