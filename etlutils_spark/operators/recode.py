@@ -87,7 +87,7 @@ def with_ordered_levels(df: DataFrame, column: str, levels: Sequence[str]) -> Da
     ramclass patch becomes column METADATA carrying the level order,
     plus a companion ``<column>__ord`` integer column so ordering ops
     (sorts, comparisons, windows) can use the factor order directly.
-    Unknown values get NULL rank (sorts last).
+    Unknown values get NULL rank (sort them last with asc_nulls_last).
     """
     meta = {"ordered_levels": list(levels)}
     rank = None

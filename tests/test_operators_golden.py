@@ -154,9 +154,10 @@ def test_ordered_levels_metadata(spark):
     assert ordered_levels(out, "prio") == levels
     ranks = {r.prio: r.prio__ord for r in out.collect()}
     assert ranks == {"5-LOW": 0, "3-MEDIUM": 1, "1-URGENT": 2, "weird": None}
-    # factor order drives sorting (the point of ordered factors)
-    srt = [r.prio for r in out.orderBy("prio__ord").collect()]
-    assert srt[:3] == levels
+    # factor order drives sorting (the point of ordered factors);
+    # unknown values (NULL rank) go last
+    srt = [r.prio for r in out.orderBy(F.asc_nulls_last("prio__ord")).collect()]
+    assert srt == levels + ["weird"]
 
 
 def test_factorise(spark):
