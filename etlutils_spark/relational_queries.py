@@ -379,6 +379,83 @@ def q_pivot_status_counts(spark, sf_dir):
 
 
 @register(
+    "window_rank_functions",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           cume_dist() OVER w AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_rank_functions(spark, sf_dir):
+    """Ranking-function suite: dense_rank / ntile / cume_dist share one
+    window (single sort pass)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@register(
+    "stats_moments",
+    f"""
+    WITH m AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             {DSUM('l_quantity', 's')},
+             {DSUM('l_quantity * l_quantity', 'ss')}
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n, s / n AS mean,
+           (ss - s * s / n) / (n - 1) AS variance
+    FROM m
+    """,
+)
+def q_stats_moments(spark, sf_dir):
+    """Mean/variance built from decimal-exact sum and sum-of-squares —
+    statistical aggregation with bitwise-deterministic results (native
+    stddev/var accumulate doubles in partition order and are neither
+    cross-engine nor run-to-run stable at scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(q, "s"),
+        dsum(q * q, "ss"),
+    )
+    return m.select(
+        "l_returnflag", "n",
+        (F.col("s") / F.col("n")).alias("mean"),
+        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+        .alias("variance"),
+    )
+
+
+@register(
+    "collect_sorted_sizes",
+    """
+    SELECT p_brand,
+           array_to_string(list_sort(list(DISTINCT p_size)), ',') AS sizes
+    FROM part GROUP BY p_brand
+    """,
+)
+def q_collect_sorted_sizes(spark, sf_dir):
+    """Array aggregation made deterministic: collect -> distinct ->
+    sort -> join to a string (collect_list order is partition-dependent;
+    the sort makes it stable at any parallelism)."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.array_join(
+            F.sort_array(F.array_distinct(F.collect_list("p_size"))), ","
+        ).alias("sizes")
+    )
+
+
+@register(
     "json_extract_props",
     """
     SELECT event_id,

@@ -58,6 +58,60 @@ def read_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return df
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV source (absent from the reference — its only format is ff's
+    binary columns, SURVEY §2.1). Always pass ``schema`` in production:
+    inference costs an extra full scan of the input."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None, **options) -> DataFrame:
+    """JSON-lines source; schema strongly recommended (same scan-cost
+    reasoning as CSV)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_rows_per_file: int = 1_000_000,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Small-files compaction: rewrite a parquet dataset into
+    right-sized files, optionally sorted within partitions so parquet
+    min/max statistics prune future scans (the poor man's Z-order).
+
+    At 100 TB the small-files problem is the top operational failure of
+    append-heavy ingest (every micro-batch appends a file per
+    partition); periodic compaction keeps scan task counts sane.
+    """
+    df = spark.read.parquet(path)
+    n = max(1, df.count() // target_rows_per_file)
+    out = df.repartition(n)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    out.write.mode("overwrite").parquet(out_path)
+
+
 def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     """Repartition a narrow input up to the session's parallelism.
 

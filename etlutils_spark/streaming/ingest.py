@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 def stream_events_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream exactly the events parquet (one-file source)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file-stream sources require a directory; glob-filter to the events file
@@ -78,6 +79,21 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def streaming_dedup(
+    events: DataFrame,
+    id_cols: list[str],
+    event_time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within
+    the watermark horizon (state auto-evicts beyond it). The streaming
+    twin of ``dedup.drop_exact_duplicates`` — the operator every
+    at-least-once ingest pipeline needs in front of its sink."""
+    return events.withWatermark(event_time_col, watermark).dropDuplicates(
+        [*id_cols, event_time_col]
+    )
 
 
 def foreach_batch_ingest(

@@ -1,0 +1,48 @@
+import pytest
+from pyspark.sql import functions as F
+
+from etlutils_spark.sources.files import compact_parquet, read_csv, read_json
+from etlutils_spark.streaming.ingest import (
+    run_available_now,
+    stream_events_file,
+    streaming_dedup,
+)
+
+
+def test_csv_roundtrip(spark, star, tmp_path):
+    p = str(tmp_path / "c.csv")
+    star["region"].write.option("header", "true").mode("overwrite").csv(p)
+    back = read_csv(spark, p, schema="r_regionkey int, r_name string")
+    assert back.count() == 5
+    assert dict(back.dtypes) == {"r_regionkey": "int", "r_name": "string"}
+
+
+def test_json_roundtrip(spark, star, tmp_path):
+    p = str(tmp_path / "j")
+    star["nation"].write.mode("overwrite").json(p)
+    back = read_json(spark, p, schema="n_nationkey int, n_name string, n_regionkey int")
+    assert back.count() == 25
+
+
+def test_compact_parquet(spark, star, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    star["orders"].repartition(16).write.parquet(src)  # simulate small files
+    compact_parquet(spark, src, dst, target_rows_per_file=10_000, sort_by=["o_orderdate"])
+    back = spark.read.parquet(dst)
+    assert back.count() == star["orders"].count()
+    assert back.rdd.getNumPartitions() < 16
+
+
+def test_streaming_dedup_drops_redeliveries(spark, sf_dir, star):
+    # duplicate the stream by unioning it with itself at the source level:
+    # same file read twice in one batch is not possible with one dir, so
+    # emulate with a dropDuplicates semantics check on the batch twin
+    ev = star["events"]
+    doubled = ev.unionByName(ev)
+    deduped = doubled.dropDuplicates(["event_id", "ts"])
+    assert deduped.count() == ev.count()
+    # and the streaming operator builds a valid streaming plan
+    s = streaming_dedup(stream_events_file(spark, sf_dir), ["event_id"])
+    assert s.isStreaming
+    out = run_available_now(spark, s, query_name="t_dedup", output_mode="append")
+    assert out.count() == ev.count()
