@@ -17,6 +17,13 @@ Scale architecture (the 100 TB story):
 Portable-hash convention: with ``portable=True`` signatures use md5 hex
 strings (bit-identical in DuckDB -> oracle-checkable end to end);
 default fast path uses xxhash64 (JVM, no md5 string materialization).
+
+Algorithms (public literature): MinHash resemblance sketching — Broder,
+"On the resemblance and containment of documents" (SEQUENCES 1997);
+LSH banding analysis — Leskovec/Rajaraman/Ullman, "Mining of Massive
+Datasets" ch.3; SimHash — Charikar, "Similarity estimation techniques
+from rounding algorithms" (STOC 2002), applied to near-dup web corpora
+in Manku et al. (WWW 2007).
 """
 
 from __future__ import annotations

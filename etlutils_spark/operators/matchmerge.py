@@ -25,10 +25,11 @@ Reference semantics (R/matchmerge.R:95-182 in /root/reference):
 Scale design: the reference's unique-right-key contract makes the right
 side a *dimension*; we broadcast it when small (the common case) so the
 join is a map-side BroadcastHashJoin with no shuffle of the fact side.
-For large right sides, set ``broadcast_right=False`` to let
-Catalyst/AQE choose (sort-merge with exchange reuse). The uniqueness
-check is one aggregation over the (small) right side only — never over
-``x``.
+``broadcast_right`` accepts True (hint broadcast), False (let
+Catalyst/AQE choose), or "auto" (broadcast only if the optimized-plan
+size estimate of the projected right side fits the session's broadcast
+threshold). The uniqueness check is one aggregation over the (small)
+right side only — never over ``x``.
 """
 
 from __future__ import annotations
@@ -41,6 +42,26 @@ from pyspark.sql import functions as F
 
 class DuplicateKeyError(ValueError):
     """Right-side join key is not unique (reference: R/matchmerge.R:158)."""
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate (bytes)."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def _should_broadcast(df: DataFrame) -> bool:
+    try:
+        threshold = int(
+            df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except Exception:  # noqa: BLE001 - unparsable (e.g. "10m") -> be conservative
+        return False
+    if threshold <= 0:
+        return False
+    try:
+        return _estimated_bytes(df) <= threshold
+    except Exception:  # noqa: BLE001 - stats unavailable
+        return False
 
 
 def assert_unique_key(df: DataFrame, keys: Sequence[str]) -> None:
@@ -72,7 +93,7 @@ def matchmerge(
     trace: bool = False,
     by_x_expr: Column | None = None,
     by_y_expr: Column | None = None,
-    broadcast_right: bool = True,
+    broadcast_right: bool | str = True,
     preserve_order: bool = False,
 ) -> DataFrame:
     """Lookup join with the reference's semantics (see module docstring).
@@ -134,6 +155,8 @@ def matchmerge(
         if ky != kx:
             y_proj = y_proj.withColumnRenamed(ky, kx)
 
+    if broadcast_right == "auto":
+        broadcast_right = _should_broadcast(y_proj)
     rhs = F.broadcast(y_proj) if broadcast_right else y_proj
     out = x.join(rhs, on=keys_x, how=how)
     # Reference output layout: x's columns first, then the added ones.
