@@ -155,6 +155,30 @@ def q_matchmerge_expr_key(spark, sf_dir):
 
 
 @register(
+    "matchmerge_composite_key",
+    """
+    SELECT e.*, p.value AS purchase_value
+    FROM events e
+    JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts = p.ts
+    """,
+)
+def q_matchmerge_composite_key(spark, sf_dir):
+    """J1a composite keys (R/matchmerge.R:113-126): multi-column join.
+    The reference space-concatenates the key columns into one string; we
+    join on the column tuple (documented divergence — avoids type
+    coercion and keeps sargable per-column predicates)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return matchmerge(
+        ev, purchases, by_x=["user_id", "ts"], by_y=["user_id", "ts"],
+        add_columns=["value"],
+    ).withColumnRenamed("value_y", "purchase_value")
+
+
+@register(
     "recode_mktsegment",
     """
     SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'CARS'

@@ -1,0 +1,27 @@
+"""Driver-contract hygiene: queries are re-runnable within one session
+(the harness and driver may call them repeatedly; persisted
+intermediates must not corrupt results)."""
+
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(map(str, df.collect()))
+
+
+def test_queries_rerun_identical(spark):
+    qs = em.queries()
+    for name in ["dedup_minhash_lsh", "dedup_ngram_jaccard", "streaming_window_counts",
+                 "matchmerge_composite_key"]:
+        a = _rows(qs[name](spark, SF))
+        b = _rows(qs[name](spark, SF))
+        assert a == b, name
+
+
+def test_registry_names_are_unique_and_nonempty(spark):
+    qs = em.queries()
+    assert len(qs) >= 50
+    for name, fn in list(qs.items())[:3]:
+        assert callable(fn)
