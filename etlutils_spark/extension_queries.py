@@ -214,6 +214,19 @@ def q_ann_cosine_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+@register("ann_ivf_topk", None)  # k-means model -> rows-only
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF top-10 (the partition-pruned ANN scale path): seeded k-means
+    coarse quantizer, nprobe=4 of 16 clusters searched per query —
+    ~4x less scored work than brute force at this setting; recall is
+    unit-tested against the exact baseline."""
+    from etlutils_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10,
+                    num_clusters=16, nprobe=4)
+
+
 @register("ann_lsh_topk", None)  # hyperplane literals -> rows-only
 def q_ann_lsh_topk(spark, sf_dir):
     """Random-hyperplane LSH top-10 (the scale path): sign-bit bands ->

@@ -80,6 +80,86 @@ def lsh_signature(vec_col, planes: list[list[float]]):
     return F.array(*bits)
 
 
+def ivf_index(
+    corpus: DataFrame,
+    num_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means centroids (Spark ML, seeded) +
+    corpus partitioned by nearest-centroid assignment.
+
+    Returns (assigned corpus with ``cluster_id``, centroid list). At
+    scale the assigned corpus is written partitioned by cluster_id so a
+    probe reads only nprobe/num_clusters of the data — the IVF analogue
+    of partition pruning.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat"),
+    )
+    km = KMeans(k=num_clusters, seed=seed, featuresCol="__feat", predictionCol="cluster_id")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(id_col, vec_col, "cluster_id")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: search only the ``nprobe`` clusters whose
+    centroids are nearest each query.
+
+    Cost model: brute force scores |corpus| vectors per query; IVF
+    scores ~|corpus| * nprobe / num_clusters. Recall is tunable via
+    nprobe (nprobe == num_clusters degenerates to exact). Output shape
+    matches ``cosine_topk`` for direct recall measurement.
+    """
+    assigned, centroids = ivf_index(corpus, num_clusters, id_col, vec_col, seed)
+
+    # per query: rank centroids by cosine, keep nprobe cluster ids
+    cent = [(i, c) for i, c in enumerate(centroids)]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(cent, ["cluster_id", "centroid"]).select(
+        "cluster_id", F.col("centroid").cast("array<float>").alias("centroid")
+    )
+    q = queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv"))
+    qc = q.crossJoin(F.broadcast(cent_df)).select(
+        query_id_col, "cluster_id",
+        cosine_fast("__qv", "centroid").alias("__sim"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("__sim"), F.col("cluster_id"))
+    probes = (
+        qc.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select(query_id_col, "cluster_id")
+    )
+
+    # search only the probed clusters: join prunes the scored set
+    cand = (
+        assigned.join(F.broadcast(probes), on="cluster_id")
+        .filter(F.col(query_id_col) != F.col(id_col))
+    )
+    scored = cand.join(F.broadcast(q), on=query_id_col).select(
+        query_id_col, id_col, cosine_exact("__qv", vec_col).alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

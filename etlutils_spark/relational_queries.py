@@ -538,6 +538,26 @@ def q_percentile_quantity(spark, sf_dir):
     )
 
 
+_CORRELATED_SQL = """
+    SELECT p.p_partkey, p.p_brand, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice > (
+      SELECT 1.05 * (CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(38,6))) AS DOUBLE)
+                    / COUNT(*))
+      FROM part p2 WHERE p2.p_brand = p.p_brand)
+"""
+
+
+@register("correlated_subquery", _CORRELATED_SQL)
+def q_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery (Catalyst decorrelates it into an
+    aggregate + join — the rewrite the reference's backend DB would do,
+    SURVEY §4.1). Identical SQL text on both engines; the inner mean is
+    decimal-exact."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_CORRELATED_SQL)
+
+
 _DELEGATED_SQL = """
     SELECT c_mktsegment,
            COUNT(*) AS n,

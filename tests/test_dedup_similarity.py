@@ -107,6 +107,22 @@ def test_lsh_topk_recall_vs_bruteforce(emb):
     assert approx_top1.get(0) == 10
 
 
+def test_ivf_topk_recall_vs_bruteforce(emb):
+    from etlutils_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 2)
+    exact = cosine_topk(emb, queries, k=3)
+    # nprobe == num_clusters -> exhaustive probe == exact result set
+    approx = ivf_topk(emb, queries, k=3, num_clusters=3, nprobe=3)
+    exact_set = {(r.query_id, r.vec_id, r.rank) for r in exact.collect()}
+    approx_set = {(r.query_id, r.vec_id, r.rank) for r in approx.collect()}
+    assert exact_set == approx_set
+    # pruned probe still finds the planted near-duplicate as top-1
+    pruned = ivf_topk(emb, queries, k=3, num_clusters=3, nprobe=1)
+    top1 = {r.query_id: r.vec_id for r in pruned.collect() if r.rank == 1}
+    assert top1.get(0) == 10
+
+
 def test_multimodal_feature_plumbing(docs):
     df = multimodal.attach_binary_payload(docs)
     feats = multimodal.extract_features(df).collect()
