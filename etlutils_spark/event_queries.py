@@ -43,6 +43,36 @@ def q_streaming_window_counts(spark, sf_dir):
     return run_available_now(spark, agg, query_name=name, output_mode="complete")
 
 
+_TIME_ROLLUP_SQL = """
+    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS (
+      (date_trunc('day', CAST(ts AS TIMESTAMP)),
+       date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type),
+      (date_trunc('day', CAST(ts AS TIMESTAMP)), event_type),
+      (event_type),
+      ()
+    )
+"""
+
+
+@register("time_rollup_multigrain", _TIME_ROLLUP_SQL)
+def q_time_rollup_multigrain(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup: hour/day/type/total
+    aggregates in ONE grouping-sets pass over the events table
+    (identical SQL text on both engines). Scale: a single scan feeds
+    every grain — the continuous-aggregate pattern without maintaining
+    four materialized views."""
+    from etlutils_spark.sources.files import read_table
+
+    read_table(spark, "events", sf_dir).createOrReplaceTempView("events")
+    return spark.sql(_TIME_ROLLUP_SQL)
+
+
 @register(
     "sessionize_events",
     """
