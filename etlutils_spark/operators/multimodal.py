@@ -66,6 +66,101 @@ def fake_features(data: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return (hist / total if total else hist).astype("float64")
 
 
+def resize_image(data: bytes, width: int, height: int) -> bytes:
+    """Real resize slot — needs an imaging library (absent here)."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "image resize requires PIL/pillow; use fake_resize for the "
+            "deterministic stub"
+        ) from exc
+    raise NotImplementedError("wire PIL resize here when the library lands")
+
+
+def fake_resize(data: bytes, width: int, height: int) -> bytes:
+    """Deterministic resize stand-in: stride-sample the payload to
+    width*height bytes (pad by cycling). Preserves the real contract —
+    output size is exactly the target geometry."""
+    target = width * height
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if len(arr) == 0:
+        return bytes(target)
+    idx = (np.arange(target) * max(1, len(arr) // target)) % len(arr)
+    return arr[idx].tobytes()
+
+
+def resize_batch(
+    df: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """mapInPandas resize: binary in -> fixed-geometry binary out.
+    Output: (id, resized binary, out_len). Schema/batch plumbing is the
+    real deliverable; swap fake_resize for a PIL call when available."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [fake_resize(b, width, height) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "resized": out,
+                 "out_len": [len(b) for b in out]}
+            )
+
+    from etlutils_spark.sources.files import spread
+
+    narrowed = spread(df.select(id_col, payload_col))
+    return narrowed.mapInPandas(
+        run, schema=f"{id_col} bigint, resized binary, out_len bigint"
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    num_frames: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling for video-shaped payloads: split the byte stream
+    into ``num_frames`` evenly-spaced chunks ("frames"), one output row
+    per frame with its digest — the explode-per-frame shape a video
+    pipeline needs (frame rows then fan into the image path).
+
+    Deterministic fake decoder (no codec libs in the container); the
+    per-frame row explosion, ordering column, and digest plumbing are
+    real.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, fidx, frames, digests = [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                arr = np.frombuffer(b, dtype=np.uint8)
+                step = max(1, len(arr) // num_frames)
+                for f in range(num_frames):
+                    chunk = arr[f * step:(f + 1) * step].tobytes()
+                    ids.append(i)
+                    fidx.append(f)
+                    frames.append(chunk)
+                    digests.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": fidx, "frame": frames,
+                 "frame_md5": digests}
+            )
+
+    from etlutils_spark.sources.files import spread
+
+    narrowed = spread(df.select(id_col, payload_col))
+    return narrowed.mapInPandas(
+        run,
+        schema=f"{id_col} bigint, frame_idx int, frame binary, frame_md5 string",
+    )
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",

@@ -137,3 +137,25 @@ def test_multimodal_feature_plumbing(docs):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError, match="PIL|pillow"):
         multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError, match="PIL|pillow"):
+        multimodal.resize_image(b"\x89PNG", 8, 8)
+
+
+def test_resize_batch_geometry(docs):
+    df = multimodal.attach_binary_payload(docs)
+    out = multimodal.resize_batch(df, width=8, height=8).collect()
+    assert len(out) == 5
+    assert all(r.out_len == 64 and len(r.resized) == 64 for r in out)
+    by_id = {r.doc_id: bytes(r.resized) for r in out}
+    assert by_id[0] == by_id[1]  # identical payloads -> identical resize
+
+
+def test_sample_frames_explodes_rows(docs):
+    df = multimodal.attach_binary_payload(docs)
+    out = multimodal.sample_frames(df, num_frames=4).collect()
+    assert len(out) == 5 * 4
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append((r.frame_idx, r.frame_md5))
+    assert sorted(i for i, _ in per_doc[0]) == [0, 1, 2, 3]
+    assert sorted(per_doc[0]) == sorted(per_doc[1])  # identical payloads
