@@ -30,9 +30,13 @@ or let the probe query discover them) so the scan fans out to
 ``num_partitions`` concurrent cursors; writes parallelize per partition
 with ``batchsize`` controlling round-trips.
 
-No JDBC driver jars ship in this sandbox, so tests exercise the
-option-assembly logic and the parquet-backed path; the JDBC path is the
-same `DataFrameReader` contract with ``format("jdbc")``.
+The JDBC path is LIVE-tested against embedded Derby (ships with Spark;
+tests/test_jdbc_derby.py): differential round-trip, filter pushdown
+into the source, the overwrite->append protocol, nrows, and x= append.
+Derby quirk: its parser rejects Spark's ``query``-option schema probe
+(subquery without AS), so with Derby use table mode + Catalyst-pushed
+filters; server backends (Postgres/MySQL/Oracle/Hive) accept the query
+option as documented.
 """
 
 from __future__ import annotations

@@ -1,0 +1,76 @@
+"""LIVE end-to-end JDBC ingest/export via embedded Derby (ships with
+Spark) — the reference's flagship SQLite example actually executed:
+write.dbi.ffdf round-trip (R/ffsql.R:940-964) + the differential check
+pattern (read via connector, compare against direct read,
+R/ffsql.R:61-65).
+
+Derby notes: identifiers come back uppercase; Spark's query-option
+schema probe uses a subquery alias form Derby rejects, so the live path
+uses table mode + Catalyst filter pushdown (which Derby accepts — the
+pushdown is verified against the plan).
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlutils_spark.sources.sql import read_sql, write_sql
+
+DRIVER = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+@pytest.fixture(scope="module")
+def derby_url(tmp_path_factory):
+    d = tmp_path_factory.mktemp("derby")
+    url = f"jdbc:derby:{d}/db;create=true"
+    yield url
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _lower(df):
+    return df.toDF(*[c.lower() for c in df.columns])
+
+
+def test_write_read_roundtrip_differential(spark, star, derby_url):
+    src = star["region"]
+    write_sql(src, derby_url, "region", mode="overwrite", options=DRIVER)
+    back = _lower(read_sql(spark, url=derby_url, table="region", options=DRIVER))
+    # the reference's all.equal differential check
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_jdbc_filter_pushdown(spark, derby_url, star):
+    write_sql(star["nation"], derby_url, "nation", mode="overwrite", options=DRIVER)
+    t = read_sql(spark, url=derby_url, table="nation", options=DRIVER)
+    flt = t.filter(F.col("N_NATIONKEY") < 5).select("N_NATIONKEY", "N_NAME")
+    from etlutils_spark.plans.checks import physical_plan
+
+    plan = physical_plan(flt)
+    assert "PushedFilters" in plan and "LessThan(n_nationkey,5)" in plan
+    assert flt.count() == 5
+
+
+def test_append_mode_protocol(spark, star, derby_url):
+    # chunk-1 overwrite, chunk>1 append (R/ffsql.R:996-1007 -> SaveMode)
+    src = star["supplier"]
+    write_sql(src, derby_url, "supplier", mode="overwrite", options=DRIVER)
+    write_sql(src, derby_url, "supplier", mode="append", options=DRIVER)
+    n = read_sql(spark, url=derby_url, table="supplier", options=DRIVER).count()
+    assert n == 2 * src.count()
+
+
+def test_nrows_cap_and_x_append(spark, star, derby_url):
+    write_sql(star["customer"], derby_url, "customer", mode="overwrite", options=DRIVER)
+    limited = read_sql(
+        spark, url=derby_url, table="customer", nrows=10, options=DRIVER
+    )
+    assert limited.count() == 10  # nrows row cap (R/ffsql.R:277-282)
+    base = _lower(read_sql(spark, url=derby_url, table="customer", options=DRIVER))
+    appended = read_sql(
+        spark, url=derby_url, table="customer", x=_lower(
+            read_sql(spark, url=derby_url, table="customer", options=DRIVER)
+        ), options=DRIVER,
+    )
+    # x= append-to-existing is UNION ALL (R/ffsql.R:26-27,133-135)
+    assert appended.count() == 2 * base.count()
