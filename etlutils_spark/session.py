@@ -17,6 +17,12 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CONF: dict[str, str] = {
+    # local mode = driver-only JVM: driver memory IS executor memory.
+    # The 1g Spark default throttles any real workload (GC-locker stalls
+    # at ~6M-row aggregations); 16g covers 10x the driver's bench scale.
+    # Oversizing hurts too — a 48g heap measurably slowed sub-second
+    # queries via GC ergonomics. Override with SPARK_GRAFT_MEM.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_MEM", "16g"),
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
