@@ -71,6 +71,17 @@ def test_simhash_separates(docs):
         assert found[(0, 2)] <= 8
 
 
+def test_max_doc_freq_skew_guard(docs):
+    # "the quick brown" etc. appear in docs 0,1,2 -> dropping shingles
+    # with doc-frequency > 2 removes the boilerplate from the join key
+    # space while keeping doc-unique shingles
+    all_rows = shingle_rows(docs)
+    guarded = shingle_rows(docs, max_doc_freq=2)
+    assert guarded.count() < all_rows.count()
+    freq = guarded.groupBy("shingle").count().agg({"count": "max"}).first()[0]
+    assert freq <= 2
+
+
 def test_word_shingles_short_text(spark):
     df = spark.createDataFrame([(1, "one two")], "id int, text string")
     out = df.select(word_shingles("text", 3).alias("sh")).first()
