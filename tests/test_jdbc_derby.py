@@ -51,6 +51,20 @@ def test_jdbc_filter_pushdown(spark, derby_url, star):
     assert flt.count() == 5
 
 
+def test_query_pushdown_via_derby_alias(spark, star, derby_url):
+    # the reference's opaque-query mode (R/ffsql.R:20) live on Derby:
+    # read_sql rewrites query= into an AS-aliased dbtable subquery
+    # NB: Spark's JDBC writer creates QUOTED (case-sensitive lowercase)
+    # identifiers on Derby, so the pushed query must quote them too.
+    write_sql(star["region"], derby_url, "region2", mode="overwrite", options=DRIVER)
+    out = read_sql(
+        spark, url=derby_url,
+        query='SELECT "r_regionkey", "r_name" FROM region2 WHERE "r_regionkey" < 3',
+        options=DRIVER,
+    )
+    assert sorted(r[0] for r in out.collect()) == [0, 1, 2]
+
+
 def test_append_mode_protocol(spark, star, derby_url):
     # chunk-1 overwrite, chunk>1 append (R/ffsql.R:996-1007 -> SaveMode)
     src = star["supplier"]
