@@ -234,10 +234,21 @@ def minhash_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     portable: bool = True,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Full MinHash+LSH pipeline: signatures -> banded candidates ->
     exact-Jaccard verify on candidates only. Output verified pairs
-    (id_1, id_2, jaccard)."""
+    (id_1, id_2, jaccard).
+
+    ``collapse_exact`` runs exact dedup as stage 0 so identical texts
+    (jaccard 1.0 by definition) never enter the pairwise stages — the
+    standard mitigation for duplicate-heavy corpora where exact-dup
+    groups make candidate verification O(group²) (measured 64s vs 7s at
+    50k docs with 10-copy groups; see BASELINE.md). Off by default
+    because it changes the output contract: pairs within an exact-dup
+    group are not reported."""
+    if collapse_exact:
+        df = drop_exact_duplicates(df, text_col, id_col)
     sh = _persist_tracked(shingle_rows(df, text_col, id_col, n))
     sigs = minhash_signatures(sh, id_col, num_hashes, portable)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, portable)
