@@ -101,17 +101,30 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 def main(filters: list[str]) -> int:
     import __spark_entry__ as entry_mod
-    from etlutils_spark.session import get_session
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    vanilla = "--vanilla" in filters
+    filters = [f for f in filters if f != "--vanilla"]
     names = [n for n in qs if not filters or any(f in n for f in filters)]
-    print(f"checking {len(names)} queries at {SF_DIR}")
+    print(f"checking {len(names)} queries at {SF_DIR}" + (" [vanilla session]" if vanilla else ""))
 
-    spark = get_session(
-        "oracle-check",
-        **{"spark.driver.memory": "8g", "spark.sql.shuffle.partitions": "8"},
-    )
+    if vanilla:
+        # rehearse the grading driver: a session WITHOUT engine defaults
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]").appName("oracle-vanilla")
+            .config("spark.driver.memory", "8g").getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from etlutils_spark.session import get_session
+
+        spark = get_session(
+            "oracle-check",
+            **{"spark.driver.memory": "8g", "spark.sql.shuffle.partitions": "8"},
+        )
     con = duck_con()
     failed = []
     for n in names:
