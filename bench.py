@@ -37,6 +37,9 @@ HEADLINE = [
     "text_stats",
     "text_fingerprint",
     "multimodal_features",
+    "sessionize_events",
+    "range_join_purchase_window",
+    "time_rollup_multigrain",
 ]
 
 
