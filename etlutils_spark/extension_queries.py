@@ -76,6 +76,29 @@ def q_dedup_exact(spark, sf_dir):
 
 
 @register(
+    "dedup_exact_survivors",
+    """
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    JOIN (
+      SELECT min(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h
+            FROM documents)
+      GROUP BY h
+    ) k ON d.doc_id = k.doc_id
+    """,
+)
+def q_dedup_exact_survivors(spark, sf_dir):
+    """drop_exact_duplicates as an operator output: the surviving rows
+    themselves (keeper-set semi-join — payloads never shuffle)."""
+    from etlutils_spark.operators.dedup import drop_exact_duplicates
+
+    out = drop_exact_duplicates(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
     WITH {DUCK_SH},
