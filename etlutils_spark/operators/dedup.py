@@ -255,12 +255,16 @@ def minhash_dedup_pairs(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     # verify join: attach id_1's shingles to each candidate pair, then
     # count how many also belong to id_2 — work is O(candidates x
-    # shingles-per-doc), never all-pairs.
-    a = sh.select(F.col(id_col).alias(f"{id_col}_1"), "shingle")
-    b = sh.select(F.col(id_col).alias(f"{id_col}_2"), "shingle")
+    # shingles-per-doc), never all-pairs. Shingles are narrowed to
+    # 64-bit hashes for the join key: intersection counts are identical
+    # unless xxhash64 collides within a doc pair (~2^-64), and the
+    # shuffle carries 8-byte keys instead of full shingle strings.
+    sh_h = F.xxhash64("shingle").alias("sh_h")
+    a = sh.select(F.col(id_col).alias(f"{id_col}_1"), sh_h)
+    b = sh.select(F.col(id_col).alias(f"{id_col}_2"), sh_h)
     inter = (
         cand.join(a, f"{id_col}_1")
-        .join(b, on=[f"{id_col}_2", "shingle"])
+        .join(b, on=[f"{id_col}_2", "sh_h"])
         .groupBy(f"{id_col}_1", f"{id_col}_2")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
