@@ -118,6 +118,45 @@ def q_sessionize_events(spark, sf_dir):
 
 
 @register(
+    "sessionize_native_window",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), gaps AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize_native_window(spark, sf_dir):
+    """Spark's native session_window aggregation (dynamic-gap session
+    windows in ONE groupBy — no lag/cumsum plumbing). The oracle is the
+    window-function emulation: session_window.start == MIN(ts) of the
+    lag-derived session, proving the two formulations agree."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        e.groupBy(F.session_window("ts", "6 hours"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "asof_last_purchase",
     """
     WITH e AS (

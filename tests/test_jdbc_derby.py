@@ -74,6 +74,42 @@ def test_append_mode_protocol(spark, star, derby_url):
     assert n == 2 * src.count()
 
 
+def test_partitioned_parallel_read(spark, star, derby_url):
+    # S1's scale path live: partition_column fans the scan out to N
+    # concurrent cursors (the reference is single-cursor by design,
+    # R/ffsql.R:276-333 — this is the Spark-native upgrade)
+    write_sql(star["orders"], derby_url, "orders_p", mode="overwrite", options=DRIVER)
+    df = read_sql(
+        spark, url=derby_url, table="orders_p",
+        partition_column='"o_orderkey"', lower_bound=0, upper_bound=20000,
+        num_partitions=4, options=DRIVER,
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == star["orders"].count()
+
+
+def test_parallel_partitioned_write(spark, star, derby_url):
+    # parallel JDBC writers (one connection per partition) into the
+    # same embedded-Derby table
+    write_sql(
+        star["customer"].repartition(4), derby_url, "cust_p",
+        mode="overwrite", batchsize=50, options=DRIVER,
+    )
+    back = read_sql(spark, url=derby_url, table="cust_p", options=DRIVER)
+    assert back.count() == star["customer"].count()
+
+
+def test_custom_schema_override(spark, star, derby_url):
+    # colClasses= equivalent (R/ffsql.R:222-227 -> customSchema)
+    write_sql(star["region"], derby_url, "region_cs", mode="overwrite", options=DRIVER)
+    df = read_sql(
+        spark, url=derby_url, table="region_cs",
+        custom_schema="`r_regionkey` BIGINT, `r_name` STRING",  # Spark DDL quoting
+        options=DRIVER,
+    )
+    assert dict(df.dtypes)["r_regionkey"] == "bigint"  # int -> bigint override
+
+
 def test_nrows_cap_and_x_append(spark, star, derby_url):
     write_sql(star["customer"], derby_url, "customer", mode="overwrite", options=DRIVER)
     limited = read_sql(
