@@ -538,6 +538,61 @@ def q_percentile_quantity(spark, sf_dir):
     )
 
 
+@register(
+    "having_filter",
+    f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {DSUM('o_totalprice', 'spend')}
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+)
+def q_having_filter(spark, sf_dir):
+    """GROUP BY + HAVING (post-aggregation predicate)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice"), "spend"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "histogram_price_buckets",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def q_histogram_price_buckets(spark, sf_dir):
+    """Numeric bucketing histogram (floor-division bucket keys)."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@register(
+    "union_distinct_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_union_distinct_nations(spark, sf_dir):
+    """UNION (distinct) — completes the set-op family alongside
+    UNION ALL / INTERSECT / EXCEPT."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
 _CORRELATED_SQL = """
     SELECT p.p_partkey, p.p_brand, p.p_retailprice
     FROM part p
