@@ -474,6 +474,28 @@ def q_json_extract_props(spark, sf_dir):
 
 
 @register(
+    "json_map_explode",
+    """
+    SELECT event_id, k AS prop_key,
+           CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS prop_value
+    FROM events, UNNEST(json_keys(props)) AS t(k)
+    """,
+)
+def q_json_map_explode(spark, sf_dir):
+    """Semi-structured to relational: parse the JSON props column into a
+    typed map and explode to (key, value) rows — from_json + explode,
+    all JVM-side."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id",
+        F.explode(F.from_json("props", "map<string,bigint>")).alias(
+            "prop_key", "prop_value"
+        ),
+    )
+    return parsed
+
+
+@register(
     "explode_token_freq",
     """
     SELECT t AS token, COUNT(*) AS n
