@@ -87,8 +87,11 @@ def main() -> None:
     for name in HEADLINE:
         if name not in qs:
             continue
+        # min-of-N filters shared-box scheduling noise; the shuffle-heavy
+        # dedup pipelines are the noisiest and get an extra attempt
+        attempts = 3 if name.startswith("dedup_") else 2
         best = None
-        for _ in range(2):  # min-of-2: filters shared-box scheduling noise
+        for _ in range(attempts):
             t0 = time.time()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             elapsed = time.time() - t0
