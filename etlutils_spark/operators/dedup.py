@@ -199,11 +199,21 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     portable: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature and bucket-join: pairs agreeing on >=1 band.
 
     rows_per_band = num_hashes // bands; band signature = digest of the
-    concatenated row hashes. Output distinct (id_1, id_2)."""
+    concatenated row hashes. Output distinct (id_1, id_2).
+
+    ``max_bucket_size`` drops band buckets holding more than that many
+    docs before the self-join. A bucket of B docs yields B(B-1)/2
+    candidate pairs, so one boilerplate bucket of 10^5 docs is 5x10^9
+    pairs — the classic LSH blow-up. Oversized buckets are almost always
+    template/boilerplate collisions rather than genuine near-dup groups
+    (those should be collapsed by exact dedup first); dropping them
+    bounds the join output at corpus scale. Recall loss is explicit and
+    documented: pairs only co-blocked in a dropped bucket are missed."""
     rpb = num_hashes // bands
     digest = F.md5 if portable else F.xxhash64
     band_cols = [
@@ -215,6 +225,17 @@ def lsh_candidate_pairs(
         id_col,
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_idx", "band_sig"),
     )
+    if max_bucket_size is not None:
+        # one extra partial-agg pass over the banded rows; the semi-join
+        # key (band_idx, band_sig) is the same shuffle key the pair join
+        # uses, so AQE coalesces these exchanges at scale
+        ok = (
+            banded.groupBy("band_idx", "band_sig")
+            .agg(F.count(F.lit(1)).alias("__bucket_n"))
+            .filter(F.col("__bucket_n") <= max_bucket_size)
+            .select("band_idx", "band_sig")
+        )
+        banded = banded.join(ok, on=["band_idx", "band_sig"], how="left_semi")
     a = banded.select(F.col(id_col).alias(f"{id_col}_1"), "band_idx", "band_sig")
     b = banded.select(F.col(id_col).alias(f"{id_col}_2"), "band_idx", "band_sig")
     return (
@@ -235,6 +256,8 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     portable: bool = True,
     collapse_exact: bool = False,
+    max_doc_freq: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH pipeline: signatures -> banded candidates ->
     exact-Jaccard verify on candidates only. Output verified pairs
@@ -246,12 +269,18 @@ def minhash_dedup_pairs(
     groups make candidate verification O(group²) (measured 64s vs 7s at
     50k docs with 10-copy groups; see BASELINE.md). Off by default
     because it changes the output contract: pairs within an exact-dup
-    group are not reported."""
+    group are not reported.
+
+    The two skew guards compose with it for the 100 TB configuration
+    (`collapse_exact=True, max_doc_freq=~corpus/100, max_bucket_size=
+    ~500`): ``max_doc_freq`` drops boilerplate shingles before they
+    reach signatures, ``max_bucket_size`` bounds any residual LSH
+    bucket blow-up (see :func:`lsh_candidate_pairs`)."""
     if collapse_exact:
         df = drop_exact_duplicates(df, text_col, id_col)
-    sh = _persist_tracked(shingle_rows(df, text_col, id_col, n))
+    sh = _persist_tracked(shingle_rows(df, text_col, id_col, n, max_doc_freq=max_doc_freq))
     sigs = minhash_signatures(sh, id_col, num_hashes, portable)
-    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, portable)
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, portable, max_bucket_size)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     # verify join: attach id_1's shingles to each candidate pair, then
     # count how many also belong to id_2 — work is O(candidates x
@@ -316,21 +345,51 @@ def simhash_signatures(
     return df.select(F.col(id_col), sig.alias("simhash"))
 
 
+def _rotl64(c: Column, k: int) -> Column:
+    """Rotate a 64-bit signature left by k bits (k in [0, 64))."""
+    if k % 64 == 0:
+        return c
+    return F.shiftleft(c, k).bitwiseOR(F.shiftrightunsigned(c, 64 - k))
+
+
 def simhash_near_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, prefix_bits: int = 16
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    tables: int = 1,
 ) -> DataFrame:
     """Candidate pairs by identical high-bit prefix block, verified by
-    full Hamming distance <= max_hamming (bit_count(xor))."""
-    pref = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
-    s = sigs.withColumn("block", pref)
-    a = s.select(F.col(id_col).alias(f"{id_col}_1"), F.col("simhash").alias("sig_1"), "block")
-    b = s.select(F.col(id_col).alias(f"{id_col}_2"), F.col("simhash").alias("sig_2"), "block")
+    full Hamming distance <= max_hamming (bit_count(xor)).
+
+    ``tables`` > 1 enables rotated multi-table blocking (the Manku/
+    Jain/Sarma WWW'07 construction): table t blocks on the top
+    ``prefix_bits`` of the signature rotated left by t*(64/tables)
+    bits, and a pair is a candidate if it collides in ANY table. A
+    single prefix misses any pair whose differing bits fall inside the
+    blocked prefix; with T rotations a pair at Hamming distance d is
+    missed only if every one of the T disjoint prefix windows contains
+    a differing bit — impossible for d < T, so recall is exact for
+    d <= tables-1 and the loss is bounded for small d. Cost is T
+    banded copies (posexplode), same shuffle shape as MinHash banding."""
+    step = 64 // tables
+    blocks = [
+        F.shiftrightunsigned(_rotl64(F.col("simhash"), t * step), 64 - prefix_bits)
+        for t in range(tables)
+    ]
+    s = sigs.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*blocks)).alias("tbl", "block"),
+    )
+    a = s.select(F.col(id_col).alias(f"{id_col}_1"), F.col("simhash").alias("sig_1"), "tbl", "block")
+    b = s.select(F.col(id_col).alias(f"{id_col}_2"), F.col("simhash").alias("sig_2"), "tbl", "block")
     return (
-        a.join(b, "block")
+        a.join(b, ["tbl", "block"])
         .filter(F.col(f"{id_col}_1") < F.col(f"{id_col}_2"))
         .withColumn("hamming", F.bit_count(F.col("sig_1").bitwiseXOR(F.col("sig_2"))))
         .filter(F.col("hamming") <= max_hamming)
         .select(f"{id_col}_1", f"{id_col}_2", "hamming")
+        .distinct()
     )
 
 

@@ -71,6 +71,43 @@ def test_simhash_separates(docs):
         assert found[(0, 2)] <= 8
 
 
+def test_simhash_multitable_blocking(spark):
+    # two sigs differing ONLY in the top bit: hamming 1, but the top-16
+    # prefix differs, so single-table prefix blocking cannot pair them.
+    sigs = spark.createDataFrame(
+        [(0, -(2**63)), (1, 0)], "doc_id bigint, simhash bigint"
+    )
+    single = simhash_near_pairs(sigs, max_hamming=2, prefix_bits=16, tables=1)
+    assert single.count() == 0
+    # table 1 (rotated left 32) moves the differing bit out of the
+    # blocked prefix -> pair found; recall exact for hamming < tables
+    multi = simhash_near_pairs(sigs, max_hamming=2, prefix_bits=16, tables=2)
+    rows = multi.collect()
+    assert {(r.doc_id_1, r.doc_id_2) for r in rows} == {(0, 1)}
+    assert rows[0].hamming == 1
+
+
+def test_lsh_bucket_cap_bounds_pairs(spark, docs):
+    from etlutils_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    # 6 identical docs -> every band bucket holds all 6 -> 15 pairs
+    many = spark.createDataFrame(
+        [(i, "same text repeated for the bucket cap test here") for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    sigs = minhash_signatures(shingle_rows(many), num_hashes=8)
+    uncapped = lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    assert uncapped.count() == 15
+    capped = lsh_candidate_pairs(sigs, num_hashes=8, bands=4, max_bucket_size=5)
+    assert capped.count() == 0  # all buckets oversized -> dropped
+    # the full pipeline with both skew guards still finds the planted
+    # near-dup (its buckets are small)
+    got = minhash_dedup_pairs(docs, num_hashes=8, bands=4, threshold=0.3,
+                              max_bucket_size=5)
+    found = {(r.doc_id_1, r.doc_id_2) for r in got.collect()}
+    assert (0, 2) in found
+
+
 def test_max_doc_freq_skew_guard(docs):
     # "the quick brown" etc. appear in docs 0,1,2 -> dropping shingles
     # with doc-frequency > 2 removes the boilerplate from the join key
