@@ -157,6 +157,55 @@ def q_sessionize_native_window(spark, sf_dir):
 
 
 @register(
+    "sessionize_stateful_evicted",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    ), agg AS (
+      SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, session_id
+    ), agg2 AS (
+      SELECT *, MAX(session_end) OVER (PARTITION BY user_id) AS last_end
+      FROM agg
+    ), wm AS (
+      SELECT MAX(CAST(ts AS TIMESTAMP)) AS w_max FROM events
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM agg2, wm
+    WHERE session_end < last_end
+       OR CEIL(epoch_us(session_end) / 1000.0) + 21600000
+          < FLOOR(epoch_us(w_max) / 1000.0) - 21600000
+    """,
+)
+def q_sessionize_stateful(spark, sf_dir):
+    """Custom stateful streaming sessionization (applyInPandasWithState
+    + EventTimeTimeout): sessions are emitted by watermark-driven state
+    eviction, so the output is exactly the closed sessions — rolled
+    sessions plus tail sessions whose timeout (ceil-ms(session_end) +
+    gap) fell strictly below the final watermark (floor-ms(max ts) -
+    gap). The oracle replicates that millisecond arithmetic verbatim,
+    making even the eviction boundary oracle-checked."""
+    from etlutils_spark.streaming.stateful import sessionize_stateful
+
+    events = stream_events_file(spark, sf_dir).select("user_id", "ts")
+    out = sessionize_stateful(events, gap="6 hours")
+    name = f"stream_out_{next(_stream_counter)}"
+    return run_available_now(spark, out, query_name=name, output_mode="append")
+
+
+@register(
     "asof_last_purchase",
     """
     WITH e AS (

@@ -49,3 +49,97 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap: str = "10 minutes",
+    event_time_col: str = "ts",
+) -> DataFrame:
+    """Watermark-evicted session builder: per-user sessions closed by a
+    ``gap`` of event-time inactivity, emitted only when the watermark
+    passes the session's timeout — the canonical bounded-state pattern.
+
+    State per user is one open session (start/end millis + count). Each
+    batch extends or rolls the session and re-arms an EventTimeTimeout
+    at ``session_end + gap``; when the watermark (driven by
+    ``withWatermark(event_time_col, gap)``) crosses that, the timed-out
+    callback emits the finished session and ``state.remove()`` frees the
+    store — state size is bounded by the number of users active inside
+    one watermark horizon, not by stream history. Sessions still open at
+    the horizon never emit (standard append-mode semantics).
+
+    A session that rolls within one batch (gap exceeded between two
+    events of the same batch) is emitted immediately; only the open
+    tail session waits for the watermark.
+    """
+    gap_us = _duration_ms(gap) * 1000
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+
+        # state carries epoch MICROseconds so emitted session bounds are
+        # bit-identical to the (microsecond) source timestamps
+        def session_row(start_us: int, end_us: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield session_row(start_us, end_us, n)
+            return
+
+        if state.exists:
+            start_us, end_us, n = state.get
+        else:
+            start_us = end_us = -1
+            n = 0
+        for pdf in pdfs:
+            # values.astype handles both ns- and us-unit pandas datetimes
+            ts_us = sorted(
+                pd.to_datetime(pdf[event_time_col])
+                .values.astype("datetime64[us]")
+                .astype("int64")
+            )
+            for t in ts_us:
+                t = int(t)
+                if n == 0:
+                    start_us, end_us, n = t, t, 1
+                elif t - end_us <= gap_us:
+                    end_us, n = max(end_us, t), n + 1
+                else:  # gap exceeded inside the batch: close + roll
+                    yield session_row(start_us, end_us, n)
+                    start_us, end_us, n = t, t, 1
+        state.update((start_us, end_us, n))
+        # the state-store timeout clock is millisecond-granular; round UP
+        # so the timeout never fires before gap_us has fully elapsed
+        state.setTimeoutTimestamp(-((-(end_us + gap_us)) // 1000))
+
+    return (
+        events.withWatermark(event_time_col, gap)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id bigint, session_start timestamp, "
+                "session_end timestamp, n_events bigint"
+            ),
+            stateStructType="start_ms bigint, end_ms bigint, n bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_ms(s: str) -> int:
+    """Parse '10 minutes' / '30 seconds' / '2 hours' to milliseconds."""
+    qty, unit = s.split()
+    per = {"second": 1_000, "minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
+    return int(qty) * per[unit.rstrip("s")]

@@ -21,3 +21,52 @@ def test_stateful_running_totals(spark, sf_dir, star):
     }
     # in availableNow the whole file is one batch -> single update row per user
     assert latest == batch
+
+
+def test_sessionize_stateful_watermark_eviction(spark, tmp_path):
+    """Sessions close via EventTimeTimeout as the watermark advances
+    across micro-batches; open-tail state is evicted, not emitted."""
+    import time
+
+    from etlutils_spark.streaming.stateful import sessionize_stateful
+
+    t0 = "2024-01-01 00:{:02d}:00"
+    batches = [
+        [(1, t0.format(0)), (1, t0.format(1)), (2, t0.format(0))],  # session A
+        [(1, "2024-01-01 01:00:00")],  # session B; watermark -> 00:50
+        [(1, "2024-01-01 02:00:00")],  # tail session; watermark -> 01:50
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "user_id bigint, ts_s string").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+        df.coalesce(1).write.parquet(str(src / f"b{i}"))
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = sessionize_stateful(stream, gap="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, str(r.session_start), r.n_events)
+        for r in spark.table("t_sessions").collect()
+    }
+    # sessions A (both users) and B closed by watermark; 02:00 tail
+    # session's timeout (02:10) is past the final watermark (01:50) ->
+    # evicted silently, never emitted
+    assert (1, "2024-01-01 00:00:00", 2) in got
+    assert (2, "2024-01-01 00:00:00", 1) in got
+    assert (1, "2024-01-01 01:00:00", 1) in got
+    assert not any(s.startswith("2024-01-01 02") for _, s, _ in got)
