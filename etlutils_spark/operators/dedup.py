@@ -193,6 +193,39 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
+def band_sig_array(num_hashes: int = 8, bands: int = 4, portable: bool = True) -> Column:
+    """Array of LSH band signatures (index = band number) computed from
+    mh0..mhK signature columns; band signature = digest of the band's
+    concatenated row hashes."""
+    rpb = num_hashes // bands
+    digest = F.md5 if portable else F.xxhash64
+    return F.array(
+        *[
+            digest(
+                F.concat_ws("|", *[F.col(f"mh{b * rpb + r}").cast("string") for r in range(rpb)])
+            ).cast("string")
+            for b in range(bands)
+        ]
+    )
+
+
+def band_rows(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """Explode a signature frame to LSH band rows (id, band_idx,
+    band_sig). The shared banding step of batch LSH
+    (:func:`lsh_candidate_pairs`) and the streaming incremental index
+    (streaming/incremental_lsh.py)."""
+    return signatures.select(
+        id_col,
+        F.posexplode(band_sig_array(num_hashes, bands, portable)).alias("band_idx", "band_sig"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -214,17 +247,7 @@ def lsh_candidate_pairs(
     (those should be collapsed by exact dedup first); dropping them
     bounds the join output at corpus scale. Recall loss is explicit and
     documented: pairs only co-blocked in a dropped bucket are missed."""
-    rpb = num_hashes // bands
-    digest = F.md5 if portable else F.xxhash64
-    band_cols = [
-        digest(F.concat_ws("|", *[F.col(f"mh{b * rpb + r}").cast("string") for r in range(rpb)]))
-        .cast("string").alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = signatures.select(id_col, *band_cols).select(
-        id_col,
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_idx", "band_sig"),
-    )
+    banded = band_rows(signatures, id_col, num_hashes, bands, portable)
     if max_bucket_size is not None:
         # one extra partial-agg pass over the banded rows; the semi-join
         # key (band_idx, band_sig) is the same shuffle key the pair join

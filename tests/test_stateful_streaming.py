@@ -70,3 +70,51 @@ def test_sessionize_stateful_watermark_eviction(spark, tmp_path):
     assert (2, "2024-01-01 00:00:00", 1) in got
     assert (1, "2024-01-01 01:00:00", 1) in got
     assert not any(s.startswith("2024-01-01 02") for _, s, _ in got)
+
+
+def test_incremental_lsh_finds_cross_batch_pairs(spark, tmp_path):
+    """Docs arriving in a later micro-batch are deduplicated against the
+    persisted signature index of everything seen before — without
+    re-shingling the old corpus."""
+    import time
+
+    from etlutils_spark.streaming.incremental_lsh import incremental_minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    batches = [
+        [(0, base), (1, "a totally different document about spark engines")],
+        [(10, base.replace("today", "tomorrow")),  # near-dup of 0 (prior batch)
+         (11, "yet another unrelated text mentioning windows and joins"),
+         (12, base.replace("today", "tomorrow") + " extra")],  # near-dup of 10 (same batch)
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(1)\
+            .write.parquet(str(src / f"b{i}"))
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = incremental_minhash_dedup(
+        stream,
+        index_dir=str(tmp_path / "index"),
+        pairs_dir=str(tmp_path / "pairs"),
+        checkpoint=str(tmp_path / "ckpt"),
+        threshold=0.3,
+    )
+    q.awaitTermination()
+
+    pairs = {
+        tuple(sorted((r.id_1, r.id_2)))
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    assert (0, 10) in pairs   # cross-batch: new doc vs indexed corpus
+    assert (10, 12) in pairs  # batch-local pair
+    assert not any(1 in p or 11 in p for p in pairs)  # unrelated docs clean
+    # index holds every doc's profile after the stream drains
+    idx = spark.read.parquet(str(tmp_path / "index"))
+    assert {r.doc_id for r in idx.select("doc_id").collect()} == {0, 1, 10, 11, 12}
