@@ -101,6 +101,8 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
+    experiments = bucketed_join_experiment(spark)
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     print(
@@ -110,11 +112,60 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "experiments": experiments,
                 "sf": sf,
             }
         )
     )
     spark.stop()
+
+
+def bucketed_join_experiment(spark) -> dict[str, float]:
+    """Exchange-free co-location tier: the same lineitem-x-orders join
+    timed from plain parquet (2 shuffles + sorts) and from bucketed+
+    sorted tables (0 exchanges). Layout cost is untimed — bucketing is
+    a once-per-dataset investment amortized over every downstream join,
+    the core 100 TB fact-to-fact pattern. Broadcast is disabled inside
+    the experiment so the measured delta is the exchange itself (at
+    bench SF the dim side would otherwise broadcast; at 100 TB neither
+    side broadcasts)."""
+    from pyspark.sql import functions as F
+
+    from etlutils_spark.operators.skew import bucketed_table
+    from etlutils_spark.sources.files import read_table
+
+    li = read_table(spark, "lineitem", SF_DIR).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = read_table(spark, "orders", SF_DIR).select("o_orderkey", "o_orderdate")
+    bucketed_table(li, "bench_li_b", ["l_orderkey"], 16, sort_cols=["l_orderkey"])
+    bucketed_table(od, "bench_od_b", ["o_orderkey"], 16, sort_cols=["o_orderkey"])
+
+    def revenue_by_day(a, b):
+        return (
+            a.join(b, a["l_orderkey"] == b["o_orderkey"])
+            .groupBy("o_orderdate")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        )
+
+    def time_min2(df) -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            best = time.time() - t0 if best is None else min(best, time.time() - t0)
+        return round(best, 3)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffled = time_min2(revenue_by_day(li, od))
+        bucketed = time_min2(
+            revenue_by_day(spark.table("bench_li_b"), spark.table("bench_od_b"))
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return {"join_shuffled_sec": shuffled, "join_bucketed_sec": bucketed}
 
 
 if __name__ == "__main__":
