@@ -161,6 +161,117 @@ def sample_frames(
     )
 
 
+# Typed per-modality metadata schemas — the contract a real probe
+# (ffprobe/PIL) fills. One superset struct keeps a mixed-modality table
+# in a single column; fields not applicable to a modality stay null.
+IMAGE_META_DDL = "width int, height int, channels int, format string"
+AUDIO_META_DDL = "sample_rate int, channels int, duration_ms bigint, codec string"
+VIDEO_META_DDL = "width int, height int, fps double, duration_ms bigint, codec string"
+MEDIA_META_DDL = (
+    "media_kind string, width int, height int, channels int, format string, "
+    "sample_rate int, fps double, duration_ms bigint, codec string"
+)
+
+
+def probe_media(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    kind_col: str | None = None,
+) -> DataFrame:
+    """The ffprobe slot: derive typed media metadata from each payload.
+
+    Output: (id, media_kind, meta struct<MEDIA_META_DDL fields>). The
+    deterministic fake infers a kind from the payload digest when
+    ``kind_col`` is absent and synthesizes plausible field values from
+    payload bytes; a real deployment replaces ``_fake_probe`` with
+    ffprobe/PIL header parsing — the schema, null-field convention, and
+    batch plumbing stay identical."""
+
+    def _fake_probe(b: bytes, kind: str | None) -> dict:
+        arr = np.frombuffer(b, dtype=np.uint8)
+        h = int(arr[: 8].sum()) if len(arr) else 0
+        kind = kind or ("image", "audio", "video")[h % 3]
+        meta = {k: None for k in (
+            "width", "height", "channels", "format", "sample_rate",
+            "fps", "duration_ms", "codec")}
+        meta["media_kind"] = kind
+        if kind == "image":
+            meta.update(width=64 + h % 512, height=64 + (h // 2) % 512,
+                        channels=3, format="fake/raw")
+        elif kind == "audio":
+            meta.update(sample_rate=16000, channels=1,
+                        duration_ms=len(b) * 1000 // 32000, codec="fake/pcm16")
+        else:
+            meta.update(width=320, height=240, fps=25.0,
+                        duration_ms=len(b) * 1000 // 8000, codec="fake/raw")
+        return meta
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds = pdf[kind_col] if kind_col else [None] * len(pdf)
+            metas = [_fake_probe(b, k) for b, k in zip(pdf[payload_col], kinds)]
+            out = pd.DataFrame(metas)
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    from etlutils_spark.sources.files import spread
+
+    cols = [id_col, payload_col] + ([kind_col] if kind_col else [])
+    return spread(df.select(*cols)).mapInPandas(
+        run, schema=f"{id_col} bigint, {MEDIA_META_DDL}"
+    )
+
+
+def audio_chunk_rows(
+    df: DataFrame,
+    chunk_ms: int = 1000,
+    sample_rate: int = 16000,
+    bytes_per_sample: int = 2,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Time-based audio chunking: split a PCM-shaped payload into
+    ``chunk_ms`` windows (one output row per chunk, with start/end
+    millis and digest) — the audio twin of :func:`sample_frames`, sized
+    by TIME from (sample_rate, bytes_per_sample) rather than an even
+    byte split. Short final chunks are kept (real pipelines pad or drop
+    downstream)."""
+    chunk_bytes = sample_rate * bytes_per_sample * chunk_ms // 1000
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {k: [] for k in (id_col, "chunk_idx", "start_ms", "end_ms",
+                                    "chunk", "chunk_md5")}
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                arr = np.frombuffer(b, dtype=np.uint8)
+                n_chunks = max(1, -(-len(arr) // chunk_bytes))
+                for c in range(n_chunks):
+                    chunk = arr[c * chunk_bytes:(c + 1) * chunk_bytes].tobytes()
+                    rows[id_col].append(i)
+                    rows["chunk_idx"].append(c)
+                    rows["start_ms"].append(c * chunk_ms)
+                    rows["end_ms"].append(
+                        c * chunk_ms
+                        + len(chunk) * 1000 // (sample_rate * bytes_per_sample)
+                    )
+                    rows["chunk"].append(chunk)
+                    rows["chunk_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(rows)
+
+    from etlutils_spark.sources.files import spread
+
+    return spread(df.select(id_col, payload_col)).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} bigint, chunk_idx int, start_ms bigint, end_ms bigint, "
+            "chunk binary, chunk_md5 string"
+        ),
+    )
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",

@@ -198,6 +198,43 @@ def test_resize_batch_geometry(docs):
     assert by_id[0] == by_id[1]  # identical payloads -> identical resize
 
 
+def test_probe_media_typed_metadata(docs):
+    df = multimodal.attach_binary_payload(docs)
+    out = multimodal.probe_media(df).collect()
+    assert len(out) == 5
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[0].media_kind == by_id[1].media_kind  # identical payloads
+    for r in out:
+        if r.media_kind == "image":
+            assert r.width and r.height and r.sample_rate is None
+        elif r.media_kind == "audio":
+            assert r.sample_rate == 16000 and r.width is None
+        else:
+            assert r.fps == 25.0 and r.duration_ms is not None
+    # explicit kind column overrides inference
+    forced = multimodal.probe_media(
+        df.withColumn("kind", F.lit("audio")), kind_col="kind"
+    ).collect()
+    assert all(r.media_kind == "audio" and r.codec == "fake/pcm16" for r in forced)
+
+
+def test_audio_chunk_rows_time_geometry(docs):
+    df = multimodal.attach_binary_payload(docs)
+    # 16kHz x 2B/sample -> 32 bytes per ms; chunk_ms=1 -> 32-byte chunks
+    out = multimodal.audio_chunk_rows(df, chunk_ms=1).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    payload_len = {r.doc_id: r.payload_len for r in df.collect()}
+    for d, rows in per_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        assert len(rows) == -(-payload_len[d] // 32)  # ceil-div chunk count
+        assert rows[0].start_ms == 0
+        assert all(r.start_ms == r.chunk_idx * 1 for r in rows)
+        assert sum(len(r.chunk) for r in rows) == payload_len[d]
+        assert rows[-1].end_ms <= rows[-1].start_ms + 1
+
+
 def test_sample_frames_explodes_rows(docs):
     df = multimodal.attach_binary_payload(docs)
     out = multimodal.sample_frames(df, num_frames=4).collect()
