@@ -384,6 +384,42 @@ def q_multimodal_meta(spark, sf_dir):
     return df.select("doc_id", "payload_len", "content_md5", "media_type")
 
 
+@register(
+    "multimodal_audio_chunks",
+    """
+    WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    c AS (SELECT doc_id, text, n,
+                 CAST(unnest(range(0, CAST(ceil(n / 32.0) AS BIGINT))) AS INT)
+                     AS chunk_idx
+          FROM b)
+    SELECT doc_id, chunk_idx,
+           CAST(chunk_idx AS BIGINT) AS start_ms,
+           CAST(chunk_idx + (least(32, n - chunk_idx * 32) * 1000) // 32000
+                AS BIGINT) AS end_ms,
+           md5(substring(text, chunk_idx * 32 + 1, 32)) AS chunk_md5
+    FROM c
+    """,
+)
+def q_multimodal_audio_chunks(spark, sf_dir):
+    """Time-based audio chunking: PCM-shaped payloads split into 1 ms
+    windows (32 bytes at 16 kHz x 16-bit), one row per chunk with
+    start/end millis and content digest. Oracle reproduces the byte
+    geometry via VARCHAR substrings (documents.text is pure ASCII, so
+    char offsets == byte offsets)."""
+    df = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    out = multimodal.audio_chunk_rows(df, chunk_ms=1)
+    return out.select("doc_id", "chunk_idx", "start_ms", "end_ms", "chunk_md5")
+
+
+@register("multimodal_probe", None)  # byte-level fake probe -> rows-only
+def q_multimodal_probe(spark, sf_dir):
+    """Typed media-metadata probe (the ffprobe slot): one struct-shaped
+    metadata row per payload with per-modality fields nulled where not
+    applicable; kind inferred deterministically from payload bytes."""
+    df = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.probe_media(df)
+
+
 @register("multimodal_features", None)  # pandas-UDF stub -> rows-only
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched feature extraction over binary payloads (decode

@@ -90,5 +90,6 @@ def test_oracle_sql_covers_queries(qs):
     # rows-only exceptions are the documented engine-specific ones
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk", "multimodal_features"
+        "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk",
+        "multimodal_features", "multimodal_probe",
     }
