@@ -95,20 +95,33 @@ def compact_parquet(
     out_path: str,
     target_rows_per_file: int = 1_000_000,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> None:
     """Small-files compaction: rewrite a parquet dataset into
     right-sized files, optionally sorted within partitions so parquet
-    min/max statistics prune future scans (the poor man's Z-order).
+    min/max statistics prune future scans.
+
+    ``sort_by`` clusters one leading column perfectly (single-column
+    filters prune); ``zorder_by`` lays rows along a Morton curve so
+    filters on ANY listed column prune (see sources.layout). They are
+    mutually exclusive — a Z-order already fixes the row order.
 
     At 100 TB the small-files problem is the top operational failure of
     append-heavy ingest (every micro-batch appends a file per
     partition); periodic compaction keeps scan task counts sane.
     """
+    if sort_by and zorder_by:
+        raise ValueError("pass sort_by or zorder_by, not both")
     df = spark.read.parquet(path)
     n = max(1, df.count() // target_rows_per_file)
-    out = df.repartition(n)
-    if sort_by:
-        out = out.sortWithinPartitions(*sort_by)
+    if zorder_by:
+        from etlutils_spark.sources.layout import zorder_layout
+
+        out = zorder_layout(df, zorder_by, num_partitions=n)
+    else:
+        out = df.repartition(n)
+        if sort_by:
+            out = out.sortWithinPartitions(*sort_by)
     out.write.mode("overwrite").parquet(out_path)
 
 
