@@ -101,7 +101,10 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
-    experiments = bucketed_join_experiment(spark)
+    experiments = {
+        **bucketed_join_experiment(spark),
+        **decimal_vs_double_experiment(spark),
+    }
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -118,6 +121,50 @@ def main() -> None:
         )
     )
     spark.stop()
+
+
+def time_min2(df) -> float:
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        best = time.time() - t0 if best is None else min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def decimal_vs_double_experiment(spark) -> dict[str, float]:
+    """Oracle-parity tax tier: the TPC-H Q1 aggregate timed with
+    decimal(38,6) accumulation (bitwise-deterministic at any partition
+    count / cluster size — what the correctness gate and any
+    audit-reproducibility contract require) vs plain double sums (the
+    production fast path when last-ulp stability isn't contractual).
+    Both run from the same scan; the delta is pure aggregation cost."""
+    from pyspark.sql import functions as F
+
+    from etlutils_spark.relational_queries import CUTOFF, q1_pricing_summary
+    from etlutils_spark.sources.files import read_table
+
+    li = read_table(spark, "lineitem", SF_DIR)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    fast = (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit(CUTOFF)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return {
+        "q1_decimal_exact_sec": time_min2(q1_pricing_summary(spark, SF_DIR)),
+        "q1_double_fast_sec": time_min2(fast),
+    }
 
 
 def bucketed_join_experiment(spark) -> dict[str, float]:
@@ -147,14 +194,6 @@ def bucketed_join_experiment(spark) -> dict[str, float]:
             .groupBy("o_orderdate")
             .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
         )
-
-    def time_min2(df) -> float:
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            best = time.time() - t0 if best is None else min(best, time.time() - t0)
-        return round(best, 3)
 
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -84,7 +84,23 @@ def bucketed_table(
 ) -> None:
     """Persist as a bucketed (and optionally sorted) table: joins and
     aggregations on the bucket columns then read co-located data and
-    skip the exchange (and the sort, if sorted)."""
+    skip the exchange (and the sort, if sorted).
+
+    Rerun-safe: a killed writer (or a fresh metastore over an old
+    warehouse dir) leaves an orphaned table location that
+    ``mode=overwrite`` refuses to reclaim [LOCATION_ALREADY_EXISTS];
+    we drop the catalog entry and, for local file warehouses, the
+    orphaned directory before writing."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    loc = os.path.join(wh.path, name.lower())
+    if wh.scheme in ("", "file") and os.path.exists(loc):
+        shutil.rmtree(loc)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
