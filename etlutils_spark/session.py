@@ -43,6 +43,16 @@ def get_session(app_name: str = "etlutils_spark", **extra_conf: str) -> SparkSes
     cluster master is already configured by the environment the builder
     leaves it alone.
     """
+    # Python workers re-import this package to unpickle UDF closures
+    # that reference module-level helpers; when the caller put the repo
+    # on sys.path manually (instead of cwd/PYTHONPATH), workers would
+    # fail with ModuleNotFoundError. Export the package root to them.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     master = f"local[{cpus}]" if cpus else "local[*]"
     builder = SparkSession.builder.appName(app_name)

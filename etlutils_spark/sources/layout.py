@@ -18,6 +18,7 @@ write (a layout job is already a full rewrite; one extra agg is noise).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -45,41 +46,104 @@ def _as_long(df: DataFrame, name: str) -> Column:
     )
 
 
-def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
-    """Morton key over ``cols``: each column min/max-normalized to a
-    ``bits``-bit rank, ranks bit-interleaved (column j owns output bits
-    ``i*k + j``). Nulls rank lowest (bucket 0). One aggregate job runs
-    here to fetch the min/max bounds."""
-    k = len(cols)
-    if not 1 <= k * bits <= 62:
-        raise ValueError(f"k*bits must fit a signed long, got {k}x{bits}")
+def _ranks(df: DataFrame, cols: list[str], bits: int) -> list[Column]:
+    """Min/max-normalize each column to a ``bits``-bit rank. Nulls,
+    constant, and all-null columns rank 0. One aggregate job runs here
+    to fetch the bounds."""
     lowered = {c: _as_long(df, c) for c in cols}
     bounds = df.agg(
         *[F.min(e).alias(f"mn{i}") for i, (c, e) in enumerate(lowered.items())],
         *[F.max(e).alias(f"mx{i}") for i, (c, e) in enumerate(lowered.items())],
     ).first()
     top = (1 << bits) - 1
-    key = F.lit(0).cast("long")
+    out = []
     for j, (c, e) in enumerate(lowered.items()):
         mn, mx = bounds[f"mn{j}"], bounds[f"mx{j}"]
         if mn is None or mx is None or mx == mn:
-            continue  # constant or all-null column contributes no bits
+            out.append(F.lit(0).cast("long"))
+            continue
         rank = F.floor((e - F.lit(mn)) / F.lit(mx - mn) * top).cast("long")
-        rank = F.coalesce(F.least(F.greatest(rank, F.lit(0)), F.lit(top)), F.lit(0))
+        out.append(
+            F.coalesce(F.least(F.greatest(rank, F.lit(0)), F.lit(top)), F.lit(0))
+        )
+    return out
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
+    """Morton key over ``cols``: each column min/max-normalized to a
+    ``bits``-bit rank, ranks bit-interleaved (column j owns output bits
+    ``i*k + j``)."""
+    k = len(cols)
+    if not 1 <= k * bits <= 62:
+        raise ValueError(f"k*bits must fit a signed long, got {k}x{bits}")
+    key = F.lit(0).cast("long")
+    for j, rank in enumerate(_ranks(df, cols, bits)):
         for i in range(bits):
             bit = F.shiftright(rank, i).bitwiseAND(F.lit(1))
             key = key.bitwiseOR(F.shiftleft(bit, i * k + j))
     return key
 
 
+def _hilbert_d_np(x, y, bits: int):
+    """Vectorized xy→d along the order-``bits`` Hilbert curve (the
+    classic rotate-and-reflect recurrence, computed on whole numpy
+    arrays — one pass per bit level, no per-row Python)."""
+    import numpy as np
+
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        swap = ry == 0
+        refl = swap & (rx == 1)
+        xr = np.where(refl, s - 1 - x, x)
+        yr = np.where(refl, s - 1 - y, y)
+        x, y = np.where(swap, yr, xr), np.where(swap, xr, yr)
+        s >>= 1
+    return d
+
+
+def hilbert_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
+    """Hilbert-curve key over exactly two columns. Unlike the Z-curve,
+    consecutive key values are always grid NEIGHBORS (no long diagonal
+    jumps), so per-file envelopes come out tighter — at the price of a
+    Python stage: the rotate/reflect recurrence needs data-dependent
+    branching per bit level, which Column algebra can only express with
+    exponentially growing expression trees. An Arrow-batched pandas UDF
+    over whole numpy arrays is the honest trade for a layout job (a
+    once-per-dataset full rewrite — key cost is not on any query path)."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_key supports exactly 2 columns")
+    if not 1 <= 2 * bits <= 62:
+        raise ValueError(f"2*bits must fit a signed long, got 2x{bits}")
+
+    @F.pandas_udf("long")
+    def hk(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        return pd.Series(_hilbert_d_np(xs.to_numpy(), ys.to_numpy(), bits))
+
+    rx, ry = _ranks(df, cols, bits)
+    return hk(rx, ry)
+
+
 def zorder_layout(
-    df: DataFrame, cols: list[str], num_partitions: int, bits: int = 16
+    df: DataFrame,
+    cols: list[str],
+    num_partitions: int,
+    bits: int = 16,
+    curve: str = "zorder",
 ) -> DataFrame:
-    """Range-partition + sort ``df`` along the Z-curve of ``cols`` so a
-    downstream parquet write yields files whose per-file min/max bounds
-    are tight on EVERY listed column. The key column is dropped — the
-    layout survives in the row order, not the schema."""
-    key = zorder_key(df, cols, bits=bits)
+    """Range-partition + sort ``df`` along the space-filling curve of
+    ``cols`` so a downstream parquet write yields files whose per-file
+    min/max bounds are tight on EVERY listed column. The key column is
+    dropped — the layout survives in the row order, not the schema.
+    ``curve="hilbert"`` (2 columns only) buys tighter envelopes for a
+    Python key stage at write time."""
+    keyfn = {"zorder": zorder_key, "hilbert": hilbert_key}[curve]
+    key = keyfn(df, cols, bits=bits)
     return (
         df.withColumn(ZKEY, key)
         .repartitionByRange(num_partitions, ZKEY)

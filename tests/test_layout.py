@@ -14,7 +14,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from etlutils_spark.sources.files import compact_parquet
-from etlutils_spark.sources.layout import zorder_key, zorder_layout
+from etlutils_spark.sources.layout import (
+    hilbert_key,
+    zorder_key,
+    zorder_layout,
+)
 
 
 def _interleave2(a: int, b: int, bits: int) -> int:
@@ -53,6 +57,60 @@ def test_zorder_null_and_constant_columns(spark):
     # b (all-null) and c (constant) contribute no bits; a still orders
     ks = {r.a: r.k for r in out}
     assert ks[1] < ks[2] < ks[3]
+
+
+def _hilbert_d_scalar(x: int, y: int, bits: int) -> int:
+    # independent scalar reference (Wikipedia xy2d formulation)
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_key_matches_reference_and_is_a_walk(spark):
+    bits, n = 3, 8  # full 8x8 grid, ranks == values
+    rows = [(a, b) for a in range(n) for b in range(n)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = {
+        (r.a, r.b): r.k
+        for r in df.withColumn("k", hilbert_key(df, ["a", "b"], bits=bits)).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == _hilbert_d_scalar(a, b, bits), (a, b)
+    # the defining Hilbert property: consecutive keys are GRID NEIGHBORS
+    # (manhattan distance 1) — the Z-curve violates this at every
+    # quadrant boundary, which is exactly why Hilbert envelopes are
+    # tighter
+    by_d = sorted(got, key=got.get)
+    assert len(set(got.values())) == n * n  # a bijection onto 0..63
+    for (a0, b0), (a1, b1) in zip(by_d, by_d[1:]):
+        assert abs(a0 - a1) + abs(b0 - b1) == 1, ((a0, b0), (a1, b1))
+
+
+def test_hilbert_key_validates_args(spark, star):
+    with pytest.raises(ValueError):
+        hilbert_key(star["lineitem"], ["l_orderkey"])
+    with pytest.raises(ValueError):
+        hilbert_key(star["lineitem"], ["l_orderkey", "l_partkey"], bits=32)
+
+
+def test_hilbert_layout_prunes_every_listed_column(spark, star, tmp_path):
+    li, cols, nfiles = star["lineitem"], ["l_partkey", "l_orderkey"], 8
+    hdir = str(tmp_path / "h")
+    zorder_layout(li, cols, num_partitions=nfiles, curve="hilbert").write.parquet(hdir)
+    hfiles = glob.glob(f"{hdir}/part-*.parquet")
+    for col in cols:
+        lo, hi = _low_window(li, col)
+        h = _files_overlapping(hfiles, col, lo, hi)
+        assert h < nfiles, (col, h)
 
 
 def _files_overlapping(files: list[str], col: str, lo: float, hi: float) -> int:
