@@ -104,6 +104,7 @@ def main() -> None:
     experiments = {
         **bucketed_join_experiment(spark),
         **decimal_vs_double_experiment(spark),
+        **layout_pruning_experiment(spark),
     }
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
@@ -164,6 +165,68 @@ def decimal_vs_double_experiment(spark) -> dict[str, float]:
     return {
         "q1_decimal_exact_sec": time_min2(q1_pricing_summary(spark, SF_DIR)),
         "q1_double_fast_sec": time_min2(fast),
+    }
+
+
+def layout_pruning_experiment(spark) -> dict[str, float]:
+    """Data-layout tier: the same selective two-column filter+aggregate
+    scanned from an unsorted copy of lineitem vs a Z-ordered copy
+    (sources/layout.py). Parquet footer min/max stats let the Z-ordered
+    scan skip most files/row-groups for filters on EITHER clustered
+    column; the unsorted copy reads everything. Layout cost is untimed
+    (once-per-dataset, amortized over every selective scan) — at 100 TB
+    this is the difference between touching 1% and 100% of the input."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etlutils_spark.sources.files import read_table
+    from etlutils_spark.sources.layout import zorder_layout
+
+    li = read_table(spark, "lineitem", SF_DIR)
+    cols = ["l_partkey", "l_orderkey"]
+    d = tempfile.mkdtemp(prefix="bench_layout_")
+    li.repartition(32).write.mode("overwrite").parquet(f"{d}/plain")
+    zorder_layout(li, cols, num_partitions=32).write.mode("overwrite").parquet(
+        f"{d}/z"
+    )
+    b = li.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    # low-end 1/16 window per column (a mid-domain window straddles the
+    # top rank bit and defeats coarse pruning — see tests/test_layout.py)
+    hi = {c: b[f"mn_{c}"] + (b[f"mx_{c}"] - b[f"mn_{c}"]) // 16 for c in cols}
+
+    def q(path):
+        df = spark.read.parquet(path)
+        for c in cols:
+            df = df.filter(F.col(c) <= hi[c])
+        return df.agg(F.sum("l_extendedprice").alias("s"))
+
+    def files_surviving_stats(path) -> int:
+        # what parquet footer min/max pruning leaves to be read — the
+        # I/O-proportional metric that scales where local wall-clock
+        # (dominated by fixed per-query cost at bench SF) does not
+        import glob
+
+        import pyarrow.parquet as pq
+
+        n = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            keep = True
+            for c in cols:
+                vals = pq.read_table(f, columns=[c])[c]
+                if len(vals) and vals.to_pandas().min() > hi[c]:
+                    keep = False
+            n += keep
+        return n
+
+    return {
+        "filter_scan_plain_sec": time_min2(q(f"{d}/plain")),
+        "filter_scan_zorder_sec": time_min2(q(f"{d}/z")),
+        "filter_scan_plain_files": files_surviving_stats(f"{d}/plain"),
+        "filter_scan_zorder_files": files_surviving_stats(f"{d}/z"),
     }
 
 
