@@ -120,7 +120,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return jaccard_pairs(sh, threshold=0.2)
 
 
-def _duck_minhash_sql(num_hashes: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+def _duck_minhash_ctes(num_hashes: int = 8, bands: int = 4) -> str:
     rpb = num_hashes // bands
     mh = ",\n           ".join(
         f"min(md5(concat('{i}|', shingle))) AS mh{i}" for i in range(num_hashes)
@@ -131,8 +131,7 @@ def _duck_minhash_sql(num_hashes: int = 8, bands: int = 4, threshold: float = 0.
         )
         for b in range(bands)
     )
-    return f"""
-    WITH {DUCK_SH},
+    return f"""{DUCK_SH},
     sigs AS (
       SELECT doc_id,
            {mh}
@@ -148,13 +147,42 @@ def _duck_minhash_sql(num_hashes: int = 8, bands: int = 4, threshold: float = 0.
       FROM cand c
       JOIN sh a ON a.doc_id = c.doc_id_1
       JOIN sh b ON b.doc_id = c.doc_id_2 AND b.shingle = a.shingle
-      GROUP BY 1, 2)
+      GROUP BY 1, 2)"""
+
+
+def _duck_minhash_sql(num_hashes: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+    return f"""
+    WITH {_duck_minhash_ctes(num_hashes, bands)}
     SELECT doc_id_1, doc_id_2,
            {_JAC.replace('n_1', 's1.n_sh').replace('n_2', 's2.n_sh')} AS jaccard
     FROM inter
     JOIN sizes s1 ON doc_id_1 = s1.doc_id
     JOIN sizes s2 ON doc_id_2 = s2.doc_id
     WHERE {_JAC.replace('n_1', 's1.n_sh').replace('n_2', 's2.n_sh')} >= {threshold}
+    """
+
+
+def _duck_minhash_clusters_sql(
+    num_hashes: int = 8, bands: int = 4, threshold: float = 0.5
+) -> str:
+    jac = _JAC.replace("n_1", "s1.n_sh").replace("n_2", "s2.n_sh")
+    return f"""
+    WITH RECURSIVE {_duck_minhash_ctes(num_hashes, bands)},
+    prs AS (
+      SELECT doc_id_1 AS pa, doc_id_2 AS pb
+      FROM inter
+      JOIN sizes s1 ON doc_id_1 = s1.doc_id
+      JOIN sizes s2 ON doc_id_2 = s2.doc_id
+      WHERE {jac} >= {threshold}),
+    edges AS (SELECT pa, pb FROM prs UNION SELECT pb, pa FROM prs),
+    walk(node, reach) AS (
+      SELECT pa, pa FROM edges
+      UNION
+      SELECT w.node, e.pb FROM walk w JOIN edges e ON e.pa = w.reach),
+    comp AS (SELECT node, min(reach) AS cluster_id FROM walk GROUP BY node)
+    SELECT d.doc_id,
+           CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
     """
 
 
@@ -166,6 +194,30 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_dedup_pairs(
         _t(spark, sf_dir, "documents"),
         num_hashes=8, bands=4, threshold=0.5, portable=True,
+    )
+
+
+@register("dedup_minhash_clusters", _duck_minhash_clusters_sql())
+def q_dedup_minhash_clusters(spark, sf_dir):
+    """The actionable dedup artifact: every document labeled with its
+    near-dup cluster id (min doc_id of its connected component over the
+    verified MinHash+LSH pair graph; singletons cluster to themselves).
+    Spark side = iterative min-label propagation (operators.dedup.
+    connected_components); oracle = recursive transitive closure."""
+    from etlutils_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        docs, num_hashes=8, bands=4, threshold=0.5, portable=True
+    )
+    comp = connected_components(pairs, "doc_id_1", "doc_id_2")
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(comp, F.col("doc_id") == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).cast("long").alias("cluster_id"),
+        )
     )
 
 

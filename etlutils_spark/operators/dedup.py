@@ -433,3 +433,64 @@ def embedding_neardup_pairs(
         .select(f"{id_col}_1", f"{id_col}_2", cos("va", "vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "doc_id_1",
+    right: str = "doc_id_2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Union-find over an undirected pair list: (node, cluster_id) where
+    cluster_id = the minimum node id in the node's connected component —
+    the step that turns near-dup PAIRS into an actionable keep/drop
+    assignment (keep cluster_id == node, drop the rest).
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; converges in O(graph diameter)
+    rounds (dup clusters are near-cliques — diameter 1-2) with an O(E)
+    shuffle per round, all join/groupBy (no driver-side graph). Each
+    round is AQE-planned independently; labels persist round-to-round
+    and are freed on replacement. For planet-scale general graphs swap
+    in the alternating large-star/small-star variant; for dedup graphs
+    the simple propagation is the right cost.
+    """
+    e = pairs.select(
+        F.col(left).cast("long").alias("a"), F.col(right).cast("long").alias("b")
+    )
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("comp", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a").agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("comp").alias("cluster_id"))

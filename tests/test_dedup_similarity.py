@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from etlutils_spark.operators import multimodal
 from etlutils_spark.operators.dedup import (
+    connected_components,
     dedup_exact,
     drop_exact_duplicates,
     embedding_neardup_pairs,
@@ -244,3 +245,13 @@ def test_sample_frames_explodes_rows(docs):
         per_doc.setdefault(r.doc_id, []).append((r.frame_idx, r.frame_md5))
     assert sorted(i for i, _ in per_doc[0]) == [0, 1, 2, 3]
     assert sorted(per_doc[0]) == sorted(per_doc[1])  # identical payloads
+
+
+def test_connected_components_chain_and_islands(spark):
+    # a 4-node CHAIN needs multiple propagation rounds (diameter 3) --
+    # exercises convergence, not just one hop; 7-8 is a disjoint island
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (7, 8)], "doc_id_1 long, doc_id_2 long"
+    )
+    out = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
