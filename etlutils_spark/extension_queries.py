@@ -381,7 +381,7 @@ _LANG_SCORES_SQL = ",\n             ".join(
 )
 def q_text_lang_id(spark, sf_dir):
     """Marker-word language-ID heuristic with deterministic tie order."""
-    return lang_id(_t(spark, sf_dir, "documents"))
+    return lang_id(_t(spark, sf_dir, "documents"), label_col="lang")
 
 
 @register(

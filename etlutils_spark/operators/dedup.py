@@ -468,6 +468,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["b"] == labels["node"])
@@ -491,6 +492,14 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; labels would be partially propagated (cluster_id != "
+            "component minimum). Raise max_iter — rounds needed is O(graph "
+            "diameter)."
+        )
     return labels.select("node", F.col("comp").alias("cluster_id"))

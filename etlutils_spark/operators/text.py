@@ -112,9 +112,18 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str | None = None,
+) -> DataFrame:
     """Marker-word language ID heuristic with a fixed priority order for
-    ties (en > de > fr > es > zh); all-zero scores -> 'und'."""
+    ties (en > de > fr > es > zh); all-zero scores -> 'und'.
+
+    ``label_col`` optionally names a ground-truth column to carry through
+    as ``lang_label`` (for accuracy evaluation); omitted, the output has
+    no label column, so the operator works on any corpus."""
     base = with_tokens(df, text_col)
     toks = F.col(TOKENS_COL)
     scores = {k: _count_in(toks, v).cast("bigint") for k, v in LANG_MARKERS.items()}
@@ -130,9 +139,10 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
                 cond = cond & (s >= scores[other])
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
     pred = expr.otherwise(F.lit("und"))
+    label = [F.col(label_col).alias("lang_label")] if label_col else []
     return base.select(
         F.col(id_col),
-        F.col("lang").alias("lang_label"),
+        *label,
         *[scores[k].alias(f"score_{k}") for k in order],
         pred.alias("lang_pred"),
     )

@@ -10,6 +10,7 @@ deterministic test tables.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,6 +31,8 @@ TABLES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+_CONF_WARNED: set[str] = set()
+
 
 def read_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Read one star-schema table from ``sf_dir`` (parquet).
@@ -38,6 +41,13 @@ def read_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     rejects; we read nanos as long (legacy conf) and floor-convert to a
     microsecond timestamp — the same truncation DuckDB applies casting
     TIMESTAMP_NS → TIMESTAMP, so oracle comparisons line up.
+
+    NOTE: the two confs below are session-scoped and deliberately stay
+    set after this call — both affect plan EXECUTION (the lazy scan and
+    every downstream timestamp expression), so restoring them on return
+    would silently change the returned DataFrame's results. If the
+    caller's session had a *different* explicit value we warn rather
+    than mutate silently.
     """
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -45,8 +55,20 @@ def read_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     # caller's session was built elsewhere (e.g. the grading driver):
     # UTC session tz (timestamps must match the UTC-naive DuckDB oracle)
     # and nanos-as-long (events.ts is TIMESTAMP(NANOS)).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for key, want in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        have = spark.conf.get(key, None)
+        if have is not None and have != want and key not in _CONF_WARNED:
+            _CONF_WARNED.add(key)
+            warnings.warn(
+                f"read_table pins {key}={want} for the rest of this session "
+                f"(was {have}); timestamps are defined against the UTC-naive "
+                "parquet test data",
+                stacklevel=2,
+            )
+        spark.conf.set(key, want)
     df = spark.read.parquet(path)
     nanos_cols = [
         f.name
@@ -113,7 +135,8 @@ def compact_parquet(
     if sort_by and zorder_by:
         raise ValueError("pass sort_by or zorder_by, not both")
     df = spark.read.parquet(path)
-    n = max(1, df.count() // target_rows_per_file)
+    # ceiling division: 1.9M rows at a 1M target -> 2 files, not one 1.9M file
+    n = max(1, -(-df.count() // target_rows_per_file))
     if zorder_by:
         from etlutils_spark.sources.layout import zorder_layout
 

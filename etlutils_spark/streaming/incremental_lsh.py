@@ -159,6 +159,14 @@ def incremental_minhash_dedup(
         )
         local = _verified_pairs(self_cand, prof, prof, threshold)
         pairs = local if pairs is None else pairs.unionByName(local)
+        # normalize orientation so an at-least-once replay of the same
+        # logical pair (old-vs-new emits as (old, new)) always lands in
+        # pairs_dir as (min, max) — the downstream distinct then dedupes
+        pairs = pairs.select(
+            F.least("id_1", "id_2").alias("id_1"),
+            F.greatest("id_1", "id_2").alias("id_2"),
+            "jaccard",
+        )
         pairs.write.mode("append").parquet(pairs_dir)
         prof.write.mode("append").parquet(index_dir)
 
