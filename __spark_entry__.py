@@ -22,6 +22,7 @@ import etlutils_spark.relational_queries  # noqa: E402,F401  (registers into REG
 import etlutils_spark.extension_queries  # noqa: E402,F401  (registers into REGISTRY)
 import etlutils_spark.event_queries  # noqa: E402,F401  (registers into REGISTRY)
 import etlutils_spark.udf_queries  # noqa: E402,F401  (registers into REGISTRY)
+import etlutils_spark.pipeline_queries  # noqa: E402,F401  (registers into REGISTRY)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,158 @@
+"""Corpus quality operators for training-data curation: threshold
+filtering, repetition scoring, and PII redaction.
+
+The reference has no text tier at all (SURVEY §2 — its scalar surface is
+recoder/LOCF/factorise); these are the scale extensions a pretraining
+pipeline runs between ingest and dedup. Everything here is pure Column
+algebra (JVM-side, whole-stage codegen) — no Python in the hot path —
+and every threshold is an explicit argument so the filter predicate
+reaches the parquet scan when the inputs are stats columns.
+
+Scale notes:
+- quality_filter is a narrow map + filter: no shuffle, fully
+  pushdown-friendly when run over a materialized stats table.
+- repetition_stats shares the tokenizer with operators.text and stays
+  one narrow projection (no explode — n-gram counting via aggregate over
+  the token array), so it runs at scan speed.
+- redact_pii is regexp_replace chains; regexes are anchored to simple
+  character classes that mean the same thing in Java regex (Spark) and
+  RE2 (DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etlutils_spark.operators.text import TOKENS_COL, with_tokens
+
+# (pattern, replacement) — dialect-portable: character classes + bounded
+# repetition only, no lookaround (RE2 has none).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Per-document repetition: the fraction of word n-grams that are
+    repeats of an earlier occurrence (1 - distinct/total), plus the
+    top n-gram's share. High values flag boilerplate / degenerate docs
+    (the dup-line heuristic of C4/Gopher rules, word-level).
+
+    One narrow projection: n-grams come from the token array via
+    transform+slice, counting via array ops — no explode, no shuffle.
+    """
+    base = with_tokens(df, text_col)
+    toks = F.col(TOKENS_COL)
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    n_grams = F.size(grams).cast("bigint")
+    n_distinct = F.size(F.array_distinct(grams)).cast("bigint")
+    # top n-gram multiplicity: longest equal-run in the sorted gram array
+    # (O(n log n) per row; a frequency map rebuild would be O(n^2))
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+    )
+
+    def _step(acc, g):
+        run = F.when(acc["prev"] == g, acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        return F.struct(
+            g.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top_count = F.aggregate(F.array_sort(grams), init, _step, lambda acc: acc["best"])
+    safe_total = F.greatest(n_grams, F.lit(1)).cast("double")
+    return base.select(
+        F.col(id_col),
+        n_grams.alias("n_ngrams"),
+        n_distinct.alias("n_distinct_ngrams"),
+        ((n_grams - n_distinct).cast("double") / safe_total).alias("dup_ngram_ratio"),
+        (F.coalesce(top_count, F.lit(0)).cast("double") / safe_total).alias(
+            "top_ngram_share"
+        ),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_stopword_ratio: float = 0.05,
+    max_avg_token_len: float = 12.0,
+    keep_only: bool = False,
+) -> DataFrame:
+    """Gopher/C4-style rule filter. Emits one boolean per rule plus the
+    conjunction ``passes`` (and, with ``keep_only=True``, just the
+    surviving rows of the input).
+
+    Rules are plain Column predicates — over a precomputed stats table
+    they push down to the scan; over raw text they run in one codegen
+    stage with the tokenizer."""
+    from etlutils_spark.operators.text import STOPWORDS
+
+    base = with_tokens(df, text_col)
+    toks = F.col(TOKENS_COL)
+    n_tokens = F.size(toks).cast("bigint")
+    stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS)])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stopword_ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)).cast(
+        "double"
+    )
+    avg_token_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    ).cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
+
+    r_len = (n_tokens >= min_tokens) & (n_tokens <= max_tokens)
+    r_stop = stopword_ratio >= min_stopword_ratio
+    r_tok = avg_token_len <= max_avg_token_len
+    passes = r_len & r_stop & r_tok
+    if keep_only:
+        return base.filter(passes).drop(TOKENS_COL)
+    return base.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        stopword_ratio.alias("stopword_ratio"),
+        avg_token_len.alias("avg_token_len"),
+        r_len.alias("pass_length"),
+        r_stop.alias("pass_stopwords"),
+        r_tok.alias("pass_token_len"),
+        passes.alias("passes"),
+    )
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """Replace email / phone / IP literals with typed placeholder tokens
+    and count the replacements per class. Pure regexp_replace chain —
+    scan-speed, no shuffle; patterns are RE2-compatible so the DuckDB
+    oracle computes the identical result."""
+    out = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    counts = []
+    redacted = F.col("__t")
+    for pat, repl in patterns:
+        name = repl.strip("<>").lower()
+        counts.append(
+            F.size(F.regexp_extract_all(redacted, F.lit(pat), 0))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return out.select(
+        F.col(id_col), *counts, redacted.alias("redacted_text")
+    )

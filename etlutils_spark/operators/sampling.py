@@ -1,0 +1,162 @@
+"""Deterministic sampling, sharding, and sequence packing for
+training-data pipelines.
+
+Randomness here is HASH-derived, never RNG-derived: a row's fate is a
+pure function of its key, so samples are reproducible across runs,
+engines, partitionings, and retries — the property an auditable data
+pipeline needs (and the reason every operator below is oracle-checkable
+in DuckDB). The reference has no sampling tier (SURVEY §2); this is the
+scale-extension surface.
+
+Hash domain: md5 hex strings (the repo's portable-hash convention).
+A rate ``r`` keeps rows whose 128-bit digest, read as a fraction of
+2^128, is below ``r`` — a lexicographic string compare against a
+precomputed 32-hex-char threshold literal. No bigint parsing, no
+modulo bias, identical bytes on both engines.
+
+Scale notes:
+- hash_sample / stratified_sample are stateless row predicates: no
+  shuffle, scan-speed, trivially pushable past column pruning.
+- assign_shards is a narrow projection; the per-shard rollup is one
+  partial-aggregated groupBy on a uniform key (no skew by
+  construction — md5 is uniform).
+- pack_sequences windows WITHIN a partition column (shard/source):
+  each group's running sum is independent, so parallelism = number of
+  groups; never a single global window (that is a one-task bottleneck
+  at any scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """Hex-string literal T such that P[md5(key) < T] == rate.
+
+    rate 1.0 returns 'g' — one char past the hex alphabet, so every
+    32-char digest compares below it (the naive 2^128 encoding would be
+    33 chars starting '1', which sorts BELOW digests starting 2-f)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * (1 << 128)), "032x")
+
+
+def _digest(key_col: str, salt: str) -> F.Column:
+    return F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by key digest.
+    ``salt`` decorrelates independent samples over the same keys."""
+    return df.filter(_digest(key_col, salt) < F.lit(rate_threshold_hex(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. language rebalancing:
+    upweight low-resource languages by downsampling the head). Same
+    digest-threshold predicate, threshold chosen per stratum."""
+    thr = F.lit(rate_threshold_hex(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(rate_threshold_hex(rate))
+        ).otherwise(thr)
+    return df.filter(_digest(key_col, salt) < thr)
+
+
+def assign_shards(
+    df: DataFrame, n_shards: int, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Deterministic output-shard assignment: first 8 hex chars of the
+    digest mod n_shards (uniform, reproducible). The shard id is both
+    the write partition and the packing group."""
+    bucket = F.conv(F.substring(_digest(key_col, salt), 1, 8), 16, 10).cast("bigint")
+    return df.withColumn("shard", (bucket % F.lit(n_shards)).cast("int"))
+
+
+def shard_stats(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard manifest: row count + token mass. The balance check a
+    sharded export runs before committing a layout."""
+    sharded = assign_shards(df, n_shards, key_col)
+    n_tok = (
+        F.col(token_col)
+        if token_col
+        else F.size(F.split(F.col(text_col), " "))
+    ).cast("bigint")
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("n_tokens"),
+            F.min(key_col).alias("min_key"),
+            F.max(key_col).alias("max_key"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-split sequence packing: within each group, lay
+    documents end-to-end in ``order_col`` order and cut packs every
+    ``budget`` tokens (documents may span a cut — the standard
+    pretraining packer). Emits per-doc placement:
+
+      (group, doc, n_tokens, start_offset, pack_id, spans_boundary)
+
+    pack_id = start_offset div budget; spans_boundary marks docs whose
+    last token falls in a later pack than their first.
+
+    The running sum is a window PARTITIONED BY the group column — each
+    shard/source packs independently and in parallel. A global
+    (unpartitioned) window would serialize the whole corpus through one
+    task; callers wanting corpus-wide packing should shard first
+    (assign_shards) and pack per shard."""
+    n_tok = (
+        F.col(token_col)
+        if token_col
+        else F.size(F.split(F.col(text_col), " "))
+    ).cast("bigint")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.select(
+        F.col(group_col), F.col(order_col), n_tok.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    end_incl = F.col("cum_tokens") - F.lit(1)
+    return base.select(
+        group_col,
+        order_col,
+        "n_tokens",
+        start.alias("start_offset"),
+        (start / budget).cast("bigint").alias("pack_id"),
+        ((start / budget).cast("bigint") != (end_incl / budget).cast("bigint")).alias(
+            "spans_boundary"
+        ),
+    )

@@ -1,0 +1,247 @@
+"""Oracle-checked queries for the curation tier: deterministic
+sampling / sharding, quality filtering, repetition scoring, PII
+redaction, and sequence packing over the documents table.
+
+Every operator here is hash-deterministic (md5 portable-hash domain), so
+the DuckDB oracle reproduces it bit-for-bit — including the samples,
+which is the point: an auditable pipeline's sample is a pure function of
+the key, not an RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etlutils_spark.entry_queries import _t, register
+from etlutils_spark.operators.quality import (
+    PII_PATTERNS,
+    quality_filter,
+    redact_pii,
+    repetition_stats,
+)
+from etlutils_spark.operators.sampling import (
+    hash_sample,
+    pack_sequences,
+    rate_threshold_hex,
+    shard_stats,
+    stratified_sample,
+)
+
+# ---- deterministic sampling ------------------------------------------------
+
+_SAMPLE_RATE = 0.1
+_STRATA_RATES = {"en": 0.05, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 1.0}
+
+
+@register(
+    "sample_hash_10pct",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) < '{rate_threshold_hex(_SAMPLE_RATE)}'
+    """,
+)
+def q_sample_hash(spark, sf_dir):
+    """Deterministic 10% sample: digest-threshold predicate, no RNG.
+    Scale: stateless row filter — scan-speed, no shuffle, reproducible
+    under any partitioning or retry."""
+    return hash_sample(_t(spark, sf_dir, "documents"), _SAMPLE_RATE).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _strata_case() -> str:
+    arms = "\n".join(
+        f"WHEN '{k}' THEN '{rate_threshold_hex(r)}'"
+        for k, r in sorted(_STRATA_RATES.items())
+    )
+    return f"CASE lang {arms} ELSE '{rate_threshold_hex(0.0)}' END"
+
+
+@register(
+    "sample_stratified_lang",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) < {_strata_case()}
+    """,
+)
+def q_sample_stratified(spark, sf_dir):
+    """Language-rebalancing sample: per-stratum deterministic rates
+    (head language downsampled 20x, tail kept whole)."""
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), "lang", _STRATA_RATES
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "shard_manifest",
+    """
+    WITH sharded AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 16 AS shard,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents)
+    SELECT CAST(shard AS INT) AS shard, count(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS min_key, max(doc_id) AS max_key
+    FROM sharded GROUP BY 1
+    """,
+)
+def q_shard_manifest(spark, sf_dir):
+    """Deterministic 16-way shard assignment + per-shard manifest
+    (docs, token mass, key range) — the balance check before an export
+    commits its layout. One partial-aggregated groupBy on a uniform
+    hash key."""
+    return shard_stats(_t(spark, sf_dir, "documents"), 16)
+
+
+# ---- quality ---------------------------------------------------------------
+
+_STOP_LIST = "['the', 'a', 'of', 'and', 'to', 'in']"
+
+
+@register(
+    "quality_filter_flags",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(w) AS n_tokens,
+             len(list_filter(w, t -> list_contains({_STOP_LIST}, t))) AS n_stop,
+             list_sum(list_transform(w, t -> len(t))) AS sum_len
+      FROM toks)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stopword_ratio,
+           CAST(sum_len AS DOUBLE) / greatest(n_tokens, 1) AS avg_token_len,
+           n_tokens >= 20 AND n_tokens <= 100000 AS pass_length,
+           CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) >= 0.05 AS pass_stopwords,
+           CAST(sum_len AS DOUBLE) / greatest(n_tokens, 1) <= 12.0 AS pass_token_len,
+           (n_tokens >= 20 AND n_tokens <= 100000)
+             AND CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) >= 0.05
+             AND CAST(sum_len AS DOUBLE) / greatest(n_tokens, 1) <= 12.0 AS passes
+    FROM m
+    """,
+)
+def q_quality_filter(spark, sf_dir):
+    """Gopher/C4-style rule filter: per-rule booleans + conjunction.
+    Pure Column predicates — pushes to the scan over a stats table."""
+    return quality_filter(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                            i -> concat_ws(' ', w[i], w[i+1])) AS grams
+      FROM toks),
+    ex AS (SELECT doc_id, gr FROM g, UNNEST(grams) AS t(gr)),
+    cnt AS (SELECT doc_id, gr, count(*) AS c FROM ex GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_ngrams,
+             CAST(MAX(c) AS BIGINT) AS top
+      FROM cnt GROUP BY 1)
+    SELECT doc_id, n_ngrams, n_distinct_ngrams,
+           CAST(n_ngrams - n_distinct_ngrams AS DOUBLE)
+             / greatest(n_ngrams, 1) AS dup_ngram_ratio,
+           CAST(top AS DOUBLE) / greatest(n_ngrams, 1) AS top_ngram_share
+    FROM agg
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    """Word-bigram repetition score (C4/Gopher dup-fraction rule).
+    No explode: n-gram counting is array algebra inside one narrow
+    projection, so the corpus scan stays one codegen stage."""
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+# ---- PII redaction ---------------------------------------------------------
+
+# deterministic synthetic PII (the corpus is synthetic lowercase words;
+# augmenting from doc_id exercises every pattern class identically on
+# both engines)
+_AUG_SPARK = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), '@example.com"
+    " or 555-123-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'),"
+    " ' from 10.0.', CAST(doc_id % 256 AS STRING), '.1')"
+)
+_AUG_DUCK = (
+    "concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com"
+    " or 555-123-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),"
+    " ' from 10.0.', CAST(doc_id % 256 AS VARCHAR), '.1')"
+)
+
+
+def _duck_redact_sql() -> str:
+    stages = [f"SELECT doc_id, {_AUG_DUCK} AS t0 FROM documents"]
+    prev = "t0"
+    counts = []
+    for i, (pat, repl) in enumerate(PII_PATTERNS):
+        name = repl.strip("<>").lower()
+        counts.append(f"n_{name}")
+        stages.append(
+            f"SELECT *, CAST(len(regexp_extract_all({prev}, '{pat}')) AS BIGINT)"
+            f" AS n_{name},"
+            f" regexp_replace({prev}, '{pat}', '{repl}', 'g') AS t{i + 1}"
+            f" FROM s{i}"
+        )
+        prev = f"t{i + 1}"
+    ctes = ",\n".join(f"s{i} AS ({q})" for i, q in enumerate(stages))
+    return (
+        f"WITH {ctes}\n"
+        f"SELECT doc_id, {', '.join(counts)}, {prev} AS redacted_text"
+        f" FROM s{len(stages) - 1}"
+    )
+
+
+@register("text_redact_pii", _duck_redact_sql())
+def q_text_redact_pii(spark, sf_dir):
+    """Email/phone/IP redaction with per-class counts over text
+    augmented with deterministic synthetic PII. regexp chain only —
+    scan-speed; patterns are RE2-compatible so both engines agree."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_AUG_SPARK).alias("text")
+    )
+    return redact_pii(docs)
+
+
+# ---- sequence packing ------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+
+@register(
+    "pack_sequences_source",
+    f"""
+    WITH base AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM base)
+    SELECT source, doc_id, n_tokens,
+           CAST(cum_tokens - n_tokens AS BIGINT) AS start_offset,
+           CAST((cum_tokens - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           (cum_tokens - n_tokens) // {_PACK_BUDGET}
+             != (cum_tokens - 1) // {_PACK_BUDGET} AS spans_boundary
+    FROM cum
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-split sequence packing per source shard: running
+    token offsets -> pack ids at a 512-token budget. The window is
+    PARTITIONED (per-shard independence) — never a one-task global
+    window."""
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), _PACK_BUDGET, group_col="source"
+    )

@@ -1,0 +1,161 @@
+"""Unit tests for the curation tier: deterministic sampling/sharding,
+quality filtering, repetition scoring, PII redaction, sequence packing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlutils_spark.operators.quality import (
+    quality_filter,
+    redact_pii,
+    repetition_stats,
+)
+from etlutils_spark.operators.sampling import (
+    assign_shards,
+    hash_sample,
+    pack_sequences,
+    rate_threshold_hex,
+    shard_stats,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"word{i % 7} " * 3 + "the a of tail", "en" if i % 3 else "de")
+            for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# ---- sampling --------------------------------------------------------------
+
+def test_hash_sample_is_deterministic_and_pure(spark, docs):
+    a = sorted(r.doc_id for r in hash_sample(docs, 0.3).collect())
+    b = sorted(r.doc_id for r in hash_sample(docs, 0.3).collect())
+    assert a == b
+    # pure function of the key: python replica agrees row-for-row
+    thr = rate_threshold_hex(0.3)
+    expect = sorted(
+        i for i in range(200) if hashlib.md5(str(i).encode()).hexdigest() < thr
+    )
+    assert a == expect
+
+
+def test_hash_sample_rate_monotone_and_nested(spark, docs):
+    s10 = {r.doc_id for r in hash_sample(docs, 0.1).collect()}
+    s50 = {r.doc_id for r in hash_sample(docs, 0.5).collect()}
+    assert s10 <= s50  # threshold sampling nests by construction
+    assert len(s50) > len(s10)
+
+
+def test_hash_sample_salt_decorrelates(spark, docs):
+    a = {r.doc_id for r in hash_sample(docs, 0.5, salt="s1").collect()}
+    b = {r.doc_id for r in hash_sample(docs, 0.5, salt="s2").collect()}
+    assert a != b
+
+
+def test_stratified_sample_rates(spark, docs):
+    out = stratified_sample(docs, "lang", {"en": 0.0, "de": 1.0})
+    got = out.groupBy("lang").count().collect()
+    by_lang = {r.lang: r["count"] for r in got}
+    assert "en" not in by_lang  # rate 0 drops all
+    assert by_lang["de"] == 67  # rate 1 keeps all de rows
+
+
+def test_assign_shards_uniform_and_complete(spark, docs):
+    out = assign_shards(docs, 8)
+    assert out.count() == 200  # narrow projection, no row loss
+    shards = {r.shard for r in out.select("shard").distinct().collect()}
+    assert shards <= set(range(8)) and len(shards) == 8
+
+
+def test_shard_stats_mass_conserved(spark, docs):
+    st = shard_stats(docs, 4).collect()
+    assert sum(r.n_docs for r in st) == 200
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0].t
+    assert sum(r.n_tokens for r in st) == total_tokens
+
+
+# ---- packing ---------------------------------------------------------------
+
+def test_pack_sequences_geometry(spark):
+    # group g: token counts 6,5,4 with budget 8 ->
+    # doc0 [0,6) pack0; doc1 [6,11) spans packs 0-1; doc2 [11,15) pack1
+    rows = [("g", 0, "a b c d e f"), ("g", 1, "a b c d e"), ("g", 2, "a b c d")]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = {r.doc_id: r for r in pack_sequences(df, 8, group_col="source").collect()}
+    assert (out[0].start_offset, out[0].pack_id, out[0].spans_boundary) == (0, 0, False)
+    assert (out[1].start_offset, out[1].pack_id, out[1].spans_boundary) == (6, 0, True)
+    assert (out[2].start_offset, out[2].pack_id, out[2].spans_boundary) == (11, 1, False)
+
+
+def test_pack_sequences_groups_independent(spark):
+    rows = [("g1", 0, "a b"), ("g2", 1, "c d")]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = pack_sequences(df, 8, group_col="source").collect()
+    assert all(r.start_offset == 0 for r in out)  # each group restarts at 0
+
+
+def test_pack_sequences_plan_is_partitioned(spark, docs):
+    plan = pack_sequences(
+        docs.withColumn("source", F.lit("s")), 128, group_col="lang"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(lang" in plan  # parallel per-group windows
+
+
+# ---- quality ---------------------------------------------------------------
+
+def test_quality_filter_rules(spark):
+    good = "the quick brown fox jumps over a lazy dog near the river bank " * 2
+    rows = [
+        (1, good.strip()),                      # passes all
+        (2, "short text only"),                 # fails length
+        (3, " ".join(["verylongtokenword" * 2] * 30)),  # fails stopword+len
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in quality_filter(df).collect()}
+    assert out[1].passes
+    assert not out[2].pass_length and not out[2].passes
+    assert not out[3].pass_stopwords and not out[3].pass_token_len
+
+
+def test_quality_filter_keep_only(spark, docs):
+    kept = quality_filter(docs, min_tokens=1, min_stopword_ratio=0.0,
+                          keep_only=True)
+    assert kept.count() == 200
+    assert "passes" not in kept.columns  # original rows, not flags
+
+
+def test_repetition_stats_known_values(spark):
+    # "x y x y x" -> bigrams: [x y, y x, x y, y x] -> 4 total, 2 distinct,
+    # dup ratio 0.5, top share 0.5
+    df = spark.createDataFrame([(1, "x y x y x")], "doc_id long, text string")
+    r = repetition_stats(df).collect()[0]
+    assert (r.n_ngrams, r.n_distinct_ngrams) == (4, 2)
+    assert r.dup_ngram_ratio == pytest.approx(0.5)
+    assert r.top_ngram_share == pytest.approx(0.5)
+
+
+def test_repetition_stats_all_unique(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    r = repetition_stats(df).collect()[0]
+    assert r.dup_ngram_ratio == 0.0
+    assert r.top_ngram_share == pytest.approx(0.25)  # every bigram unique, 1/4
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith@corp.example.org or 555-867-5309 from 192.168.0.1 ok"),
+         (2, "clean text with no secrets")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].n_email == 1 and out[1].n_phone == 1 and out[1].n_ip == 1
+    assert out[1].redacted_text == "mail <EMAIL> or <PHONE> from <IP> ok"
+    assert out[2].redacted_text == "clean text with no secrets"
+    assert out[2].n_email == out[2].n_phone == out[2].n_ip == 0
