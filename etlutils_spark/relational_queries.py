@@ -654,3 +654,301 @@ def q_delegated_sql(spark, sf_dir):
     the SAME query text runs on Spark and on the DuckDB oracle."""
     _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_DELEGATED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth pack (round 2): the remaining canonical plan shapes the
+# reduced star schema can express — conditional aggregation, EXISTS,
+# disjunctive pushdown, HAVING-driven semi-join, uncorrelated scalar
+# subquery + anti-join. Each is the representative of a plan family the
+# engine must get right at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_revenue_forecast",
+    f"""
+    SELECT {DSUM('l_extendedprice * l_discount', 'revenue')},
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark, sf_dir):
+    """TPC-H Q6 shape: the purest scan-filter-aggregate.
+
+    Scale: every predicate is a pushable range filter (shipdate /
+    discount / quantity all reach the parquet reader as PushedFilters,
+    and row-group min/max stats skip most of a date-sorted layout); the
+    global aggregate is a two-stage partial -> single-row final."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q4_priority_returns",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_priority_returns(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join.
+
+    Scale: the semi join carries only the join key from the fact side
+    (no payload shuffle) and the date filter prunes the probe side
+    before the exchange; count-by-priority is a 5-group partial agg."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1998-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1999-01-01")))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {DSUM('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           c.c_acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: lost-revenue ranking of customers with returns.
+
+    Scale: lineitem filters on returnflag before the orderkey join;
+    customer and nation broadcast; top-20 is TakeOrderedAndProject.
+    The orders->lineitem join is the only shuffle pair and shares the
+    orderkey partitioning with q3/q18 (bucket both once, win thrice)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("1998-01-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_share",
+    """
+    SELECT CAST(100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'ECONOMY'
+                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END
+               AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+               AS DECIMAL(38,6))) AS DOUBLE) AS DOUBLE) AS economy_share,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY ALL
+    """,
+)
+def q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate revenue share.
+
+    Scale: part broadcasts (dim), the date filter prunes the fact scan,
+    and both sums come out of ONE pass — the CASE folds the two
+    aggregations together, no second scan or self-join. Both sums are
+    decimal-exact so the final division is bitwise deterministic."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1998-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-07-01")))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo.cast("decimal(38,6)")).cast("double")
+                / F.sum(rev.cast("decimal(38,6)")).cast("double")
+            ).alias("economy_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 180)
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 50
+    """,
+)
+def q18_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-derived key set -> semi-join -> re-agg.
+
+    Scale: the keeper set (orderkeys with >180 total quantity) is tiny
+    relative to the fact table, so it broadcasts as a left-semi filter
+    BEFORE the wide join — payload rows for the 99% of orders that fail
+    the threshold never shuffle. The keeper aggregation itself is a
+    partial-agg on the join key (no payload columns)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("q"))
+        .filter(F.col("q") > 180)
+        .select("l_orderkey")
+    )
+    keep = o.join(
+        F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi"
+    )
+    return (
+        l.join(keep, l.l_orderkey == keep.o_orderkey)
+        .join(F.broadcast(c), keep.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(50)
+    )
+
+
+@register(
+    "q19_disjunctive_filter",
+    f"""
+    SELECT {DSUM('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 45
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_filter(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides.
+
+    Scale: Catalyst extracts the common single-side conjuncts — the
+    part-side disjunction (brand+size) prunes the broadcast build, the
+    quantity disjunction (1<=q<=40 hull) pushes to the fact scan — and
+    evaluates the full residual predicate after the join. The OR never
+    forces a cartesian or a triple scan."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    j = l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return j.filter(
+        arm("Brand#12", 15, 1, 21)
+        | arm("Brand#23", 30, 10, 30)
+        | arm("Brand#34", 45, 20, 40)
+    ).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*)
+        FROM customer c2 WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q22_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: uncorrelated scalar subquery + anti-join
+    (above-average balance, no orders since the cutoff).
+
+    Scale: the global average is a one-row broadcast (scalar subquery
+    -> literal at execution); the NOT EXISTS is a left-anti join where
+    only o_custkey shuffles from the orders side. Decimal-exact mean so
+    the threshold is partition-count invariant."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01")))
+        .select("o_custkey")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("t")
+        )
+    )
+    rich = c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("t")).drop("t")
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("total_bal"),
+        )
+    )
