@@ -93,3 +93,69 @@ def test_oracle_sql_covers_queries(qs):
         "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk",
         "multimodal_features", "multimodal_probe",
     }
+
+
+# ---- round-2 additions: TPC-H breadth pack + curation tier ----------------
+
+
+def test_q6_all_filters_push_to_scan(spark, qs):
+    df = qs["q6_revenue_forecast"](spark, SF)
+    plan = physical_plan(df)
+    pushed = [seg for seg in plan.split("\n") if "PushedFilters" in seg]
+    assert pushed
+    seg = "".join(pushed)
+    # every predicate column reaches the reader (range filters -> row-group
+    # min/max skipping on a date-sorted layout)
+    assert "l_shipdate" in seg and "l_discount" in seg and "l_quantity" in seg
+    assert "BatchEvalPython" not in plan
+
+
+def test_q4_exists_is_semi_join_without_payload_shuffle(spark, qs):
+    plan = physical_plan(qs["q4_priority_returns"](spark, SF))
+    assert "LeftSemi" in plan
+    # probe side carries only the key: no lineitem payload columns in
+    # the exchange below the semi join
+    assert "l_extendedprice" not in plan
+
+
+def test_q10_broadcasts_dims_and_takeordered(spark, qs):
+    plan = physical_plan(qs["q10_returned_items"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + nation
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q18_keeper_set_broadcasts(spark, qs):
+    plan = physical_plan(qs["q18_large_volume_orders"](spark, SF))
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_part_side_disjunction_prunes_build(spark, qs):
+    df = qs["q19_disjunctive_filter"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # Catalyst extracts the part-only disjunction (brand/size) and the
+    # lineitem-only quantity hull below the join
+    assert "p_brand" in plan.split("BroadcastHashJoin")[-1]
+
+
+def test_sampling_is_stateless_scan_filter(spark, qs):
+    df = qs["sample_hash_10pct"](spark, SF)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan  # pure row predicate: no shuffle at all
+    assert "BatchEvalPython" not in plan
+
+
+def test_pack_sequences_partitioned_window(spark, qs):
+    plan = physical_plan(qs["pack_sequences_source"](spark, SF))
+    assert "hashpartitioning(source" in plan  # per-group parallel windows
+    assert plan.count("windowspecdefinition") == 1  # one window pass
+
+
+def test_curation_tier_is_jvm_only(spark, qs):
+    for name in [
+        "quality_filter_flags", "text_repetition", "text_redact_pii",
+        "shard_manifest", "sample_stratified_lang",
+    ]:
+        plan = physical_plan(qs[name](spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
