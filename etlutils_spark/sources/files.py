@@ -111,6 +111,27 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None, **optio
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC source (Spark-native columnar alternative to parquet; same
+    pushdown/pruning machinery — PushedFilters + ReadSchema reach the
+    reader)."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """ORC sink; ``partition_by`` produces hive-style directory
+    partitioning (the partition-pruning lever for downstream scans)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -46,3 +46,23 @@ def test_streaming_dedup_drops_redeliveries(spark, sf_dir, star):
     assert s.isStreaming
     out = run_available_now(spark, s, query_name="t_dedup", output_mode="append")
     assert out.count() == ev.count()
+
+
+def test_orc_roundtrip_pushdown_and_partition_pruning(spark, star, tmp_path):
+    from etlutils_spark.sources.files import read_orc, write_orc
+
+    p = str(tmp_path / "orc")
+    nat = star["nation"]
+    write_orc(nat, p, partition_by=["n_regionkey"])
+    back = read_orc(spark, p)
+    assert back.count() == nat.count()
+    assert set(back.columns) == set(nat.columns)
+    # value round-trip
+    a = sorted((r.n_nationkey, r.n_name) for r in back.collect())
+    b = sorted((r.n_nationkey, r.n_name) for r in nat.collect())
+    assert a == b
+    # partition filter prunes directories; column filter pushes to reader
+    q = back.filter((F.col("n_regionkey") == 0) & (F.col("n_nationkey") > 1))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "n_regionkey" in plan
+    assert "PushedFilters" in plan and "n_nationkey" in plan
