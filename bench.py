@@ -40,6 +40,13 @@ HEADLINE = [
     "sessionize_events",
     "range_join_purchase_window",
     "time_rollup_multigrain",
+    # round 2: TPC-H breadth + curation tier
+    "q6_revenue_forecast",
+    "q18_large_volume_orders",
+    "quality_filter_flags",
+    "text_repetition",
+    "sample_hash_10pct",
+    "pack_sequences_source",
 ]
 
 
