@@ -159,3 +159,59 @@ def test_redact_pii(spark):
     assert out[1].redacted_text == "mail <EMAIL> or <PHONE> from <IP> ok"
     assert out[2].redacted_text == "clean text with no secrets"
     assert out[2].n_email == out[2].n_phone == out[2].n_ip == 0
+
+
+# ---- property tests vs pure-Python references ------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("ab"), st.integers(1, 12)),
+        min_size=1,
+        max_size=10,
+        unique=True,
+    ),
+    st.integers(2, 16),
+)
+def test_pack_sequences_matches_python(spark, groups_and_sizes, budget):
+    rows = [
+        (g, i, " ".join(["w"] * n))
+        for i, (g, n) in enumerate(groups_and_sizes)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = {
+        (r.source, r.doc_id): (r.start_offset, r.pack_id, r.spans_boundary)
+        for r in pack_sequences(df, budget, group_col="source").collect()
+    }
+    # pure-python replica: per-group running offsets in doc_id order
+    expect = {}
+    cur: dict[str, int] = {}
+    for doc_id, (g, n) in sorted(enumerate(groups_and_sizes), key=lambda t: (t[1][0], t[0])):
+        start = cur.get(g, 0)
+        end = start + n - 1
+        expect[(g, doc_id)] = (start, start // budget, start // budget != end // budget)
+        cur[g] = start + n
+    assert got == expect
+
+
+@SET
+@given(st.floats(0.0, 1.0), st.text(st.sampled_from("xyz"), max_size=3))
+def test_hash_sample_matches_python(spark, rate, salt):
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    got = sorted(r.doc_id for r in hash_sample(df, rate, salt=salt).collect())
+    thr = rate_threshold_hex(rate)
+    expect = sorted(
+        i for i in range(50)
+        if hashlib.md5(f"{i}{salt}".encode()).hexdigest() < thr
+    )
+    assert got == expect
