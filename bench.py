@@ -112,6 +112,7 @@ def main() -> None:
         **bucketed_join_experiment(spark),
         **decimal_vs_double_experiment(spark),
         **layout_pruning_experiment(spark),
+        **ann_jvm_vs_arrow_experiment(spark),
     }
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
@@ -235,6 +236,40 @@ def layout_pruning_experiment(spark) -> dict[str, float]:
         "filter_scan_plain_files": files_surviving_stats(f"{d}/plain"),
         "filter_scan_zorder_files": files_surviving_stats(f"{d}/z"),
     }
+
+
+def ann_jvm_vs_arrow_experiment(spark) -> dict[str, float]:
+    """Vectorization tier: the same exact brute-force cosine top-10
+    (5 queries x corpus) as (a) JVM expression-tree dot products
+    (zip_with/aggregate per row — whole-stage codegen but scalar) vs
+    (b) one numpy/BLAS matmul per Arrow batch with per-batch partial
+    top-k. Same output (differential-tested); the delta is the cost of
+    scalar expression evaluation vs dense linear algebra — the reason
+    the embedding tier routes through Arrow batches at scale."""
+    from pyspark.sql import functions as F
+
+    from etlutils_spark.operators.similarity import cosine_topk, cosine_topk_arrow
+    from etlutils_spark.sources.files import read_table
+
+    emb = read_table(spark, "embeddings", SF_DIR)
+    q = emb.filter(F.col("vec_id") < 5)
+    # replicate the corpus 32x (distinct synthetic ids) so the timing is
+    # compute-bound — at the native sf0.1 corpus size both paths sit in
+    # fixed per-query overhead and the vectorization delta is invisible
+    n = emb.count()
+    rep = (
+        emb.crossJoin(F.broadcast(spark.range(32).select(F.col("id").alias("__r"))))
+        .select(
+            (F.col("vec_id") + F.col("__r") * n).alias("vec_id"), "embedding"
+        )
+    )
+    rep.persist().count()
+    try:
+        jvm = time_min2(cosine_topk(rep, q, k=10, exact=False))
+        arrow = time_min2(cosine_topk_arrow(rep, q, k=10))
+    finally:
+        rep.unpersist()
+    return {"ann_jvm_expr_sec": jvm, "ann_arrow_blas_sec": arrow}
 
 
 def bucketed_join_experiment(spark) -> dict[str, float]:

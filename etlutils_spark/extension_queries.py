@@ -311,6 +311,20 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, dim=64)
 
 
+@register("ann_arrow_topk", None)  # BLAS float order -> rows-only
+def q_ann_arrow_topk(spark, sf_dir):
+    """Arrow-vectorized brute force: broadcast normalized query matrix,
+    one numpy matmul per Arrow batch, per-batch partial top-k (the
+    combiner pattern — shuffle carries k x |queries| rows per batch).
+    Same ids/ranks as ann_cosine_topk (differential-tested to 1e-9);
+    rows-only here because BLAS summation order makes last-ulp scores
+    engine-specific."""
+    from etlutils_spark.operators.similarity import cosine_topk_arrow
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_arrow(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
 # ---- text analysis --------------------------------------------------------
 
 _STOP_LIT = ", ".join(f"'{w}'" for w in STOPWORDS)

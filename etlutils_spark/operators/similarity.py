@@ -214,3 +214,76 @@ def lsh_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Arrow-vectorized exact top-k: broadcast the normalized query
+    matrix into every task, score each corpus batch with ONE numpy
+    matmul (C @ Q.T), and emit only each batch's per-query top-k.
+
+    This is the brute-force layout that survives 100 TB: per-task work
+    is a dense BLAS call over Arrow batches (no per-element expression
+    tree), and the shuffle after the map stage carries at most
+    k x |queries| rows PER BATCH (partial top-k pushed into the scan —
+    the combiner pattern), after which one partitioned window finishes
+    the global top-k. Same output contract as ``cosine_topk``; float
+    summation order differs (pairwise/BLAS vs left fold), so last-ulp
+    scores can differ — tests compare with tolerance.
+
+    Per-batch top-k is exact, not approximate: under the total order
+    (cosine DESC, id ASC), every global top-k row is necessarily in its
+    own batch's top-k.
+    """
+    import pandas as pd
+
+    from etlutils_spark.sources.files import spread
+
+    q_rows = queries.select(id_col, vec_col).collect()  # broadcast-sized
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+
+    schema = f"{query_id_col} long, {id_col} long, cosine double"
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+            S = C @ Q.T  # (batch, n_queries)
+            S[ids[:, None] == qids[None, :]] = -np.inf  # self-match
+            out_q, out_i, out_c = [], [], []
+            kk = min(k, len(ids))
+            for j in range(len(qids)):
+                col = S[:, j]
+                cand = np.argpartition(-col, kk - 1)[:kk] if len(col) > kk else np.arange(len(col))
+                order = np.lexsort((ids[cand], -col[cand]))[:kk]
+                sel = cand[order]
+                keep = col[sel] > -np.inf
+                out_q.append(np.full(keep.sum(), qids[j]))
+                out_i.append(ids[sel][keep])
+                out_c.append(col[sel][keep])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    partial = spread(corpus.select(id_col, vec_col)).mapInPandas(
+        score_batches, schema=schema
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return partial.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

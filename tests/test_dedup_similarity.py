@@ -255,3 +255,24 @@ def test_connected_components_chain_and_islands(spark):
     )
     out = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_cosine_topk_arrow_matches_jvm(spark, sf_dir):
+    from etlutils_spark.operators.similarity import cosine_topk, cosine_topk_arrow
+    from etlutils_spark.sources.files import read_table
+
+    emb = read_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 3)
+    jvm = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    arrow = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in cosine_topk_arrow(emb, q, k=5).collect()
+    }
+    assert set(jvm) == set(arrow)
+    for key, (vid, cos) in jvm.items():
+        avid, acos = arrow[key]
+        assert avid == vid, (key, vid, avid)
+        assert abs(acos - cos) < 1e-9
