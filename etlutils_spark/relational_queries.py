@@ -952,3 +952,443 @@ def q22_idle_rich_customers(spark, sf_dir):
             F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("total_bal"),
         )
     )
+
+
+@register(
+    "q7_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {DSUM('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1997-12-31 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume (two
+    roles for the same dimension table).
+
+    Scale: nation is joined TWICE under different aliases (supplier
+    side and customer side) — both broadcast. The disjunctive pair
+    filter can only be applied after both joins, but each single-nation
+    membership (n_name IN (A,B)) is pushed into each broadcast build
+    side, so the fact rows that survive the hash probes are already
+    restricted before the residual pair predicate runs. The only
+    shuffles are lineitem->orders (orderkey) and the final 3-key agg.
+    """
+    d1, d2 = "NATION_1", "NATION_2"
+    pair = [d1, d2]
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.to_timestamp(F.lit("1996-01-01")), F.to_timestamp(F.lit("1997-12-31"))
+        )
+    )
+    o = _t(spark, sf_dir, "orders")
+    n1 = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(
+            F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_nationkey")
+    ).select("c_custkey", "cust_nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(c), o.o_custkey == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == d1) & (F.col("cust_nation") == d2))
+            | ((F.col("supp_nation") == d2) & (F.col("cust_nation") == d1))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year")
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                              ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)) AS volume,
+               n2.n_name AS nation
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+          AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                AND TIMESTAMP '1997-12-31 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: national market share within a region (8-table
+    join, conditional-aggregate share).
+
+    Scale: every dimension (part filtered to one type, supplier,
+    customer restricted to the region via nation+region, both nation
+    roles) broadcasts; lineitem->orders on orderkey is the only big
+    shuffle. The share is a single-pass conditional aggregate —
+    decimal-exact numerator and denominator, divided at the end, so no
+    second pass over the fact table.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.to_timestamp(F.lit("1996-01-01")), F.to_timestamp(F.lit("1997-12-31"))
+        )
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cust_nationkey"))
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n1), F.col("c_nationkey") == F.col("cust_nationkey")
+    ).select("c_custkey")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nationkey"), F.col("n_name").alias("nation")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("supp_nationkey")
+    ).select("s_suppkey", "nation")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = volume.cast("decimal(38,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(c), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", dec).otherwise(
+                        F.lit(0).cast("decimal(38,6)")
+                    )
+                ).cast("double")
+                / F.sum(dec).cast("double")
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           {DSUM('l.l_extendedprice * (1 - l.l_discount)', 'sum_profit')}
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted): profit by supplier nation and year for
+    parts matching a name pattern. The testdata has no partsupp table,
+    so profit omits the ps_supplycost*l_quantity term — the plan family
+    (LIKE-filtered part dim, fact joins, 2-key agg) is unchanged.
+
+    Scale: the LIKE filter cannot prune at the parquet footer but cuts
+    the broadcast build side to ~1/6 of part; supplier->nation folds
+    into one broadcast. lineitem->orders stays the one big shuffle; the
+    aggregate is partial-aggregated map-side before the 2-key exchange.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nationkey"), F.col("n_name").alias("nation")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("supp_nationkey")
+    ).select("s_suppkey", "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_profit"))
+    )
+
+
+@register(
+    "q12_late_shipment_priority",
+    """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def q12_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q12 shape (adapted): priority mix among late shipments.
+    The testdata has no l_shipmode/l_commitdate/l_receiptdate, so
+    "late" is l_shipdate > o_orderdate + 90 days and the group key is
+    l_returnflag — same conditional-count plan family.
+
+    Scale: the shipdate range predicate is pushed to the parquet scan;
+    the cross-table lateness predicate runs as the join residual. Both
+    conditional counts come from ONE pass (no second join or union).
+    The join shuffles on orderkey; at 100 TB co-partitioned/bucketed
+    layout on orderkey would remove that exchange entirely.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of orders-per-customer including
+    zero-order customers (left join with an ON-clause filter, double
+    aggregation).
+
+    Scale: the priority filter must live in the JOIN condition, not a
+    WHERE (a WHERE would drop the zero-order customers the query
+    exists to count). First agg shuffles on custkey; the second agg's
+    key (c_count) has tiny cardinality, so its exchange is a few bytes
+    after map-side partial aggregation. COUNT(o_orderkey) — not
+    COUNT(*) — so unmatched customers count 0.
+    """
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {DSUM('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: quarterly revenue view + global-max scalar
+    subquery (the supplier(s) with the maximum revenue).
+
+    Scale: the revenue aggregate is computed ONCE and reused for both
+    the max and the equality probe (cached so the two consumers don't
+    rescan lineitem). The max is a one-row broadcast; supplier joins in
+    as a broadcast too. Revenue is decimal-exact, so `= max` is safe —
+    with float partial sums the equality would be partitioning-
+    dependent, which is exactly the nondeterminism the decimal pattern
+    exists to kill.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+        .cache()
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (
+          SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                        / COUNT(l2.l_quantity))
+          FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-part average threshold
+    (lineitems below 20% of their part's mean quantity).
+
+    Scale: the correlated subquery is decorrelated by hand — per-part
+    averages are computed ONCE by a groupBy over only the brand's
+    partkeys (semi-join pushdown of the part filter into the inner
+    aggregate), then joined back. The naive plan re-aggregates all of
+    lineitem; this one touches lineitem twice but aggregates only the
+    filtered partkeys' rows. Decimal-exact mean keeps the `<` threshold
+    partition-invariant.
+    """
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    thresholds = (
+        li.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg(
+            (
+                0.2
+                * (
+                    F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+                    / F.count("l_quantity")
+                )
+            ).alias("threshold")
+        )
+    )
+    return (
+        li.join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double") / 7.0)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name = 'NATION_5'
+      AND l1.l_shipdate = (SELECT MAX(l3.l_shipdate) FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey)
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (adapted): suppliers holding up multi-supplier
+    finished orders. No l_commitdate/l_receiptdate in the testdata, so
+    "waiting on this supplier" = its line ships last in the order
+    (shipdate == per-order max) and at least one other supplier is on
+    the order — the same correlated-max + EXISTS plan family.
+
+    Scale: both correlated subqueries collapse into ONE per-orderkey
+    aggregate (max shipdate + distinct-supplier count) — one shuffle on
+    orderkey instead of two self-join passes over lineitem. The probe
+    side joins that aggregate co-partitioned on the same key; supplier
+    and nation broadcast at the end, after the fact rows have been cut.
+    """
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    per_order = li.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
+        F.max("l_shipdate").alias("max_shipdate"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(per_order, F.col("l_orderkey") == F.col("agg_orderkey"))
+        .filter((F.col("l_shipdate") == F.col("max_shipdate")) & (F.col("n_supp") > 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )

@@ -90,7 +90,7 @@ def test_oracle_sql_covers_queries(qs):
     # rows-only exceptions are the documented engine-specific ones
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk",
+        "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk", "ann_arrow_topk",
         "multimodal_features", "multimodal_probe",
     }
 
@@ -159,3 +159,56 @@ def test_curation_tier_is_jvm_only(spark, qs):
     ]:
         plan = physical_plan(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+# ---- round-2 continuation: TPC-H pack 2 -----------------------------------
+
+
+def test_q7_both_nation_roles_broadcast(spark, qs):
+    plan = physical_plan(qs["q7_volume_shipping"](spark, SF))
+    # supplier+nation and customer+nation both fold into broadcasts; at
+    # test SF orders also broadcasts (size-based) — at scale it shuffles
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BatchEvalPython" not in plan
+
+
+def test_q8_single_big_shuffle(spark, qs):
+    plan = physical_plan(qs["q8_market_share"](spark, SF))
+    # all five dimension legs broadcast; the share is one conditional
+    # aggregate pass (no union of two scans)
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the share is one conditional-aggregate pass: the fact table is
+    # scanned exactly once (Location detail line per scan node)
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q13_filter_stays_in_join_condition(spark, qs):
+    df = qs["q13_customer_order_distribution"](spark, SF)
+    # zero-order customers must survive (the priority filter lives in
+    # the ON clause, not a WHERE): every customer lands in exactly one
+    # bucket, so the distribution's mass equals the customer count
+    n_customers = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert sum(r["custdist"] for r in df.collect()) == n_customers
+
+
+def test_q15_revenue_computed_once(spark, qs):
+    plan = physical_plan(qs["q15_top_supplier"](spark, SF))
+    # the quarterly revenue agg is cached and reused for max + probe:
+    # lineitem must not be scanned twice
+    assert plan.count("InMemoryTableScan") >= 1
+
+
+def test_q17_decorrelated_single_threshold_agg(spark, qs):
+    plan = physical_plan(qs["q17_small_quantity_revenue"](spark, SF))
+    # per-part thresholds broadcast back against the brand-filtered fact
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_one_aggregate_replaces_two_subqueries(spark, qs):
+    df = qs["q21_waiting_supplier"](spark, SF)
+    plan = physical_plan(df)
+    # correlated MAX + EXISTS collapse into one per-orderkey aggregate:
+    # lineitem appears exactly twice (probe + aggregate), not three times
+    assert plan.count("lineitem.parquet") == 2
+    rows = df.collect()
+    assert all(r["numwait"] >= 1 for r in rows)
