@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 from etlutils_spark.entry_queries import _t, register
 from etlutils_spark.operators import multimodal
 from etlutils_spark.operators.dedup import (
+    cluster_survivors,
+    decontaminate,
     dedup_exact,
     embedding_neardup_pairs,
     jaccard_pairs,
@@ -492,3 +494,88 @@ def q_multimodal_features(spark, sf_dir):
     stubbed with a deterministic byte histogram; see operators.multimodal)."""
     df = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
     return multimodal.extract_features(df)
+
+
+# ---- decontamination + survivor selection (round-2 continuation) -----------
+
+_BENCH_SOURCES = ("src0", "src1")
+
+
+@register(
+    "decontaminate_overlap",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT s AS shingle
+      FROM (SELECT list_distinct(list_transform(
+                     generate_series(1, greatest(len(w) - 2, 0)),
+                     i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shl
+            FROM (SELECT string_split(text, ' ') AS w FROM documents
+                  WHERE source IN {_BENCH_SOURCES})),
+           UNNEST(shl) AS t(s)),
+    train AS (SELECT * FROM documents WHERE source NOT IN {_BENCH_SOURCES}),
+    tr_sh AS (
+      SELECT doc_id, s AS shingle
+      FROM (SELECT doc_id, list_distinct(list_transform(
+                     generate_series(1, greatest(len(w) - 2, 0)),
+                     i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shl
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train)),
+           UNNEST(shl) AS t(s)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM tr_sh GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hit
+      FROM tr_sh WHERE shingle IN (SELECT shingle FROM bench)
+      GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(coalesce(s.n_sh, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+           CASE WHEN coalesce(s.n_sh, 0) > 0
+                THEN coalesce(h.n_hit, 0) / s.n_sh ELSE 0.0 END
+             AS contamination_ratio,
+           coalesce(h.n_hit, 0) >= 25 AS is_contaminated
+    FROM train t
+    LEFT JOIN sizes s ON t.doc_id = s.doc_id
+    LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Train-test decontamination: word-3-gram overlap of every
+    training doc against the benchmark sources' shingle set (here two
+    held-out source shards stand in for the eval suite). Broadcast
+    semi-probe; flag at >= 25 shared shingles."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source").isin(*_BENCH_SOURCES))
+    train = docs.filter(~F.col("source").isin(*_BENCH_SOURCES))
+    return decontaminate(train, bench, n=3, min_overlap=25)
+
+
+@register(
+    "dedup_cluster_survivors",
+    _duck_minhash_clusters_sql().rstrip()
+    .replace("SELECT d.doc_id,", """SELECT d.doc_id, d.n_chars,""", 1)
+    .replace(
+        "FROM documents d LEFT JOIN comp c ON d.doc_id = c.node",
+        """FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""",
+    )
+    + """
+    QUALIFY row_number() OVER (
+        PARTITION BY coalesce(c.cluster_id, d.doc_id)
+        ORDER BY d.n_chars DESC, d.doc_id ASC) = 1
+    """,
+)
+def q_cluster_survivors(spark, sf_dir):
+    """One survivor per MinHash near-dup cluster: longest doc wins,
+    ties to the smallest doc_id. Composes connected_components with a
+    per-cluster window — the keep-list a production dedup pass emits."""
+    from etlutils_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        docs, num_hashes=8, bands=4, threshold=0.5, portable=True
+    )
+    comp = connected_components(pairs, "doc_id_1", "doc_id_2")
+    out = cluster_survivors(
+        docs.select("doc_id", "n_chars"), comp, quality_col="n_chars"
+    )
+    return out.select(
+        "doc_id", "n_chars", F.col("cluster_id").cast("long").alias("cluster_id")
+    )

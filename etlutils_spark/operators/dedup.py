@@ -503,3 +503,101 @@ def connected_components(
             "diameter)."
         )
     return labels.select("node", F.col("comp").alias("cluster_id"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-document n-gram overlap against a benchmark/eval corpus —
+    the train-test decontamination primitive (the reference has no
+    analog; this is the scale-extension tier).
+
+    Returns one row per ``docs`` row: ``(id_col, n_shingles,
+    n_contaminated, contamination_ratio, is_contaminated)`` where
+    ``n_contaminated`` counts the doc's distinct n-grams that appear
+    anywhere in ``benchmark`` and ``is_contaminated`` is
+    ``n_contaminated >= min_overlap``.
+
+    Scale: the benchmark's distinct shingle set is the small side — for
+    a typical eval suite it is a few million strings, so it broadcasts
+    (``broadcast_benchmark=True``) and the corpus-side probe is
+    shuffle-free: shingle -> left-semi probe -> per-doc count, all in
+    one stage before the id_col aggregation. With a huge benchmark set
+    it falls back to a shuffle semi-join on the shingle key. Zero-
+    shingle docs (shorter than n tokens) report 0/0 with ratio 0.0.
+    """
+    bench_sh = shingle_rows(benchmark, text_col, id_col, n).select("shingle").distinct()
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    doc_sh = shingle_rows(docs, text_col, id_col, n)
+    sizes = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        doc_sh.join(bench_sh, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    n_hit = F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long"))
+    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0).cast("long"))
+    return (
+        docs.select(id_col)
+        .join(sizes, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            n_sh.alias("n_shingles"),
+            n_hit.alias("n_contaminated"),
+            F.when(n_sh > 0, n_hit / n_sh).otherwise(F.lit(0.0)).alias(
+                "contamination_ratio"
+            ),
+            (n_hit >= min_overlap).alias("is_contaminated"),
+        )
+    )
+
+
+def cluster_survivors(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Pick ONE survivor per near-dup cluster: highest ``quality_col``,
+    ties broken by smallest id (deterministic under any partitioning).
+
+    ``clusters`` is ``connected_components`` output (node ->
+    cluster_id); docs absent from it are singletons and survive
+    unconditionally. Returns the surviving rows of ``docs`` plus their
+    ``cluster_id``.
+
+    Scale: one window pass partitioned by cluster_id — near-dup
+    clusters are small (bounded by LSH bucket caps upstream), so the
+    window never sees a mega-partition; the docs<->clusters join
+    broadcasts when the pair graph is sparse (clusters only contains
+    non-singleton nodes, typically a few % of the corpus).
+    """
+    from pyspark.sql import Window
+
+    labeled = (
+        docs.join(
+            F.broadcast(clusters),
+            docs[id_col] == clusters[node_col],
+            "left",
+        )
+        .drop(node_col)
+        .withColumn(cluster_col, F.coalesce(F.col(cluster_col), docs[id_col]))
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return (
+        labeled.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )

@@ -160,3 +160,54 @@ def pack_sequences(
             "spans_boundary"
         ),
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Resample to a target domain mixture (e.g. 30% web / 30% code /
+    40% books) at the LARGEST total the data supports, deterministically.
+
+    The feasible total is ``min_s(count_s / w_s)`` (the binding stratum
+    is kept whole); every stratum s then keeps ``w_s * total / count_s``
+    of its rows via the same digest-threshold predicate as
+    ``hash_sample`` — a pure function of the key, so the mixture is
+    reproducible under retries and any partitioning. Strata missing
+    from ``weights`` are dropped (a mixture is a whitelist).
+
+    Unlike ``stratified_sample`` the rates are DATA-DEPENDENT (derived
+    from per-stratum counts), so the threshold compare runs on a 60-bit
+    digest-prefix integer against ``floor(rate * 2^60)`` — all IEEE
+    scalar arithmetic, bit-identical on any engine, rather than a
+    Python-formatted hex literal.
+
+    Scale: one count aggregation (tiny result), the rest is a broadcast
+    join + stateless filter at scan speed. No RNG, no shuffle of df.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty {stratum: weight} dict")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())], f"{strata_col} string, __wt double"
+    )
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    joined = counts.join(F.broadcast(wdf), strata_col)
+    feas = joined.agg(F.min(F.col("__n") / F.col("__wt")).alias("__total"))
+    rates = (
+        joined.crossJoin(F.broadcast(feas))
+        .select(
+            strata_col,
+            (F.col("__wt") * F.col("__total") / F.col("__n")).alias("__rate"),
+        )
+    )
+    prefix = F.conv(F.substring(_digest(key_col, salt), 1, 15), 16, 10).cast("long")
+    threshold = F.floor(F.col("__rate") * F.lit(float(1 << 60))).cast("long")
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(prefix < threshold)
+        .drop("__rate")
+    )

@@ -185,3 +185,50 @@ DUCK_SHINGLES = (
 def duck_count_in(words: tuple[str, ...]) -> str:
     lit = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter(w, t -> list_contains([{lit}], t)))"
+
+
+def corpus_rarity_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_max_count: int = 5,
+) -> DataFrame:
+    """Corpus-statistics quality score: how typical is each document's
+    vocabulary of the corpus it lives in? A statistical-LM-flavored
+    filter with NO float log-probs — every aggregate is integer /
+    decimal-exact, so scores are bit-identical on any engine and any
+    partitioning (a log-based perplexity would differ in the last ulp
+    between libm implementations).
+
+    Per doc: ``n_tokens``, ``avg_token_count`` (decimal-exact mean of
+    each token's global occurrence count — low for gibberish/OOV-heavy
+    docs), ``rare_ratio`` (fraction of tokens occurring <=
+    ``rare_max_count`` times corpus-wide — high for noise).
+
+    Scale: two shuffles — the vocabulary count (token key) and the
+    per-doc re-aggregation (id key). The token->count join is the skew
+    point (stopwords hit every row): Spark AQE skew-join splits it, and
+    the count table is vocabulary-sized (Zipf: ~sqrt of token mass), so
+    it broadcasts for any corpus whose vocab fits in memory.
+    """
+    tok = with_tokens(df, text_col).select(
+        id_col, F.explode(TOKENS_COL).alias("__token")
+    )
+    vocab = tok.groupBy("__token").agg(F.count(F.lit(1)).alias("__tc"))
+    return (
+        tok.join(F.broadcast(vocab), "__token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum(F.col("__tc").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_token_count"),
+            (
+                F.sum(F.when(F.col("__tc") <= rare_max_count, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("rare_ratio"),
+        )
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etlutils_spark.entry_queries import _t, register
+from etlutils_spark.operators.text import corpus_rarity_stats
 from etlutils_spark.operators.quality import (
     PII_PATTERNS,
     quality_filter,
@@ -21,6 +22,7 @@ from etlutils_spark.operators.quality import (
 )
 from etlutils_spark.operators.sampling import (
     hash_sample,
+    mixture_resample,
     pack_sequences,
     rate_threshold_hex,
     shard_stats,
@@ -245,3 +247,68 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(
         _t(spark, sf_dir, "documents"), _PACK_BUDGET, group_col="source"
     )
+
+
+# ---- domain mixture + corpus statistics (round-2 continuation) -------------
+
+_MIX_WEIGHTS = {"en": 0.25, "de": 0.25, "es": 0.2, "fr": 0.2, "zh": 0.1}
+
+
+def _mix_weight_values() -> str:
+    return ", ".join(f"('{k}', {v})" for k, v in sorted(_MIX_WEIGHTS.items()))
+
+
+@register(
+    "mixture_resample_lang",
+    f"""
+    WITH w(lang, wt) AS (VALUES {_mix_weight_values()}),
+    counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    feas AS (SELECT min(n / wt) AS total FROM counts JOIN w USING (lang)),
+    rates AS (
+      SELECT lang, wt * total / n AS rate
+      FROM counts JOIN w USING (lang) CROSS JOIN feas)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN rates r USING (lang)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          < CAST(floor(rate * 1152921504606846976.0) AS BIGINT)
+    """,
+)
+def q_mixture_resample(spark, sf_dir):
+    """Target-mixture resampling over languages: data-dependent
+    per-stratum rates (binding stratum kept whole), digest-threshold
+    keep predicate. The rates come from a count aggregation, so unlike
+    the fixed-rate samples the thresholds are computed IN the plan —
+    60-bit digest-prefix vs floor(rate*2^60), IEEE-scalar identical on
+    both engines."""
+    return mixture_resample(
+        _t(spark, sf_dir, "documents"), _MIX_WEIGHTS, strata_col="lang"
+    ).select("doc_id", "lang", "source")
+
+
+_RARE_MAX = 5
+
+
+@register(
+    "corpus_rarity",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, s AS token
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(w) AS t(s)),
+    vocab AS (SELECT token, count(*) AS tc FROM toks GROUP BY token)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(SUM(CAST(tc AS DECIMAL(38,0))) AS DOUBLE) / count(*)
+             AS avg_token_count,
+           CAST(SUM(CASE WHEN tc <= {_RARE_MAX} THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS rare_ratio
+    FROM toks JOIN vocab USING (token)
+    GROUP BY doc_id
+    """,
+)
+def q_corpus_rarity(spark, sf_dir):
+    """Corpus-statistics quality score (integer/decimal-exact — no
+    float log-probs): per-doc mean global token count + rare-token
+    ratio. Two shuffles (vocab count, per-doc re-agg); the vocab join
+    broadcasts."""
+    return corpus_rarity_stats(_t(spark, sf_dir, "documents"), rare_max_count=_RARE_MAX)

@@ -215,3 +215,87 @@ def test_hash_sample_matches_python(spark, rate, salt):
         if hashlib.md5(f"{i}{salt}".encode()).hexdigest() < thr
     )
     assert got == expect
+
+
+# ---- round-2 continuation: mixture / decontamination / survivors / rarity --
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+
+
+def test_mixture_resample_hits_target_ratios(spark):
+    from etlutils_spark.operators.sampling import mixture_resample
+
+    rows = [(i, "x", "en" if i % 10 < 8 else "de", 1) for i in range(2000)]
+    df = _docs_df(spark, rows)
+    out = mixture_resample(df, {"en": 0.5, "de": 0.5}, strata_col="lang")
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # de is binding (400 rows, weight .5 -> total 800): kept whole
+    assert got["de"] == 400
+    # en should land near 400 (hash-sample variance at rate .25 of 1600)
+    assert 320 <= got["en"] <= 480
+
+
+def test_mixture_resample_deterministic_and_whitelists(spark):
+    from etlutils_spark.operators.sampling import mixture_resample
+
+    rows = [(i, "x", ["en", "de", "xx"][i % 3], 1) for i in range(300)]
+    df = _docs_df(spark, rows)
+    a = mixture_resample(df, {"en": 0.6, "de": 0.4}, strata_col="lang")
+    b = mixture_resample(df, {"en": 0.6, "de": 0.4}, strata_col="lang")
+    ka = sorted(r["doc_id"] for r in a.collect())
+    assert ka == sorted(r["doc_id"] for r in b.collect())
+    # stratum not in the weight dict is dropped entirely
+    assert a.filter(F.col("lang") == "xx").count() == 0
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from etlutils_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high today"),  # shares 3-grams
+            (2, "completely unrelated words appear here now"),  # none
+            (3, "ab"),  # shorter than n tokens -> 0 shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=3, min_overlap=1).collect()}
+    assert out[1]["is_contaminated"] and out[1]["n_contaminated"] >= 3
+    assert not out[2]["is_contaminated"] and out[2]["n_contaminated"] == 0
+    assert out[3]["n_shingles"] == 0 and out[3]["contamination_ratio"] == 0.0
+
+
+def test_cluster_survivors_keeps_best_per_cluster(spark):
+    from etlutils_spark.operators.dedup import cluster_survivors
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 7)], "doc_id long, quality long"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "node long, cluster_id long"
+    )  # doc 4 is a singleton (absent)
+    out = cluster_survivors(docs, clusters, quality_col="quality")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # cluster {1,2,3}: quality tie 2 vs 3 -> smaller id (2); singleton 4 survives
+    assert kept == [2, 4]
+
+
+def test_corpus_rarity_known_values(spark):
+    from etlutils_spark.operators.text import corpus_rarity_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    # counts: a=3, b=1, c=1
+    out = {r["doc_id"]: r for r in corpus_rarity_stats(docs, rare_max_count=1).collect()}
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["avg_token_count"] - (3 + 3 + 1) / 3) < 1e-12
+    assert abs(out[1]["rare_ratio"] - 1 / 3) < 1e-12
+    assert abs(out[2]["avg_token_count"] - 2.0) < 1e-12
+    assert abs(out[2]["rare_ratio"] - 0.5) < 1e-12
