@@ -47,6 +47,12 @@ HEADLINE = [
     "text_repetition",
     "sample_hash_10pct",
     "pack_sequences_source",
+    # round 2 continuation: TPC-H pack 2 + curation extensions
+    "q8_market_share",
+    "q21_waiting_supplier",
+    "decontaminate_overlap",
+    "mixture_resample_lang",
+    "corpus_rarity",
 ]
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etlutils_spark.entry_queries import _t, register
+from etlutils_spark.operators.sampling import rate_threshold_hex
 from etlutils_spark.streaming.ingest import (
     run_available_now,
     stream_events_file,
@@ -282,3 +283,49 @@ def q_range_join_purchase_window(spark, sf_dir):
     return joined.groupBy(
         F.col("purchase_id"), F.col("p_user").alias("user_id")
     ).agg(F.count("f_event_id").alias("n_following"))
+
+
+_STREAM_CURATION_SQL = """
+    WITH m AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(w) AS n_tokens,
+             len(list_filter(w, t -> list_contains(['the', 'a', 'of', 'and', 'to', 'in'], t))) AS n_stop,
+             list_sum(list_transform(w, t -> len(t))) AS sum_len
+      FROM (SELECT *, string_split(text, ' ') AS w FROM documents))
+    SELECT doc_id, lang, source, n_chars
+    FROM m
+    WHERE n_tokens >= 20 AND n_tokens <= 100000
+      AND CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) >= 0.05
+      AND CAST(sum_len AS DOUBLE) / greatest(n_tokens, 1) <= 12.0
+      AND md5(CAST(doc_id AS VARCHAR)) < '{thr}'
+"""
+
+
+@register(
+    "streaming_curation_pipeline",
+    _STREAM_CURATION_SQL.format(thr=rate_threshold_hex(0.5)),
+)
+def q_streaming_curation(spark, sf_dir):
+    """The curation tier under Structured Streaming: stream the
+    documents table, apply the Gopher/C4 quality filter and the
+    deterministic 50% hash sample INSIDE the stream (both are pure
+    row predicates — no state, no watermark needed), availableNow to
+    completion. Batch == stream for stateless operators by
+    construction; this query proves it through the driver's oracle.
+
+    Scale: this is the shape of a continuous ingestion pipeline —
+    filters run per micro-batch at scan speed, and the same code serves
+    backfill (availableNow over history) and tail-following (default
+    trigger)."""
+    from etlutils_spark.operators.quality import quality_filter
+    from etlutils_spark.operators.sampling import hash_sample
+    from etlutils_spark.streaming.ingest import (
+        run_available_now,
+        stream_documents_file,
+    )
+
+    docs = stream_documents_file(spark, sf_dir)
+    kept = quality_filter(docs, keep_only=True)
+    sampled = hash_sample(kept, 0.5).select("doc_id", "lang", "source", "n_chars")
+    name = f"stream_cur_{next(_stream_counter)}"
+    return run_available_now(spark, sampled, query_name=name, output_mode="append")

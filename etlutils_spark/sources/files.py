@@ -180,6 +180,10 @@ def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     callers skip it — which is why it is opt-in, not baked into
     ``read_table`` (an unconditional exchange would poison every plan).
     """
+    if df.isStreaming:
+        # no static partitioning to inspect (df.rdd is illegal on a
+        # streaming source); micro-batches parallelize by input files
+        return df
     n = n or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
         return df

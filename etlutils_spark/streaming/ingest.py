@@ -116,3 +116,14 @@ def foreach_batch_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_documents_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream exactly the documents parquet (one-file source)."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )

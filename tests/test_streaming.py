@@ -39,3 +39,26 @@ def test_foreach_batch_ingest_roundtrip(spark, sf_dir, star):
     back = spark.read.parquet(f"{tmp}/out")
     assert back.count() == star["events"].count()
     assert "value_x2" in back.columns
+
+
+def test_streaming_curation_equals_batch(spark, sf_dir):
+    from etlutils_spark.operators.quality import quality_filter
+    from etlutils_spark.operators.sampling import hash_sample
+    from etlutils_spark.streaming.ingest import (
+        run_available_now,
+        stream_documents_file,
+    )
+
+    def curate(df):
+        return hash_sample(quality_filter(df, keep_only=True), 0.5).select(
+            "doc_id", "lang", "source"
+        )
+
+    streamed = run_available_now(
+        spark, curate(stream_documents_file(spark, sf_dir)),
+        query_name="t_stream_curation",
+    )
+    batch = curate(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    got = sorted(r.doc_id for r in streamed.collect())
+    want = sorted(r.doc_id for r in batch.collect())
+    assert got == want and len(got) > 0
