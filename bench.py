@@ -100,9 +100,9 @@ def main() -> None:
     for name in HEADLINE:
         if name not in qs:
             continue
-        # min-of-N filters shared-box scheduling noise; the shuffle-heavy
-        # dedup pipelines are the noisiest and get an extra attempt
-        attempts = 3 if name.startswith("dedup_") else 2
+        # min-of-N filters shared-box scheduling noise (observed ±2x
+        # run-to-run on the same commit); 3 attempts for every query
+        attempts = 3
         best = None
         for _ in range(attempts):
             t0 = time.time()

@@ -532,22 +532,31 @@ def decontaminate(
     it falls back to a shuffle semi-join on the shingle key. Zero-
     shingle docs (shorter than n tokens) report 0/0 with ratio 0.0.
     """
-    bench_sh = shingle_rows(benchmark, text_col, id_col, n).select("shingle").distinct()
+    bench_sh = (
+        shingle_rows(benchmark, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
     doc_sh = shingle_rows(docs, text_col, id_col, n)
-    sizes = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        doc_sh.join(bench_sh, "shingle", "left_semi")
+    # one left join + ONE aggregation: count(*) = shingles, count(__hit)
+    # = contaminated (COUNT skips nulls) — not a semi-join plus a second
+    # groupBy over the same exploded rows
+    stats = (
+        doc_sh.join(bench_sh, "shingle", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_contaminated"),
+        )
     )
     n_hit = F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long"))
     n_sh = F.coalesce(F.col("n_shingles"), F.lit(0).cast("long"))
     return (
         docs.select(id_col)
-        .join(sizes, id_col, "left")
-        .join(hits, id_col, "left")
+        .join(stats, id_col, "left")
         .select(
             id_col,
             n_sh.alias("n_shingles"),

