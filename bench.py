@@ -115,6 +115,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     experiments = {
+        **skew_join_experiment(spark),
         **bucketed_join_experiment(spark),
         **decimal_vs_double_experiment(spark),
         **layout_pruning_experiment(spark),
@@ -276,6 +277,53 @@ def ann_jvm_vs_arrow_experiment(spark) -> dict[str, float]:
     finally:
         rep.unpersist()
     return {"ann_jvm_expr_sec": jvm, "ann_arrow_blas_sec": arrow}
+
+
+def skew_join_experiment(spark) -> dict[str, float]:
+    """Skew tier: a Zipf-hot fact (one key owns ~50% of rows) joined to
+    a dim, timed (a) naively with AQE skew-split disabled — one reducer
+    drags the stage; (b) with AQE skewJoin enabled (runtime split);
+    (c) with an explicit deterministic salt (operators.skew) — the plan
+    that does not depend on AQE detecting the skew. At 100 TB a single
+    hot key is the difference between a 10-minute and a 10-hour stage;
+    both mitigations must exist because AQE only splits what its stats
+    see post-shuffle."""
+    from pyspark.sql import functions as F
+
+    from etlutils_spark.operators.skew import salted_join
+    from etlutils_spark.sources.files import read_table
+
+    li = read_table(spark, "lineitem", SF_DIR).select("l_orderkey", "l_extendedprice")
+    # half the rows collapse onto one hot key -> one reducer owns them
+    skewed = li.withColumn(
+        "k", F.when(F.col("l_orderkey") % 2 == 0, F.lit(0)).otherwise(F.col("l_orderkey"))
+    )
+    dim = (
+        spark.range(0, 200_000)
+        .select(F.col("id").alias("k"), (F.col("id") % 7).alias("grp"))
+    )
+
+    def agg(j):
+        return j.groupBy("grp").agg(F.sum("l_extendedprice").alias("s"))
+
+    prev_b = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_sk = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        plain = time_min2(agg(skewed.join(dim, "k")))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        aqe = time_min2(agg(skewed.join(dim, "k")))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        salted = time_min2(agg(salted_join(skewed, dim, on="k")))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_b)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_sk)
+    return {
+        "skew_join_plain_sec": plain,
+        "skew_join_aqe_sec": aqe,
+        "skew_join_salted_sec": salted,
+    }
 
 
 def bucketed_join_experiment(spark) -> dict[str, float]:
