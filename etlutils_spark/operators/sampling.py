@@ -211,3 +211,28 @@ def mixture_resample(
         .filter(prefix < threshold)
         .drop("__rate")
     )
+
+
+def shuffle_export(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle for training export: order rows by
+    a key digest (a pure function of the key + salt, so re-runs and
+    retries produce the identical permutation), laid out as
+    ``n_shards`` range partitions each internally digest-sorted.
+
+    Scale: this is a repartitionByRange + sortWithinPartitions — a
+    single range-exchange with NO global single-partition sort and no
+    window. Writing the result yields shard files whose concatenation
+    is the full deterministic permutation; readers that interleave
+    shards still see a digest-uniform (i.e. well-shuffled) stream.
+    """
+    digest = _digest(key_col, salt)
+    return (
+        df.withColumn("__shuffle_key", digest)
+        .repartitionByRange(n_shards, "__shuffle_key")
+        .sortWithinPartitions("__shuffle_key")
+    )

@@ -232,3 +232,41 @@ def corpus_rarity_stats(
             ).alias("rare_ratio"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 128,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows (the
+    context-window prep step before tokenizer/embedding stages):
+    one output row per chunk with ``chunk_idx``, ``chunk_start``
+    (1-based token offset), ``chunk_text`` and ``n_chunk_tokens``.
+    ``overlap`` tokens are shared between consecutive chunks.
+
+    Scale: pure array algebra on the materialized token column —
+    sequence/posexplode/slice all run in whole-stage codegen, no UDF,
+    no shuffle (a per-row flatMap at scan speed). Chunk geometry is a
+    pure function of the token count, so output is deterministic under
+    any partitioning.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    step = max_tokens - overlap
+    base = with_tokens(df, text_col)
+    toks = F.col(TOKENS_COL)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(step))
+    chunk = F.slice(toks, F.col("chunk_start"), max_tokens)
+    return (
+        base.select(id_col, TOKENS_COL, F.posexplode(starts).alias("chunk_idx", "chunk_start"))
+        .select(
+            id_col,
+            "chunk_idx",
+            "chunk_start",
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+            F.size(chunk).alias("n_chunk_tokens"),
+        )
+    )

@@ -312,3 +312,37 @@ def q_corpus_rarity(spark, sf_dir):
     ratio. Two shuffles (vocab count, per-doc re-agg); the vocab join
     broadcasts."""
     return corpus_rarity_stats(_t(spark, sf_dir, "documents"), rare_max_count=_RARE_MAX)
+
+
+_CHUNK_MAX, _CHUNK_OVERLAP = 64, 8
+
+
+@register(
+    "chunk_documents_windows",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, w,
+                 UNNEST(generate_series(1, greatest(len(w), 1),
+                                        {_CHUNK_MAX - _CHUNK_OVERLAP})) AS chunk_start
+          FROM t)
+    SELECT doc_id,
+           CAST((chunk_start - 1) // {_CHUNK_MAX - _CHUNK_OVERLAP} AS INT) AS chunk_idx,
+           CAST(chunk_start AS INT) AS chunk_start,
+           array_to_string(list_slice(w, chunk_start,
+                           least(chunk_start + {_CHUNK_MAX} - 1, len(w))), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(w, chunk_start,
+                     least(chunk_start + {_CHUNK_MAX} - 1, len(w)))) AS INT)
+             AS n_chunk_tokens
+    FROM s
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window token chunking (context-window prep): 64-token
+    chunks, 8-token overlap. Pure array algebra in codegen — a per-row
+    flatMap at scan speed, zero shuffle, deterministic geometry."""
+    from etlutils_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP
+    )

@@ -299,3 +299,44 @@ def test_corpus_rarity_known_values(spark):
     assert abs(out[1]["rare_ratio"] - 1 / 3) < 1e-12
     assert abs(out[2]["avg_token_count"] - 2.0) < 1e-12
     assert abs(out[2]["rare_ratio"] - 0.5) < 1e-12
+
+
+def test_shuffle_export_deterministic_range_layout(spark):
+    from etlutils_spark.operators.sampling import shuffle_export
+
+    df = spark.createDataFrame([(i, "x") for i in range(500)], "doc_id long, text string")
+    out = shuffle_export(df, 4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "Window" not in plan  # no global-window rank
+    # same permutation on re-run
+    a = [r["doc_id"] for r in out.collect()]
+    b = [r["doc_id"] for r in shuffle_export(df, 4).collect()]
+    assert a == b and sorted(a) == list(range(500))
+    # digest order != input order (it actually shuffles)
+    assert a != list(range(500))
+
+
+def test_chunk_documents_geometry(spark):
+    from etlutils_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_tokens=4, overlap=1)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"]), r) for r in out.collect()
+    )
+    by_doc = {}
+    for (_, __), r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 10 tokens, step 3 -> starts 1,4,7,10 -> 4 chunks
+    assert [c["chunk_start"] for c in by_doc[1]] == [1, 4, 7, 10]
+    assert by_doc[1][0]["chunk_text"] == "t0 t1 t2 t3"
+    assert by_doc[1][1]["chunk_text"] == "t3 t4 t5 t6"  # 1-token overlap
+    assert by_doc[1][3]["chunk_text"] == "t9" and by_doc[1][3]["n_chunk_tokens"] == 1
+    # doc 2: 2 tokens -> one chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b"
+    # doc 3: empty text -> split('') == [''] -> one chunk of the empty token
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_chunk_tokens"] == 1
