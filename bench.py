@@ -115,6 +115,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     experiments = {
+        **minhash_hash_mode_experiment(spark),
         **skew_join_experiment(spark),
         **bucketed_join_experiment(spark),
         **decimal_vs_double_experiment(spark),
@@ -277,6 +278,42 @@ def ann_jvm_vs_arrow_experiment(spark) -> dict[str, float]:
     finally:
         rep.unpersist()
     return {"ann_jvm_expr_sec": jvm, "ann_arrow_blas_sec": arrow}
+
+
+def minhash_hash_mode_experiment(spark) -> dict[str, float]:
+    """Hash-cost tier: the full MinHash+LSH near-dup pipeline with
+    portable md5 signatures (hex-string min — engine-portable, what the
+    oracle gate reproduces bit-for-bit) vs xxhash64 signatures (bigint
+    min — JVM-fast, the production mode). Same candidate semantics;
+    the delta is 8 string hashes + string min-aggregation per shingle
+    vs 8 long hashes. At corpus scale the signature stage dominates
+    MinHash cost, so this ratio IS the portable-mode tax."""
+    from pyspark.sql import functions as F
+
+    from etlutils_spark.operators.dedup import minhash_dedup_pairs
+    from etlutils_spark.sources.files import read_table
+
+    docs = read_table(spark, "documents", SF_DIR)
+    # replicate 4x (distinct ids, distinct-ified text) so the signature
+    # stage dominates — at the native bench corpus both modes sit in
+    # fixed per-query overhead and the hash-cost delta is invisible
+    n = docs.count()
+    rep = (
+        docs.crossJoin(F.broadcast(spark.range(4).select(F.col("id").alias("__r"))))
+        .select(
+            (F.col("doc_id") + F.col("__r") * n).alias("doc_id"),
+            F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("__r"))).alias(
+                "text"
+            ),
+        )
+    )
+    rep.persist().count()
+    try:
+        md5 = time_min2(minhash_dedup_pairs(rep, portable=True))
+        xx = time_min2(minhash_dedup_pairs(rep, portable=False))
+    finally:
+        rep.unpersist()
+    return {"minhash_md5_portable_sec": md5, "minhash_xxhash64_sec": xx}
 
 
 def skew_join_experiment(spark) -> dict[str, float]:

@@ -56,3 +56,30 @@ def test_jaccard_pairs_match_python(spark, doc_texts):
         else:
             expect = inter / len(sa | sb)
             assert got[(i, j)] == pytest.approx(expect, abs=1e-12)
+
+
+@SET
+@given(
+    st.lists(texts, min_size=1, max_size=4),
+    st.integers(min_value=2, max_value=6),
+    st.integers(min_value=0, max_value=1),
+)
+def test_chunk_documents_match_python(spark, doc_texts, max_tokens, overlap):
+    from etlutils_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(doc_texts)], "doc_id bigint, text string"
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_start, r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_documents(docs, max_tokens, overlap).collect()
+    }
+    step = max_tokens - overlap
+    expect = {}
+    for i, t in enumerate(doc_texts):
+        toks = t.split(" ")  # '' -> [''], mirroring F.split / string_split
+        starts = list(range(1, max(len(toks), 1) + 1, step))
+        for idx, s0 in enumerate(starts):
+            sl = toks[s0 - 1 : s0 - 1 + max_tokens]
+            expect[(i, idx)] = (s0, " ".join(sl), len(sl))
+    assert got == expect
