@@ -329,3 +329,65 @@ def q_streaming_curation(spark, sf_dir):
     sampled = hash_sample(kept, 0.5).select("doc_id", "lang", "source", "n_chars")
     name = f"stream_cur_{next(_stream_counter)}"
     return run_available_now(spark, sampled, query_name=name, output_mode="append")
+
+
+@register(
+    "outlier_flags_events",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               AS s2,
+             COUNT(value) AS n
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           (s1 / n) AS grp_mean,
+           sqrt((s2 - s1 * s1 / n) / (n - 1)) AS grp_std,
+           abs(e.value - s1 / n) > 3 * sqrt((s2 - s1 * s1 / n) / (n - 1))
+             AS is_outlier
+    FROM events e JOIN m USING (event_type)
+    """,
+)
+def q_outlier_flags(spark, sf_dir):
+    """Per-group z-score outlier flags over the events stream: group
+    moments from ONE decimal-exact aggregate (sum, sum-of-squares,
+    count — all order-independent, so mean/std are bit-identical on
+    any engine/partitioning), broadcast back as a tiny join. The
+    anomaly-screening pass a metrics pipeline runs before training on
+    telemetry.
+
+    Scale: one partial-aggregated shuffle on the group key (5 groups),
+    then a broadcast probe at scan speed — the fact table is never
+    shuffled. sqrt/abs are IEEE scalars: deterministic given the exact
+    sums. Oracle gotcha: DuckDB's direct DECIMAL->DOUBLE cast is not
+    correctly rounded (it divides the scaled integer); the oracle
+    routes the cast through VARCHAR, whose parse IS correctly rounded
+    and matches Spark's BigDecimal.doubleValue bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(38,6)")
+    # (18,6)^2 -> (37,12): exact on every engine; (38,6)^2 would exceed
+    # precision 38 and engines cap the lost scale differently
+    dec2 = F.col("value").cast("decimal(18,6)")
+    m = (
+        ev.groupBy(F.col("event_type").alias("m_type"))
+        .agg(
+            F.sum(dec).cast("double").alias("s1"),
+            F.sum(dec2 * dec2).cast("double").alias("s2"),
+            F.count("value").alias("n"),
+        )
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+    return (
+        ev.join(F.broadcast(m), ev.event_type == F.col("m_type"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            mean.alias("grp_mean"),
+            std.alias("grp_std"),
+            (F.abs(F.col("value") - mean) > 3 * std).alias("is_outlier"),
+        )
+    )
