@@ -59,3 +59,29 @@ def test_minhash_collapse_exact(spark):
     collapsed = minhash_dedup_pairs(docs, threshold=0.5, collapse_exact=True)
     assert full.count() == 10  # all pairs within the 5-copy group
     assert collapsed.count() == 0  # group collapsed to one survivor
+
+
+def test_round2_curation_ops_empty(spark):
+    from etlutils_spark.operators.dedup import cluster_survivors, decontaminate
+    from etlutils_spark.operators.sampling import mixture_resample, shuffle_export
+    from etlutils_spark.operators.text import chunk_documents, corpus_rarity_stats
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string, lang string")
+    some = spark.createDataFrame([(1, "a b c d", "en")], "doc_id bigint, text string, lang string")
+
+    # empty corpus in, empty frame (with schema) out
+    assert decontaminate(docs, some).count() == 0
+    assert chunk_documents(docs).count() == 0
+    assert corpus_rarity_stats(docs).count() == 0
+    assert mixture_resample(docs, {"en": 1.0}, strata_col="lang").count() == 0
+    assert shuffle_export(docs, 4).drop("__shuffle_key").columns == docs.columns
+
+    # empty BENCHMARK: nothing is contaminated, stats still emitted
+    out = decontaminate(some, docs).collect()
+    assert len(out) == 1 and out[0]["n_contaminated"] == 0
+    assert not out[0]["is_contaminated"]
+
+    # empty cluster map: every doc is its own survivor
+    clusters = spark.createDataFrame([], "node bigint, cluster_id bigint")
+    surv = cluster_survivors(some.select("doc_id", "text"), clusters, quality_col="text")
+    assert [r["doc_id"] for r in surv.collect()] == [1]

@@ -14,7 +14,8 @@ def _rows(df):
 def test_queries_rerun_identical(spark):
     qs = em.queries()
     for name in ["dedup_minhash_lsh", "dedup_ngram_jaccard", "streaming_window_counts",
-                 "matchmerge_composite_key"]:
+                 "matchmerge_composite_key", "mixture_resample_lang",
+                 "dedup_cluster_survivors", "streaming_curation_pipeline"]:
         a = _rows(qs[name](spark, SF))
         b = _rows(qs[name](spark, SF))
         assert a == b, name
