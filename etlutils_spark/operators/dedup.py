@@ -576,6 +576,7 @@ def cluster_survivors(
     id_col: str = "doc_id",
     node_col: str = "node",
     cluster_col: str = "cluster_id",
+    broadcast_clusters: bool = True,
 ) -> DataFrame:
     """Pick ONE survivor per near-dup cluster: highest ``quality_col``,
     ties broken by smallest id (deterministic under any partitioning).
@@ -593,9 +594,11 @@ def cluster_survivors(
     """
     from pyspark.sql import Window
 
+    if broadcast_clusters:
+        clusters = F.broadcast(clusters)
     labeled = (
         docs.join(
-            F.broadcast(clusters),
+            clusters,
             docs[id_col] == clusters[node_col],
             "left",
         )
