@@ -73,3 +73,67 @@ def q_grouped_apply_rank(spark, sf_dir):
         per_user,
         schema="event_id bigint, user_id bigint, seq bigint, n_user_events bigint",
     )
+
+
+@register(
+    "cogroup_asof_enrich",
+    """
+    WITH v AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type <> 'purchase'),
+    p AS (
+      SELECT user_id, ts, max(value) AS last_purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT v.event_id, v.user_id, v.ts, v.value, p.last_purchase_value
+    FROM v ASOF LEFT JOIN p
+      ON v.user_id = p.user_id AND v.ts >= p.ts
+    """,
+)
+def q_cogroup_asof(spark, sf_dir):
+    """Co-grouped applyInPandas (the 4th Python extension point):
+    per-user ``pd.merge_asof`` of non-purchase events against the
+    purchase stream — enrich each event with the latest prior purchase
+    value. Oracle: DuckDB's native ASOF LEFT JOIN, so the pandas
+    cogroup path is proven bit-identical to a relational as-of.
+
+    Purchases are pre-aggregated to unique (user_id, ts) so the
+    equal-timestamp tie-break is engine-independent.
+
+    Scale: cogroup shuffles BOTH sides once on the group key and feeds
+    each user's pair of Arrow batches to one Python worker — the
+    distributed form of a per-entity merge_asof. A hot user is the
+    skew risk (one group = one task); the relational window form
+    (asof_last_purchase) is the JVM alternative when that bites.
+    """
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts")
+        right = right.sort_values("ts")
+        out = pd.merge_asof(
+            left,
+            right[["ts", "last_purchase_value"]],
+            on="ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        out["user_id"] = left["user_id"].iloc[0] if len(left) else None
+        return out[["event_id", "user_id", "ts", "value", "last_purchase_value"]]
+
+    return (
+        views.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            lambda l, r: merge(l, r),
+            schema="event_id bigint, user_id bigint, ts timestamp, value double, "
+            "last_purchase_value double",
+        )
+    )
