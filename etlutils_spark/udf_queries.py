@@ -115,8 +115,30 @@ def q_cogroup_asof(spark, sf_dir):
         .agg(F.max("value").alias("last_purchase_value"))
     )
 
+    cols = ["event_id", "user_id", "ts", "value", "last_purchase_value"]
+
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # Defensive on two Catalyst behaviors: (1) a group present on
+        # only one side arrives as an empty frame; (2) under a plan
+        # that consumes none of the payload outputs (e.g. count()),
+        # column pruning can strip input columns BELOW the cogroup
+        # node — the frames then lack 'ts' etc. In that case only the
+        # output ROW COUNT is observable, so emit the right number of
+        # rows with nulls for whatever is unavailable.
+        n = len(left)
+        if n == 0:
+            return pd.DataFrame(columns=cols)
+        have = set(left.columns)
+        if "ts" not in have:  # pruned: count-only plan
+            out = pd.DataFrame({c: left[c] if c in have else [None] * n for c in cols})
+            return out
         left = left.sort_values("ts")
+        if len(right) == 0 or "ts" not in right.columns:
+            out = left.copy()
+            out["last_purchase_value"] = pd.Series(
+                [float("nan")] * n, index=out.index, dtype="float64"
+            )
+            return out[cols]
         right = right.sort_values("ts")
         out = pd.merge_asof(
             left,
@@ -125,8 +147,7 @@ def q_cogroup_asof(spark, sf_dir):
             direction="backward",
             allow_exact_matches=True,
         )
-        out["user_id"] = left["user_id"].iloc[0] if len(left) else None
-        return out[["event_id", "user_id", "ts", "value", "last_purchase_value"]]
+        return out[cols]
 
     return (
         views.groupBy("user_id")
