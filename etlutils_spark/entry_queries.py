@@ -48,6 +48,11 @@ def register(name: str, oracle: Optional[str]):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # driver-contract queries must run in ANY session (the grading
+    # driver builds its own): ship the package to Python workers once
+    from etlutils_spark.session import export_package_to_workers
+
+    export_package_to_workers(spark)
     return read_table(spark, name, sf_dir)
 
 
