@@ -59,3 +59,45 @@ def test_recoder_identity_passthrough(spark, xs, mapping):
     # row order of collect() on a 1-partition local frame is stable, but
     # compare as multisets to stay order-agnostic
     assert sorted(out, key=str) == sorted(expect, key=str)
+
+
+@SET
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.floats(min_value=0.05, max_value=1.0, allow_nan=False),
+        min_size=1, max_size=3,
+    ),
+    st.integers(min_value=1, max_value=97),
+)
+def test_mixture_resample_matches_python_reference(spark, weights, n_rows):
+    """The keep-set is a pure function of (key digest, data-dependent
+    rates) — recompute it in Python with the same IEEE operations and
+    demand the exact same rows."""
+    import hashlib
+
+    from etlutils_spark.operators.sampling import mixture_resample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = sorted(
+        r["doc_id"]
+        for r in mixture_resample(df, weights, strata_col="lang").collect()
+    )
+    counts = {}
+    for _i, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    present = {s: counts[s] for s in weights if s in counts}
+    if not present:
+        assert got == []
+        return
+    total = min(counts[s] / weights[s] for s in present)
+    expect = []
+    for i, s in rows:
+        if s not in present:
+            continue
+        rate = weights[s] * total / counts[s]
+        prefix = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        if prefix < int(rate * float(1 << 60)):
+            expect.append(i)
+    assert got == sorted(expect)
