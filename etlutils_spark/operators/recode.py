@@ -113,3 +113,39 @@ def factor_levels(df: DataFrame, column: str) -> DataFrame:
     ``levels(x$col)`` exposes in the reference's data model.
     """
     return df.select(column).where(F.col(column).isNotNull()).distinct().orderBy(column)
+
+
+def profile_table(df, columns=None):
+    """Per-column data-quality profile: one output row per column with
+    ``n_rows``, ``n_nulls``, ``n_distinct`` (exact), and min/max
+    rendered as strings (type-stable output schema across mixed column
+    types). The generalization of the reference's ``colClass``
+    introspection (R/ffsql.R:1183-1199) from types to data.
+
+    Scale: ONE aggregation pass computes every column's stats together
+    (count/count-distinct/min/max are all partial-aggregable); the
+    per-column rows are exploded from that single row on the driver
+    side of the plan — the input is scanned once, never per-column.
+    For very-high-cardinality columns swap n_distinct to
+    approx_count_distinct (sketches.py) — exact distinct is the
+    oracle-checkable default.
+    """
+    from pyspark.sql import functions as F
+
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__mn_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return one.selectExpr(
+        "__n AS n_rows",
+        f"stack({len(cols)}, {stack}) AS (column, n_nulls, n_distinct, min_str, max_str)",
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")

@@ -346,3 +346,83 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(
         _t(spark, sf_dir, "documents"), max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP
     )
+
+
+@register(
+    "profile_documents",
+    """
+    WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
+    stats AS (
+      SELECT 'doc_id' AS column, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+             min(CAST(doc_id AS VARCHAR)) AS min_str, max(CAST(doc_id AS VARCHAR)) AS max_str
+      FROM base
+      UNION ALL
+      SELECT 'lang', COUNT(*),
+             CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT lang) AS BIGINT),
+             min(lang), max(lang) FROM base
+      UNION ALL
+      SELECT 'source', COUNT(*),
+             CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT source) AS BIGINT),
+             min(source), max(source) FROM base
+      UNION ALL
+      SELECT 'n_chars', COUNT(*),
+             CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+             min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR)) FROM base)
+    SELECT * FROM stats
+    """,
+)
+def q_profile_documents(spark, sf_dir):
+    """Data-quality profile of the documents table (id/lang/source/
+    n_chars): nulls, exact distincts, min/max — ONE scan, one
+    aggregation pass for all columns (the oracle's UNION ALL form
+    scans per column; ours does not)."""
+    from etlutils_spark.operators.recode import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+_DOC_COLS = "doc_id, text, lang, source, n_chars"
+
+
+@register("format_roundtrip_csv", f"SELECT {_DOC_COLS} FROM documents")
+def q_format_roundtrip_csv(spark, sf_dir):
+    """CSV sink+source fidelity: documents written to CSV and read
+    back with an explicit schema must equal the parquet original
+    (header, explicit nullValue sentinel so empty strings survive;
+    the reference has no file formats at all — SURVEY §2.1)."""
+    import tempfile
+
+    df = _t(spark, sf_dir, "documents").select(*_DOC_COLS.split(", "))
+    path = tempfile.mkdtemp(prefix="rt_csv_")
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
+    return (
+        spark.read.schema(df.schema)
+        .option("header", "true")
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
+
+
+@register("format_roundtrip_json", f"SELECT {_DOC_COLS} FROM documents")
+def q_format_roundtrip_json(spark, sf_dir):
+    """JSON-lines sink+source fidelity: same contract as the CSV
+    round-trip (explicit schema on read — schema inference is not part
+    of the fidelity claim)."""
+    import tempfile
+
+    df = _t(spark, sf_dir, "documents").select(*_DOC_COLS.split(", "))
+    path = tempfile.mkdtemp(prefix="rt_json_")
+    df.write.mode("overwrite").json(path)
+    return spark.read.schema(df.schema).json(path)
