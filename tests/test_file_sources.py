@@ -66,3 +66,34 @@ def test_orc_roundtrip_pushdown_and_partition_pruning(spark, star, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "n_regionkey" in plan
     assert "PushedFilters" in plan and "n_nationkey" in plan
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Evolving ingest batches (a column added later) read back as one
+    unified schema with nulls for the old batch — the append-over-time
+    pattern of the reference's x= accumulation, at file level."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(f"{p}/b1")
+    spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double").write.parquet(f"{p}/b2")
+    df = spark.read.option("mergeSchema", "true").parquet(f"{p}/b1", f"{p}/b2")
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(df.columns) == {"id", "v", "score"}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_json_corrupt_record_quarantine(spark, tmp_path):
+    """PERMISSIVE ingest: malformed lines land in _corrupt_record
+    instead of failing the job — the quarantine column a production
+    ingest routes to a dead-letter sink."""
+    p = str(tmp_path / "j")
+    import os
+    os.makedirs(p)
+    with open(f"{p}/part.json", "w") as f:
+        f.write('{"id": 1, "v": "ok"}\n')
+        f.write('{"id": 2, "v": broken\n')
+    df = spark.read.schema("id long, v string, _corrupt_record string").json(p)
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 1 and good[0]["id"] == 1
+    assert len(bad) == 1 and "broken" in bad[0]["_corrupt_record"]
