@@ -243,3 +243,17 @@ def test_q20_semi_joins_carry_no_payload(spark, qs):
     # supplier payload never enters a wide exchange: s_name appears
     # only above the final broadcast joins
     assert "TakeOrderedAndProject" in plan or "Sort" in plan
+
+
+def test_profile_single_scan_all_columns(spark, qs):
+    plan = physical_plan(qs["profile_documents"](spark, SF))
+    # one aggregation pass for every column's stats: the table is
+    # scanned once, not once per column (the oracle's UNION ALL form)
+    assert plan.count("documents.parquet") == 1
+
+
+def test_outlier_moments_broadcast_back(spark, qs):
+    plan = physical_plan(qs["outlier_flags_events"](spark, SF))
+    # group moments join back as a broadcast; the fact side of the
+    # probe never shuffles
+    assert "BroadcastHashJoin" in plan
