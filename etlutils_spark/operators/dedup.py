@@ -312,8 +312,21 @@ def minhash_dedup_pairs(
     # unless xxhash64 collides within a doc pair (~2^-64), and the
     # shuffle carries 8-byte keys instead of full shingle strings.
     sh_h = F.xxhash64("shingle").alias("sh_h")
-    a = sh.select(F.col(id_col).alias(f"{id_col}_1"), sh_h)
-    b = sh.select(F.col(id_col).alias(f"{id_col}_2"), sh_h)
+    # prune the shingle table to docs that actually appear in a
+    # candidate pair BEFORE the intersection joins: candidates are the
+    # near-dup population (bounded further by bucket caps), typically
+    # orders of magnitude smaller than the corpus, so the big shingle
+    # table never shuffles for the verify — only candidate docs' rows
+    # do. cand is persisted (tiny) because three consumers read it.
+    cand = _persist_tracked(cand)
+    ids_1 = cand.select(f"{id_col}_1").distinct()
+    ids_2 = cand.select(f"{id_col}_2").distinct()
+    a = sh.select(F.col(id_col).alias(f"{id_col}_1"), sh_h).join(
+        F.broadcast(ids_1), f"{id_col}_1", "left_semi"
+    )
+    b = sh.select(F.col(id_col).alias(f"{id_col}_2"), sh_h).join(
+        F.broadcast(ids_2), f"{id_col}_2", "left_semi"
+    )
     inter = (
         cand.join(a, f"{id_col}_1")
         .join(b, on=[f"{id_col}_2", "sh_h"])
