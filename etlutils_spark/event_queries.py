@@ -391,3 +391,50 @@ def q_outlier_flags(spark, sf_dir):
             (F.abs(F.col("value") - mean) > 3 * std).alias("is_outlier"),
         )
     )
+
+
+@register(
+    "window_rolling_7d",
+    """
+    SELECT event_id, user_id, ts, value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_7d_value,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_7d_events
+    FROM events
+    """,
+)
+def q_window_rolling_7d(spark, sf_dir):
+    """Time-RANGE window frame (vs the ROWS frames elsewhere): per-user
+    7-day rolling value sum + event count. The frame is defined by the
+    ORDER-BY VALUE range (ts within 7 days), not row offsets — ties and
+    gaps behave differently from a ROWS frame, which is why both
+    families need coverage.
+
+    Scale: one shuffle on user_id, one sort, ONE window pass computing
+    both aggregates over the same frame; decimal-exact sum so the
+    rolling values are partition-invariant. The order key is epoch
+    MICROSECONDS on both engines (Spark's RANGE frame needs a numeric
+    key; a seconds cast would truncate sub-second timestamps and move
+    frame boundaries — caught by the sf0.1 oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 24 * 3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_7d_value"),
+        F.count(F.lit(1)).over(w).alias("rolling_7d_events"),
+    )
