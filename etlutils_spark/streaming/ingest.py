@@ -127,3 +127,39 @@ def stream_documents_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .load(sf_dir)
     )
+
+
+def foreach_batch_exactly_once(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    transform: Callable[[DataFrame, int], DataFrame] | None = None,
+):
+    """Exactly-once file sink on top of at-least-once foreachBatch:
+    each micro-batch writes to its OWN epoch-keyed partition directory
+    with mode=overwrite, so a replayed epoch (failure between write and
+    checkpoint commit) overwrites its previous attempt instead of
+    appending duplicates. Readers see ``path`` as a normal partitioned
+    dataset; epoch re-delivery is invisible.
+
+    This is the portable form of the pattern a transactional table
+    format implements natively — the write is idempotent PER EPOCH
+    because the (deterministic) epoch_id names the output, not because
+    the storage has transactions. Requires a deterministic transform:
+    re-executed batches must produce the same rows.
+
+    Scale: one directory per epoch keeps the commit atomic at rename
+    granularity; compact with ``compact_parquet`` downstream when epoch
+    files get small (micro-batch cadence at scale).
+    """
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        out = transform(batch_df, epoch_id) if transform else batch_df
+        out.write.mode("overwrite").parquet(f"{path}/epoch={epoch_id}")
+
+    return (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

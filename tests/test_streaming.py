@@ -62,3 +62,34 @@ def test_streaming_curation_equals_batch(spark, sf_dir):
     got = sorted(r.doc_id for r in streamed.collect())
     want = sorted(r.doc_id for r in batch.collect())
     assert got == want and len(got) > 0
+
+
+def test_foreach_batch_exactly_once_replay(spark, sf_dir, star):
+    from etlutils_spark.streaming.ingest import (
+        foreach_batch_exactly_once,
+        stream_events_file,
+    )
+
+    base = tempfile.mkdtemp()
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    n_expect = star["events"].count()
+
+    q = foreach_batch_exactly_once(stream_events_file(spark, sf_dir), out, ckpt)
+    q.awaitTermination()
+    first = spark.read.parquet(out)
+    assert first.count() == n_expect
+
+    # same checkpoint: nothing new to process, no growth
+    q2 = foreach_batch_exactly_once(stream_events_file(spark, sf_dir), out, ckpt)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == n_expect
+
+    # simulate an at-least-once REPLAY: wipe the checkpoint so the same
+    # input re-delivers as the same epoch ids — the overwrite-per-epoch
+    # contract must leave the row count unchanged (no duplicates)
+    import shutil
+
+    shutil.rmtree(ckpt)
+    q3 = foreach_batch_exactly_once(stream_events_file(spark, sf_dir), out, f"{base}/ckpt2")
+    q3.awaitTermination()
+    assert spark.read.parquet(out).count() == n_expect
