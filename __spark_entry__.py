@@ -51,13 +51,50 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Queries already driver-verified green in CORRECTNESS_r01/r02. The driver
+# checks a fixed-size prefix of the registry in order; rotating the
+# never-yet-checked queries to the front maximizes cumulative verified
+# coverage across rounds (VERDICT.md r2 "Next round" #1). Within each tier
+# the original registration order is preserved.
+_DRIVER_VERIFIED_PRIOR_ROUNDS = frozenset({
+    "agg_cube", "agg_rollup", "ann_cosine_topk", "ann_ivf_topk",
+    "ann_lsh_topk", "anti_join_customers", "append_union",
+    "collect_sorted_sizes", "correlated_subquery", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_exact_survivors", "dedup_minhash_clusters",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "delegated_sql", "distinct_agg_segments", "explode_token_freq",
+    "factor_levels_brand", "grouping_sets_sql", "having_filter",
+    "histogram_price_buckets", "ingest_limit", "json_extract_props",
+    "json_map_explode", "locf_events", "matchmerge_composite_key",
+    "matchmerge_expr_key", "matchmerge_inner", "matchmerge_left",
+    "percentile_quantity", "pivot_status_counts", "q10_returned_items",
+    "q12_late_shipment_priority", "q13_customer_order_distribution",
+    "q14_promo_share", "q18_large_volume_orders", "q19_disjunctive_filter",
+    "q1_pricing_summary", "q22_idle_rich_customers", "q3_top_revenue_orders",
+    "q4_priority_returns", "q5_nation_revenue", "q6_revenue_forecast",
+    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
+    "recode_mktsegment", "rename_project", "scalar_funcs_projection",
+    "semi_join_customers", "set_except", "set_intersect", "stats_moments",
+    "text_lang_id", "text_stats", "transfun_derived_date",
+    "union_distinct_nations", "window_rank_functions",
+    "window_running_spend", "window_topk_per_customer",
+})
+
+
+def _ordered_names() -> list[str]:
+    names = list(REGISTRY)
+    unchecked = [n for n in names if n not in _DRIVER_VERIFIED_PRIOR_ROUNDS]
+    checked = [n for n in names if n in _DRIVER_VERIFIED_PRIOR_ROUNDS]
+    return unchecked + checked
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _oracle) in REGISTRY.items()}
+    return {name: REGISTRY[name][0] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: oracle
-        for name, (_fn, oracle) in REGISTRY.items()
-        if oracle is not None
+        name: REGISTRY[name][1]
+        for name in _ordered_names()
+        if REGISTRY[name][1] is not None
     }

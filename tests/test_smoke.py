@@ -23,6 +23,33 @@ def test_session_utc(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
 
 
+def test_registry_order_prioritizes_unverified():
+    """The grading driver checks a fixed-size prefix of queries() in
+    order. Queries never verified in a prior round's CORRECTNESS file
+    must come first so each round extends cumulative verified coverage
+    (VERDICT.md r2 'Next round' #1)."""
+    import sys
+
+    sys.path.insert(0, ROOT)
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    assert set(names) == set(e.REGISTRY)
+    n_unchecked = sum(
+        1 for n in names if n not in e._DRIVER_VERIFIED_PRIOR_ROUNDS
+    )
+    # every unverified query precedes every verified one
+    assert all(
+        n not in e._DRIVER_VERIFIED_PRIOR_ROUNDS for n in names[:n_unchecked]
+    )
+    assert all(
+        n in e._DRIVER_VERIFIED_PRIOR_ROUNDS for n in names[n_unchecked:]
+    )
+    # the driver's 50-query window must be dominated by unverified queries
+    assert n_unchecked >= 40
+    assert list(e.oracle_sql()) == [n for n in names if e.REGISTRY[n][1] is not None]
+
+
 def test_queries_run_in_foreign_session():
     """Driver-contract robustness: Python-UDF queries must work in a
     session the package did NOT build (the grading driver constructs
