@@ -100,25 +100,44 @@ def q_dedup_exact_survivors(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+# Doc-frequency cap for the exact-Jaccard path: a shingle appearing in
+# more than this many documents contributes O(freq^2) candidate pairs to
+# the self-join — the measured quadratic tail (BASELINE.md 10x table:
+# 64.5 s unguarded vs the LSH path's 8-14 s). Shingles above the cap are
+# boilerplate for the *exact* path; corpora whose duplicate groups exceed
+# it are the MinHash+LSH path's job. Pass max_doc_freq=None to
+# shingle_rows for the unguarded research form.
+NGRAM_JACCARD_MAX_DOC_FREQ = 8
+
 @register(
     "dedup_ngram_jaccard",
     f"""
     WITH {DUCK_SH},
+    shf AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= {NGRAM_JACCARD_MAX_DOC_FREQ}),
+    sizesf AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT doc_id_1, doc_id_2, n_common, s1.n_sh AS n_1, s2.n_sh AS n_2,
            {_JAC.replace('n_1', 's1.n_sh').replace('n_2', 's2.n_sh')} AS jaccard
     FROM inter
-    JOIN sizes s1 ON doc_id_1 = s1.doc_id
-    JOIN sizes s2 ON doc_id_2 = s2.doc_id
+    JOIN sizesf s1 ON doc_id_1 = s1.doc_id
+    JOIN sizesf s2 ON doc_id_2 = s2.doc_id
     WHERE {_JAC.replace('n_1', 's1.n_sh').replace('n_2', 's2.n_sh')} >= 0.2
     """,
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Exact word-3-gram Jaccard >= 0.2 over co-shingled pairs."""
-    sh = shingle_rows(_t(spark, sf_dir, "documents"))
+    """Exact word-3-gram Jaccard >= 0.2 over co-shingled pairs, with the
+    scale-safe doc-frequency guard (``max_doc_freq``) the operator ships
+    with — sizes and jaccard are computed over the surviving shingles on
+    both engines."""
+    sh = shingle_rows(
+        _t(spark, sf_dir, "documents"),
+        max_doc_freq=NGRAM_JACCARD_MAX_DOC_FREQ,
+    )
     return jaccard_pairs(sh, threshold=0.2)
 
 
