@@ -192,6 +192,7 @@ def corpus_rarity_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     rare_max_count: int = 5,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Corpus-statistics quality score: how typical is each document's
     vocabulary of the corpus it lives in? A statistical-LM-flavored
@@ -209,14 +210,21 @@ def corpus_rarity_stats(
     per-doc re-aggregation (id key). The token->count join is the skew
     point (stopwords hit every row): Spark AQE skew-join splits it, and
     the count table is vocabulary-sized (Zipf: ~sqrt of token mass), so
-    it broadcasts for any corpus whose vocab fits in memory.
+    it broadcasts for any corpus whose vocab fits in memory
+    (``broadcast_vocab=True``, the default). At 100 TB a raw web-scale
+    vocabulary can exceed executor memory — pass
+    ``broadcast_vocab=False`` to fall back to a shuffle join on the
+    token key (AQE's skew split handles the stopword keys), the same
+    escape hatch as ``decontaminate(broadcast_benchmark=False)``.
     """
     tok = with_tokens(df, text_col).select(
         id_col, F.explode(TOKENS_COL).alias("__token")
     )
     vocab = tok.groupBy("__token").agg(F.count(F.lit(1)).alias("__tc"))
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
     return (
-        tok.join(F.broadcast(vocab), "__token")
+        tok.join(vocab, "__token")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

@@ -301,6 +301,26 @@ def test_corpus_rarity_known_values(spark):
     assert abs(out[2]["rare_ratio"] - 0.5) < 1e-12
 
 
+def test_corpus_rarity_shuffle_join_fallback(spark):
+    """broadcast_vocab=False must produce identical stats through a
+    shuffle join (the 100 TB escape hatch for oversized vocabularies)
+    — and the plan must actually drop the broadcast exchange."""
+    from etlutils_spark.operators.text import corpus_rarity_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "d d d d")], "doc_id long, text string"
+    )
+    bcast = corpus_rarity_stats(docs, rare_max_count=1)
+    shuf = corpus_rarity_stats(docs, rare_max_count=1, broadcast_vocab=False)
+    rows_b = {r["doc_id"]: r.asDict() for r in bcast.collect()}
+    rows_s = {r["doc_id"]: r.asDict() for r in shuf.collect()}
+    assert rows_b == rows_s
+    # the flag controls the *forced* hint; AQE may still choose broadcast
+    # at runtime when the vocab fits (and won't when it doesn't)
+    assert "strategy=broadcast" in bcast._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in shuf._jdf.queryExecution().optimizedPlan().toString()
+
+
 def test_shuffle_export_deterministic_range_layout(spark):
     from etlutils_spark.operators.sampling import shuffle_export
 
