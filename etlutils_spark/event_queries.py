@@ -344,8 +344,11 @@ def q_streaming_curation(spark, sf_dir):
       FROM events GROUP BY event_type)
     SELECT e.event_id, e.event_type, e.value,
            (s1 / n) AS grp_mean,
-           sqrt((s2 - s1 * s1 / n) / (n - 1)) AS grp_std,
-           abs(e.value - s1 / n) > 3 * sqrt((s2 - s1 * s1 / n) / (n - 1))
+           CASE WHEN n > 1
+                THEN sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) END
+             AS grp_std,
+           abs(e.value - s1 / n) > 3 * (CASE WHEN n > 1
+                THEN sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) END)
              AS is_outlier
     FROM events e JOIN m USING (event_type)
     """,
@@ -379,7 +382,12 @@ def q_outlier_flags(spark, sf_dir):
         )
     )
     mean = F.col("s1") / F.col("n")
-    std = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+    # degenerate-group guard (mirrored in the oracle): n=1 would divide
+    # by zero (NULL in DuckDB, Inf/NaN in Spark doubles), and float
+    # cancellation on a zero-variance group can go epsilon-negative,
+    # which DuckDB's sqrt() rejects outright
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    std = F.when(F.col("n") > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
     return (
         ev.join(F.broadcast(m), ev.event_type == F.col("m_type"))
         .select(

@@ -32,32 +32,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from etlutils_spark.caching import persist_tracked as _persist_tracked
 from etlutils_spark.functions.vectors import cosine_exact, cosine_fast
 from etlutils_spark.operators.text import TOKENS_COL, shingles_from_tokens, with_tokens
 from etlutils_spark.sources.files import spread
-
-
-# Persisted pipeline intermediates, evicted on the next pipeline call.
-# Spark's CacheManager holds persisted plans until explicit unpersist —
-# repeated dedup calls in one session would otherwise accumulate cached
-# shingle tables until eviction churn dominates (measured: 8.6s -> 51.6s
-# on back-to-back runs at 50k docs). One pipeline's working set stays
-# cached for its own multi-consumer fan-out; the next call evicts it.
-_TRACKED: list[DataFrame] = []
-_TRACKED_KEEP = 2  # LRU depth: lets back-to-back pipelines over the same
-# corpus reuse the cached shingle table (CacheManager dedupes by
-# canonicalized plan) while still bounding total cached state.
-
-
-def _persist_tracked(df: DataFrame) -> DataFrame:
-    while len(_TRACKED) >= _TRACKED_KEEP:
-        try:
-            _TRACKED.pop(0).unpersist(blocking=True)
-        except Exception:  # noqa: BLE001 - session may be gone
-            pass
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _TRACKED.append(df)
-    return df
 
 
 def dedup_exact(

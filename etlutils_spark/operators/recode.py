@@ -138,8 +138,11 @@ def profile_table(df, columns=None):
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
             F.countDistinct(c).alias(f"__nd_{c}"),
-            F.min(F.col(c).cast("string")).alias(f"__mn_{c}"),
-            F.max(F.col(c).cast("string")).alias(f"__mx_{c}"),
+            # aggregate in the column's native type, THEN render: a
+            # lexicographic min over string-cast numerics is wrong as a
+            # profile ('100' < '99')
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
         ]
     one = df.agg(*aggs)
     stack = ", ".join(

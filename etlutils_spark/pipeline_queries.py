@@ -10,6 +10,8 @@ the key, not an RNG state.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from etlutils_spark.entry_queries import _t, register
@@ -356,7 +358,7 @@ def q_chunk_documents(spark, sf_dir):
       SELECT 'doc_id' AS column, COUNT(*) AS n_rows,
              CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
-             min(CAST(doc_id AS VARCHAR)) AS min_str, max(CAST(doc_id AS VARCHAR)) AS max_str
+             CAST(min(doc_id) AS VARCHAR) AS min_str, CAST(max(doc_id) AS VARCHAR) AS max_str
       FROM base
       UNION ALL
       SELECT 'lang', COUNT(*),
@@ -372,7 +374,7 @@ def q_chunk_documents(spark, sf_dir):
       SELECT 'n_chars', COUNT(*),
              CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              CAST(COUNT(DISTINCT n_chars) AS BIGINT),
-             min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR)) FROM base)
+             CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM base)
     SELECT * FROM stats
     """,
 )
@@ -390,6 +392,26 @@ def q_profile_documents(spark, sf_dir):
 
 _DOC_COLS = "doc_id, text, lang, source, n_chars"
 
+# Round-trip scratch dirs: one deterministic path per (kind, session),
+# overwritten in place on re-runs (bench runs each query 3x; idempotence
+# tests re-run queries) and removed at interpreter exit — a fresh
+# mkdtemp per invocation leaked a full on-disk copy of the documents
+# table every run.
+_RT_ROOTS: dict[str, str] = {}
+
+
+def _rt_path(spark, kind: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    key = f"{kind}_{spark.sparkContext.applicationId}"
+    if key not in _RT_ROOTS:
+        path = os.path.join(tempfile.gettempdir(), f"etlutils_rt_{key}")
+        _RT_ROOTS[key] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return _RT_ROOTS[key]
+
 
 @register("format_roundtrip_csv", f"SELECT {_DOC_COLS} FROM documents")
 def q_format_roundtrip_csv(spark, sf_dir):
@@ -397,10 +419,8 @@ def q_format_roundtrip_csv(spark, sf_dir):
     back with an explicit schema must equal the parquet original
     (header, explicit nullValue sentinel so empty strings survive;
     the reference has no file formats at all — SURVEY §2.1)."""
-    import tempfile
-
     df = _t(spark, sf_dir, "documents").select(*_DOC_COLS.split(", "))
-    path = tempfile.mkdtemp(prefix="rt_csv_")
+    path = _rt_path(spark, "csv")
     (
         df.write.mode("overwrite")
         .option("header", "true")
@@ -420,9 +440,7 @@ def q_format_roundtrip_json(spark, sf_dir):
     """JSON-lines sink+source fidelity: same contract as the CSV
     round-trip (explicit schema on read — schema inference is not part
     of the fidelity claim)."""
-    import tempfile
-
     df = _t(spark, sf_dir, "documents").select(*_DOC_COLS.split(", "))
-    path = tempfile.mkdtemp(prefix="rt_json_")
+    path = _rt_path(spark, "json")
     df.write.mode("overwrite").json(path)
     return spark.read.schema(df.schema).json(path)

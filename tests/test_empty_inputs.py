@@ -85,3 +85,51 @@ def test_round2_curation_ops_empty(spark):
     clusters = spark.createDataFrame([], "node bigint, cluster_id bigint")
     surv = cluster_survivors(some.select("doc_id", "text"), clusters, quality_col="text")
     assert [r["doc_id"] for r in surv.collect()] == [1]
+
+
+def test_outlier_flags_degenerate_groups(spark, tmp_path):
+    """Differential check of outlier_flags_events on groups the driver
+    data never exercises: n=1 (variance divides by zero) and n>1 with
+    zero variance (float cancellation can go epsilon-negative, which
+    DuckDB's sqrt rejects). Both sides must emit NULL std for n=1 and
+    agree row-for-row."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as e
+
+    rows = [
+        (1, "solo", 5.0),
+        (2, "flat", 2.5), (3, "flat", 2.5), (4, "flat", 2.5),
+        (5, "norm", 1.0), (6, "norm", 2.0), (7, "norm", 300.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, v, 100 + i) for i, t, v in rows],
+        "event_id long, event_type string, value double, user_id long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    fn = e.REGISTRY["outlier_flags_events"][0]
+    sql = e.REGISTRY["outlier_flags_events"][1]
+    got = {r["event_id"]: r.asDict() for r in fn(spark, str(tmp_path)).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    cols = [d[0] for d in con.execute(sql).description]
+    want = {r[0]: dict(zip(cols, r)) for r in con.execute(sql).fetchall()}
+
+    assert set(got) == set(want) == {i for i, _, _ in rows}
+    for eid in got:
+        g, w = got[eid], want[eid]
+        assert (g["grp_std"] is None) == (w["grp_std"] is None), eid
+        if g["grp_std"] is not None:
+            assert abs(g["grp_std"] - w["grp_std"]) < 1e-9, eid
+        assert g["is_outlier"] == w["is_outlier"], eid
+    # the degenerate shapes themselves
+    assert got[1]["grp_std"] is None and got[1]["is_outlier"] is None
+    assert got[2]["grp_std"] == 0.0 and not got[2]["is_outlier"]

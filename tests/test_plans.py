@@ -224,10 +224,13 @@ def test_q2_correlated_min_decorrelated(spark, qs):
 
 def test_q11_threshold_from_cached_agg(spark, qs):
     plan = physical_plan(qs["q11_important_stock"](spark, SF))
-    # the nation_value agg is cached and reused for the 2% threshold:
-    # no second lineitem scan
-    assert "InMemoryTableScan" in plan
-    assert "lineitem.parquet" not in plan.split("InMemoryTableScan")[0] or True
+    # the nation_value agg is cached and BOTH consumers (threshold +
+    # probe) read the materialization: two InMemoryTableScans, and the
+    # only lineitem references live inside the cached relation's plan
+    # formatted explain prints each operator twice (tree + detail)
+    assert plan.count("InMemoryTableScan") >= 2
+    first_scan = plan.index("InMemoryTableScan")
+    assert "lineitem.parquet" not in plan[:first_scan]
 
 
 def test_q16_notin_is_broadcast_anti(spark, qs):
