@@ -184,6 +184,28 @@ def q_matchmerge_composite_key(spark, sf_dir):
 
 
 @register(
+    "matchmerge_vector_y",
+    """
+    SELECT c.c_custkey, c.c_name, k.o_custkey AS ordered_key
+    FROM customer c
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) k
+      ON c.c_custkey = k.o_custkey
+    """,
+)
+def q_matchmerge_vector_y(spark, sf_dir):
+    """Vector-y mode (R/matchmerge.R:32-34,100-110,175-178): y is a bare
+    key vector (single-column DataFrame); the carried value is the key
+    itself relabeled to add_columns[0], NULL where unmatched — 'which of
+    my customers ever ordered, by key'."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    keys = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    return matchmerge(
+        cust, keys, by_x="c_custkey", by_y="o_custkey",
+        all_x=True, add_columns=["ordered_key"],
+    )
+
+
+@register(
     "recode_mktsegment",
     """
     SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'CARS'

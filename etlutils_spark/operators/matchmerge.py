@@ -123,10 +123,39 @@ def matchmerge(
     if by_x is None:
         raise ValueError("provide by_x/by_y column names or expression keys")
     keys_x = [by_x] if isinstance(by_x, str) else list(by_x)
+    if by_y is None and len(keys_x) == 1 and len(y.columns) == 1:
+        # bare-vector y with no by_y: its only column IS the key
+        by_y = y.columns[0]
     by_y = by_y if by_y is not None else by_x
     keys_y = [by_y] if isinstance(by_y, str) else list(by_y)
     if len(keys_x) != len(keys_y):
         raise ValueError("by_x and by_y must name the same number of columns")
+
+    # Vector-y modes (reference: y may be a bare vector, R/matchmerge.R:
+    # 32-34,100-110; the joined value column is relabeled to
+    # add.columns[1], R/matchmerge.R:175-178). Spark's row-aligned
+    # equivalent of (y vector, by.y vector) is one DataFrame carrying
+    # (key, value); a single-column y is the key-only membership/value
+    # form.
+    if len(keys_y) == 1 and keys_y[0] in y.columns:
+        non_key = [c for c in y.columns if c != keys_y[0]]
+        if not non_key and add_columns:
+            # bare key vector + a requested label: carry the key value
+            # itself under that name (NULL where unmatched on a left join)
+            label = list(add_columns)[0]
+            if len(list(add_columns)) != 1:
+                raise ValueError("single-column y carries exactly one value column")
+            y = y.select(F.col(keys_y[0]), F.col(keys_y[0]).alias(label))
+            add_columns = [label]
+        elif (
+            add_columns is not None
+            and len(list(add_columns)) == 1
+            and list(add_columns)[0] not in y.columns
+            and len(non_key) == 1
+        ):
+            # (key, value) vector pair + relabel request: rename the value
+            # column to add_columns[0] before the join
+            y = y.withColumnRenamed(non_key[0], list(add_columns)[0])
 
     # Right-side projection pushdown (R/matchmerge.R:166-174): only the
     # key + requested payload columns survive to the join, so the scan

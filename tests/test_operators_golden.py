@@ -66,6 +66,40 @@ def test_matchmerge_add_columns_and_suffix(left, spark):
     assert out.columns == ["idlhs", "a", "b", "a_y"]  # collision suffixed (R/matchmerge.R:48)
 
 
+def test_matchmerge_vector_y_relabel(left, right):
+    """Reference vector-y example (R/matchmerge.R:66-68): y = right$b,
+    by.y = right$idrhs, add.columns = 'b.renamed'. The Spark row-aligned
+    form of the (value vector, key vector) pair is the (key, value)
+    DataFrame; the carried value column is relabeled to add_columns[0]
+    (R/matchmerge.R:175-178)."""
+    out = matchmerge(
+        left, right, by_x="idlhs", by_y="idrhs", all_x=True,
+        add_columns=["b_renamed"],
+    )
+    assert out.columns == ["idlhs", "a", "b_renamed"]
+    got = {(r.idlhs, r.a): r.b_renamed for r in out.collect()}
+    assert got == {
+        (1, "A"): "H", (2, "B"): "I", (3, "C"): "J", (4, "D"): "K",
+        (3, "E"): "J", (4, "F"): "K", (5, "G"): None,
+    }
+
+
+def test_matchmerge_bare_key_vector(left, spark):
+    """Single-column y (a bare key vector): inner join = membership
+    filter; with a label, the key value itself is carried (NULL where
+    unmatched on a left join)."""
+    keys = spark.createDataFrame([(1,), (3,)], "idrhs int")
+    # membership: add_columns=None adds nothing, inner join filters x
+    member = matchmerge(left, keys, by_x="idlhs")
+    assert member.columns == ["idlhs", "a"]
+    assert {r.idlhs for r in member.collect()} == {1, 3}
+    # key-as-value under a label, left join
+    val = matchmerge(left, keys, by_x="idlhs", all_x=True, add_columns=["matched_id"])
+    assert val.columns == ["idlhs", "a", "matched_id"]
+    got = {r.a: r.matched_id for r in val.collect()}
+    assert got == {"A": 1, "B": None, "C": 3, "D": None, "E": 3, "F": None, "G": None}
+
+
 def test_matchmerge_expression_keys(spark):
     # products×sales star (R/matchmerge.R:81-94): key is a concat expression
     products = spark.createDataFrame(
