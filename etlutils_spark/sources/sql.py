@@ -41,9 +41,57 @@ option as documented.
 
 from __future__ import annotations
 
+import warnings
 from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Per-value byte estimates for the row-size arithmetic (the role of ff's
+# .rambytes vmode table, R/ffsql.R:246-247). Strings/binary use a flat
+# estimate (Catalyst's own defaultSize for StringType is 20).
+_TYPE_BYTES: dict[type, int] = {
+    T.BooleanType: 1,
+    T.ByteType: 1,
+    T.ShortType: 2,
+    T.IntegerType: 4,
+    T.DateType: 4,
+    T.FloatType: 4,
+    T.LongType: 8,
+    T.DoubleType: 8,
+    T.TimestampType: 8,
+    T.TimestampNTZType: 8,
+    T.StringType: 20,
+    T.BinaryType: 20,
+}
+
+
+def estimate_row_bytes(schema: T.StructType) -> int:
+    """Estimated in-flight bytes per row for ``schema`` (decimals by
+    precision; nested/array/map fall back to 20 bytes per element slot)."""
+    total = 0
+    for f in schema.fields:
+        dt = f.dataType
+        if isinstance(dt, T.DecimalType):
+            total += 4 + dt.precision // 2
+        else:
+            total += _TYPE_BYTES.get(type(dt), 20)
+    return max(total, 1)
+
+
+def auto_fetchsize(schema: T.StructType, batch_bytes: int) -> int:
+    """The reference's byte-budget chunk sizing (R/ffsql.R:245-254):
+    ``next.rows = BATCHBYTES %/% recordsize``, floored at 1 row with a
+    warning when a single row exceeds the budget."""
+    rows = batch_bytes // estimate_row_bytes(schema)
+    if rows < 1:
+        warnings.warn(
+            "batch_bytes is smaller than the estimated size of one row; "
+            "using fetchsize=1 (mirrors R/ffsql.R:252-254)",
+            stacklevel=2,
+        )
+        return 1
+    return int(rows)
 
 
 def read_sql(
@@ -54,6 +102,7 @@ def read_sql(
     x: DataFrame | None = None,
     nrows: int | None = None,
     fetchsize: int = 10_000,
+    batch_bytes: int | None = None,
     partition_column: str | None = None,
     lower_bound=None,
     upper_bound=None,
@@ -68,6 +117,13 @@ def read_sql(
     must be given. ``x`` is the reference's append-to-existing frame:
     the new result is unioned by name onto it (UNION ALL semantics,
     R/ffsql.R:267-272).
+
+    ``batch_bytes`` is the reference's BATCHBYTES auto chunk sizing
+    (R/ffsql.R:245-254): the cursor ``fetchsize`` is derived as
+    ``batch_bytes // estimate_row_bytes(probed_schema)`` (floor 1 row,
+    with a warning) instead of the fixed ``fetchsize`` rows. The schema
+    comes from Spark's JDBC probe of the same query, so the arithmetic
+    sees the real column types.
     """
     if (query is None) == (table is None):
         raise ValueError("provide exactly one of query= or table=")
@@ -107,6 +163,12 @@ def read_sql(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     df = reader.load()
+    if batch_bytes is not None:
+        # re-issue with the byte-budget-derived fetchsize; the first
+        # load() only ran the WHERE 1=0 schema probe (lazy plan)
+        df = reader.option(
+            "fetchsize", str(auto_fetchsize(df.schema, batch_bytes))
+        ).load()
     if nrows is not None:
         df = df.limit(nrows)
     if x is not None:

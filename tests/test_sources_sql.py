@@ -6,8 +6,14 @@ part this layer owns — the wire protocol is Spark's JDBC source).
 """
 
 import pytest
+from pyspark.sql import types as T
 
-from etlutils_spark.sources.sql import ingest_to_parquet, read_sql
+from etlutils_spark.sources.sql import (
+    auto_fetchsize,
+    estimate_row_bytes,
+    ingest_to_parquet,
+    read_sql,
+)
 
 
 def test_read_sql_requires_exactly_one_source(spark):
@@ -44,6 +50,35 @@ def test_read_sql_builds_jdbc_plan(spark):
             fetchsize=5000,
         ).count()
     assert "driver" in str(exc.value).lower() or "connect" in str(exc.value).lower()
+
+
+def test_batch_bytes_fetchsize_arithmetic():
+    """The reference's BATCHBYTES chunk sizing (R/ffsql.R:245-254):
+    rows = budget // per-row bytes, floor 1 with a warning."""
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),       # 8
+            T.StructField("b", T.IntegerType()),    # 4
+            T.StructField("c", T.DoubleType()),     # 8
+            T.StructField("d", T.StringType()),     # 20
+            T.StructField("e", T.BooleanType()),    # 1
+        ]
+    )
+    assert estimate_row_bytes(schema) == 41
+    assert auto_fetchsize(schema, 41_000) == 1000
+    assert auto_fetchsize(schema, 41) == 1
+    assert auto_fetchsize(schema, 81) == 1  # floor division
+    # decimal sized by precision; unknown/nested types take the flat slot
+    dec = T.StructType(
+        [
+            T.StructField("v", T.DecimalType(38, 6)),         # 4 + 19 = 23
+            T.StructField("arr", T.ArrayType(T.LongType())),  # 20
+        ]
+    )
+    assert estimate_row_bytes(dec) == 43
+    # one row larger than the whole budget: floor at 1 + warn
+    with pytest.warns(UserWarning, match="smaller than the estimated size"):
+        assert auto_fetchsize(schema, 3) == 1
 
 
 def test_ingest_to_parquet_append_mirrors_ffdf_grow(spark, star, tmp_path):
