@@ -223,6 +223,7 @@ def cosine_topk_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Arrow-vectorized exact top-k: broadcast the normalized query
     matrix into every task, score each corpus batch with ONE numpy
@@ -240,12 +241,28 @@ def cosine_topk_arrow(
     Per-batch top-k is exact, not approximate: under the total order
     (cosine DESC, id ASC), every global top-k row is necessarily in its
     own batch's top-k.
+
+    The query side is driver-collected and shipped to every task, so it
+    must be broadcast-sized; ``max_query_rows`` (default 100k — ~1 GB of
+    f64 at dim 1024, the sane ceiling for a replicated matrix) fails
+    fast instead of OOMing the driver when a corpus-sized frame is
+    passed by mistake. For query sets beyond the cap, use ``cosine_topk``
+    (JVM join) or flip the roles: batch the corpus through as queries.
     """
     import pandas as pd
 
     from etlutils_spark.sources.files import spread
 
-    q_rows = queries.select(id_col, vec_col).collect()  # broadcast-sized
+    # bounded collect: fetch cap+1 so the guard never materializes an
+    # unbounded result before raising
+    q_rows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"queries has more than max_query_rows={max_query_rows} rows; "
+            "the query matrix is broadcast to every task and must be "
+            "broadcast-sized (use cosine_topk, or raise max_query_rows "
+            "deliberately)"
+        )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)

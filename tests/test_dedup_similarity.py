@@ -276,3 +276,16 @@ def test_cosine_topk_arrow_matches_jvm(spark, sf_dir):
         avid, acos = arrow[key]
         assert avid == vid, (key, vid, avid)
         assert abs(acos - cos) < 1e-9
+
+
+def test_cosine_topk_arrow_query_size_guard(spark, sf_dir):
+    """Passing a corpus-sized frame as the query side must fail fast
+    (the query matrix is driver-collected and task-replicated), not OOM."""
+    import pytest
+
+    from etlutils_spark.operators.similarity import cosine_topk_arrow
+    from etlutils_spark.sources.files import read_table
+
+    emb = read_table(spark, "embeddings", sf_dir)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        cosine_topk_arrow(emb, emb, k=5, max_query_rows=3)
