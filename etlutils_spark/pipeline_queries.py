@@ -413,6 +413,33 @@ def _rt_path(spark, kind: str) -> str:
     return _RT_ROOTS[key]
 
 
+@register(
+    "write_roundtrip",
+    """
+    SELECT r_regionkey, r_name, CAST(2 AS BIGINT) AS n_copies
+    FROM region
+    """,
+)
+def q_write_roundtrip(spark, sf_dir):
+    """The write-path protocol (S4-S6 surrogate — no DB in the driver
+    harness): chunk-1 overwrite then append (R/ffsql.R:996-1007) against
+    the engine's at-rest format, read back and aggregated so the driver
+    hashes the sink's actual content. Idempotent across re-runs because
+    the overwrite resets the target: any mode bug (double-append,
+    ignored overwrite) changes n_copies and fails the hash."""
+    from etlutils_spark.sources.sql import ingest_to_parquet
+
+    region = _t(spark, sf_dir, "region")
+    path = _rt_path(spark, "write_roundtrip")
+    ingest_to_parquet(region, path, mode="overwrite")
+    ingest_to_parquet(region, path, mode="append")  # the x= grow path
+    return (
+        spark.read.parquet(path)
+        .groupBy("r_regionkey", "r_name")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
 @register("format_roundtrip_csv", f"SELECT {_DOC_COLS} FROM documents")
 def q_format_roundtrip_csv(spark, sf_dir):
     """CSV sink+source fidelity: documents written to CSV and read
