@@ -34,7 +34,12 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 _CONF_WARNED: set[str] = set()
 
 
-def read_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+def read_table(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str | None = None,
+    pin_session_confs: bool = True,
+) -> DataFrame:
     """Read one star-schema table from ``sf_dir`` (parquet).
 
     ``events.ts`` is written as TIMESTAMP(NANOS), which vanilla Spark
@@ -47,7 +52,9 @@ def read_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     every downstream timestamp expression), so restoring them on return
     would silently change the returned DataFrame's results. If the
     caller's session had a *different* explicit value we warn rather
-    than mutate silently.
+    than mutate silently. ``pin_session_confs=False`` opts out of the
+    mutation entirely — the caller then owns setting UTC/nanosAsLong,
+    and reading ``events`` without them will fail on the nanos column.
     """
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -59,13 +66,15 @@ def read_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ):
+        if not pin_session_confs:
+            break
         have = spark.conf.get(key, None)
         if have is not None and have != want and key not in _CONF_WARNED:
             _CONF_WARNED.add(key)
             warnings.warn(
                 f"read_table pins {key}={want} for the rest of this session "
                 f"(was {have}); timestamps are defined against the UTC-naive "
-                "parquet test data",
+                "parquet test data (pass pin_session_confs=False to opt out)",
                 stacklevel=2,
             )
         spark.conf.set(key, want)

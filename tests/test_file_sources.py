@@ -9,6 +9,24 @@ from etlutils_spark.streaming.ingest import (
 )
 
 
+def test_read_table_conf_pin_opt_out(spark):
+    """pin_session_confs=False leaves the caller's session confs alone
+    (the VERDICT-flagged side effect is opt-out-able)."""
+    from etlutils_spark.sources.files import read_table
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "false")
+        read_table(spark, "region", pin_session_confs=False).count()
+        assert spark.conf.get(key) == "false"  # untouched
+        read_table(spark, "region").count()
+        assert spark.conf.get(key) == "true"  # default pins
+    finally:
+        if before is not None:
+            spark.conf.set(key, before)
+
+
 def test_csv_roundtrip(spark, star, tmp_path):
     p = str(tmp_path / "c.csv")
     star["region"].write.option("header", "true").mode("overwrite").csv(p)
