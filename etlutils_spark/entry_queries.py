@@ -206,6 +206,46 @@ def q_matchmerge_vector_y(spark, sf_dir):
 
 
 @register(
+    "fuzzy_matchmerge_segments",
+    """
+    WITH dirty AS (
+      SELECT c_custkey, concat('Z', substring(c_mktsegment, 2)) AS seg_dirty
+      FROM customer),
+    dict AS (SELECT DISTINCT c_mktsegment AS segment FROM customer),
+    cand AS (
+      SELECT d.c_custkey, d.seg_dirty, t.segment,
+             CAST(levenshtein(d.seg_dirty, t.segment) AS INTEGER) AS distance
+      FROM dirty d JOIN dict t
+        ON abs(length(d.seg_dirty) - length(t.segment)) <= 1
+       AND levenshtein(d.seg_dirty, t.segment) <= 1)
+    SELECT c_custkey, seg_dirty, segment, distance FROM cand
+    QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY distance, segment) = 1
+    """,
+)
+def q_fuzzy_matchmerge(spark, sf_dir):
+    """Fuzzy lookup join: every customer's segment is deterministically
+    corrupted (first char -> 'Z') and fuzzy-matched back against the
+    clean segment dictionary at edit distance <= 1 — the data-cleaning
+    recode exact `recoder` can't do. Broadcast nested-loop with a
+    length-band prune; best match per customer."""
+    from etlutils_spark.operators.matchmerge import fuzzy_matchmerge
+
+    dirty = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(F.lit("Z"), F.substring("c_mktsegment", 2, 100)).alias("seg_dirty"),
+    )
+    dict_df = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+    )
+    return fuzzy_matchmerge(
+        dirty, dict_df, by_x="seg_dirty", by_y="segment",
+        max_distance=1, row_key="c_custkey",
+    )
+
+
+@register(
     "recode_mktsegment",
     """
     SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'CARS'

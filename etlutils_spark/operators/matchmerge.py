@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -194,6 +194,71 @@ def matchmerge(
     if trace:
         print(f"matchmerge: {how} join on {keys_x}, adding {added}")
     return out
+
+
+def fuzzy_matchmerge(
+    x: DataFrame,
+    y: DataFrame,
+    by_x: str,
+    by_y: str,
+    max_distance: int = 2,
+    all_x: bool = False,
+    add_columns: Sequence[str] | None = None,
+    row_key: str | Sequence[str] | None = None,
+    best_only: bool = True,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Edit-distance lookup join: match each ``x`` row to ``y`` rows whose
+    ``by_y`` string is within ``max_distance`` Levenshtein edits of
+    ``by_x`` — the data-cleaning generalization of ``matchmerge`` (typo'd
+    codes against a clean dictionary; the reference's ``recoder`` handles
+    only exact values, R/utils.R:24-32).
+
+    ``best_only=True`` keeps one match per ``row_key`` (defaults to
+    ``by_x``; must uniquely identify x rows for deterministic output):
+    minimum distance, ties broken on the matched value. ``all_x=True``
+    left-joins, NULL-filling rows with no candidate within the budget.
+
+    Output: all of x ++ matched ``by_y`` value ++ ``add_columns`` ++
+    ``distance``.
+
+    Scale: y is a *dictionary* (same dimension contract as matchmerge's
+    unique-right-key side) — the join is a broadcast nested-loop with
+    two JVM-side prunes: a length band (|len(a)-len(b)| <= d is a
+    necessary condition for edit distance <= d, evaluated before the
+    O(len^2) levenshtein) and the threshold itself. Cost is
+    |x| * |dict| cheap comparisons, embarrassingly parallel over x
+    partitions, no shuffle of x; for corpus-sized BOTH sides you want
+    n-gram blocking + verify (jaccard_pairs / minhash), not this.
+    """
+    if add_columns is None:
+        add_columns = []
+    missing = [c for c in (*add_columns, by_y) if c not in y.columns]
+    if missing:
+        raise ValueError(f"columns not in y: {missing}")
+    matched = "matched_" + by_y if by_y in x.columns else by_y
+    y_proj = y.select(F.col(by_y).alias(matched), *add_columns)
+    rhs = F.broadcast(y_proj) if broadcast_right else y_proj
+    lk, rk = F.col(by_x), F.col(matched)
+    cond = (
+        (F.abs(F.length(lk) - F.length(rk)) <= max_distance)
+        & (F.levenshtein(lk, rk) <= max_distance)
+    )
+    out = (
+        x.join(rhs, cond, "left" if all_x else "inner")
+        .withColumn("distance", F.levenshtein(lk, rk))
+    )
+    if best_only:
+        keys = [row_key] if isinstance(row_key, str) else list(row_key or [by_x])
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("distance").asc_nulls_last(), F.col(matched).asc_nulls_last()
+        )
+        out = (
+            out.withColumn("__fm_rank", F.row_number().over(w))
+            .filter(F.col("__fm_rank") == 1)
+            .drop("__fm_rank")
+        )
+    return out.select(*x.columns, matched, *add_columns, "distance")
 
 
 def _merge_on_expr(

@@ -100,6 +100,37 @@ def test_matchmerge_bare_key_vector(left, spark):
     assert got == {"A": 1, "B": None, "C": 3, "D": None, "E": 3, "F": None, "G": None}
 
 
+def test_fuzzy_matchmerge_golden(spark):
+    """Edit-distance lookup join: typo'd codes recover their dictionary
+    entry; rows beyond the edit budget NULL-fill under all_x=True and
+    drop under inner; ties break on the matched value."""
+    from etlutils_spark.operators.matchmerge import fuzzy_matchmerge
+
+    dirty = spark.createDataFrame(
+        [(1, "aple"), (2, "banana"), (3, "xyzzy"), (4, "pean")],
+        "row_id int, fruit string",
+    )
+    fruits = spark.createDataFrame(
+        [("apple",), ("banana",), ("pear",), ("bean",)], "name string"
+    )
+    out = fuzzy_matchmerge(
+        dirty, fruits, by_x="fruit", by_y="name",
+        max_distance=1, all_x=True, row_key="row_id",
+    )
+    got = {r.row_id: (r.name, r.distance) for r in out.collect()}
+    assert got == {
+        1: ("apple", 1),
+        2: ("banana", 0),
+        3: (None, None),          # nothing within 1 edit
+        4: ("bean", 1),           # tie with 'pear' (also distance 1) -> 'bean' first
+    }
+    inner = fuzzy_matchmerge(
+        dirty, fruits, by_x="fruit", by_y="name",
+        max_distance=1, row_key="row_id",
+    )
+    assert {r.row_id for r in inner.collect()} == {1, 2, 4}
+
+
 def test_matchmerge_expression_keys(spark):
     # products×sales star (R/matchmerge.R:81-94): key is a concat expression
     products = spark.createDataFrame(
