@@ -657,6 +657,31 @@ def q_delegated_sql(spark, sf_dir):
     return spark.sql(_DELEGATED_SQL)
 
 
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+"""
+
+
+@register("lateral_topk_per_nation", _LATERAL_SQL)
+def q_lateral_topk(spark, sf_dir):
+    """LATERAL correlated table subquery (per-nation top-2 customers by
+    balance) — the remaining delegated-SQL plan family (ROADMAP round-3
+    candidate). The same query text runs verbatim on Spark and DuckDB.
+
+    Scale: Catalyst decorrelates the lateral into a ranked window over
+    the probe side — same physical shape as window_topk_per_customer —
+    so the correlated LIMIT never executes per-outer-row."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_SQL)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H breadth pack (round 2): the remaining canonical plan shapes the
 # reduced star schema can express — conditional aggregation, EXISTS,
