@@ -440,6 +440,49 @@ def q_write_roundtrip(spark, sf_dir):
     )
 
 
+@register(
+    "upsert_scd1",
+    """
+    WITH upd AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal + 1000 AS c_acctbal
+      FROM customer WHERE c_custkey % 100 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 'NEWSEG', 0.0
+      FROM customer WHERE c_custkey % 1000 = 0)
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM customer WHERE c_custkey % 100 <> 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal FROM upd
+    """,
+)
+def q_upsert_scd1(spark, sf_dir):
+    """Keyed upsert (MERGE / SCD-1) against a parquet target: every
+    100th customer's balance is updated in place, synthetic new keys
+    append, everything else survives — then the target is read back so
+    the driver hashes the merged content. Idempotent per run (the
+    target is rebuilt from the source table first)."""
+    from etlutils_spark.sources.merge import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = _rt_path(spark, "upsert_scd1")
+    cust.write.mode("overwrite").parquet(path)
+    updates = (
+        cust.filter(F.col("c_custkey") % 100 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000)
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 1000 == 0).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    merge_upsert(spark, path, updates, key_cols="c_custkey")
+    return spark.read.parquet(path)
+
+
 @register("format_roundtrip_csv", f"SELECT {_DOC_COLS} FROM documents")
 def q_format_roundtrip_csv(spark, sf_dir):
     """CSV sink+source fidelity: documents written to CSV and read
