@@ -42,10 +42,13 @@ def read_table(
 ) -> DataFrame:
     """Read one star-schema table from ``sf_dir`` (parquet).
 
-    ``events.ts`` is written as TIMESTAMP(NANOS), which vanilla Spark
-    rejects; we read nanos as long (legacy conf) and floor-convert to a
-    microsecond timestamp — the same truncation DuckDB applies casting
-    TIMESTAMP_NS → TIMESTAMP, so oracle comparisons line up.
+    ``events.ts`` has been written two ways across driver generations:
+    TIMESTAMP(NANOS) (read as long via the legacy conf, floor-converted
+    to microseconds — the truncation DuckDB applies casting
+    TIMESTAMP_NS → TIMESTAMP) and TIMESTAMP(MICROS, isAdjustedToUTC
+    =false) (read as TIMESTAMP_NTZ). Both normalize to a session-UTC
+    TimestampType here so downstream event-time code — watermarks
+    reject NTZ — and oracle comparisons see one stable type.
 
     NOTE: the two confs below are session-scoped and deliberately stay
     set after this call — both affect plan EXECUTION (the lazy scan and
@@ -79,13 +82,15 @@ def read_table(
             )
         spark.conf.set(key, want)
     df = spark.read.parquet(path)
-    nanos_cols = [
-        f.name
-        for f in df.schema.fields
-        if isinstance(f.dataType, T.LongType) and f.name in ("ts",)
-    ]
-    for c in nanos_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for f in df.schema.fields:
+        if f.name != "ts":
+            continue
+        if isinstance(f.dataType, T.LongType):
+            # TIMESTAMP(NANOS) surfaced as long by the legacy conf
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            # micros NTZ → LTZ is value-preserving under the pinned UTC tz
+            df = df.withColumn("ts", F.to_timestamp_ltz(F.col("ts")))
     return df
 
 

@@ -35,8 +35,13 @@ def stream_events_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks require TimestampType; NTZ→LTZ is value-preserving
+        # under the UTC session tz pinned above
+        df = df.withColumn("ts", F.to_timestamp_ltz(F.col("ts")))
     return df
 
 
