@@ -51,33 +51,58 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Queries already driver-verified green in CORRECTNESS_r01/r02. The driver
+# Queries already driver-verified in CORRECTNESS_r01/r02/r03. The driver
 # checks a fixed-size prefix of the registry in order; rotating the
-# never-yet-checked queries to the front maximizes cumulative verified
-# coverage across rounds (VERDICT.md r2 "Next round" #1). Within each tier
-# the original registration order is preserved.
+# never-yet-checked (or changed-this-round) queries to the front
+# maximizes cumulative verified coverage across rounds (VERDICT.md r2
+# "Next round" #1). Within each tier the original registration order is
+# preserved. dedup_simhash / ann_ivf_topk / multimodal_features are
+# deliberately ABSENT despite prior rows: their r4 registrations gained
+# real value oracles (portable-md5 simhash, exhaustive-nprobe IVF,
+# scalar feature projection) and must be re-checked in the new form.
 _DRIVER_VERIFIED_PRIOR_ROUNDS = frozenset({
-    "agg_cube", "agg_rollup", "ann_cosine_topk", "ann_ivf_topk",
+    "agg_cube", "agg_rollup", "ann_arrow_topk", "ann_cosine_topk",
     "ann_lsh_topk", "anti_join_customers", "append_union",
-    "collect_sorted_sizes", "correlated_subquery", "dedup_embedding_cosine",
-    "dedup_exact", "dedup_exact_survivors", "dedup_minhash_clusters",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "delegated_sql", "distinct_agg_segments", "explode_token_freq",
-    "factor_levels_brand", "grouping_sets_sql", "having_filter",
+    "asof_last_purchase", "chunk_documents_windows",
+    "cogroup_asof_enrich", "collect_sorted_sizes", "corpus_rarity",
+    "correlated_subquery", "decontaminate_overlap",
+    "dedup_cluster_survivors", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_exact_survivors", "dedup_minhash_clusters",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "delegated_sql",
+    "distinct_agg_segments", "explode_token_freq",
+    "factor_levels_brand", "format_roundtrip_csv",
+    "format_roundtrip_json", "fuzzy_matchmerge_segments",
+    "grouped_apply_rank", "grouping_sets_sql", "having_filter",
     "histogram_price_buckets", "ingest_limit", "json_extract_props",
-    "json_map_explode", "locf_events", "matchmerge_composite_key",
-    "matchmerge_expr_key", "matchmerge_inner", "matchmerge_left",
-    "percentile_quantity", "pivot_status_counts", "q10_returned_items",
+    "json_map_explode", "lateral_topk_per_nation", "locf_events",
+    "matchmerge_composite_key", "matchmerge_expr_key",
+    "matchmerge_inner", "matchmerge_left", "matchmerge_vector_y",
+    "mixture_resample_lang", "multimodal_audio_chunks",
+    "multimodal_meta", "multimodal_probe", "outlier_flags_events",
+    "pack_sequences_source", "pandas_udf_normalize",
+    "percentile_quantity", "pivot_status_counts", "profile_documents",
+    "q10_returned_items", "q11_important_stock",
     "q12_late_shipment_priority", "q13_customer_order_distribution",
-    "q14_promo_share", "q18_large_volume_orders", "q19_disjunctive_filter",
-    "q1_pricing_summary", "q22_idle_rich_customers", "q3_top_revenue_orders",
-    "q4_priority_returns", "q5_nation_revenue", "q6_revenue_forecast",
-    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
-    "recode_mktsegment", "rename_project", "scalar_funcs_projection",
-    "semi_join_customers", "set_except", "set_intersect", "stats_moments",
-    "text_lang_id", "text_stats", "transfun_derived_date",
-    "union_distinct_nations", "window_rank_functions",
-    "window_running_spend", "window_topk_per_customer",
+    "q14_promo_share", "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_orders",
+    "q19_disjunctive_filter", "q1_pricing_summary",
+    "q20_excess_stock_suppliers", "q21_waiting_supplier",
+    "q22_idle_rich_customers", "q2_min_cost_supplier",
+    "q3_top_revenue_orders", "q4_priority_returns",
+    "q5_nation_revenue", "q6_revenue_forecast", "q7_volume_shipping",
+    "q8_market_share", "q9_product_type_profit", "quality_filter_flags",
+    "range_join_purchase_window", "recode_mktsegment",
+    "rename_project", "sample_hash_10pct", "sample_stratified_lang",
+    "scalar_funcs_projection", "semi_join_customers", "sessionize_events",
+    "sessionize_native_window", "sessionize_stateful_evicted",
+    "set_except", "set_intersect", "shard_manifest", "stats_moments",
+    "streaming_curation_pipeline", "streaming_window_counts",
+    "text_fingerprint", "text_lang_id", "text_redact_pii",
+    "text_repetition", "text_stats", "text_token_counts",
+    "time_rollup_multigrain", "transfun_derived_date",
+    "union_distinct_nations", "upsert_scd1", "window_rank_functions",
+    "window_rolling_7d", "window_running_spend",
+    "window_topk_per_customer", "write_roundtrip",
 })
 
 

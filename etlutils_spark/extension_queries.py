@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from etlutils_spark.entry_queries import _t, register
+from etlutils_spark.entry_queries import REGISTRY, _t, register
 from etlutils_spark.operators import multimodal
 from etlutils_spark.operators.dedup import (
     cluster_survivors,
@@ -242,13 +242,112 @@ def q_dedup_minhash_clusters(spark, sf_dir):
     )
 
 
-@register("dedup_simhash", None)  # engine-specific xxhash64 -> rows-only
+@register("incremental_lsh_pairs", _duck_minhash_sql())
+def q_incremental_lsh_pairs(spark, sf_dir):
+    """The streaming incremental MinHash+LSH index
+    (streaming/incremental_lsh.py) driven to completion over the
+    documents corpus split into 4 single-file micro-batches
+    (maxFilesPerTrigger=1): each batch is checked against the
+    signature index of everything already ingested, then appended to
+    it. Every near-dup pair is discovered exactly once — in the batch
+    that completes it — so the union over batches equals the BATCH
+    pipeline's output, and the r1-green ``dedup_minhash_lsh`` oracle
+    checks the incremental path end to end (signatures and bands are
+    the same portable md5; jaccard over stored 64-bit shingle-hash
+    sets equals exact shingle jaccard absent xxhash64 collisions).
+
+    Scale: per-batch cost is O(batch) shingling + a broadcast join of
+    the batch's bands against the index — never O(corpus) re-work."""
+    import os
+    import shutil
+
+    from etlutils_spark.pipeline_queries import _rt_path
+    from etlutils_spark.streaming.incremental_lsh import incremental_minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    root = _rt_path(spark, "inc_lsh")
+    # rebuild from empty every invocation: the index/pairs sinks are
+    # append-only, so a stale run's state would double the output
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for i in range(4):
+        staging = os.path.join(root, f"staging{i}")
+        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = next(
+            f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
+        )
+        os.replace(os.path.join(staging, part), os.path.join(src, f"slice{i}.parquet"))
+        shutil.rmtree(staging)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = incremental_minhash_dedup(
+        stream,
+        index_dir=os.path.join(root, "index"),
+        pairs_dir=os.path.join(root, "pairs"),
+        checkpoint=os.path.join(root, "ckpt"),
+        threshold=0.5,
+    )
+    q.awaitTermination()
+    pairs = spark.read.parquet(os.path.join(root, "pairs")).distinct()
+    return pairs.select(
+        F.col("id_1").alias("doc_id_1"),
+        F.col("id_2").alias("doc_id_2"),
+        "jaccard",
+    )
+
+
+# Portable simhash: 32-bit token hashes from md5 hex (same digest
+# convention as the minhash oracle mode), so DuckDB reproduces the full
+# signature -> prefix-block -> XOR-popcount pipeline bit-for-bit.
+_SIMHASH_BITS = 32
+_SIMHASH_PREFIX = 16
+_SIMHASH_MAX_HAMMING = 8
+
+_SIMHASH_SIG_SQL = " + ".join(
+    f"CASE WHEN 2 * len(list_filter(hs, x -> ((x >> {b}) & 1) = 1)) > len(hs)"
+    f" THEN {1 << b}::BIGINT ELSE 0::BIGINT END"
+    for b in range(_SIMHASH_BITS)
+)
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    h AS (SELECT doc_id,
+                 list_transform(w, tok -> ('0x' || substring(md5(tok), 1, 8))::BIGINT) AS hs
+          FROM t),
+    sig AS (SELECT doc_id, ({_SIMHASH_SIG_SQL}) AS simhash FROM h)
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b
+      ON (a.simhash >> {_SIMHASH_BITS - _SIMHASH_PREFIX}) = (b.simhash >> {_SIMHASH_BITS - _SIMHASH_PREFIX})
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+    """,
+)
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (hamming <= 8 within 16-bit prefix
-    blocks). xxhash64 bit patterns are Spark-specific, so this is a
-    rows-only check; semantics are unit-tested against brute force."""
-    sigs = simhash_signatures(_t(spark, sf_dir, "documents"))
-    return simhash_near_pairs(sigs, max_hamming=8)
+    """SimHash near-dup pairs (hamming <= 8 within 16-bit prefix blocks)
+    in the portable-md5 32-bit mode, so signatures, blocks, and hamming
+    distances hash-match the SQL oracle. The 64-bit xxhash64 fast mode
+    (engine-native, same plan shape) stays unit-tested against brute
+    force."""
+    sigs = simhash_signatures(
+        _t(spark, sf_dir, "documents"), bits=_SIMHASH_BITS, portable=True
+    )
+    out = simhash_near_pairs(
+        sigs, max_hamming=_SIMHASH_MAX_HAMMING, prefix_bits=_SIMHASH_PREFIX,
+        tables=1, bits=_SIMHASH_BITS,
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 
 @register(
@@ -310,17 +409,28 @@ def q_ann_cosine_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
-@register("ann_ivf_topk", None)  # k-means model -> rows-only
+# Exhaustive nprobe (= num_clusters) searches every IVF cell, so the
+# result equals brute force BY CONSTRUCTION — which gives the k-means
+# code path a real value oracle (the same decimal-exact SQL as
+# ann_cosine_topk). The production pruned setting (nprobe << clusters)
+# is engine-specific through the k-means model; its recall vs this
+# baseline is unit-tested (tests/test_dedup_similarity.py).
+@register(
+    "ann_ivf_topk",
+    REGISTRY["ann_cosine_topk"][1],
+)
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF top-10 (the partition-pruned ANN scale path): seeded k-means
-    coarse quantizer, nprobe=4 of 16 clusters searched per query —
-    ~4x less scored work than brute force at this setting; recall is
-    unit-tested against the exact baseline."""
+    coarse quantizer. Registered with exhaustive nprobe=16/16 so the
+    full pipeline (assign -> probe ranking -> per-cell scan -> global
+    top-k) is oracle-checkable against the brute-force SQL; the pruned
+    nprobe=4 form is the pytest recall test."""
     from etlutils_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10,
-                    num_clusters=16, nprobe=4)
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10,
+                   num_clusters=16, nprobe=16)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
 @register("ann_lsh_topk", None)  # hyperplane literals -> rows-only
@@ -507,12 +617,51 @@ def q_multimodal_probe(spark, sf_dir):
     return multimodal.probe_media(df)
 
 
-@register("multimodal_features", None)  # pandas-UDF stub -> rows-only
+# The fake feature extractor is a 16-bucket normalized byte histogram
+# (operators/multimodal.py fake_features): bucket(byte) = byte // 16 and
+# value = count / total as an int/int IEEE-754 division — both exactly
+# reproducible in SQL on the pure-ASCII corpus (byte == codepoint, so
+# DuckDB's per-char ascii() sees the same bytes np.frombuffer does).
+# The registered projection expands the array<double> into 16 scalar
+# columns: the driver's canonicalizer can sort/hash scalars but not
+# arrays (the r3 CORRECTNESS row errored on exactly that), and the
+# expansion costs nothing — extract_features stays array-returning for
+# users.
+_FEATURES_ORACLE = """
+    WITH c AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+             list_transform(string_split(text, ''), ch -> ascii(ch) // 16) AS bk
+      FROM documents)
+    SELECT doc_id, payload_len,
+           {buckets}
+    FROM c
+    """.format(
+    buckets=",\n           ".join(
+        f"CASE WHEN payload_len = 0 THEN 0.0 ELSE "
+        f"CAST(len(list_filter(bk, b -> b = {i})) AS DOUBLE)"
+        f" / CAST(payload_len AS DOUBLE) END AS f{i:02d}"
+        for i in range(multimodal.FEATURE_DIM)
+    )
+)
+
+
+@register("multimodal_features", _FEATURES_ORACLE)
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched feature extraction over binary payloads (decode
-    stubbed with a deterministic byte histogram; see operators.multimodal)."""
+    stubbed with a deterministic byte histogram; see operators.
+    multimodal). Registered as a scalar projection (f00..f15) of the
+    array<double> operator output so the driver can canonicalize it."""
     df = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
-    return multimodal.extract_features(df)
+    feats = multimodal.extract_features(df)
+    return feats.select(
+        "doc_id",
+        "payload_len",
+        *[
+            F.element_at("features", i + 1).alias(f"f{i:02d}")
+            for i in range(multimodal.FEATURE_DIM)
+        ],
+    )
 
 
 # ---- decontamination + survivor selection (round-2 continuation) -----------

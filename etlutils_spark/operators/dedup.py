@@ -325,17 +325,36 @@ def minhash_dedup_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens (xxhash64 per token; each
-    bit's sign = sum of +-1 contributions).
+    """SimHash over whitespace tokens (each bit's sign = sum of +-1
+    contributions from the per-token hashes).
 
     Computed entirely with higher-order functions: per-doc, map-side,
     no shuffle at all — the cheapest near-dup signature available.
     Output: (id, simhash bigint).
+
+    ``portable=False`` (default): 64-bit xxhash64 token hashes — the
+    fast engine-native mode. ``portable=True``: token hash = the first
+    8 hex chars of md5 as a 32-bit integer, so any SQL engine computes
+    bit-identical signatures (the same portable-digest convention
+    ``minhash_signatures`` uses for its oracle mode); requires
+    ``bits <= 32``.
     """
+    if portable and bits > 32:
+        raise ValueError(f"portable simhash carries 32 hash bits, got bits={bits}")
     df = with_tokens(spread(df), text_col)
-    hashes = F.transform(F.col(TOKENS_COL), lambda t: F.xxhash64(t))  # hash each token once
+    if portable:
+        hashes = F.transform(
+            F.col(TOKENS_COL),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        )
+    else:
+        hashes = F.transform(F.col(TOKENS_COL), lambda t: F.xxhash64(t))  # hash each token once
 
     def bit_contrib(b: int):
         # NB: capture b via closure, NOT a default arg — PySpark counts
@@ -359,11 +378,14 @@ def simhash_signatures(
     return df.select(F.col(id_col), sig.alias("simhash"))
 
 
-def _rotl64(c: Column, k: int) -> Column:
-    """Rotate a 64-bit signature left by k bits (k in [0, 64))."""
-    if k % 64 == 0:
+def _rotl(c: Column, k: int, bits: int = 64) -> Column:
+    """Rotate a ``bits``-wide signature left by k bits (k in [0, bits))."""
+    if k % bits == 0:
         return c
-    return F.shiftleft(c, k).bitwiseOR(F.shiftrightunsigned(c, 64 - k))
+    rot = F.shiftleft(c, k).bitwiseOR(F.shiftrightunsigned(c, bits - k))
+    if bits < 64:
+        rot = rot.bitwiseAND(F.lit((1 << bits) - 1))
+    return rot
 
 
 def simhash_near_pairs(
@@ -372,6 +394,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     prefix_bits: int = 16,
     tables: int = 1,
+    bits: int = 64,
 ) -> DataFrame:
     """Candidate pairs by identical high-bit prefix block, verified by
     full Hamming distance <= max_hamming (bit_count(xor)).
@@ -385,10 +408,14 @@ def simhash_near_pairs(
     missed only if every one of the T disjoint prefix windows contains
     a differing bit — impossible for d < T, so recall is exact for
     d <= tables-1 and the loss is bounded for small d. Cost is T
-    banded copies (posexplode), same shuffle shape as MinHash banding."""
-    step = 64 // tables
+    banded copies (posexplode), same shuffle shape as MinHash banding.
+
+    ``bits`` is the signature width (64 for the xxhash64 mode, 32 for
+    the portable-md5 mode of :func:`simhash_signatures`); blocking and
+    rotation arithmetic stay inside that width."""
+    step = bits // tables
     blocks = [
-        F.shiftrightunsigned(_rotl64(F.col("simhash"), t * step), 64 - prefix_bits)
+        F.shiftrightunsigned(_rotl(F.col("simhash"), t * step, bits), bits - prefix_bits)
         for t in range(tables)
     ]
     s = sigs.select(

@@ -29,10 +29,13 @@ def test_matchmerge_broadcasts(star):
     out = matchmerge(star["lineitem"], star["part"], by_x="l_partkey", by_y="p_partkey",
                      add_columns=["p_brand"])
     assert uses_broadcast_join(out)
-    # fact side must not shuffle for a broadcast join: no exchange
-    # between the lineitem scan and the join
+    # fact side must not shuffle for a broadcast join: in the formatted
+    # tree the probe subtree prints between the join node and its
+    # BroadcastExchange child — no Exchange may appear there (a
+    # repartition() on the fact side makes this fire; verified)
     plan = physical_plan(out)
-    assert "ShuffleExchange" not in plan.split("BroadcastHashJoin")[0] or True
+    probe_subtree = plan.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
+    assert "Exchange" not in probe_subtree
 
 
 def test_q1_pushdown_and_codegen(spark, qs):
@@ -88,11 +91,11 @@ def test_oracle_sql_covers_queries(qs):
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     # rows-only exceptions are the documented engine-specific ones
+    # (r4 shrank this set: dedup_simhash earned a portable-md5 oracle,
+    # ann_ivf_topk an exhaustive-nprobe brute-force oracle, and
+    # multimodal_features a scalar byte-histogram projection oracle)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "dedup_simhash", "ann_lsh_topk", "ann_ivf_topk", "ann_arrow_topk",
-        "multimodal_features", "multimodal_probe",
-    }
+    assert rows_only == {"ann_lsh_topk", "ann_arrow_topk", "multimodal_probe"}
 
 
 # ---- round-2 additions: TPC-H breadth pack + curation tier ----------------
