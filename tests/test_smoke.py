@@ -45,8 +45,10 @@ def test_registry_order_prioritizes_unverified():
     assert all(
         n in e._DRIVER_VERIFIED_PRIOR_ROUNDS for n in names[n_unchecked:]
     )
-    # the driver's 50-query window must be dominated by unverified queries
-    assert n_unchecked >= 40
+    # After r3 the whole registry has cumulative green rows, so the
+    # unchecked prefix holds only queries added or re-registered this
+    # round — its SIZE is expected to be small; the ordering asserts
+    # above are the invariant.
     assert list(e.oracle_sql()) == [n for n in names if e.REGISTRY[n][1] is not None]
 
 
