@@ -25,6 +25,7 @@ def merge_upsert(
     updates: DataFrame,
     key_cols: str | Sequence[str],
     partition_col: str | None = None,
+    max_partitions: int = 10_000,
 ) -> None:
     """Upsert ``updates`` into the parquet dataset at ``target_path``.
 
@@ -41,6 +42,9 @@ def merge_upsert(
     read and rewritten via dynamic partition overwrite — O(affected
     partitions) I/O, the 100 TB pattern. The update-key anti-join
     broadcasts when the update set is small (Catalyst/AQE decides).
+    ``max_partitions`` caps the driver-side affected-partition list —
+    exceeding it raises rather than silently degrading to a huge
+    ``isin`` filter plus an unbounded collect.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     missing = [c for c in keys if c not in updates.columns]
@@ -51,11 +55,24 @@ def merge_upsert(
         if partition_col not in updates.columns:
             raise ValueError(f"partition_col {partition_col!r} not in updates")
         # affected-partition list is collect()-ed: it is bounded by the
-        # update batch's distinct partition values, not by target size
+        # update batch's distinct partition values, not by target size.
+        # Bounded collect (cap+1, as in similarity.cosine_topk_arrow):
+        # a near-unique partition_col — the misuse this guards against —
+        # fails loudly instead of materializing an unbounded list.
         parts = [
             r[0]
-            for r in updates.select(partition_col).distinct().collect()
+            for r in updates.select(partition_col)
+            .distinct()
+            .limit(max_partitions + 1)
+            .collect()
         ]
+        if len(parts) > max_partitions:
+            raise ValueError(
+                f"updates touch more than max_partitions={max_partitions} "
+                f"distinct {partition_col!r} values; a near-unique "
+                "partition_col defeats partition-scoped merge (use the "
+                "full-rewrite path, or raise max_partitions deliberately)"
+            )
         target = spark.read.parquet(target_path).filter(
             F.col(partition_col).isin(parts)
         )

@@ -115,3 +115,27 @@ def test_json_corrupt_record_quarantine(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert len(good) == 1 and good[0]["id"] == 1
     assert len(bad) == 1 and "broken" in bad[0]["_corrupt_record"]
+
+
+def test_merge_upsert_partition_budget_raises(spark, tmp_path):
+    """A near-unique partition_col must fail loudly before the driver
+    collects an unbounded affected-partition list (VERDICT r3 #7)."""
+    from etlutils_spark.sources.merge import merge_upsert
+
+    p = str(tmp_path / "tgt")
+    base = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 20).alias("part"), F.lit("old").alias("v")
+    )
+    base.write.partitionBy("part").parquet(p)
+    updates = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") % 20).alias("part"), F.lit("new").alias("v")
+    )
+    with pytest.raises(ValueError, match="max_partitions"):
+        merge_upsert(spark, p, updates, key_cols="k", partition_col="part",
+                     max_partitions=5)
+    # under budget: succeeds and upserts
+    merge_upsert(spark, p, updates, key_cols="k", partition_col="part",
+                 max_partitions=10)
+    got = spark.read.parquet(p)
+    assert got.count() == 20
+    assert got.filter(F.col("v") == "new").count() == 10
