@@ -514,3 +514,114 @@ def q_format_roundtrip_json(spark, sf_dir):
     path = _rt_path(spark, "json")
     df.write.mode("overwrite").json(path)
     return spark.read.schema(df.schema).json(path)
+
+
+# ---- storage-layout pruning (Z-order) --------------------------------------
+
+# A stats-pruning scan reads a file iff the file's [min, max] envelope
+# on a filtered column overlaps the predicate. This query computes that
+# decision EXACTLY, deterministically, for two layouts of the events
+# table — Morton-clustered vs append-ordered — with file assignment a
+# pure function of the data (zkey prefix radix / contiguous event_id
+# blocks; no RangePartitioner sampling), so DuckDB reproduces every
+# envelope bit-for-bit. The physical counterpart (actual parquet files,
+# actual skipped row groups) is asserted in tests/test_layout.py; the
+# hilbert curve variant stays pytest-only (its rotate/reflect recurrence
+# is a pandas UDF with no SQL twin).
+_ZBITS = 8          # 8-bit ranks -> 16-bit Morton key over 2 columns
+_ZFILES_LOG2 = 5    # 32 simulated files
+_ZLO, _ZHI = 102, 115  # predicate box in rank space (~5% per dimension)
+
+_Z_INTERLEAVE_SQL = " + ".join(
+    f"(((ru >> {i}) & 1) << {2 * i}) + (((rv >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_ZBITS)
+)
+
+@register(
+    "zorder_pruning_stats",
+    f"""
+    WITH b AS (
+      SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+             min(value) AS mnv, max(value) AS mxv,
+             min(event_id) AS mni, max(event_id) AS mxi
+      FROM events),
+    r AS (
+      SELECT CAST(coalesce(least(greatest(
+               floor(((e.user_id - b.mnu) / (b.mxu - b.mnu)) * 255), 0), 255), 0)
+             AS BIGINT) AS ru,
+             CAST(coalesce(least(greatest(
+               floor(((e.value - b.mnv) / (b.mxv - b.mnv)) * 255), 0), 255), 0)
+             AS BIGINT) AS rv,
+             CAST(floor(((e.event_id - b.mni) * 32) / ((b.mxi - b.mni + 1) * 1.0))
+             AS BIGINT) AS bucket_a
+      FROM events e, b),
+    k AS (SELECT *, ({_Z_INTERLEAVE_SQL}) >> {2 * _ZBITS - _ZFILES_LOG2}
+                    AS bucket_z FROM r),
+    f AS (
+      SELECT 'zorder' AS layout, bucket_z AS bucket,
+             min(ru) AS mnru, max(ru) AS mxru,
+             min(rv) AS mnrv, max(rv) AS mxrv
+      FROM k GROUP BY 1, 2
+      UNION ALL
+      SELECT 'append', bucket_a,
+             min(ru), max(ru), min(rv), max(rv)
+      FROM k GROUP BY 1, 2)
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS files_total,
+           CAST(sum(CASE WHEN mnru <= {_ZHI} AND mxru >= {_ZLO}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS files_scan_user,
+           CAST(sum(CASE WHEN mnrv <= {_ZHI} AND mxrv >= {_ZLO}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS files_scan_value,
+           CAST(sum(CASE WHEN mnru <= {_ZHI} AND mxru >= {_ZLO}
+                     AND mnrv <= {_ZHI} AND mxrv >= {_ZLO}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS files_scan_both
+    FROM f GROUP BY layout
+    """,
+)
+def q_zorder_pruning_stats(spark, sf_dir):
+    """File-skipping effectiveness of the Z-order layout
+    (sources/layout.py): per simulated file, the min/max envelope of
+    both curve columns; per layout, how many of 32 files a
+    stats-pruning scan must read for a ~5% box predicate. The Morton
+    layout prunes on EVERY listed column; the append layout (the
+    reference's only layout, SURVEY §2.1) prunes on none of them."""
+    from etlutils_spark.sources.layout import _ranks, morton_interleave
+
+    ev = _t(spark, sf_dir, "events")
+    ru, rv = _ranks(ev, ["user_id", "value"], bits=_ZBITS)
+    zkey = morton_interleave([ru, rv], bits=_ZBITS)
+    idb = ev.agg(F.min("event_id").alias("mn"), F.max("event_id").alias("mx")).first()
+    mn_id, span = idb["mn"], idb["mx"] - idb["mn"] + 1
+    ranked = ev.select(
+        ru.alias("ru"),
+        rv.alias("rv"),
+        F.shiftright(zkey, 2 * _ZBITS - _ZFILES_LOG2).alias("bucket_z"),
+        F.floor((F.col("event_id") - F.lit(mn_id)) * 32 / F.lit(float(span)))
+        .cast("long")
+        .alias("bucket_a"),
+    )
+    env = (
+        ranked.select(
+            F.lit("zorder").alias("layout"), F.col("bucket_z").alias("bucket"),
+            "ru", "rv",
+        )
+        .unionByName(
+            ranked.select(
+                F.lit("append").alias("layout"), F.col("bucket_a").alias("bucket"),
+                "ru", "rv",
+            )
+        )
+        .groupBy("layout", "bucket")
+        .agg(
+            F.min("ru").alias("mnru"), F.max("ru").alias("mxru"),
+            F.min("rv").alias("mnrv"), F.max("rv").alias("mxrv"),
+        )
+    )
+    scan_u = (F.col("mnru") <= _ZHI) & (F.col("mxru") >= _ZLO)
+    scan_v = (F.col("mnrv") <= _ZHI) & (F.col("mxrv") >= _ZLO)
+    return env.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("files_total"),
+        F.sum(F.when(scan_u, 1).otherwise(0)).alias("files_scan_user"),
+        F.sum(F.when(scan_v, 1).otherwise(0)).alias("files_scan_value"),
+        F.sum(F.when(scan_u & scan_v, 1).otherwise(0)).alias("files_scan_both"),
+    )

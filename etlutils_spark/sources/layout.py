@@ -69,19 +69,29 @@ def _ranks(df: DataFrame, cols: list[str], bits: int) -> list[Column]:
     return out
 
 
-def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
-    """Morton key over ``cols``: each column min/max-normalized to a
-    ``bits``-bit rank, ranks bit-interleaved (column j owns output bits
-    ``i*k + j``)."""
-    k = len(cols)
+def morton_interleave(ranks: list[Column], bits: int) -> Column:
+    """Bit-interleave ``bits``-bit rank columns into one Morton key
+    (rank j owns output bits ``i*k + j``). Pure shift/mask Column
+    algebra — the piece of :func:`zorder_key` that needs no data
+    bounds, exposed so callers that already hold ranks (e.g. the
+    pruning-stats driver query) interleave without a second bounds
+    aggregate."""
+    k = len(ranks)
     if not 1 <= k * bits <= 62:
         raise ValueError(f"k*bits must fit a signed long, got {k}x{bits}")
     key = F.lit(0).cast("long")
-    for j, rank in enumerate(_ranks(df, cols, bits)):
+    for j, rank in enumerate(ranks):
         for i in range(bits):
             bit = F.shiftright(rank, i).bitwiseAND(F.lit(1))
             key = key.bitwiseOR(F.shiftleft(bit, i * k + j))
     return key
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
+    """Morton key over ``cols``: each column min/max-normalized to a
+    ``bits``-bit rank, ranks bit-interleaved (column j owns output bits
+    ``i*k + j``)."""
+    return morton_interleave(_ranks(df, cols, bits), bits)
 
 
 def _hilbert_d_np(x, y, bits: int):
