@@ -47,8 +47,10 @@ def read_table(
     to microseconds — the truncation DuckDB applies casting
     TIMESTAMP_NS → TIMESTAMP) and TIMESTAMP(MICROS, isAdjustedToUTC
     =false) (read as TIMESTAMP_NTZ). Both normalize to a session-UTC
-    TimestampType here so downstream event-time code — watermarks
-    reject NTZ — and oracle comparisons see one stable type.
+    TimestampType here so downstream event-time code and oracle
+    comparisons see ONE stable type with stable values (watermarks do
+    accept NTZ in Spark 4.1; the normalization is for type/value
+    stability, not a watermark requirement).
 
     NOTE: the two confs below are session-scoped and deliberately stay
     set after this call — both affect plan EXECUTION (the lazy scan and
@@ -56,8 +58,11 @@ def read_table(
     would silently change the returned DataFrame's results. If the
     caller's session had a *different* explicit value we warn rather
     than mutate silently. ``pin_session_confs=False`` opts out of the
-    mutation entirely — the caller then owns setting UTC/nanosAsLong,
-    and reading ``events`` without them will fail on the nanos column.
+    mutation entirely — the caller then owns setting UTC/nanosAsLong.
+    Opting out on nanos-encoded data fails loudly on the nanos column;
+    on NTZ-encoded data it fails SILENTLY: to_timestamp_ltz interprets
+    NTZ wall time in whatever session tz is set, so a non-UTC session
+    shifts every ``ts`` value relative to the UTC-naive DuckDB oracle.
     """
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     path = os.path.join(sf_dir, f"{name}.parquet")

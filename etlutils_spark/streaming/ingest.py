@@ -39,8 +39,10 @@ def stream_events_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
-        # watermarks require TimestampType; NTZ→LTZ is value-preserving
-        # under the UTC session tz pinned above
+        # NTZ→LTZ normalization is for type stability and DuckDB-oracle
+        # comparability (one TimestampType everywhere, value-preserving
+        # under the UTC session tz pinned above); Spark 4.1 watermarks
+        # do accept TimestampNTZ
         df = df.withColumn("ts", F.to_timestamp_ltz(F.col("ts")))
     return df
 
