@@ -747,3 +747,179 @@ def q_cluster_survivors(spark, sf_dir):
     return out.select(
         "doc_id", "n_chars", F.col("cluster_id").cast("long").alias("cluster_id")
     )
+
+
+# ---- scale strategies: skew mitigation + sketches --------------------------
+
+# salted_join's contract is result-equivalence to the plain equi-join
+# (operators/skew.py:20 — the salt column exists only between the two
+# shuffles), so the plain join IS its oracle. The big side gets a
+# synthetic hot key (~75% of lineitem on k=3) — the shape AQE's skew
+# split handles post-shuffle and explicit salting prevents pre-shuffle.
+@register(
+    "salted_join_hotkey",
+    """
+    WITH big AS (
+      SELECT CASE WHEN l_orderkey % 4 < 3 THEN 3
+                  ELSE l_orderkey % 25 END AS k,
+             l_extendedprice
+      FROM lineitem)
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_price
+    FROM big b JOIN nation n ON b.k = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_salted_join_hotkey(spark, sf_dir):
+    """Deterministic-salt skew join: the hot big side spreads over 8
+    sub-keys, the dim side replicates 8x; aggregate of the joined
+    result hash-matches the unsalted join."""
+    from etlutils_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    big = li.select(
+        F.when(F.col("l_orderkey") % 4 < 3, F.lit(3))
+        .otherwise(F.col("l_orderkey") % 25)
+        .cast("long")
+        .alias("k"),
+        "l_extendedprice",
+    )
+    dim = nation.select(
+        F.col("n_nationkey").cast("long").alias("k"), "n_name"
+    )
+    joined = salted_join(big, dim, on="k", salt=8)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+# aggregate_with_salt's contract is likewise equivalence to the direct
+# groupBy (partial on (key, salt), merge on key — all mergeable fns);
+# the decimal cast rides through both stages so the sum is exact.
+@register(
+    "salted_agg_event_types",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           CAST(MAX(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_agg_event_types(spark, sf_dir):
+    """Two-stage salted aggregation over a hot group key (events has a
+    handful of event_types — every one is 'hot' at 32 reducers)."""
+    from etlutils_spark.operators.skew import aggregate_with_salt
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(38,6)").alias("v")
+    )
+    out = aggregate_with_salt(
+        ev,
+        ["event_type"],
+        {"n_rows": ("v", "count"), "sum_value": ("v", "sum"),
+         "max_value": ("v", "max")},
+        salt=16,
+    )
+    return out.select(
+        "event_type",
+        "n_rows",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+# HLL++ sketch values are engine-specific (hash-based), so the oracle
+# checks the CONTRACT instead: the exact distinct count (order-
+# independent, portable) plus the assertion that the sketch landed
+# within 3x its configured rsd of it — computed on the Spark side,
+# constant-true on the oracle side. A sketch drifting out of tolerance
+# flips the boolean and fails the hash match.
+@register(
+    "approx_distinct_contract",
+    """
+    SELECT c_mktsegment,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_exact,
+           TRUE AS hll_within_3rsd
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_approx_distinct_contract(spark, sf_dir):
+    """HyperLogLog++ distinct-count per segment, checked against the
+    exact count (one pass each; at 100 TB only the sketch pass runs —
+    fixed memory, no count-distinct expand)."""
+    from etlutils_spark.operators.sketches import approx_distinct
+
+    cust = _t(spark, sf_dir, "customer")
+    rsd = 0.05
+    exact = cust.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").alias("n_exact")
+    )
+    approx = approx_distinct(cust, ["c_mktsegment"], "c_custkey", rsd=rsd)
+    return exact.join(approx, "c_mktsegment").select(
+        "c_mktsegment",
+        "n_exact",
+        (
+            F.abs(F.col("approx_distinct") - F.col("n_exact"))
+            <= 3 * rsd * F.col("n_exact")
+        ).alias("hll_within_3rsd"),
+    )
+
+
+# Same contract pattern for the KLL-style quantile sketch: Spark
+# guarantees a rank error <= n/accuracy for percentile_approx. The
+# query re-derives each approximate quantile's true rank interval
+# [count(<q), count(<=q)] from the data and asserts it intersects
+# [p*n - err, p*n + err]; the oracle pins the group sizes and the
+# constant-true assertions. (quantile_disc equality DOES hold at
+# sf0.01 today, but rank tie-breaking at exact p*n boundaries is not
+# portable across engines — the bound is the portable contract.)
+@register(
+    "approx_quantiles_contract",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS quantiles_within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_approx_quantiles_contract(spark, sf_dir):
+    """Quantile-sketch rank-error verification per returnflag: one
+    sketch pass + one rank-counting pass (at 100 TB you run only the
+    first; the second is the audit)."""
+    from etlutils_spark.operators.sketches import approx_quantiles
+
+    probs, acc = [0.25, 0.5, 0.75], 10_000
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    aq = approx_quantiles(li, ["l_returnflag"], "l_quantity",
+                          probabilities=probs, accuracy=acc)
+    qx = aq.select(
+        "l_returnflag", F.posexplode("quantiles").alias("i", "q")
+    ).withColumn(
+        "p", F.element_at(F.array(*[F.lit(p) for p in probs]), F.col("i") + 1)
+    )
+    ranks = (
+        li.join(qx, "l_returnflag")
+        .groupBy("l_returnflag", "i", "p", "q")
+        .agg(
+            F.sum(F.when(F.col("l_quantity") < F.col("q"), 1).otherwise(0))
+            .alias("rank_lt"),
+            F.sum(F.when(F.col("l_quantity") <= F.col("q"), 1).otherwise(0))
+            .alias("rank_le"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    err = F.ceil(F.col("n") / acc) + 1
+    ok = (F.col("rank_lt") <= F.col("p") * F.col("n") + err) & (
+        F.col("rank_le") >= F.col("p") * F.col("n") - err
+    )
+    return ranks.groupBy("l_returnflag").agg(
+        F.max("n").alias("n_rows"),
+        F.bool_and(ok).alias("quantiles_within_bound"),
+    )
