@@ -44,6 +44,72 @@ def q_streaming_window_counts(spark, sf_dir):
     return run_available_now(spark, agg, query_name=name, output_mode="complete")
 
 
+@register(
+    "streaming_interval_join",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events),
+    v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+          FROM e WHERE event_type = 'view'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+          FROM e WHERE event_type = 'purchase')
+    SELECT v.view_id, p.purchase_id, v.user_id,
+           CAST(date_diff('second', v.view_ts, p.purchase_ts) AS BIGINT)
+             AS gap_seconds
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND p.purchase_ts > v.view_ts
+     AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+    """,
+)
+def q_streaming_interval_join(spark, sf_dir):
+    """Stream-stream interval join (view -> purchase within 1h, per
+    user), driven availableNow: TWO file-source streams, watermarks on
+    both sides bounding the join state, inner join in append mode. On
+    the finite input the result equals the batch range join, which the
+    oracle computes."""
+    from etlutils_spark.streaming.ingest import (
+        run_available_now,
+        stream_events_file,
+        stream_stream_interval_join,
+    )
+
+    views = (
+        stream_events_file(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"), "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    purchases = (
+        stream_events_file(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = stream_stream_interval_join(
+        views,
+        purchases,
+        key=("user_id", "p_user_id"),
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+        horizon="1 hour",
+        watermark="2 hours",
+    )
+    name = f"stream_out_{next(_stream_counter)}"
+    out = run_available_now(spark, joined, query_name=name, output_mode="append")
+    return out.select(
+        "view_id", "purchase_id", F.col("user_id"),
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts"))
+        .cast("bigint").alias("gap_seconds"),
+    )
+
+
 _TIME_ROLLUP_SQL = """
     SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
            date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,

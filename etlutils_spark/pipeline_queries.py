@@ -625,3 +625,87 @@ def q_zorder_pruning_stats(spark, sf_dir):
         F.sum(F.when(scan_v, 1).otherwise(0)).alias("files_scan_value"),
         F.sum(F.when(scan_u & scan_v, 1).otherwise(0)).alias("files_scan_both"),
     )
+
+
+@register(
+    "scd2_history",
+    """
+    WITH tgt AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             TIMESTAMP '1994-01-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to,
+             TRUE AS is_current
+      FROM customer),
+    upd AS (
+      SELECT c_custkey, 'UPGRADED' AS c_mktsegment,
+             c_acctbal + 500 AS c_acctbal, TIMESTAMP '1996-06-01 00:00:00' AS eff
+      FROM customer WHERE c_custkey % 100 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal, TIMESTAMP '1996-06-01 00:00:00'
+      FROM customer WHERE c_custkey % 97 = 0 AND c_custkey % 100 <> 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 'NEWSEG', 0.0, TIMESTAMP '1996-06-01 00:00:00'
+      FROM customer WHERE c_custkey % 1000 = 0),
+    changed AS (
+      SELECT t.c_custkey,
+             t.c_mktsegment AS old_seg, t.c_acctbal AS old_bal,
+             t.valid_from AS old_from,
+             u.c_mktsegment AS new_seg, u.c_acctbal AS new_bal, u.eff
+      FROM tgt t JOIN upd u USING (c_custkey)
+      WHERE t.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+         OR t.c_acctbal IS DISTINCT FROM u.c_acctbal)
+    SELECT c_custkey, old_seg AS c_mktsegment, old_bal AS c_acctbal,
+           old_from AS valid_from, eff AS valid_to, FALSE AS is_current
+    FROM changed
+    UNION ALL
+    SELECT c_custkey, new_seg, new_bal, eff, NULL, TRUE FROM changed
+    UNION ALL
+    SELECT t.* FROM tgt t
+    WHERE t.c_custkey NOT IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal, u.eff, NULL, TRUE
+    FROM upd u
+    WHERE u.c_custkey NOT IN (SELECT c_custkey FROM tgt)
+    """,
+)
+def q_scd2_history(spark, sf_dir):
+    """SCD type 2 (sources/merge.scd2_apply): versioned customer
+    snapshot + one update batch containing changed rows, no-op rows
+    (identical attrs — must NOT open a version), and brand-new keys.
+    Returns the full resulting history; the oracle derives the same
+    history relationally."""
+    from etlutils_spark.sources.merge import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    target = cust.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.lit("1994-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 100 == 0)
+        .select(
+            "c_custkey",
+            F.lit("UPGRADED").alias("c_mktsegment"),
+            (F.col("c_acctbal") + 500).alias("c_acctbal"),
+        )
+        .unionByName(
+            cust.filter(
+                (F.col("c_custkey") % 97 == 0) & (F.col("c_custkey") % 100 != 0)
+            ).select("c_custkey", "c_mktsegment", "c_acctbal")
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 1000 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+        .withColumn("effective_date", F.lit("1996-06-01").cast("timestamp"))
+    )
+    return scd2_apply(
+        target, updates,
+        keys="c_custkey",
+        attr_cols=["c_mktsegment", "c_acctbal"],
+    )

@@ -103,3 +103,86 @@ def merge_upsert(
     merged.write.mode("overwrite").parquet(staging)
     shutil.rmtree(target_path)
     os.replace(staging, target_path)
+
+
+def scd2_apply(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: str | Sequence[str],
+    attr_cols: Sequence[str],
+    effective_col: str = "effective_date",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """SCD type 2: apply ``updates`` to a versioned ``target``,
+    returning the new full history (no write — compose with
+    ``merge_upsert``/``ingest_to_parquet`` to persist).
+
+    ``target`` carries ``keys + attr_cols + from_col + to_col +
+    current_col``; ``updates`` carries ``keys + attr_cols +
+    effective_col`` with unique keys. Semantics:
+
+    - current row whose attrs differ (null-safely) from its update:
+      CLOSED (``to_col = effective``, not current) and a new current
+      row opens at ``effective``;
+    - current row whose update carries identical attrs: untouched
+      (no empty version rows — the differs filter is semantic, not
+      key-presence);
+    - update key absent from the target: a new current row;
+    - history (non-current) rows: pass through untouched.
+
+    Scale: one inner join current-vs-updates on the keys (updates are
+    typically broadcast-sized; Catalyst/AQE decides), two anti-joins on
+    the same keys, a union — no window, no global sort, every stage
+    partitioned by the key columns.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    out_cols = [*keys, *attr_cols, from_col, to_col, current_col]
+
+    cur = target.filter(F.col(current_col))
+    hist = target.filter(~F.col(current_col))
+
+    differs = None
+    for c in attr_cols:
+        d = ~F.col(f"t.{c}").eqNullSafe(F.col(f"u.{c}"))
+        differs = d if differs is None else (differs | d)
+    changed = (
+        cur.alias("t")
+        .join(updates.alias("u"), on=keys, how="inner")
+        .filter(differs)
+    )
+    closed = changed.select(
+        *keys,
+        *[F.col(f"t.{c}").alias(c) for c in attr_cols],
+        F.col(f"t.{from_col}").alias(from_col),
+        F.col(f"u.{effective_col}").alias(to_col),
+        F.lit(False).alias(current_col),
+    )
+    reopened = changed.select(
+        *keys,
+        *[F.col(f"u.{c}").alias(c) for c in attr_cols],
+        F.col(f"u.{effective_col}").alias(from_col),
+        F.lit(None).cast(target.schema[to_col].dataType).alias(to_col),
+        F.lit(True).alias(current_col),
+    )
+    untouched_cur = cur.join(
+        changed.select(*keys).distinct(), on=keys, how="left_anti"
+    ).select(*out_cols)
+    brand_new = (
+        updates.join(target.select(*keys).distinct(), on=keys, how="left_anti")
+        .select(
+            *keys,
+            *attr_cols,
+            F.col(effective_col).alias(from_col),
+            F.lit(None).cast(target.schema[to_col].dataType).alias(to_col),
+            F.lit(True).alias(current_col),
+        )
+    )
+    return (
+        hist.select(*out_cols)
+        .unionByName(untouched_cur)
+        .unionByName(closed)
+        .unionByName(reopened)
+        .unionByName(brand_new)
+    )

@@ -170,3 +170,35 @@ def foreach_batch_exactly_once(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | tuple[str, str],
+    left_ts: str,
+    right_ts: str,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` where the right event lands
+    in ``(left_ts, left_ts + horizon]`` — the online twin of the batch
+    range join (event_queries.range_join_purchase_window).
+
+    Both sides carry a watermark so the join state is BOUNDED: Spark
+    derives from the interval condition + watermarks how long each
+    side's rows must be retained and evicts beyond it — without the
+    time bound a stream-stream join buffers both streams forever. On a
+    finite (availableNow) input the inner-join result equals the batch
+    join, which is what the driver oracle checks.
+    """
+    lk, rk = (key, key) if isinstance(key, str) else key
+    l_ = left.withWatermark(left_ts, watermark).alias("l")
+    r_ = right.withWatermark(right_ts, watermark).alias("r")
+    return l_.join(
+        r_,
+        F.expr(
+            f"l.{lk} = r.{rk} AND r.{right_ts} > l.{left_ts} "
+            f"AND r.{right_ts} <= l.{left_ts} + interval {horizon}"
+        ),
+    )

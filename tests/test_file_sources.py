@@ -139,3 +139,42 @@ def test_merge_upsert_partition_budget_raises(spark, tmp_path):
     got = spark.read.parquet(p)
     assert got.count() == 20
     assert got.filter(F.col("v") == "new").count() == 10
+
+
+def test_scd2_apply_history_passthrough_and_second_change(spark):
+    """A key changed twice: the first version must survive untouched as
+    history, the second change closes the current row and opens a third
+    version."""
+    from etlutils_spark.sources.merge import scd2_apply
+
+    target = spark.createDataFrame(
+        [
+            (1, "A", "2000-01-01", "2001-01-01", False),
+            (1, "B", "2001-01-01", None, True),
+            (2, "X", "2000-01-01", None, True),
+        ],
+        "k int, attr string, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "k", "attr",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+    updates = spark.createDataFrame(
+        [(1, "C", "2002-01-01"), (2, "X", "2002-01-01")],
+        "k int, attr string, effective_date string",
+    ).withColumn("effective_date", F.col("effective_date").cast("timestamp"))
+    out = scd2_apply(target, updates, keys="k", attr_cols=["attr"])
+    rows = {(r.k, r.attr): r for r in out.collect()}
+    assert len(rows) == 4
+    # history row untouched
+    assert rows[(1, "A")].is_current is False
+    assert rows[(1, "A")].valid_to.year == 2001
+    # previously-current row closed at the new effective date
+    assert rows[(1, "B")].is_current is False
+    assert rows[(1, "B")].valid_to.year == 2002
+    # third version opened
+    assert rows[(1, "C")].is_current is True and rows[(1, "C")].valid_to is None
+    # no-op update: single row for key 2, still the original version
+    assert rows[(2, "X")].is_current is True
+    assert rows[(2, "X")].valid_from.year == 2000
