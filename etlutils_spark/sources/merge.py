@@ -147,7 +147,12 @@ def scd2_apply(
     for c in attr_cols:
         d = ~F.col(f"t.{c}").eqNullSafe(F.col(f"u.{c}"))
         differs = d if differs is None else (differs | d)
-    changed = (
+    # changed feeds three consumers (closed, reopened, the untouched
+    # anti-join's key set) — persist through the bounded tracker so the
+    # keyed join runs once, not three times
+    from etlutils_spark.caching import persist_tracked
+
+    changed = persist_tracked(
         cur.alias("t")
         .join(updates.alias("u"), on=keys, how="inner")
         .filter(differs)
