@@ -905,7 +905,7 @@ def q_approx_quantiles_contract(spark, sf_dir):
         "p", F.element_at(F.array(*[F.lit(p) for p in probs]), F.col("i") + 1)
     )
     ranks = (
-        li.join(qx, "l_returnflag")
+        li.join(F.broadcast(qx), "l_returnflag")
         .groupBy("l_returnflag", "i", "p", "q")
         .agg(
             F.sum(F.when(F.col("l_quantity") < F.col("q"), 1).otherwise(0))
