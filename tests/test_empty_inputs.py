@@ -133,3 +133,46 @@ def test_outlier_flags_degenerate_groups(spark, tmp_path):
     # the degenerate shapes themselves
     assert got[1]["grp_std"] is None and got[1]["is_outlier"] is None
     assert got[2]["grp_std"] == 0.0 and not got[2]["is_outlier"]
+
+
+def test_scd2_empty_updates(spark):
+    from etlutils_spark.sources.merge import scd2_apply
+
+    target = spark.createDataFrame(
+        [(1, "A", None, None, True)],
+        "k int, attr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [], "k int, attr string, effective_date timestamp"
+    )
+    out = scd2_apply(target, updates, keys="k", attr_cols=["attr"])
+    assert out.count() == 1  # target passes through untouched
+    assert out.columns == target.columns
+
+
+def test_scd2_empty_target(spark):
+    from etlutils_spark.sources.merge import scd2_apply
+
+    target = spark.createDataFrame(
+        [], "k int, attr string, valid_from timestamp, valid_to timestamp, is_current boolean"
+    )
+    updates = spark.createDataFrame(
+        [(1, "A", "2020-01-01")], "k int, attr string, effective_date string"
+    ).withColumn("effective_date", F.col("effective_date").cast("timestamp"))
+    out = scd2_apply(target, updates, keys="k", attr_cols=["attr"])
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].is_current is True
+    assert rows[0].valid_from is not None and rows[0].valid_to is None
+
+
+def test_salted_join_empty_sides(spark):
+    from etlutils_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([], "k int, v double")
+    small = spark.createDataFrame([(1, "x")], "k int, w string")
+    assert salted_join(big, small, on="k").count() == 0
+    big2 = spark.createDataFrame([(1, 2.0)], "k int, v double")
+    small2 = spark.createDataFrame([], "k int, w string")
+    out = salted_join(big2, small2, on="k", how="left")
+    assert out.count() == 1  # left join keeps the big row, null-filled
+    assert out.collect()[0].w is None

@@ -7,6 +7,7 @@ through a Spark job, so the budget is spent on semantic edge cases
 bulk."""
 
 from hypothesis import HealthCheck, given, settings
+from pyspark.sql import functions as F
 from hypothesis import strategies as st
 
 from etlutils_spark.operators.locf import na_locf_plus_one
@@ -101,3 +102,56 @@ def test_mixture_resample_matches_python_reference(spark, weights, n_rows):
         if prefix < int(rate * float(1 << 60)):
             expect.append(i)
     assert got == sorted(expect)
+
+
+def _ref_scd2(target_rows, update_rows):
+    """Pure-Python SCD-2: target_rows = {k: attr} all current from t0;
+    updates applied at t1. Returns set of (k, attr, frm, to, current)."""
+    out = set()
+    for k, attr in target_rows.items():
+        if k in update_rows and update_rows[k] != attr:
+            out.add((k, attr, "t0", "t1", False))
+            out.add((k, update_rows[k], "t1", None, True))
+        else:
+            out.add((k, attr, "t0", None, True))
+    for k, attr in update_rows.items():
+        if k not in target_rows:
+            out.add((k, attr, "t1", None, True))
+    return out
+
+
+@SET
+@given(
+    st.dictionaries(st.integers(0, 6), st.sampled_from("abc"), max_size=5),
+    st.dictionaries(st.integers(0, 8), st.sampled_from("abc"), max_size=5),
+)
+def test_scd2_matches_reference(spark, target_rows, update_rows):
+    from etlutils_spark.sources.merge import scd2_apply
+
+    t0, t1 = "2000-01-01 00:00:00", "2001-01-01 00:00:00"
+    target = spark.createDataFrame(
+        [(k, v, t0, None, True) for k, v in target_rows.items()],
+        "k int, attr string, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "k", "attr",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+    updates = spark.createDataFrame(
+        [(k, v, t1) for k, v in update_rows.items()],
+        "k int, attr string, effective_date string",
+    ).withColumn("effective_date", F.col("effective_date").cast("timestamp"))
+    got = {
+        (
+            r.k, r.attr,
+            "t0" if r.valid_from.year == 2000 else "t1",
+            None if r.valid_to is None else ("t0" if r.valid_to.year == 2000 else "t1"),
+            r.is_current,
+        )
+        for r in scd2_apply(target, updates, keys="k", attr_cols=["attr"]).collect()
+    }
+    assert got == _ref_scd2(target_rows, update_rows)
+    # invariant: exactly one current row per surviving key
+    keys_current = [x[0] for x in got if x[4]]
+    assert len(keys_current) == len(set(keys_current))
