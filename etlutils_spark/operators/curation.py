@@ -1,0 +1,71 @@
+"""End-to-end batch curation: documents in, sharded training corpus out.
+
+The composition a 100 TB training-data pipeline actually runs, built
+from this package's proven stages (each independently oracle-checked):
+
+    quality filter -> exact dedup -> decontamination -> deterministic
+    sample -> shard assignment
+
+Stage order is the cost order: the cheap stateless predicates (quality
+rules) cut the corpus before anything that shuffles; exact dedup
+shuffles only ids + digests; decontamination probes a broadcast
+benchmark shingle set; sampling is a stateless digest predicate; shard
+assignment is a narrow projection. Payload columns (text/binary) cross
+the wire only inside the id-keyed semi-joins' SURVIVOR sets — never
+for rows a later stage would discard anyway.
+
+The reference has no curation tier (SURVEY §2 — its pipeline is
+ingest/join/export); this is the scale-extension flagship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etlutils_spark.operators.dedup import decontaminate, drop_exact_duplicates
+from etlutils_spark.operators.quality import quality_filter
+from etlutils_spark.operators.sampling import assign_shards, hash_sample
+
+
+def curate_documents(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_stopword_ratio: float = 0.05,
+    max_avg_token_len: float = 12.0,
+    decontam_n: int = 3,
+    decontam_min_overlap: int = 25,
+    sample_rate: float = 1.0,
+    sample_salt: str = "",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Run the full curation chain over ``docs`` and return the
+    surviving rows (original columns) plus their ``shard`` assignment.
+
+    Every stage is deterministic (rule predicates, min-id exact-dedup
+    winners, n-gram overlap, digest-threshold sampling, digest-mod
+    sharding), so the output is a pure function of the input — the
+    reproducibility contract an auditable corpus build needs, and what
+    makes the whole chain DuckDB-oracle-checkable.
+    """
+    kept = quality_filter(
+        docs, text_col, id_col,
+        min_tokens=min_tokens, max_tokens=max_tokens,
+        min_stopword_ratio=min_stopword_ratio,
+        max_avg_token_len=max_avg_token_len,
+        keep_only=True,
+    )
+    kept = drop_exact_duplicates(kept, text_col, id_col)
+    contam = decontaminate(
+        kept, benchmark, n=decontam_n, min_overlap=decontam_min_overlap,
+        text_col=text_col, id_col=id_col,
+    )
+    clean_ids = contam.filter(~F.col("is_contaminated")).select(id_col)
+    kept = kept.join(clean_ids, id_col, "left_semi")
+    if sample_rate < 1.0:
+        kept = hash_sample(kept, sample_rate, key_col=id_col, salt=sample_salt)
+    return assign_shards(kept, n_shards, key_col=id_col)

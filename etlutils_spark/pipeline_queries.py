@@ -709,3 +709,76 @@ def q_scd2_history(spark, sf_dir):
         keys="c_custkey",
         attr_cols=["c_mktsegment", "c_acctbal"],
     )
+
+
+# ---- end-to-end batch curation ---------------------------------------------
+
+_SHINGLE3 = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 0)),"
+    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+)
+
+@register(
+    "curation_pipeline_batch",
+    f"""
+    WITH bench AS (SELECT * FROM documents WHERE source IN ('src0', 'src1')),
+    train AS (SELECT * FROM documents WHERE source NOT IN ('src0', 'src1')),
+    m AS (
+      SELECT doc_id,
+             len(w) AS n_tokens,
+             len(list_filter(w, t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stop,
+             list_sum(list_transform(w, t -> len(t))) AS sum_len
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train)),
+    q AS (
+      SELECT t.* FROM train t JOIN m ON t.doc_id = m.doc_id
+      WHERE m.n_tokens >= 20 AND m.n_tokens <= 100000
+        AND CAST(m.n_stop AS DOUBLE) / greatest(m.n_tokens, 1) >= 0.05
+        AND CAST(m.sum_len AS DOUBLE) / greatest(m.n_tokens, 1) <= 12.0),
+    d AS (
+      SELECT q.* FROM q
+      JOIN (SELECT min(doc_id) AS doc_id
+            FROM (SELECT doc_id,
+                         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h
+                  FROM q)
+            GROUP BY h) k ON q.doc_id = k.doc_id),
+    bsh AS (
+      SELECT DISTINCT s AS shingle
+      FROM (SELECT {_SHINGLE3} AS shl
+            FROM (SELECT string_split(text, ' ') AS w FROM bench)),
+           UNNEST(shl) AS t(s)),
+    dsh AS (
+      SELECT doc_id, s AS shingle
+      FROM (SELECT doc_id, {_SHINGLE3} AS shl
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d)),
+           UNNEST(shl) AS t(s)),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hit
+      FROM dsh WHERE shingle IN (SELECT shingle FROM bsh)
+      GROUP BY doc_id),
+    clean AS (
+      SELECT d.* FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE coalesce(h.n_hit, 0) < 25),
+    samp AS (
+      SELECT * FROM clean
+      WHERE md5(CAST(doc_id AS VARCHAR)) < '{rate_threshold_hex(0.5)}')
+    SELECT doc_id, lang, source,
+           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 8 AS INT) AS shard
+    FROM samp
+    """,
+)
+def q_curation_pipeline_batch(spark, sf_dir):
+    """The full batch curation chain (operators/curation.py): quality
+    rules -> exact dedup -> decontamination vs the src0/src1 benchmark
+    slice -> deterministic 50% sample -> 8-way shard assignment. One
+    composed operator, one chained oracle — every intermediate stage is
+    also independently oracle-checked by its own registry query."""
+    from etlutils_spark.operators.curation import curate_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source").isin("src0", "src1"))
+    train = docs.filter(~F.col("source").isin("src0", "src1"))
+    out = curate_documents(
+        train, bench, sample_rate=0.5, n_shards=8,
+    )
+    return out.select("doc_id", "lang", "source", "shard")
