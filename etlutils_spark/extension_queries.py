@@ -923,3 +923,36 @@ def q_approx_quantiles_contract(spark, sf_dir):
         F.max("n").alias("n_rows"),
         F.bool_and(ok).alias("quantiles_within_bound"),
     )
+
+
+# freqItems' guarantee is one-sided (no false negatives above the
+# support threshold), so the contract oracle lists the EXACT items
+# above threshold and asserts each was found by the sketch.
+@register(
+    "heavy_hitters_contract",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           TRUE AS found_by_sketch
+    FROM events GROUP BY event_type
+    HAVING count(*) > 0.1 * (SELECT count(*) FROM events)
+    """,
+)
+def q_heavy_hitters_contract(spark, sf_dir):
+    """Heavy hitters over event_type at 10% support: the sketch's
+    candidate list must contain every exactly-frequent item."""
+    from etlutils_spark.operators.sketches import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    items = heavy_hitters(ev, "event_type", support=0.1)
+    total = ev.count()
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .filter(F.col("n_exact") > 0.1 * total)
+        .select(
+            "event_type",
+            "n_exact",
+            F.col("event_type").isin(items).alias("found_by_sketch"),
+        )
+    )

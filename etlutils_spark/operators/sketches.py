@@ -40,3 +40,17 @@ def approx_quantiles(
             col, F.array(*[F.lit(p) for p in probabilities]), F.lit(accuracy)
         ).alias("quantiles")
     )
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, support: float = 0.01
+) -> list:
+    """Frequent-items sketch (Karp-Schenker-Papadimitriou via Spark's
+    ``stat.freqItems``): returns the candidate item list for ``col``.
+    Guarantee: every item with true frequency > ``support * n`` IS in
+    the list (false positives possible, false negatives not) — the
+    one-pass, fixed-memory alternative to a full groupBy at 100 TB.
+    The list is at most ~1/support items, so returning it to the
+    driver is bounded by the parameter, not the data."""
+    row = df.stat.freqItems([col], support).first()
+    return list(row[f"{col}_freqItems"])
