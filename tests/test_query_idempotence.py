@@ -15,7 +15,11 @@ def test_queries_rerun_identical(spark):
     qs = em.queries()
     for name in ["dedup_minhash_lsh", "dedup_ngram_jaccard", "streaming_window_counts",
                  "matchmerge_composite_key", "mixture_resample_lang",
-                 "dedup_cluster_survivors", "streaming_curation_pipeline"]:
+                 "dedup_cluster_survivors", "streaming_curation_pipeline",
+                 # r4: tracked-persist (scd2), memory-sink counter
+                 # (interval join), multi-stage chain (curation)
+                 "scd2_history", "streaming_interval_join",
+                 "curation_pipeline_batch"]:
         a = _rows(qs[name](spark, SF))
         b = _rows(qs[name](spark, SF))
         assert a == b, name
