@@ -55,6 +55,22 @@ HEADLINE = [
     "corpus_rarity",
 ]
 
+# round-4 surface, reported separately (see extras_r4 below)
+R4_EXTRAS = [
+    "curation_pipeline_batch",
+    "scd2_history",
+    "streaming_interval_join",
+    "salted_join_hotkey",
+    "salted_agg_event_types",
+    "zorder_pruning_stats",
+    "approx_distinct_contract",
+    "approx_quantiles_contract",
+    "heavy_hitters_contract",
+    "incremental_lsh_pairs",
+    "dedup_simhash",
+    "ann_ivf_topk",
+]
+
 
 def main() -> None:
     import __spark_entry__ as entry_mod
@@ -91,7 +107,7 @@ def main() -> None:
     if not os.path.isdir(warm_sf):
         warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf) and warm_sf != SF_DIR:
-        for name in HEADLINE:
+        for name in HEADLINE + R4_EXTRAS:
             if name in qs:
                 qs[name](spark, warm_sf).write.format("noop").mode("overwrite").save()
 
@@ -114,6 +130,22 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
+    # round-4 additions, timed OUTSIDE the headline total so `value`
+    # stays comparable to the recorded BASELINE.md band (same 28-query
+    # set since round 2); min-of-2 — these are sub-second shapes
+    extras: dict[str, float] = {}
+    for name in R4_EXTRAS:
+        if name not in qs:
+            continue
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+            spark.catalog.clearCache()
+        extras[name] = round(best, 3)
+
     experiments = {
         **minhash_hash_mode_experiment(spark),
         **skew_join_experiment(spark),
@@ -132,6 +164,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "extras_r4": extras,
                 "experiments": experiments,
                 "sf": sf,
             }
