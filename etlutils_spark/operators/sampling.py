@@ -236,3 +236,27 @@ def shuffle_export(
         .repartitionByRange(n_shards, "__shuffle_key")
         .sortWithinPartitions("__shuffle_key")
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    fractions: tuple[float, float] = (0.8, 0.1),
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic split assignment: digest fraction < f_train ->
+    'train', < f_train+f_val -> 'val', else 'test'. Same hash-not-RNG
+    contract as hash_sample: a row's split is a pure function of its
+    key, so the split survives re-runs, repartitioning, and engine
+    changes — and membership is mutually exclusive BY CONSTRUCTION
+    (one digest, ordered thresholds), not by bookkeeping."""
+    f_train, f_val = fractions
+    if not (0 <= f_train and 0 <= f_val and f_train + f_val <= 1):
+        raise ValueError(f"invalid fractions {fractions}")
+    d = _digest(key_col, salt)
+    return df.withColumn(
+        "split",
+        F.when(d < F.lit(rate_threshold_hex(f_train)), "train")
+        .when(d < F.lit(rate_threshold_hex(f_train + f_val)), "val")
+        .otherwise("test"),
+    )

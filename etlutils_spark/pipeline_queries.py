@@ -782,3 +782,27 @@ def q_curation_pipeline_batch(spark, sf_dir):
         train, bench, sample_rate=0.5, n_shards=8,
     )
     return out.select("doc_id", "lang", "source", "shard")
+
+
+@register(
+    "train_val_test_split",
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN md5(CAST(doc_id AS VARCHAR))
+                     < '{rate_threshold_hex(0.8)}' THEN 'train'
+                WHEN md5(CAST(doc_id AS VARCHAR))
+                     < '{rate_threshold_hex(0.9)}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_train_val_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 split assignment over the documents
+    table (sampling.train_val_test_split): one digest, ordered
+    thresholds — exclusive and exhaustive by construction."""
+    from etlutils_spark.operators.sampling import train_val_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return train_val_test_split(docs, (0.8, 0.1)).select(
+        "doc_id", "lang", "split"
+    )
