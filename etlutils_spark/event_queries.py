@@ -523,3 +523,34 @@ def q_window_rolling_7d(spark, sf_dir):
         .alias("rolling_7d_value"),
         F.count(F.lit(1)).over(w).alias("rolling_7d_events"),
     )
+
+
+@register(
+    "asof_next_purchase",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    )
+    SELECT event_id, user_id, ts,
+           first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+             AS next_purchase_ts
+    FROM e
+    """,
+)
+def q_asof_next_purchase(spark, sf_dir):
+    """Forward as-of: earliest strictly-later purchase per user — the
+    direction='forward' twin of asof_last_purchase, same single window
+    pass after one shuffle on user_id."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.first(purchase_ts, ignorenulls=True).over(w).alias("next_purchase_ts"),
+    )

@@ -806,3 +806,52 @@ def q_train_val_test_split(spark, sf_dir):
     return train_val_test_split(docs, (0.8, 0.1)).select(
         "doc_id", "lang", "split"
     )
+
+
+@register(
+    "constraint_audit",
+    """
+    WITH j AS (
+      SELECT o.*, c.c_custkey AS fk
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+    a AS (SELECT
+      CAST(SUM(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS fk_customer,
+      CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT)
+        AS positive_price,
+      CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS orderdate_not_null,
+      CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        AS unique_orderkey
+    FROM j)
+    SELECT 'fk_customer' AS rule, fk_customer AS n_violations,
+           fk_customer = 0 AS passed FROM a
+    UNION ALL
+    SELECT 'positive_price', positive_price, positive_price = 0 FROM a
+    UNION ALL
+    SELECT 'orderdate_not_null', orderdate_not_null,
+           orderdate_not_null = 0 FROM a
+    UNION ALL
+    SELECT 'unique_orderkey', unique_orderkey, unique_orderkey = 0 FROM a
+    """,
+)
+def q_constraint_audit(spark, sf_dir):
+    """Expectations pass over orders (plans/checks.check_constraints):
+    FK-to-customer, positivity, not-null, key uniqueness — all rules in
+    ONE aggregation over one broadcast-joined scan."""
+    from etlutils_spark.plans.checks import check_constraints
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("fk")
+    )
+    j = o.join(F.broadcast(c), o.o_custkey == c.fk, "left")
+    return check_constraints(
+        j,
+        rules={
+            "fk_customer": F.col("fk").isNotNull(),
+            "positive_price": F.col("o_totalprice") > 0,
+            "orderdate_not_null": F.col("o_orderdate").isNotNull(),
+        },
+        unique_keys={"unique_orderkey": "o_orderkey"},
+    )

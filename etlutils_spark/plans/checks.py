@@ -71,3 +71,43 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 def has_pushed_filters(df: DataFrame) -> bool:
     plan = physical_plan(df)
     return "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+
+
+def check_constraints(
+    df: DataFrame,
+    rules: dict[str, F.Column],
+    unique_keys: dict[str, str] | None = None,
+) -> DataFrame:
+    """Declarative data-quality audit: ``rules`` maps a rule name to a
+    boolean Column (True = row passes); ``unique_keys`` maps a rule
+    name to a column that must be duplicate-free. Returns one row per
+    rule — ``(rule, n_violations, passed)`` — computed in ONE
+    aggregation pass over ``df`` (every rule is a conditional count in
+    the same HashAggregate; uniqueness is count(*) - count(distinct)),
+    then unpivoted driver-free with ``stack``.
+
+    The generalization of the reference's two validations (unique
+    right key, R/matchmerge.R:148-160; level domain, R/ffsql.R:190-200)
+    to arbitrary predicates — at 100 TB an expectations pass is one
+    scan regardless of how many rules it carries.
+    """
+    unique_keys = unique_keys or {}
+    overlap = set(rules) & set(unique_keys)
+    if overlap:
+        raise ValueError(f"rule names used twice: {sorted(overlap)}")
+    aggs = [
+        F.sum(F.when(~cond, 1).otherwise(0)).cast("long").alias(name)
+        for name, cond in rules.items()
+    ] + [
+        (F.count(F.lit(1)) - F.count_distinct(F.col(col))).cast("long").alias(name)
+        for name, col in unique_keys.items()
+    ]
+    names = [*rules, *unique_keys]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(f"'{n}', `{n}`" for n in names)
+    return (
+        one.select(
+            F.expr(f"stack({len(names)}, {stack_args}) as (rule, n_violations)")
+        )
+        .withColumn("passed", F.col("n_violations") == 0)
+    )
