@@ -263,3 +263,41 @@ def test_outlier_moments_broadcast_back(spark, qs):
     # group moments join back as a broadcast; the fact side of the
     # probe never shuffles
     assert "BroadcastHashJoin" in plan
+
+
+def test_curation_pipeline_broadcasts_and_stays_jvm(spark, qs):
+    """The end-to-end chain: benchmark shingle set and keeper/clean id
+    sets travel as broadcasts; no Python eval node anywhere."""
+    plan = physical_plan(qs["curation_pipeline_batch"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # semi-join discipline: survivor filtering uses LeftSemi, payloads
+    # are not re-joined by value
+    assert "LeftSemi" in plan
+
+
+def test_constraint_audit_single_aggregate(spark, qs):
+    """All rules in ONE aggregation pass: exactly one pair of
+    partial/final HashAggregates over the joined scan."""
+    plan = physical_plan(qs["constraint_audit"](spark, SF))
+    # count(distinct) expands to extra plan aggregates; the audit scans
+    # themselves must appear once each (tree section only — the
+    # formatted plan repeats every node in its detail section)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2  # orders + customer, once each
+
+
+def test_scd2_joins_are_keyed_no_window(spark, qs):
+    """SCD-2 must not fall back to a global window/sort."""
+    plan = physical_plan(qs["scd2_history"](spark, SF))
+    assert "Window" not in plan
+    # no single-partition exchange anywhere (a global sort or a
+    # driver-side funnel would show up as one)
+    assert "SinglePartition" not in plan
+
+
+def test_zorder_pruning_stats_two_scans_jvm_only(spark, qs):
+    plan = physical_plan(qs["zorder_pruning_stats"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2  # one per simulated layout
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
