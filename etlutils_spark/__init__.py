@@ -16,6 +16,9 @@ from etlutils_spark.operators.locf import na_locf_plus_one
 from etlutils_spark.operators.transfun import trans_fun
 from etlutils_spark.sources.sql import read_sql, write_sql
 from etlutils_spark.sources.files import read_table, load_star
+from etlutils_spark.sources.merge import merge_upsert, scd2_apply
+from etlutils_spark.operators.curation import curate_documents
+from etlutils_spark.plans.checks import check_constraints
 
 __all__ = [
     "get_session",
@@ -29,6 +32,10 @@ __all__ = [
     "write_sql",
     "read_table",
     "load_star",
+    "merge_upsert",
+    "scd2_apply",
+    "curate_documents",
+    "check_constraints",
 ]
 
 __version__ = "0.1.0"
