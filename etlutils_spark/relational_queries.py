@@ -1651,3 +1651,33 @@ def q20_excess_stock_suppliers(spark, sf_dir):
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+@register(
+    "unpivot_order_metrics",
+    """
+    SELECT o_orderkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS totalprice,
+             CAST(o_custkey AS DOUBLE) AS custkey
+      FROM orders WHERE o_orderkey % 100 = 0)
+    UNPIVOT (val FOR metric IN (totalprice, custkey))
+    """,
+)
+def q_unpivot_order_metrics(spark, sf_dir):
+    """Unpivot/melt (the inverse of pivot_status_counts): wide metric
+    columns to (key, metric, value) rows via Spark's native unpivot —
+    a Generate node, zero shuffle, no UDF."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    wide = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return wide.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
