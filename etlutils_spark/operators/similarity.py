@@ -86,6 +86,7 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_iter: int = 20,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: k-means centroids (Spark ML, seeded) +
     corpus partitioned by nearest-centroid assignment.
@@ -102,7 +103,8 @@ def ivf_index(
         F.col(id_col), F.col(vec_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat"),
     )
-    km = KMeans(k=num_clusters, seed=seed, featuresCol="__feat", predictionCol="cluster_id")
+    km = KMeans(k=num_clusters, seed=seed, featuresCol="__feat",
+                predictionCol="cluster_id", maxIter=max_iter)
     model = km.fit(feat)
     assigned = model.transform(feat).select(id_col, vec_col, "cluster_id")
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
@@ -119,16 +121,22 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    max_iter: int = 20,
 ) -> DataFrame:
     """IVF approximate top-k: search only the ``nprobe`` clusters whose
-    centroids are nearest each query.
+    centroids are nearest each query. ``max_iter`` bounds the k-means
+    jobs (each iteration is a full corpus pass); with nprobe ==
+    num_clusters the RESULT is centroid-invariant, so a small budget
+    loses nothing.
 
     Cost model: brute force scores |corpus| vectors per query; IVF
     scores ~|corpus| * nprobe / num_clusters. Recall is tunable via
     nprobe (nprobe == num_clusters degenerates to exact). Output shape
     matches ``cosine_topk`` for direct recall measurement.
     """
-    assigned, centroids = ivf_index(corpus, num_clusters, id_col, vec_col, seed)
+    assigned, centroids = ivf_index(
+        corpus, num_clusters, id_col, vec_col, seed, max_iter=max_iter
+    )
 
     # per query: rank centroids by cosine, keep nprobe cluster ids
     cent = [(i, c) for i, c in enumerate(centroids)]
