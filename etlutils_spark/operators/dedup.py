@@ -426,9 +426,16 @@ def simhash_near_pairs(
         F.shiftrightunsigned(_rotl(F.col("simhash"), t * step, bits), bits - prefix_bits)
         for t in range(tables)
     ]
-    s = sigs.select(
-        F.col(id_col), F.col("simhash"),
-        F.posexplode(F.array(*blocks)).alias("tbl", "block"),
+    from etlutils_spark.caching import persist_tracked
+
+    # the banded table feeds BOTH sides of the self-join below; without
+    # persistence the full signature computation (tokenize + per-token
+    # hash + per-bit aggregates) runs twice
+    s = persist_tracked(
+        sigs.select(
+            F.col(id_col), F.col("simhash"),
+            F.posexplode(F.array(*blocks)).alias("tbl", "block"),
+        )
     )
     a = s.select(F.col(id_col).alias(f"{id_col}_1"), F.col("simhash").alias("sig_1"), "tbl", "block")
     b = s.select(F.col(id_col).alias(f"{id_col}_2"), F.col("simhash").alias("sig_2"), "tbl", "block")
