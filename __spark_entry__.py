@@ -56,13 +56,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # never-yet-checked (or changed-this-round) queries to the front
 # maximizes cumulative verified coverage across rounds (VERDICT.md r2
 # "Next round" #1). Within each tier the original registration order is
-# preserved. dedup_simhash / ann_ivf_topk / multimodal_features are
-# deliberately ABSENT despite prior rows: their r4 registrations gained
-# real value oracles (portable-md5 simhash, exhaustive-nprobe IVF,
-# scalar feature projection) and must be re-checked in the new form.
+# preserved. dedup_simhash / ann_ivf_topk / multimodal_features /
+# ann_arrow_topk / ann_lsh_topk / multimodal_probe are deliberately
+# ABSENT despite prior rows: their r4 registrations gained real value
+# oracles (portable-md5 simhash, exhaustive-nprobe IVF, scalar feature
+# projection, rank-projection arrow top-k, literal-plane LSH replay,
+# byte-math probe) and must be re-checked in the new form.
 _DRIVER_VERIFIED_PRIOR_ROUNDS = frozenset({
-    "agg_cube", "agg_rollup", "ann_arrow_topk", "ann_cosine_topk",
-    "ann_lsh_topk", "anti_join_customers", "append_union",
+    "agg_cube", "agg_rollup", "ann_cosine_topk",
+    "anti_join_customers", "append_union",
     "asof_last_purchase", "chunk_documents_windows",
     "cogroup_asof_enrich", "collect_sorted_sizes", "corpus_rarity",
     "correlated_subquery", "decontaminate_overlap",
@@ -78,7 +80,7 @@ _DRIVER_VERIFIED_PRIOR_ROUNDS = frozenset({
     "matchmerge_composite_key", "matchmerge_expr_key",
     "matchmerge_inner", "matchmerge_left", "matchmerge_vector_y",
     "mixture_resample_lang", "multimodal_audio_chunks",
-    "multimodal_meta", "multimodal_probe", "outlier_flags_events",
+    "multimodal_meta", "outlier_flags_events",
     "pack_sequences_source", "pandas_udf_normalize",
     "percentile_quantity", "pivot_status_counts", "profile_documents",
     "q10_returned_items", "q11_important_stock",

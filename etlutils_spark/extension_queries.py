@@ -435,27 +435,106 @@ def q_ann_ivf_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
-@register("ann_lsh_topk", None)  # hyperplane literals -> rows-only
+# The hyperplanes are seeded (RandomState(42)), so the oracle embeds the
+# exact 16x64 plane doubles as literals (repr() round-trips IEEE 754)
+# and replays the whole pipeline in SQL: sign-bit per plane via a strict
+# left-fold dot (list_reduce mirrors F.aggregate's 0.0-seeded fold —
+# identical summation order, and the >= 0 sign test is robust anyway),
+# 4-bit band strings, bucket join for candidates, then the same
+# decimal-exact cosine + window top-k as ann_cosine_topk.
+def _lsh_oracle() -> str:
+    from etlutils_spark.operators.similarity import hyperplanes
+
+    plane_rows = ",\n      ".join(
+        "({}, [{}]::DOUBLE[])".format(p, ", ".join(repr(v) for v in row))
+        for p, row in enumerate(hyperplanes(64, 16, seed=42))
+    )
+    return f"""
+    WITH {DUCK_NORMS},
+    planes(plane_id, p) AS (VALUES {plane_rows}),
+    bits AS (
+      SELECT e.vec_id, pl.plane_id,
+             CASE WHEN list_reduce(
+                    list_transform(generate_series(1, 64),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i]),
+                    (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM embeddings e, planes pl),
+    sigs AS (
+      SELECT vec_id, list(bit ORDER BY plane_id) AS bits
+      FROM bits GROUP BY vec_id),
+    bands AS (
+      SELECT vec_id, b AS band_idx,
+             concat_ws(',', bits[b*4+1], bits[b*4+2],
+                            bits[b*4+3], bits[b*4+4]) AS band_sig
+      FROM sigs, UNNEST([0, 1, 2, 3]) AS t(b)),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+      FROM bands q
+      JOIN bands c ON q.band_idx = c.band_idx AND q.band_sig = c.band_sig
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+    dots AS (
+      SELECT cand.query_id, cand.vec_id,
+             CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                  AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.query_id
+      JOIN embeddings c ON c.vec_id = cand.vec_id,
+      UNNEST(generate_series(1, 64)) AS t(i)
+      GROUP BY 1, 2),
+    cos AS (
+      SELECT query_id, dots.vec_id AS vec_id, dot / (n1.nrm * n2.nrm) AS cosine
+      FROM dots
+      JOIN norms n1 ON query_id = n1.vec_id
+      JOIN norms n2 ON dots.vec_id = n2.vec_id)
+    SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rn
+          FROM cos)
+    WHERE rn <= 10
+    """
+
+
+@register("ann_lsh_topk", _lsh_oracle())
 def q_ann_lsh_topk(spark, sf_dir):
     """Random-hyperplane LSH top-10 (the scale path): sign-bit bands ->
-    bucket join -> cosine within candidates. Deterministic seed; recall
-    vs brute force is unit-tested."""
+    bucket join -> cosine within candidates. Deterministic seed; the
+    oracle replays the seeded planes as SQL literals, so candidates AND
+    scores are value-checked; recall vs brute force is unit-tested."""
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, dim=64)
+    out = lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, dim=64)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
-@register("ann_arrow_topk", None)  # BLAS float order -> rows-only
+# The BLAS path's scores differ from a left-fold at the last ulp
+# (pairwise/BLAS summation order), so the float column itself can never
+# hash-match; but the RANKING is the contract — which neighbors, in what
+# order — and on real-valued embeddings the top-k score gaps are many
+# orders of magnitude above 1e-15, so ids+ranks are engine-invariant
+# (differential-tested to 1e-9 in pytest). Register the id/rank
+# projection against the same decimal-exact SQL as ann_cosine_topk,
+# minus the score column.
+_ARROW_RANK_ORACLE = (
+    REGISTRY["ann_cosine_topk"][1]
+    .replace("SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank",
+             "SELECT query_id, vec_id, CAST(rn AS BIGINT) AS rank")
+)
+assert _ARROW_RANK_ORACLE != REGISTRY["ann_cosine_topk"][1], "projection rewrite did not apply"
+
+
+@register("ann_arrow_topk", _ARROW_RANK_ORACLE)
 def q_ann_arrow_topk(spark, sf_dir):
     """Arrow-vectorized brute force: broadcast normalized query matrix,
     one numpy matmul per Arrow batch, per-batch partial top-k (the
     combiner pattern — shuffle carries k x |queries| rows per batch).
-    Same ids/ranks as ann_cosine_topk (differential-tested to 1e-9);
-    rows-only here because BLAS summation order makes last-ulp scores
-    engine-specific."""
+    Oracle-checked on (query_id, vec_id, rank) — the neighbor identity
+    and ordering contract; the raw cosine stays in the operator output
+    for users but is dropped here because BLAS summation order makes
+    last-ulp score bits engine-specific."""
     from etlutils_spark.operators.similarity import cosine_topk_arrow
 
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_topk_arrow(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    out = cosine_topk_arrow(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.select("query_id", "vec_id", F.col("rank").cast("bigint").alias("rank"))
 
 
 # ---- text analysis --------------------------------------------------------
@@ -610,7 +689,41 @@ def q_multimodal_audio_chunks(spark, sf_dir):
     return out.select("doc_id", "chunk_idx", "start_ms", "end_ms", "chunk_md5")
 
 
-@register("multimodal_probe", None)  # byte-level fake probe -> rows-only
+# The fake probe (operators/multimodal.py _fake_probe) is pure byte
+# math over the first-8-byte sum h and the payload length: kind =
+# (image, audio, video)[h % 3], then per-kind fields from h/len with
+# integer floor division. The corpus is pure ASCII (byte == codepoint),
+# so DuckDB's per-char ascii() reproduces np.frombuffer's bytes and the
+# whole probe is oracle-checkable — same pattern that earned
+# multimodal_features its oracle in round 4.
+_PROBE_ORACLE = """
+    WITH c AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+             CAST(list_sum(list_transform(
+                    string_split(substr(text, 1, 8), ''),
+                    ch -> ascii(ch))) AS BIGINT) AS h
+      FROM documents)
+    SELECT doc_id,
+           CASE h % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                      ELSE 'video' END AS media_kind,
+           CASE h % 3 WHEN 0 THEN CAST(64 + h % 512 AS INT)
+                      WHEN 2 THEN 320 END AS width,
+           CASE h % 3 WHEN 0 THEN CAST(64 + (h // 2) % 512 AS INT)
+                      WHEN 2 THEN 240 END AS height,
+           CASE h % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 END AS channels,
+           CASE h % 3 WHEN 0 THEN 'fake/raw' END AS format,
+           CASE h % 3 WHEN 1 THEN 16000 END AS sample_rate,
+           CASE h % 3 WHEN 2 THEN 25.0 END AS fps,
+           CASE h % 3 WHEN 1 THEN blen * 1000 // 32000
+                      WHEN 2 THEN blen * 1000 // 8000 END AS duration_ms,
+           CASE h % 3 WHEN 1 THEN 'fake/pcm16'
+                      WHEN 2 THEN 'fake/raw' END AS codec
+    FROM c
+    """
+
+
+@register("multimodal_probe", _PROBE_ORACLE)
 def q_multimodal_probe(spark, sf_dir):
     """Typed media-metadata probe (the ffprobe slot): one struct-shaped
     metadata row per payload with per-modality fields nulled where not
