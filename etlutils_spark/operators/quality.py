@@ -156,3 +156,61 @@ def redact_pii(
     return out.select(
         F.col(id_col), *counts, redacted.alias("redacted_text")
     )
+
+
+def percentile_prune(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    keep_frac: float = 0.5,
+    id_col: str = "doc_id",
+    exact: bool = True,
+    approx_accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group quality pruning: keep the top ``keep_frac`` of rows in
+    each ``group_col`` partition by ``score_col`` (ties broken by
+    ``id_col`` — fully deterministic). The FineWeb-style curation move:
+    a fixed global score threshold over-prunes low-resource domains, so
+    the threshold is per-group.
+
+    ``exact=True`` ranks with one window pass (row_number + count over
+    the group): each group must sort, which shuffles on the group key —
+    few, large groups, exactly the shape AQE's skew handling splits.
+    Keeps ``greatest(1, floor(keep_frac * n))`` rows per group and emits
+    ``grp_rank`` so the cut is auditable.
+
+    ``exact=False`` is the 100 TB path: a per-group
+    ``percentile_approx`` threshold (one aggregation, no sort) joined
+    back broadcast, then a scan-speed ``score >= threshold`` filter.
+    Rank-error is bounded by n/approx_accuracy; the kept fraction drifts
+    by at most that. Engine-specific sketch -> pytest contract, not an
+    oracle.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError("keep_frac must be in (0, 1]")
+    if exact:
+        w = Window.partitionBy(group_col).orderBy(
+            F.desc(score_col), F.col(id_col)
+        )
+        cw = Window.partitionBy(group_col)
+        rn = F.row_number().over(w)
+        n = F.count(F.lit(1)).over(cw)
+        n_keep = F.greatest(F.lit(1).cast("bigint"),
+                            F.floor(F.lit(keep_frac) * n))
+        return (
+            df.withColumn("grp_rank", rn.cast("bigint"))
+            .withColumn("__n_keep", n_keep)
+            .filter(F.col("grp_rank") <= F.col("__n_keep"))
+            .drop("__n_keep")
+        )
+    thr = df.groupBy(group_col).agg(
+        F.percentile_approx(score_col, 1.0 - keep_frac, approx_accuracy)
+        .alias("__thr")
+    )
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(F.col(score_col) >= F.col("__thr"))
+        .drop("__thr")
+    )

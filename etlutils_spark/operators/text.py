@@ -278,3 +278,61 @@ def chunk_documents(
             F.size(chunk).alias("n_chunk_tokens"),
         )
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    top_n: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-N vocabulary induction: the highest-frequency tokens in the
+    corpus, ranked (count DESC, token ASC — fully deterministic under
+    ties). Output: (token, token_count, vocab_rank).
+
+    Scale: one shuffle to the vocabulary-sized count table, then
+    ``orderBy().limit(top_n)`` — Spark plans a distributed TakeOrdered
+    (per-partition partial top-k, k rows per partition to the driver
+    stage), NOT a global sort. The rank window runs over the already-
+    limited top_n rows, so its single partition is bounded by top_n by
+    construction.
+    """
+    from pyspark.sql import Window
+
+    tok = with_tokens(df, text_col).select(F.explode(TOKENS_COL).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("token_count"))
+    top = counts.orderBy(F.desc("token_count"), F.col("token")).limit(top_n)
+    w = Window.orderBy(F.desc("token_count"), F.col("token"))
+    return top.withColumn("vocab_rank", F.row_number().over(w).cast("bigint"))
+
+
+def oov_stats(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against an induced (or
+    external) vocabulary — the tokenizer-coverage health metric run
+    before committing to a vocab. Output: (id, n_tokens, n_oov,
+    oov_rate); every occurrence counts (token frequency, not types).
+
+    Scale: the vocab is top-N-bounded, so it broadcasts; the corpus side
+    is one explode + left join + per-doc re-aggregation (one shuffle on
+    the id key). The division is a single IEEE double op — bit-identical
+    on any engine/partitioning.
+    """
+    tok = with_tokens(df, text_col).select(
+        id_col, F.explode(TOKENS_COL).alias("token")
+    )
+    v = F.broadcast(vocab.select("token").withColumn("__in_v", F.lit(1)))
+    n_tokens = F.count(F.lit(1)).cast("bigint")
+    n_oov = F.sum(F.when(F.col("__in_v").isNull(), 1).otherwise(0)).cast("bigint")
+    return (
+        tok.join(v, "token", "left")
+        .groupBy(id_col)
+        .agg(
+            n_tokens.alias("n_tokens"),
+            n_oov.alias("n_oov"),
+            (n_oov.cast("double") / n_tokens.cast("double")).alias("oov_rate"),
+        )
+    )

@@ -316,6 +316,110 @@ def q_corpus_rarity(spark, sf_dir):
     return corpus_rarity_stats(_t(spark, sf_dir, "documents"), rare_max_count=_RARE_MAX)
 
 
+_VOCAB_N = 256
+
+_DUCK_VOCAB = f"""
+    toks AS (
+      SELECT doc_id, s AS token
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(w) AS t(s)),
+    vc AS (SELECT token, CAST(count(*) AS BIGINT) AS token_count
+           FROM toks GROUP BY token),
+    vocab AS (
+      SELECT token, token_count,
+             CAST(row_number() OVER (ORDER BY token_count DESC, token)
+                  AS BIGINT) AS vocab_rank
+      FROM vc ORDER BY token_count DESC, token LIMIT {_VOCAB_N})
+"""
+
+
+@register(
+    "vocab_top_tokens",
+    f"WITH {_DUCK_VOCAB} SELECT token, token_count, vocab_rank FROM vocab",
+)
+def q_vocab_top_tokens(spark, sf_dir):
+    """Top-N vocabulary induction: highest-frequency tokens, rank
+    deterministic under ties (count DESC, token ASC). orderBy+limit
+    plans a distributed TakeOrdered, not a global sort; the rank window
+    runs over the top_n-bounded result."""
+    from etlutils_spark.operators.text import build_vocab
+
+    return build_vocab(_t(spark, sf_dir, "documents"), top_n=_VOCAB_N)
+
+
+@register(
+    "vocab_oov_rate",
+    f"""
+    WITH {_DUCK_VOCAB}
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS oov_rate
+    FROM toks LEFT JOIN vocab v USING (token)
+    GROUP BY doc_id
+    """,
+)
+def q_vocab_oov_rate(spark, sf_dir):
+    """Per-document out-of-vocabulary rate vs the induced top-N vocab —
+    tokenizer-coverage health before committing to a vocab. The
+    top-N-bounded vocab broadcasts; one explode + per-doc re-agg."""
+    from etlutils_spark.operators.text import build_vocab, oov_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return oov_stats(docs, build_vocab(docs, top_n=_VOCAB_N))
+
+
+_PRUNE_FRAC = 0.5
+
+
+@register(
+    "quality_percentile_prune",
+    f"""
+    WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w
+               FROM documents),
+    m AS (
+      SELECT doc_id, lang,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) AS avg_token_len,
+             CAST(len(list_filter(w, t -> list_contains({_STOP_LIST}, t))) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) AS stopword_ratio
+      FROM t),
+    s AS (
+      SELECT doc_id, lang,
+             least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+               + stopword_ratio * 0.3
+               + least(avg_token_len / 8.0, 1.0) * 0.2 AS quality_score
+      FROM m),
+    r AS (
+      SELECT doc_id, lang, quality_score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY quality_score DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM s)
+    SELECT doc_id, lang, quality_score, CAST(rn AS BIGINT) AS grp_rank
+    FROM r
+    WHERE rn <= greatest(1, floor({_PRUNE_FRAC} * n))
+    """,
+)
+def q_quality_percentile_prune(spark, sf_dir):
+    """Per-language quality pruning: keep the top half of each lang by
+    the composite quality score (per-group threshold — a global cut
+    over-prunes low-resource langs). Exact mode: one window pass per
+    group; the percentile_approx threshold mode is the sketch-based
+    100 TB path (pytest contract)."""
+    from etlutils_spark.operators.quality import percentile_prune
+    from etlutils_spark.operators.text import text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = text_stats(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return percentile_prune(
+        scored, "quality_score", "lang", keep_frac=_PRUNE_FRAC
+    ).select("doc_id", "lang", "quality_score", "grp_rank")
+
+
 _CHUNK_MAX, _CHUNK_OVERLAP = 64, 8
 
 

@@ -360,3 +360,90 @@ def test_chunk_documents_geometry(spark):
     assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b"
     # doc 3: empty text -> split('') == [''] -> one chunk of the empty token
     assert len(by_doc[3]) == 1 and by_doc[3][0]["n_chunk_tokens"] == 1
+
+
+# ---- vocab induction / OOV -------------------------------------------------
+
+def test_build_vocab_rank_deterministic(spark):
+    from etlutils_spark.operators.text import build_vocab
+
+    rows = [(0, "a a a b b c"), (1, "b d d d c a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = build_vocab(df, top_n=3).collect()
+    # counts: a=4, b=3, d=3, c=2 -> top3 = a, b, d (tie b/d broken by token)
+    assert [(r.token, r.token_count, r.vocab_rank) for r in out] == [
+        ("a", 4, 1), ("b", 3, 2), ("d", 3, 3)
+    ]
+
+
+def test_oov_stats_counts_occurrences_not_types(spark):
+    from etlutils_spark.operators.text import build_vocab, oov_stats
+
+    rows = [(0, "a a a b b c"), (1, "b d d d c a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = build_vocab(df, top_n=2)  # a, b
+    got = {r.doc_id: r for r in oov_stats(df, vocab).collect()}
+    assert got[0].n_tokens == 6 and got[0].n_oov == 1  # the single c
+    assert got[1].n_tokens == 6 and got[1].n_oov == 4  # d d d c
+    assert got[1].oov_rate == pytest.approx(4 / 6)
+
+
+# ---- per-group percentile pruning ------------------------------------------
+
+def _scored_df(spark):
+    rows = [(i, "g1" if i < 10 else "g2", float(i)) for i in range(15)]
+    return spark.createDataFrame(rows, "doc_id long, grp string, score double")
+
+
+def test_percentile_prune_exact_keeps_top_fraction_per_group(spark):
+    from etlutils_spark.operators.quality import percentile_prune
+
+    out = percentile_prune(
+        _scored_df(spark), "score", "grp", keep_frac=0.4, id_col="doc_id"
+    ).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, set()).add(r.doc_id)
+    # g1 has 10 rows -> keep floor(4) = 4 best scores (9,8,7,6)
+    assert by_grp["g1"] == {9, 8, 7, 6}
+    # g2 has 5 rows -> keep floor(2) = 2 best (14, 13)
+    assert by_grp["g2"] == {14, 13}
+
+
+def test_percentile_prune_keeps_at_least_one_row_per_group(spark):
+    from etlutils_spark.operators.quality import percentile_prune
+
+    df = spark.createDataFrame([(1, "solo", 5.0)], "doc_id long, grp string, score double")
+    out = percentile_prune(df, "score", "grp", keep_frac=0.01).collect()
+    assert len(out) == 1 and out[0].grp_rank == 1
+
+
+def test_percentile_prune_approx_mode_contract(spark):
+    from etlutils_spark.operators.quality import percentile_prune
+
+    df = _scored_df(spark)
+    exact = {r.doc_id for r in percentile_prune(df, "score", "grp", 0.4).collect()}
+    approx = {
+        r.doc_id
+        for r in percentile_prune(df, "score", "grp", 0.4, exact=False).collect()
+    }
+    # threshold mode keeps every exact survivor (score >= thr includes
+    # the boundary row the rank cut may exclude) ...
+    assert exact <= approx
+    # ... and is threshold-consistent per group: no kept row scores
+    # below a dropped row
+    rows = {r.doc_id: r for r in df.collect()}
+    for grp in {r.grp for r in rows.values()}:
+        kept = [rows[i].score for i in approx if rows[i].grp == grp]
+        dropped = [r.score for i, r in rows.items()
+                   if r.grp == grp and i not in approx]
+        assert not dropped or min(kept) >= max(dropped)
+    # kept fraction drifts by at most one boundary row per group
+    assert len(approx) <= len(exact) + 2
+
+
+def test_percentile_prune_rejects_bad_fraction(spark):
+    from etlutils_spark.operators.quality import percentile_prune
+
+    with pytest.raises(ValueError):
+        percentile_prune(_scored_df(spark), "score", "grp", keep_frac=0.0)
