@@ -271,16 +271,24 @@ def q_incremental_lsh_pairs(spark, sf_dir):
     shutil.rmtree(root, ignore_errors=True)
     src = os.path.join(root, "src")
     os.makedirs(src)
+    # one corpus scan writes all 4 slices (dynamic partitioning), vs a
+    # filtered scan per slice; each slice dir holds one file thanks to
+    # the repartition on the slice key
+    staging = os.path.join(root, "staging")
+    (
+        docs.withColumn("__slice", F.col("doc_id") % 4)
+        .repartition(4, "__slice")
+        .write.mode("overwrite")
+        .partitionBy("__slice")
+        .parquet(staging)
+    )
     for i in range(4):
-        staging = os.path.join(root, f"staging{i}")
-        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(staging)
+        slice_dir = os.path.join(staging, f"__slice={i}")
         part = next(
-            f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
+            f for f in sorted(os.listdir(slice_dir)) if f.endswith(".parquet")
         )
-        os.replace(os.path.join(staging, part), os.path.join(src, f"slice{i}.parquet"))
-        shutil.rmtree(staging)
+        os.replace(os.path.join(slice_dir, part), os.path.join(src, f"slice{i}.parquet"))
+    shutil.rmtree(staging)
 
     schema = spark.read.parquet(src).schema
     stream = (

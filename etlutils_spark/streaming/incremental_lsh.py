@@ -54,7 +54,10 @@ def batch_profiles(
 ) -> DataFrame:
     """One compact index row per document: band signatures + the 64-bit
     shingle-hash set (the verify payload)."""
-    sh = shingle_rows(docs, text_col, id_col, n).persist()
+    # sh feeds exactly one aggregation and the localCheckpoint below
+    # materializes the result, so the shingle table is computed once
+    # without its own persist
+    sh = shingle_rows(docs, text_col, id_col, n)
     # one groupBy computes signature mins AND the shingle-hash set; the
     # band array is then a per-row expression (index = band number by
     # construction — no order-sensitive collect_list)
@@ -74,9 +77,9 @@ def batch_profiles(
         "shingle_hashes",
         F.size("shingle_hashes").alias("n_sh"),
     )
-    out = out.localCheckpoint(eager=True)  # cut lineage before sh.unpersist
-    sh.unpersist()
-    return out
+    # eager localCheckpoint: prof is re-read ~5x downstream (band
+    # explode x2, two verifies, index append) — materialize once
+    return out.localCheckpoint(eager=True)
 
 
 def _verified_pairs(cand: DataFrame, left: DataFrame, right: DataFrame, threshold: float) -> DataFrame:
