@@ -437,9 +437,12 @@ def q_ann_ivf_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     # exhaustive nprobe makes the result centroid-invariant, so the
-    # k-means budget is capped: 4 corpus passes instead of 20
+    # k-means budget is minimal: random init (no k-means|| sampling
+    # rounds) + 1 iteration (the pruned-mode pytest recall test keeps
+    # a real iteration budget)
     out = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10,
-                   num_clusters=16, nprobe=16, max_iter=4)
+                   num_clusters=16, nprobe=16, max_iter=1,
+                   init_mode="random")
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 

@@ -87,6 +87,7 @@ def ivf_index(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
+    init_mode: str = "k-means||",
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: k-means centroids (Spark ML, seeded) +
     corpus partitioned by nearest-centroid assignment.
@@ -103,8 +104,13 @@ def ivf_index(
         F.col(id_col), F.col(vec_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat"),
     )
+    # init_mode="random" skips the k-means|| sampling rounds (each a
+    # corpus pass) — right when centroid QUALITY doesn't matter, e.g.
+    # the exhaustive-nprobe registration where results are
+    # centroid-invariant
     km = KMeans(k=num_clusters, seed=seed, featuresCol="__feat",
-                predictionCol="cluster_id", maxIter=max_iter)
+                predictionCol="cluster_id", maxIter=max_iter,
+                initMode=init_mode)
     model = km.fit(feat)
     assigned = model.transform(feat).select(id_col, vec_col, "cluster_id")
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
@@ -122,6 +128,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     seed: int = 42,
     max_iter: int = 20,
+    init_mode: str = "k-means||",
 ) -> DataFrame:
     """IVF approximate top-k: search only the ``nprobe`` clusters whose
     centroids are nearest each query. ``max_iter`` bounds the k-means
@@ -135,7 +142,8 @@ def ivf_topk(
     matches ``cosine_topk`` for direct recall measurement.
     """
     assigned, centroids = ivf_index(
-        corpus, num_clusters, id_col, vec_col, seed, max_iter=max_iter
+        corpus, num_clusters, id_col, vec_col, seed, max_iter=max_iter,
+        init_mode=init_mode,
     )
 
     # per query: rank centroids by cosine, keep nprobe cluster ids
