@@ -153,6 +153,7 @@ def main() -> None:
         **decimal_vs_double_experiment(spark),
         **layout_pruning_experiment(spark),
         **ann_jvm_vs_arrow_experiment(spark),
+        **bloom_filter_join_experiment(spark),
     }
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
@@ -456,6 +457,56 @@ def bucketed_join_experiment(spark) -> dict[str, float]:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     return {"join_shuffled_sec": shuffled, "join_bucketed_sec": bucketed}
+
+
+def bloom_filter_join_experiment(spark) -> dict[str, float]:
+    """Runtime bloom-filter semi-join reduction: a selective dimension
+    filter injected as a bloom filter into the fact scan, so fact rows
+    that cannot join die at the scan instead of riding the shuffle.
+    Spark's default applicationSideScanSizeThreshold (10 GB) targets
+    real clusters; the experiment lowers it to 0 so the same plan
+    rewrite fires at bench SF — the measured delta understates the
+    100 TB effect, where the avoided shuffle is the dominant term.
+    Broadcast is disabled: with a broadcastable dim the optimizer
+    correctly prefers the broadcast join and no bloom filter is needed.
+    """
+    from pyspark.sql import functions as F
+
+    from etlutils_spark.sources.files import read_table
+
+    li = read_table(spark, "lineitem", SF_DIR).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = read_table(spark, "orders", SF_DIR).filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    ).select("o_orderkey")
+
+    def probe(a, b):
+        return a.join(b, a["l_orderkey"] == b["o_orderkey"]).agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        )
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    prev_bf = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        plain = time_min2(probe(li, od))
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        bloomed = time_min2(probe(li, od))
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prev_bf)
+    return {
+        "bloom_filter_off_sec": plain,
+        "bloom_filter_on_sec": bloomed,
+    }
 
 
 if __name__ == "__main__":
