@@ -90,12 +90,11 @@ def test_entry_smoke(spark):
 def test_oracle_sql_covers_queries(qs):
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # rows-only exceptions are the documented engine-specific ones
-    # (r4 shrank this set: dedup_simhash earned a portable-md5 oracle,
-    # ann_ivf_topk an exhaustive-nprobe brute-force oracle, and
-    # multimodal_features a scalar byte-histogram projection oracle)
+    # r4 closed the last rows-only exceptions (literal-plane LSH replay,
+    # rank-projected arrow top-k, byte-math probe): every registered
+    # query now carries a DuckDB oracle.
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"ann_lsh_topk", "ann_arrow_topk", "multimodal_probe"}
+    assert rows_only == set()
 
 
 # ---- round-2 additions: TPC-H breadth pack + curation tier ----------------
