@@ -69,6 +69,8 @@ R4_EXTRAS = [
     "incremental_lsh_pairs",
     "dedup_simhash",
     "ann_ivf_topk",
+    "dedup_window_spans",
+    "dedup_containment",
 ]
 
 

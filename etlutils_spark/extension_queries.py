@@ -1082,3 +1082,87 @@ def q_heavy_hitters_contract(spark, sf_dir):
             F.col("event_type").isin(items).alias("found_by_sketch"),
         )
     )
+
+
+# ---- sequence-level (span) dedup ------------------------------------------
+
+# Non-overlapping span width for the registered window-dedup query.
+WINDOW_DEDUP_TOKENS = 32
+
+@register(
+    "dedup_window_spans",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, w,
+                 UNNEST(generate_series(1, greatest(len(w), 1),
+                                        {WINDOW_DEDUP_TOKENS})) AS cs
+          FROM t),
+    k AS (SELECT doc_id,
+                 CAST((cs - 1) // {WINDOW_DEDUP_TOKENS} AS BIGINT) AS idx,
+                 len(list_slice(w, cs, least(cs + {WINDOW_DEDUP_TOKENS} - 1,
+                                             len(w)))) AS n,
+                 md5(array_to_string(
+                     list_slice(w, cs, least(cs + {WINDOW_DEDUP_TOKENS} - 1,
+                                             len(w))), ' ')) AS key
+          FROM s),
+    m AS (SELECT *, row_number() OVER (PARTITION BY key
+                                       ORDER BY doc_id, idx) AS rn
+          FROM k)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN rn = 1 THEN n ELSE 0 END) AS BIGINT)
+             AS n_kept_tokens,
+           CAST(sum(CASE WHEN rn = 1 THEN n ELSE 0 END) AS DOUBLE)
+             / CAST(sum(n) AS DOUBLE) AS kept_ratio
+    FROM m GROUP BY doc_id
+    """,
+)
+def q_dedup_window_spans(spark, sf_dir):
+    """Sequence-level exact-span dedup accounting: non-overlapping
+    32-token windows, corpus-wide first occurrence kept (lowest
+    (doc_id, idx)), per-document retention stats. The oracle mirrors
+    the min-struct first-occurrence as a row_number window (fine at
+    oracle scale; the Spark side uses the combinable aggregation)."""
+    from etlutils_spark.operators.dedup import window_dedup_stats
+
+    return window_dedup_stats(
+        _t(spark, sf_dir, "documents"), window=WINDOW_DEDUP_TOKENS
+    )
+
+
+_CONT = "CAST(n_common AS DOUBLE) / CAST(least(s1.n_sh, s2.n_sh) AS DOUBLE)"
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH {DUCK_SH},
+    shf AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= {NGRAM_JACCARD_MAX_DOC_FREQ}),
+    sizesf AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_id_1, doc_id_2, n_common, s1.n_sh AS n_1, s2.n_sh AS n_2,
+           {_JAC.replace('n_1', 's1.n_sh').replace('n_2', 's2.n_sh')} AS jaccard,
+           {_CONT} AS containment
+    FROM inter
+    JOIN sizesf s1 ON doc_id_1 = s1.doc_id
+    JOIN sizesf s2 ON doc_id_2 = s2.doc_id
+    WHERE {_CONT} >= 0.5
+    """,
+)
+def q_dedup_containment(spark, sf_dir):
+    """Broder containment >= 0.5 over co-shingled pairs (quote/subset
+    detection: short-in-long inclusions that Jaccard misses). Same
+    guarded-shingle self-join plan as dedup_ngram_jaccard — only the
+    post-aggregation metric and filter differ."""
+    sh = shingle_rows(
+        _t(spark, sf_dir, "documents"),
+        max_doc_freq=NGRAM_JACCARD_MAX_DOC_FREQ,
+    )
+    return jaccard_pairs(sh, containment_threshold=0.5)

@@ -104,12 +104,23 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = (),
     threshold: float = 0.2,
+    containment_threshold: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing >=1 shingle (and block).
 
     Pair generation is a self-equi-join on the shingle (plus optional
     blocking columns) — only co-shingled pairs materialize. Output:
     (id_1, id_2, n_common, n_1, n_2, jaccard >= threshold).
+
+    ``containment_threshold`` switches the selection metric to Broder
+    containment ``n_common / min(n_1, n_2)`` (the asymmetric resemblance
+    of the same SEQUENCES-1997 paper): a short document quoted wholesale
+    inside a long one has low Jaccard (the union is dominated by the
+    long side) but containment ~1.0 — the quote/subset-detection case
+    Jaccard structurally misses. When set, the output gains a
+    ``containment`` column and is filtered on it (``jaccard`` is still
+    emitted, unfiltered). Same join/agg plan either way — the metric is
+    a post-aggregation projection.
 
     The shingle input feeds three consumers (sizes + both join sides):
     persisted (memory-and-disk) so shingling runs once, not 3x — the
@@ -141,11 +152,25 @@ def jaccard_pairs(
     jac = F.col("n_common").cast("double") / (
         F.col("n_1") + F.col("n_2") - F.col("n_common")
     ).cast("double")
-    return (
-        inter.join(s1, f"{id_col}_1").join(s2, f"{id_col}_2")
+    scored = (
+        inter.join(s1, f"{id_col}_1")
+        .join(s2, f"{id_col}_2")
         .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select(f"{id_col}_1", f"{id_col}_2", "n_common", "n_1", "n_2", "jaccard")
+    )
+    if containment_threshold is not None:
+        cont = F.col("n_common").cast("double") / F.least(
+            F.col("n_1"), F.col("n_2")
+        ).cast("double")
+        return (
+            scored.withColumn("containment", cont)
+            .filter(F.col("containment") >= containment_threshold)
+            .select(
+                f"{id_col}_1", f"{id_col}_2", "n_common", "n_1", "n_2",
+                "jaccard", "containment",
+            )
+        )
+    return scored.filter(F.col("jaccard") >= threshold).select(
+        f"{id_col}_1", f"{id_col}_2", "n_common", "n_1", "n_2", "jaccard"
     )
 
 
@@ -645,4 +670,77 @@ def cluster_survivors(
         labeled.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
         .drop("__rk")
+    )
+
+
+def window_dedup_stats(
+    df: DataFrame,
+    window: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> DataFrame:
+    """Sequence-level exact-duplicate accounting (the span-granular
+    complement to doc-level dedup; cf. Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022): chop each
+    document into NON-overlapping ``window``-token spans, keep only the
+    corpus-wide first occurrence of each distinct span (first = lowest
+    ``(id, chunk_idx)``), and report per-document retention.
+
+    Doc-level dedup (``dedup_exact`` / ``minhash_dedup_pairs``) drops
+    whole documents; this measures boilerplate SPANS repeated across
+    otherwise-distinct documents — at training time those spans are the
+    memorization risk even when no document pair is near-duplicate.
+    The reference has no analogue (its dedup surface is row-level via
+    backend SQL, R/ffsql.R); this is LLM-pipeline extension surface.
+
+    Output: ``(id, n_windows, n_dup_windows, n_tokens, n_kept_tokens,
+    kept_ratio)``.
+
+    Scale: span keys are md5 digests (``portable=True``; xxhash64-hex
+    fast path) — the wide span text itself never shuffles. First
+    occurrence is a ``min(struct(id, idx))`` aggregation (map-side
+    partial combine), NOT a row_number window: no per-key sort of all
+    occurrences, and a corpus that is 90% duplicate spans reduces to
+    one combined row per partition per key before the exchange. Three
+    shuffles total — span-key agg, span-key join back, per-doc
+    re-aggregation — all on uniform (md5) or natural (id) keys.
+    """
+    base = with_tokens(df, text_col)
+    toks = F.col(TOKENS_COL)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(window))
+    chunk = F.slice(F.col("__w"), F.col("__start"), window)
+    span_text = F.concat_ws(" ", chunk)
+    key = F.md5(span_text) if portable else F.hex(F.xxhash64(span_text))
+    keyed = base.select(
+        id_col, toks.alias("__w"), F.posexplode(starts).alias("__idx", "__start")
+    ).select(
+        id_col,
+        F.col("__idx").cast("bigint").alias("__idx"),
+        F.size(chunk).alias("__n"),
+        key.alias("__key"),
+    )
+    # feeds the first-occurrence agg AND the join probe side: materialize
+    # once (same rule as the shingle table in jaccard_pairs).
+    keyed = _persist_tracked(keyed)
+    firsts = keyed.groupBy("__key").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("__idx").alias("x"))
+        ).alias("__first")
+    )
+    marked = keyed.join(firsts, "__key").withColumn(
+        "__kept",
+        (F.col(id_col) == F.col("__first.i"))
+        & (F.col("__idx") == F.col("__first.x")),
+    )
+    n_tokens = F.sum("__n").cast("bigint")
+    n_kept = F.sum(F.when(F.col("__kept"), F.col("__n")).otherwise(0)).cast("bigint")
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum(F.when(F.col("__kept"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_dup_windows"),
+        n_tokens.alias("n_tokens"),
+        n_kept.alias("n_kept_tokens"),
+        (n_kept.cast("double") / n_tokens.cast("double")).alias("kept_ratio"),
     )

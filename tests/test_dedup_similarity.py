@@ -289,3 +289,52 @@ def test_cosine_topk_arrow_query_size_guard(spark, sf_dir):
     emb = read_table(spark, "embeddings", sf_dir)
     with pytest.raises(ValueError, match="max_query_rows"):
         cosine_topk_arrow(emb, emb, k=5, max_query_rows=3)
+
+
+def test_window_dedup_stats_planted(spark):
+    from etlutils_spark.operators.dedup import window_dedup_stats
+
+    rows = [
+        (0, "a b c d e f g h"),          # two windows, both first
+        (1, "a b c d x y z w"),          # window 0 duplicates doc 0's
+        (2, "a b c d"),                  # fully duplicate span
+        (3, "e f"),                      # short tail window, unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in window_dedup_stats(df, window=4).collect()
+    }
+    assert out[0]["n_dup_windows"] == 0 and out[0]["kept_ratio"] == 1.0
+    assert out[1]["n_windows"] == 2 and out[1]["n_dup_windows"] == 1
+    assert out[1]["n_kept_tokens"] == 4 and out[1]["kept_ratio"] == 0.5
+    assert out[2]["n_dup_windows"] == 1 and out[2]["kept_ratio"] == 0.0
+    assert out[3]["n_tokens"] == 2 and out[3]["kept_ratio"] == 1.0
+
+
+def test_window_dedup_intra_doc_repeat(spark):
+    from etlutils_spark.operators.dedup import window_dedup_stats
+
+    df = spark.createDataFrame(
+        [(7, "p q r s p q r s")], "doc_id bigint, text string"
+    )
+    row = window_dedup_stats(df, window=4).collect()[0]
+    # the second occurrence of the same span inside ONE document is a dup
+    assert row["n_windows"] == 2 and row["n_dup_windows"] == 1
+    assert row["n_kept_tokens"] == 4
+
+
+def test_containment_detects_subset(spark):
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"tok{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(0, short), (1, long)], "doc_id bigint, text string"
+    )
+    sh = shingle_rows(df)
+    # every 3-gram of the short doc appears in the long doc's prefix
+    cont = jaccard_pairs(sh, containment_threshold=0.9).collect()
+    assert len(cont) == 1
+    assert cont[0]["containment"] == 1.0
+    assert cont[0]["jaccard"] < 0.5
+    # plain Jaccard at the same strictness misses the inclusion
+    assert jaccard_pairs(sh, threshold=0.5).count() == 0
