@@ -71,6 +71,7 @@ R4_EXTRAS = [
     "ann_ivf_topk",
     "dedup_window_spans",
     "dedup_containment",
+    "embedding_cluster_assign",
 ]
 
 

@@ -1166,3 +1166,46 @@ def q_dedup_containment(spark, sf_dir):
         max_doc_freq=NGRAM_JACCARD_MAX_DOC_FREQ,
     )
     return jaccard_pairs(sh, containment_threshold=0.5)
+
+
+# ---- embedding cluster assignment -----------------------------------------
+
+CLUSTER_SEED_K = 8
+
+@register(
+    "embedding_cluster_assign",
+    f"""
+    WITH {DUCK_NORMS},
+    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+          WHERE vec_id < {CLUSTER_SEED_K}),
+    dots AS (
+      SELECT e.vec_id AS vec_id, c.cid AS cluster_id,
+             CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)
+                  AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      FROM embeddings e JOIN c ON TRUE,
+      UNNEST(generate_series(1, len(e.embedding))) AS t(i)
+      GROUP BY 1, 2),
+    cos AS (
+      SELECT dots.vec_id AS vec_id, cluster_id, dot / (n1.nrm * n2.nrm) AS cosine
+      FROM dots
+      JOIN norms n1 ON dots.vec_id = n1.vec_id
+      JOIN norms n2 ON dots.cluster_id = n2.vec_id)
+    SELECT vec_id, cluster_id, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cosine DESC, cluster_id) AS rn
+          FROM cos)
+    WHERE rn = 1
+    """,
+)
+def q_embedding_cluster_assign(spark, sf_dir):
+    """Nearest-centroid assignment of the whole embedding corpus to the
+    8 seed anchors (vec_id < 8), decimal-exact cosine; the argmax is a
+    combinable max_by aggregation on the Spark side, mirrored as a
+    row_number window in the oracle."""
+    from etlutils_spark.operators.similarity import centroid_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < CLUSTER_SEED_K).select(
+        F.col("vec_id").alias("cluster_id"), "embedding"
+    )
+    return centroid_assign(emb, cents)

@@ -320,3 +320,56 @@ def cosine_topk_arrow(
     return partial.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def centroid_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cluster_id",
+    exact: bool = True,
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid by cosine —
+    the cluster-assignment half of embedding-space curation (semantic
+    dedup buckets, topic profiling for mixture decisions; cf. the
+    SemDeDup pattern of clustering then deduping within clusters).
+    Centroids arrive as a DataFrame ``(centroid_id, vec)`` — fixed
+    seeds, a prior k-means model's centers (``ivf_index``), or any
+    externally-chosen anchor set. Output: ``(id, cluster_id, cosine)``.
+
+    ``exact=True`` scores with the decimal-exact cosine (bit-identical
+    across engines/partitionings — oracle-comparable); ``exact=False``
+    is the double fast path.
+
+    Scale: the centroid set is K rows — broadcast; scoring is one
+    corpus scan producing K rows per vector, and the argmax is a
+    ``max_by`` hash aggregation on the id key (map-side combinable —
+    each partition reduces its K candidates per id before the
+    exchange), NOT a row_number window (no per-id sort). Ties break to
+    the lowest centroid id deterministically.
+    """
+    sim = cosine_exact if exact else cosine_fast
+    c = centroids.select(
+        F.col(centroid_id_col).alias("__cid"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(c))
+        .select(
+            id_col,
+            F.col("__cid"),
+            sim(vec_col, "__cv").alias("__cos"),
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(F.col("__cid"), F.col("__cos")),
+            F.struct(F.col("__cos"), (-F.col("__cid")).alias("__nb")),
+        ).alias("__best")
+    )
+    return best.select(
+        id_col,
+        F.col("__best.__cid").alias(centroid_id_col),
+        F.col("__best.__cos").alias("cosine"),
+    )

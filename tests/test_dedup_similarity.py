@@ -338,3 +338,25 @@ def test_containment_detects_subset(spark):
     assert cont[0]["jaccard"] < 0.5
     # plain Jaccard at the same strictness misses the inclusion
     assert jaccard_pairs(sh, threshold=0.5).count() == 0
+
+
+def test_centroid_assign_planted(spark):
+    from etlutils_spark.operators.similarity import centroid_assign
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cluster_id bigint, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [0.9, 0.1]),   # -> cluster 0
+            (11, [0.2, 0.8]),   # -> cluster 1
+            (12, [1.0, 1.0]),   # equidistant: tie breaks to cluster 0
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in centroid_assign(corpus, cents).collect()}
+    assert out[10]["cluster_id"] == 0
+    assert out[11]["cluster_id"] == 1
+    assert out[12]["cluster_id"] == 0  # deterministic low-id tie-break
+    assert abs(out[12]["cosine"] - 2 ** -0.5) < 1e-9
