@@ -72,6 +72,7 @@ R4_EXTRAS = [
     "dedup_window_spans",
     "dedup_containment",
     "embedding_cluster_assign",
+    "semantic_dedup_survivors",
 ]
 
 

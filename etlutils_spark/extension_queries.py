@@ -1209,3 +1209,64 @@ def q_embedding_cluster_assign(spark, sf_dir):
         F.col("vec_id").alias("cluster_id"), "embedding"
     )
     return centroid_assign(emb, cents)
+
+
+SEMDEDUP_THRESHOLD = 0.4
+
+@register(
+    "semantic_dedup_survivors",
+    f"""
+    WITH {DUCK_NORMS},
+    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+          WHERE vec_id < {CLUSTER_SEED_K}),
+    cdots AS (
+      SELECT e.vec_id AS vec_id, c.cid AS cluster_id,
+             CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)
+                  AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      FROM embeddings e JOIN c ON TRUE,
+      UNNEST(generate_series(1, len(e.embedding))) AS t(i)
+      GROUP BY 1, 2),
+    ccos AS (
+      SELECT cdots.vec_id AS vec_id, cluster_id, dot / (n1.nrm * n2.nrm) AS cosine
+      FROM cdots
+      JOIN norms n1 ON cdots.vec_id = n1.vec_id
+      JOIN norms n2 ON cdots.cluster_id = n2.vec_id),
+    assign AS (
+      SELECT vec_id, cluster_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cosine DESC, cluster_id) AS rn
+            FROM ccos)
+      WHERE rn = 1),
+    pair_dots AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             CAST(SUM(CAST(CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)
+                  AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      FROM assign a
+      JOIN assign b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      JOIN embeddings e1 ON e1.vec_id = a.vec_id
+      JOIN embeddings e2 ON e2.vec_id = b.vec_id,
+      UNNEST(generate_series(1, len(e1.embedding))) AS t(i)
+      GROUP BY 1, 2),
+    dropped AS (
+      SELECT DISTINCT id2
+      FROM pair_dots
+      JOIN norms n1 ON id1 = n1.vec_id
+      JOIN norms n2 ON id2 = n2.vec_id
+      WHERE dot / (n1.nrm * n2.nrm) >= {SEMDEDUP_THRESHOLD})
+    SELECT a.vec_id, a.cluster_id
+    FROM assign a
+    WHERE a.vec_id NOT IN (SELECT id2 FROM dropped)
+    """,
+)
+def q_semantic_dedup_survivors(spark, sf_dir):
+    """SemDeDup over the embedding corpus: nearest-of-8-anchors
+    clustering, then within-cluster drop of any vector with cosine >=
+    0.4 to a lower-id cluster-mate. The per-cluster pairwise stage is
+    the bounded quadratic the clustering exists to create."""
+    from etlutils_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < CLUSTER_SEED_K).select(
+        F.col("vec_id").alias("cluster_id"), "embedding"
+    )
+    return semantic_dedup(emb, cents, threshold=SEMDEDUP_THRESHOLD)

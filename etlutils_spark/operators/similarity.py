@@ -373,3 +373,56 @@ def centroid_assign(
         F.col("__best.__cid").alias(centroid_id_col),
         F.col("__best.__cos").alias("cosine"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+) -> DataFrame:
+    """Semantic deduplication (the SemDeDup pattern — Abbas et al.,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", 2023): assign every vector to its nearest centroid
+    (``centroid_assign``), then WITHIN each cluster drop every vector
+    whose cosine to a lower-id cluster-mate reaches ``threshold``.
+    Survivors keep their cluster label: output ``(id, cluster_id)``.
+
+    Drop rule is lowest-id-wins and non-transitive (a vector survives
+    unless some retained-or-dropped lower-id mate is near it) — the
+    deterministic one-pass contract of the paper, not connected
+    components; use ``dedup.connected_components`` when transitive
+    grouping is wanted.
+
+    Scale: clustering exists precisely to BOUND the quadratic — the
+    pairwise stage is per-cluster (shuffle on cluster_id), so cost is
+    sum over clusters of |c|^2, not |corpus|^2, and K is the lever.
+    Skewed clusters are the risk (one mega-cluster re-creates
+    all-pairs): raise K or recurse into oversized clusters; the
+    assignment stage itself is linear and broadcast-only.
+    """
+    from etlutils_spark.caching import persist_tracked
+
+    sim = cosine_exact if exact else cosine_fast
+    assigned = centroid_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, exact=exact
+    ).select(id_col, "cluster_id")
+    av = persist_tracked(
+        assigned.join(corpus.select(id_col, vec_col), id_col)
+    )
+    a = av.select(
+        "cluster_id", F.col(id_col).alias("__id1"), F.col(vec_col).alias("__v1")
+    )
+    b = av.select(
+        "cluster_id", F.col(id_col).alias("__id2"), F.col(vec_col).alias("__v2")
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("__id1") < F.col("__id2"))
+        .filter(sim("__v1", "__v2") >= threshold)
+        .select(F.col("__id2").alias(id_col))
+        .distinct()
+    )
+    return av.join(dropped, id_col, "left_anti").select(id_col, "cluster_id")

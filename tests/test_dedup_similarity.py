@@ -360,3 +360,25 @@ def test_centroid_assign_planted(spark):
     assert out[11]["cluster_id"] == 1
     assert out[12]["cluster_id"] == 0  # deterministic low-id tie-break
     assert abs(out[12]["cosine"] - 2 ** -0.5) < 1e-9
+
+
+def test_semantic_dedup_drops_within_cluster_only(spark):
+    from etlutils_spark.operators.similarity import semantic_dedup
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cluster_id bigint, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.05]),   # cluster 0, survives (lowest id near 11)
+            (11, [1.0, 0.06]),   # cluster 0, near-dup of 10 -> dropped
+            (12, [0.05, 1.0]),   # cluster 1: near 10/11 in NO sense, survives
+            (13, [-0.9, 1.0]),   # cluster 1, far from 12 at 0.95 -> survives
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = semantic_dedup(corpus, cents, threshold=0.95)
+    rows = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    assert set(rows) == {10, 12, 13}
+    assert rows[10] == 0 and rows[12] == 1 and rows[13] == 1
