@@ -300,3 +300,32 @@ def test_zorder_pruning_stats_two_scans_jvm_only(spark, qs):
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 2  # one per simulated layout
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_window_dedup_combinable_min_no_sort_window(spark, qs):
+    # first-occurrence must be the combinable min(struct) aggregate,
+    # never a row_number window (that would sort every span occurrence
+    # per key); whole pipeline stays JVM-side
+    plan = physical_plan(qs["dedup_window_spans"](spark, SF))
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_centroid_assign_combinable_argmax(spark, qs):
+    # K centroids broadcast (nested-loop cross join), argmax is a
+    # map-side-combinable max_by hash aggregate — no per-id sort window
+    plan = physical_plan(qs["embedding_cluster_assign"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_max_by" in plan or "partial_max" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_pairwise_stays_jvm(spark, qs):
+    # the quadratic stage must be a per-cluster equi-join (shuffle or
+    # broadcast hash join on cluster_id), not a cartesian over the
+    # corpus; scoring stays JVM-side
+    plan = physical_plan(qs["semantic_dedup_survivors"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
