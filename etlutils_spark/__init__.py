@@ -18,7 +18,7 @@ from etlutils_spark.sources.sql import read_sql, write_sql
 from etlutils_spark.sources.files import read_table, load_star
 from etlutils_spark.sources.merge import merge_upsert, scd2_apply
 from etlutils_spark.operators.curation import curate_documents
-from etlutils_spark.operators.dedup import window_dedup_stats
+from etlutils_spark.operators.dedup import window_dedup_rewrite, window_dedup_stats
 from etlutils_spark.operators.text import build_vocab, oov_stats
 from etlutils_spark.operators.quality import percentile_prune
 from etlutils_spark.plans.checks import check_constraints
@@ -42,6 +42,7 @@ __all__ = [
     "build_vocab",
     "oov_stats",
     "window_dedup_stats",
+    "window_dedup_rewrite",
     "percentile_prune",
 ]
 

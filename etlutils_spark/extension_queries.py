@@ -1270,3 +1270,39 @@ def q_semantic_dedup_survivors(spark, sf_dir):
         F.col("vec_id").alias("cluster_id"), "embedding"
     )
     return semantic_dedup(emb, cents, threshold=SEMDEDUP_THRESHOLD)
+
+
+@register(
+    "dedup_window_rewrite",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, w,
+                 UNNEST(generate_series(1, greatest(len(w), 1),
+                                        {WINDOW_DEDUP_TOKENS})) AS cs
+          FROM t),
+    k AS (SELECT doc_id,
+                 CAST((cs - 1) // {WINDOW_DEDUP_TOKENS} AS BIGINT) AS idx,
+                 len(list_slice(w, cs, least(cs + {WINDOW_DEDUP_TOKENS} - 1,
+                                             len(w)))) AS n,
+                 array_to_string(
+                     list_slice(w, cs, least(cs + {WINDOW_DEDUP_TOKENS} - 1,
+                                             len(w))), ' ') AS chunk_text
+          FROM s),
+    m AS (SELECT *, row_number() OVER (PARTITION BY md5(chunk_text)
+                                       ORDER BY doc_id, idx) AS rn
+          FROM k)
+    SELECT doc_id,
+           string_agg(chunk_text, ' ' ORDER BY idx) AS dedup_text,
+           CAST(sum(n) AS BIGINT) AS n_kept_tokens
+    FROM m WHERE rn = 1 GROUP BY doc_id
+    """,
+)
+def q_dedup_window_rewrite(spark, sf_dir):
+    """The rewrite form of span dedup: each document reassembled from
+    its surviving (first-occurrence) 32-token spans, in order; fully
+    deduplicated documents drop out of the corpus."""
+    from etlutils_spark.operators.dedup import window_dedup_rewrite
+
+    return window_dedup_rewrite(
+        _t(spark, sf_dir, "documents"), window=WINDOW_DEDUP_TOKENS
+    )

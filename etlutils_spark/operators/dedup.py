@@ -673,6 +673,50 @@ def cluster_survivors(
     )
 
 
+def _marked_spans(
+    df: DataFrame,
+    window: int,
+    text_col: str,
+    id_col: str,
+    portable: bool,
+    keep_text: bool = False,
+) -> DataFrame:
+    """Shared span stage for the window-dedup family: non-overlapping
+    ``window``-token spans with a ``__kept`` flag marking the corpus-wide
+    first occurrence of each distinct span. ``keep_text=True`` carries
+    the span text through (needed by the rewrite form; the stats form
+    stays key-only so wide text never shuffles)."""
+    base = with_tokens(df, text_col)
+    toks = F.col(TOKENS_COL)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(window))
+    chunk = F.slice(F.col("__w"), F.col("__start"), window)
+    span_text = F.concat_ws(" ", chunk)
+    key = F.md5(span_text) if portable else F.hex(F.xxhash64(span_text))
+    cols = [
+        F.col("__idx").cast("bigint").alias("__idx"),
+        F.size(chunk).alias("__n"),
+        key.alias("__key"),
+    ]
+    if keep_text:
+        cols.append(span_text.alias("__text"))
+    keyed = base.select(
+        id_col, toks.alias("__w"), F.posexplode(starts).alias("__idx", "__start")
+    ).select(id_col, *cols)
+    # feeds the first-occurrence agg AND the join probe side: materialize
+    # once (same rule as the shingle table in jaccard_pairs).
+    keyed = _persist_tracked(keyed)
+    firsts = keyed.select(id_col, "__idx", "__key").groupBy("__key").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("__idx").alias("x"))
+        ).alias("__first")
+    )
+    return keyed.join(firsts, "__key").withColumn(
+        "__kept",
+        (F.col(id_col) == F.col("__first.i"))
+        & (F.col("__idx") == F.col("__first.x")),
+    )
+
+
 def window_dedup_stats(
     df: DataFrame,
     window: int = 32,
@@ -706,33 +750,7 @@ def window_dedup_stats(
     shuffles total — span-key agg, span-key join back, per-doc
     re-aggregation — all on uniform (md5) or natural (id) keys.
     """
-    base = with_tokens(df, text_col)
-    toks = F.col(TOKENS_COL)
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(window))
-    chunk = F.slice(F.col("__w"), F.col("__start"), window)
-    span_text = F.concat_ws(" ", chunk)
-    key = F.md5(span_text) if portable else F.hex(F.xxhash64(span_text))
-    keyed = base.select(
-        id_col, toks.alias("__w"), F.posexplode(starts).alias("__idx", "__start")
-    ).select(
-        id_col,
-        F.col("__idx").cast("bigint").alias("__idx"),
-        F.size(chunk).alias("__n"),
-        key.alias("__key"),
-    )
-    # feeds the first-occurrence agg AND the join probe side: materialize
-    # once (same rule as the shingle table in jaccard_pairs).
-    keyed = _persist_tracked(keyed)
-    firsts = keyed.groupBy("__key").agg(
-        F.min(
-            F.struct(F.col(id_col).alias("i"), F.col("__idx").alias("x"))
-        ).alias("__first")
-    )
-    marked = keyed.join(firsts, "__key").withColumn(
-        "__kept",
-        (F.col(id_col) == F.col("__first.i"))
-        & (F.col("__idx") == F.col("__first.x")),
-    )
+    marked = _marked_spans(df, window, text_col, id_col, portable)
     n_tokens = F.sum("__n").cast("bigint")
     n_kept = F.sum(F.when(F.col("__kept"), F.col("__n")).otherwise(0)).cast("bigint")
     return marked.groupBy(id_col).agg(
@@ -743,4 +761,37 @@ def window_dedup_stats(
         n_tokens.alias("n_tokens"),
         n_kept.alias("n_kept_tokens"),
         (n_kept.cast("double") / n_tokens.cast("double")).alias("kept_ratio"),
+    )
+
+
+def window_dedup_rewrite(
+    df: DataFrame,
+    window: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> DataFrame:
+    """The consumable form of ``window_dedup_stats``: rewrite each
+    document with its duplicate spans REMOVED (surviving spans
+    reassembled in original order). Documents whose every span is a
+    duplicate disappear from the output — they contribute no training
+    tokens. Output: ``(id, dedup_text, n_kept_tokens)``.
+
+    Scale: unlike the stats form, the output *is* text, so the kept
+    spans' text necessarily moves in the final per-doc shuffle — that is
+    the rewrite's floor cost, not overhead. Reassembly sorts each doc's
+    kept spans by index inside the aggregated array (``array_sort`` on
+    (idx, text) structs), so the result is deterministic under any
+    partitioning/collection order.
+    """
+    marked = _marked_spans(df, window, text_col, id_col, portable, keep_text=True)
+    kept = marked.filter(F.col("__kept"))
+    spans = F.array_sort(
+        F.collect_list(F.struct(F.col("__idx"), F.col("__text")))
+    )
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(" ", F.transform(spans, lambda s: s["__text"])).alias(
+            "dedup_text"
+        ),
+        F.sum("__n").cast("bigint").alias("n_kept_tokens"),
     )

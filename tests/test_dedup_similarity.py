@@ -382,3 +382,18 @@ def test_semantic_dedup_drops_within_cluster_only(spark):
     rows = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
     assert set(rows) == {10, 12, 13}
     assert rows[10] == 0 and rows[12] == 1 and rows[13] == 1
+
+
+def test_window_dedup_rewrite_reassembles_in_order(spark):
+    from etlutils_spark.operators.dedup import window_dedup_rewrite
+
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d x y z w"),   # first span duplicates doc 0's
+        (2, "a b c d"),           # fully duplicate -> drops out
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in window_dedup_rewrite(df, window=4).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["dedup_text"] == "a b c d e f g h"
+    assert out[1]["dedup_text"] == "x y z w" and out[1]["n_kept_tokens"] == 4
