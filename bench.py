@@ -73,6 +73,7 @@ R4_EXTRAS = [
     "dedup_containment",
     "embedding_cluster_assign",
     "semantic_dedup_survivors",
+    "winnow_overlap_pairs",
 ]
 
 

@@ -1306,3 +1306,67 @@ def q_dedup_window_rewrite(spark, sf_dir):
     return window_dedup_rewrite(
         _t(spark, sf_dir, "documents"), window=WINDOW_DEDUP_TOKENS
     )
+
+
+# ---- winnowing fingerprints (MOSS) ----------------------------------------
+
+WINNOW_K = 3
+WINNOW_WINDOW = 4
+
+_DUCK_WINNOW = f"""
+    wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    wg AS (SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(w) - {WINNOW_K - 1}, 1)),
+               i -> md5(array_to_string(list_slice(w, i, i + {WINNOW_K - 1}), ' '))) AS h
+           FROM wt),
+    wf AS (SELECT doc_id,
+             list_distinct(
+               list_transform(generate_series(1, greatest(len(h) - {WINNOW_WINDOW - 1}, 1)),
+                 i -> list_min(list_slice(h, i, i + {WINNOW_WINDOW - 1})))) AS fps
+           FROM wg),
+    wfp AS (SELECT doc_id, fp AS fingerprint FROM wf, UNNEST(fps) AS u(fp))
+"""
+
+@register(
+    "winnow_fingerprints",
+    f"""
+    WITH {_DUCK_WINNOW}
+    SELECT doc_id, fingerprint FROM wfp
+    """,
+)
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint sets (SIGMOD 2003): positional word-3-gram
+    md5s, min of each 4-hash window, distinct per doc. ~2/(w+1) storage
+    with the shared-substring coverage guarantee."""
+    from etlutils_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=WINNOW_K, window=WINNOW_WINDOW
+    )
+
+
+@register(
+    "winnow_overlap_pairs",
+    f"""
+    WITH {_DUCK_WINNOW},
+    wkeep AS (
+      SELECT doc_id, fingerprint FROM wfp
+      QUALIFY count(*) OVER (PARTITION BY fingerprint) <= {NGRAM_JACCARD_MAX_DOC_FREQ})
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           CAST(count(*) AS BIGINT) AS n_common
+    FROM wkeep a JOIN wkeep b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def q_winnow_overlap_pairs(spark, sf_dir):
+    """Passage-overlap candidates: pairs sharing >= 2 winnowing
+    fingerprints, with the boilerplate doc-frequency guard."""
+    from etlutils_spark.operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=WINNOW_K, window=WINNOW_WINDOW, min_common=2,
+        max_doc_freq=NGRAM_JACCARD_MAX_DOC_FREQ,
+    )

@@ -795,3 +795,44 @@ def window_dedup_rewrite(
         ),
         F.sum("__n").cast("bigint").alias("n_kept_tokens"),
     )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    min_common: int = 2,
+    max_doc_freq: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Partial-overlap candidate pairs from winnowing fingerprints
+    (``text.winnow_fingerprints``): documents sharing >= ``min_common``
+    selected k-gram hashes. Detects copied PASSAGES (coverage theorem:
+    any shared run of ``window + k - 1`` tokens shares a fingerprint) —
+    the quote/plagiarism case where whole-document MinHash resemblance
+    stays low. Output: ``(id_1, id_2, n_common)``.
+
+    Scale: identical join discipline to ``jaccard_pairs`` — self-equi-
+    join on the fingerprint key, and ``max_doc_freq`` drops fingerprints
+    shared by too many documents (boilerplate passages), the same
+    O(freq^2) guard the exact-Jaccard path ships.
+    """
+    from etlutils_spark.operators.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(df, k=k, window=window, text_col=text_col,
+                              id_col=id_col)
+    if max_doc_freq is not None:
+        freq = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("__df"))
+        keep = freq.filter(F.col("__df") <= max_doc_freq).select("fingerprint")
+        fps = fps.join(keep, "fingerprint", "left_semi")
+    fps = _persist_tracked(fps)
+    a = fps.select(F.col(id_col).alias(f"{id_col}_1"), F.col("fingerprint"))
+    b = fps.select(F.col(id_col).alias(f"{id_col}_2"), F.col("fingerprint"))
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col(f"{id_col}_1") < F.col(f"{id_col}_2"))
+        .groupBy(f"{id_col}_1", f"{id_col}_2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )

@@ -336,3 +336,46 @@ def oov_stats(
             (n_oov.cast("double") / n_tokens.cast("double")).alias("oov_rate"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003): hash every word ``k``-gram POSITIONALLY (no dedup — the
+    sequence matters), slide a window of ``window`` consecutive hashes,
+    select each window's minimum; the distinct selected hashes are the
+    document's fingerprint set. Coverage guarantee: any shared substring
+    of at least ``window + k - 1`` tokens contributes >=1 common
+    fingerprint, while only ~2/(window+1) of all k-gram hashes are
+    stored — position-robust partial-overlap detection (the MOSS
+    algorithm), where MinHash answers whole-document resemblance.
+
+    Output: one ``(id, fingerprint)`` row per distinct selected hash.
+
+    Scale: pure per-row Column algebra (sequence/transform/slice/
+    array_min — all whole-stage codegen); the explode multiplies rows
+    by the winnowed density only. Hashes are md5 hex (portable-hash
+    convention, min-able lexicographically on any engine).
+    """
+    base = with_tokens(df, text_col)
+    toks = F.col(TOKENS_COL)
+    npos = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), npos),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    g = base.select(id_col, grams.alias("__g"))
+    nwin = F.greatest(F.size(F.col("__g")) - (window - 1), F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.array_min(F.slice(F.col("__g"), i, window)),
+        )
+    )
+    return g.select(id_col, F.explode(fps).alias("fingerprint"))

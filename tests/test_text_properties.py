@@ -83,3 +83,37 @@ def test_chunk_documents_match_python(spark, doc_texts, max_tokens, overlap):
             sl = toks[s0 - 1 : s0 - 1 + max_tokens]
             expect[(i, idx)] = (s0, " ".join(sl), len(sl))
     assert got == expect
+
+
+def test_winnow_coverage_guarantee(spark):
+    # any shared substring of >= window + k - 1 = 6 tokens must yield a
+    # common fingerprint (Schleimer et al. coverage theorem)
+    from etlutils_spark.operators.dedup import winnow_overlap_pairs
+    from etlutils_spark.operators.text import winnow_fingerprints
+
+    shared = "one two three four five six"
+    rows = [
+        (0, f"aaa bbb {shared} ccc ddd"),
+        (1, f"xxx yyy zzz {shared} qqq"),
+        (2, "totally disjoint vocabulary with no common trigram at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fps = winnow_fingerprints(df, k=3, window=4)
+    common01 = (
+        fps.filter("doc_id = 0").select("fingerprint")
+        .intersect(fps.filter("doc_id = 1").select("fingerprint"))
+    )
+    assert common01.count() >= 1
+    pairs = winnow_overlap_pairs(df, k=3, window=4, min_common=1).collect()
+    assert {(p["doc_id_1"], p["doc_id_2"]) for p in pairs} == {(0, 1)}
+
+
+def test_winnow_density(spark):
+    # winnowing stores far fewer hashes than the full k-gram set
+    from etlutils_spark.operators.text import winnow_fingerprints
+
+    text = " ".join(f"tok{i}" for i in range(200))
+    df = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
+    n_fp = winnow_fingerprints(df, k=3, window=4).count()
+    n_grams = 200 - 2
+    assert n_fp < 0.6 * n_grams  # expected density ~2/(w+1) = 0.4
