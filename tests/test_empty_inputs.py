@@ -176,3 +176,47 @@ def test_salted_join_empty_sides(spark):
     out = salted_join(big2, small2, on="k", how="left")
     assert out.count() == 1  # left join keeps the big row, null-filled
     assert out.collect()[0].w is None
+
+
+def test_span_dedup_and_winnow_empty(spark):
+    from etlutils_spark.operators.dedup import (
+        window_dedup_stats,
+        window_dedup_rewrite,
+        winnow_overlap_pairs,
+    )
+    from etlutils_spark.operators.text import winnow_fingerprints
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string")
+    stats = window_dedup_stats(docs)
+    assert stats.count() == 0
+    assert set(stats.columns) == {
+        "doc_id", "n_windows", "n_dup_windows", "n_tokens",
+        "n_kept_tokens", "kept_ratio",
+    }
+    rw = window_dedup_rewrite(docs)
+    assert rw.count() == 0 and set(rw.columns) == {
+        "doc_id", "dedup_text", "n_kept_tokens"
+    }
+    assert winnow_fingerprints(docs).count() == 0
+    assert winnow_overlap_pairs(docs, max_doc_freq=8).count() == 0
+
+
+def test_embedding_cluster_ops_empty(spark):
+    from etlutils_spark.operators.similarity import centroid_assign, semantic_dedup
+
+    emb = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cluster_id bigint, embedding array<float>"
+    )
+    assigned = centroid_assign(emb, cents)
+    assert assigned.count() == 0
+    assert assigned.columns == ["vec_id", "cluster_id", "cosine"]
+    assert semantic_dedup(emb, cents).count() == 0
+    # empty CENTROIDS: every vector unassigned -> empty result, not error
+    emb1 = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id bigint, embedding array<float>"
+    )
+    empty_cents = spark.createDataFrame(
+        [], "cluster_id bigint, embedding array<float>"
+    )
+    assert centroid_assign(emb1, empty_cents).count() == 0
