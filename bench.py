@@ -74,6 +74,7 @@ R4_EXTRAS = [
     "embedding_cluster_assign",
     "semantic_dedup_survivors",
     "winnow_overlap_pairs",
+    "token_budget_sample",
 ]
 
 

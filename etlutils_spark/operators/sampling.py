@@ -260,3 +260,49 @@ def train_val_test_split(
         .when(d < F.lit(rate_threshold_hex(f_train + f_val)), "val")
         .otherwise("test"),
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Token-budgeted corpus selection: within each group, take
+    documents in deterministic digest order until the group's TOKEN
+    budget is exhausted — the mixture lever when targets are token
+    counts (what training consumes), not document counts
+    (``mixture_resample`` handles doc-count targets).
+
+    Keep rule: a document survives iff the running token total of all
+    earlier-ordered documents in its group is < ``budget_tokens``
+    (exclusive prefix sum) — so each group overshoots by at most one
+    document, the standard greedy-prefix contract, deterministic on any
+    engine/partitioning. Output: ``(id, group, n_tokens)``.
+
+    Scale: one window shuffle on the group key; digest order is uniform
+    (no sort skew beyond group cardinality — a giant group serializes
+    its own prefix sum, the inherent cost of an exact running budget;
+    use per-shard sub-budgets when a single group's docs exceed one
+    executor's sort capacity).
+    """
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        n_tok.alias("n_tokens"),
+        _digest(id_col, salt).alias("__ord"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        base.withColumn("__prefix", prefix)
+        .filter(F.col("__prefix") < budget_tokens)
+        .select(id_col, group_col, "n_tokens")
+    )

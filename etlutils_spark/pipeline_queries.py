@@ -959,3 +959,32 @@ def q_constraint_audit(spark, sf_dir):
         },
         unique_keys={"unique_orderkey": "o_orderkey"},
     )
+
+
+TOKEN_BUDGET = 2000
+
+@register(
+    "token_budget_sample",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents),
+    p AS (
+      SELECT *, COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      FROM d)
+    SELECT doc_id, lang, n_tokens FROM p WHERE prefix < {TOKEN_BUDGET}
+    """,
+)
+def q_token_budget_sample(spark, sf_dir):
+    """Token-budgeted selection: per language, greedy digest-ordered
+    prefix until 2000 tokens — the token-count mixture lever
+    (mixture_resample's doc-count twin)."""
+    from etlutils_spark.operators.sampling import token_budget_sample
+
+    return token_budget_sample(
+        _t(spark, sf_dir, "documents"), budget_tokens=TOKEN_BUDGET
+    )

@@ -447,3 +447,34 @@ def test_percentile_prune_rejects_bad_fraction(spark):
 
     with pytest.raises(ValueError):
         percentile_prune(_scored_df(spark), "score", "grp", keep_frac=0.0)
+
+
+def test_token_budget_sample_greedy_prefix(spark):
+    from etlutils_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "g", " ".join(["t"] * 10)) for i in range(10)]  # 10 docs x 10 tokens
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = token_budget_sample(df, budget_tokens=35, group_col="lang")
+    kept = out.collect()
+    # greedy prefix: 3 docs fill 30 < 35, the 4th starts under budget
+    # (overshoot by at most one doc), the 5th would start at 40 >= 35
+    assert len(kept) == 4
+    assert sum(r["n_tokens"] for r in kept) == 40
+    # deterministic: same rows on re-run
+    again = {r["doc_id"] for r in token_budget_sample(df, 35, "lang").collect()}
+    assert again == {r["doc_id"] for r in kept}
+
+
+def test_token_budget_sample_per_group_isolation(spark):
+    from etlutils_spark.operators.sampling import token_budget_sample
+
+    rows = [(1, "a", "x y z"), (2, "b", "x y z"), (3, "b", "x y z")]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    out = token_budget_sample(df, budget_tokens=4, group_col="lang")
+    by_lang = {}
+    for r in out.collect():
+        by_lang.setdefault(r["lang"], 0)
+        by_lang[r["lang"]] += 1
+    # each group budgets independently: 'a' keeps its 1 doc; 'b' keeps
+    # 2 (first fills 3 < 4, second starts at 3 < 4)
+    assert by_lang == {"a": 1, "b": 2}
