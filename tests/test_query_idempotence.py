@@ -19,7 +19,10 @@ def test_queries_rerun_identical(spark):
                  # r4: tracked-persist (scd2), memory-sink counter
                  # (interval join), multi-stage chain (curation)
                  "scd2_history", "streaming_interval_join",
-                 "curation_pipeline_batch"]:
+                 "curation_pipeline_batch",
+                 # late r4: tracked-persist span/fingerprint/cluster tiers
+                 "dedup_window_spans", "winnow_overlap_pairs",
+                 "semantic_dedup_survivors", "token_budget_sample"]:
         a = _rows(qs[name](spark, SF))
         b = _rows(qs[name](spark, SF))
         assert a == b, name
