@@ -75,6 +75,7 @@ R4_EXTRAS = [
     "semantic_dedup_survivors",
     "winnow_overlap_pairs",
     "token_budget_sample",
+    "tokenize_to_ids",
 ]
 
 

@@ -379,3 +379,46 @@ def winnow_fingerprints(
         )
     )
     return g.select(id_col, F.explode(fps).alias("fingerprint"))
+
+
+def tokens_to_ids(
+    df: DataFrame,
+    vocab: DataFrame,
+    oov_id: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_literal_vocab: int = 65536,
+) -> DataFrame:
+    """Encode each document's tokens as integer ids from a vocabulary
+    (``build_vocab`` output or any ``(token, vocab_rank)`` frame) — the
+    final tokenizer step before sequence packing: token -> vocab_rank,
+    out-of-vocabulary -> ``oov_id``. Output: ``(id, ids array<bigint>,
+    n_ids)``, order-preserving.
+
+    Scale: the vocabulary is collected (bounded: raises above
+    ``max_literal_vocab`` entries) and embedded as a plan-literal map,
+    so encoding is a zero-shuffle per-row ``transform`` lookup in
+    whole-stage codegen — the same travel-in-the-plan discipline as the
+    stopword lists. A BPE-scale vocabulary beyond the literal budget
+    belongs in a broadcast join (explode + join + positional
+    re-assembly); this operator deliberately raises rather than
+    silently building a multi-megabyte plan.
+    """
+    rows = vocab.select("token", "vocab_rank").limit(max_literal_vocab + 1).collect()
+    if len(rows) > max_literal_vocab:
+        raise ValueError(
+            f"vocabulary exceeds max_literal_vocab={max_literal_vocab}; "
+            "use a broadcast-join encoding for BPE-scale vocabularies"
+        )
+    entries = [
+        x for r in rows for x in (F.lit(r["token"]), F.lit(int(r["vocab_rank"])))
+    ]
+    mapping = F.create_map(*entries) if entries else F.create_map()
+    base = with_tokens(df, text_col)
+    ids = F.transform(
+        F.col(TOKENS_COL),
+        lambda t: F.coalesce(F.element_at(mapping, t), F.lit(oov_id)).cast("bigint"),
+    )
+    return base.select(id_col, ids.alias("ids")).withColumn(
+        "n_ids", F.size("ids").cast("bigint")
+    )

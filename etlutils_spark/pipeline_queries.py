@@ -988,3 +988,38 @@ def q_token_budget_sample(spark, sf_dir):
     return token_budget_sample(
         _t(spark, sf_dir, "documents"), budget_tokens=TOKEN_BUDGET
     )
+
+
+@register(
+    "tokenize_to_ids",
+    f"""
+    WITH {_DUCK_VOCAB},
+    t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    pos AS (SELECT doc_id, w[ord] AS token, ord
+            FROM t, UNNEST(generate_series(1, len(w))) AS u(ord)),
+    m AS (SELECT pos.doc_id, pos.ord, COALESCE(v.vocab_rank, 0) AS id
+          FROM pos LEFT JOIN vocab v USING (token))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_ids,
+           CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY ord)) AS ids_md5
+    FROM m GROUP BY doc_id
+    """,
+)
+def q_tokenize_to_ids(spark, sf_dir):
+    """Vocabulary encoding of the corpus (tokens_to_ids over the induced
+    top-N vocab), projected to driver-hashable scalars: id count, OOV
+    count, and an md5 over the order-preserved id sequence. The array
+    column stays operator-side (arrays are not canonicalizer-safe —
+    the multimodal_features lesson)."""
+    from etlutils_spark.operators.text import build_vocab, tokens_to_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = tokens_to_ids(docs, build_vocab(docs, top_n=_VOCAB_N))
+    ids_str = F.transform(F.col("ids"), lambda i: i.cast("string"))
+    return enc.select(
+        "doc_id",
+        "n_ids",
+        F.size(F.filter(F.col("ids"), lambda i: i == 0)).cast("bigint").alias("n_oov"),
+        F.md5(F.concat_ws(" ", ids_str)).alias("ids_md5"),
+    )

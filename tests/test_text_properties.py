@@ -117,3 +117,30 @@ def test_winnow_density(spark):
     n_fp = winnow_fingerprints(df, k=3, window=4).count()
     n_grams = 200 - 2
     assert n_fp < 0.6 * n_grams  # expected density ~2/(w+1) = 0.4
+
+
+def test_tokens_to_ids_roundtrip_and_oov(spark):
+    from etlutils_spark.operators.text import tokens_to_ids
+
+    vocab = spark.createDataFrame(
+        [("hello", 1), ("world", 2)], "token string, vocab_rank bigint"
+    )
+    df = spark.createDataFrame(
+        [(0, "hello world hello unseen")], "doc_id bigint, text string"
+    )
+    row = tokens_to_ids(df, vocab).collect()[0]
+    assert row["ids"] == [1, 2, 1, 0]  # order-preserving, OOV -> 0
+    assert row["n_ids"] == 4
+
+
+def test_tokens_to_ids_literal_budget_raises(spark):
+    from etlutils_spark.operators.text import tokens_to_ids
+
+    vocab = spark.createDataFrame(
+        [(f"t{i}", i + 1) for i in range(5)], "token string, vocab_rank bigint"
+    )
+    df = spark.createDataFrame([(0, "t0 t1")], "doc_id bigint, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_literal_vocab"):
+        tokens_to_ids(df, vocab, max_literal_vocab=3)
