@@ -76,6 +76,7 @@ R4_EXTRAS = [
     "winnow_overlap_pairs",
     "token_budget_sample",
     "tokenize_to_ids",
+    "pack_ids_export",
 ]
 
 

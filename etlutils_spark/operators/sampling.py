@@ -306,3 +306,67 @@ def token_budget_sample(
         .filter(F.col("__prefix") < budget_tokens)
         .select(id_col, group_col, "n_tokens")
     )
+
+
+def pack_ids_export(
+    df: DataFrame,
+    vocab: DataFrame,
+    seq_len: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = 0,
+) -> DataFrame:
+    """Materialize fixed-length training sequences: encode the corpus
+    with ``tokens_to_ids``, lay documents end-to-end per group in
+    ``id_col`` order (the ``pack_sequences`` layout), and emit one row
+    per ``seq_len``-token pack with the actual id sequence — the
+    sample-export step after packing placement. Documents span pack
+    boundaries (standard pretraining packing). Output:
+    ``(group, pack_id, ids array<bigint>, n_tokens, full)`` — the final
+    partial pack has ``full = false``.
+
+    Scale: the token-level explode is the inherent materialization cost
+    (one compact (id, offset) row per token); the per-group running
+    offset is a window on the group key (groups pack independently and
+    in parallel — shard first for corpus-wide packing, exactly as
+    ``pack_sequences`` documents); pack assembly is a groupBy whose
+    per-key state is bounded by ``seq_len`` by construction.
+    Reassembly sorts inside the aggregated array, so results are
+    deterministic under any partitioning.
+    """
+    from etlutils_spark.operators.text import tokens_to_ids
+
+    enc = tokens_to_ids(
+        df, vocab, oov_id=oov_id, text_col=text_col, id_col=id_col
+    ).join(df.select(id_col, group_col), id_col)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the running offset must be computed BEFORE the token explode: a
+    # window sharing a select with a generator is evaluated over the
+    # GENERATED rows (the sum would accumulate n_ids once per token)
+    offset = enc.withColumn(
+        "__start", F.sum("n_ids").over(w) - F.col("n_ids")
+    )
+    tok = offset.select(
+        group_col, id_col, "__start", F.posexplode("ids").alias("__pos", "__id")
+    ).select(
+        group_col,
+        (F.col("__start") + F.col("__pos")).alias("__g"),
+        F.col("__id"),
+    )
+    packed = tok.select(
+        group_col,
+        (F.col("__g") / seq_len).cast("bigint").alias("pack_id"),
+        (F.col("__g") % seq_len).alias("__off"),
+        "__id",
+    )
+    seq = F.array_sort(F.collect_list(F.struct(F.col("__off"), F.col("__id"))))
+    return packed.groupBy(group_col, "pack_id").agg(
+        F.transform(seq, lambda s: s["__id"]).alias("ids"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        (F.count(F.lit(1)) == seq_len).alias("full"),
+    )

@@ -1023,3 +1023,48 @@ def q_tokenize_to_ids(spark, sf_dir):
         F.size(F.filter(F.col("ids"), lambda i: i == 0)).cast("bigint").alias("n_oov"),
         F.md5(F.concat_ws(" ", ids_str)).alias("ids_md5"),
     )
+
+
+PACK_SEQ_LEN = 64
+
+@register(
+    "pack_ids_export",
+    f"""
+    WITH {_DUCK_VOCAB},
+    t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    pos AS (SELECT doc_id, source, w[ord] AS token, ord
+            FROM t, UNNEST(generate_series(1, len(w))) AS u(ord)),
+    m AS (SELECT pos.doc_id, pos.source, pos.ord,
+                 COALESCE(v.vocab_rank, 0) AS id
+          FROM pos LEFT JOIN vocab v USING (token)),
+    dl AS (SELECT doc_id, source, count(*) AS n_ids FROM m GROUP BY 1, 2),
+    st AS (SELECT doc_id,
+                  SUM(n_ids) OVER (PARTITION BY source ORDER BY doc_id)
+                    - n_ids AS strt
+           FROM dl),
+    g AS (SELECT m.source, st.strt + m.ord - 1 AS gidx, m.id
+          FROM m JOIN st ON m.doc_id = st.doc_id)
+    SELECT source, CAST(gidx // {PACK_SEQ_LEN} AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           count(*) = {PACK_SEQ_LEN} AS full,
+           md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gidx)) AS ids_md5
+    FROM g GROUP BY 1, 2
+    """,
+)
+def q_pack_ids_export(spark, sf_dir):
+    """Materialized fixed-length training sequences: vocab-encoded
+    corpus laid end-to-end per source, cut every 64 tokens; one row per
+    pack, id sequence projected to an order-preserved md5 (arrays stay
+    operator-side)."""
+    from etlutils_spark.operators.sampling import pack_ids_export
+    from etlutils_spark.operators.text import build_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    packs = pack_ids_export(
+        docs, build_vocab(docs, top_n=_VOCAB_N), seq_len=PACK_SEQ_LEN
+    )
+    ids_str = F.transform(F.col("ids"), lambda i: i.cast("string"))
+    return packs.select(
+        "source", "pack_id", "n_tokens", "full",
+        F.md5(F.concat_ws(" ", ids_str)).alias("ids_md5"),
+    )

@@ -478,3 +478,24 @@ def test_token_budget_sample_per_group_isolation(spark):
     # each group budgets independently: 'a' keeps its 1 doc; 'b' keeps
     # 2 (first fills 3 < 4, second starts at 3 < 4)
     assert by_lang == {"a": 1, "b": 2}
+
+
+def test_pack_ids_export_geometry(spark):
+    from etlutils_spark.operators.sampling import pack_ids_export
+
+    vocab = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "token string, vocab_rank bigint"
+    )
+    rows = [
+        (0, "g", "a b c a b"),     # 5 tokens
+        (1, "g", "c c a"),         # 3 tokens -> total 8, seq_len 4 -> 2 full packs
+        (2, "h", "b b b"),         # separate group: 1 partial pack
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {(r["source"], r["pack_id"]): r
+           for r in pack_ids_export(df, vocab, seq_len=4,
+                                    group_col="source").collect()}
+    assert out[("g", 0)]["ids"] == [1, 2, 3, 1]          # doc 0 tokens 1-4
+    assert out[("g", 1)]["ids"] == [2, 3, 3, 1]          # doc 0 tail + doc 1
+    assert out[("g", 0)]["full"] and out[("g", 1)]["full"]
+    assert out[("h", 0)]["ids"] == [2, 2, 2] and not out[("h", 0)]["full"]
