@@ -77,6 +77,7 @@ R4_EXTRAS = [
     "token_budget_sample",
     "tokenize_to_ids",
     "pack_ids_export",
+    "leakage_safe_split",
 ]
 
 

@@ -1370,3 +1370,39 @@ def q_winnow_overlap_pairs(spark, sf_dir):
         k=WINNOW_K, window=WINNOW_WINDOW, min_common=2,
         max_doc_freq=NGRAM_JACCARD_MAX_DOC_FREQ,
     )
+
+
+# ---- leakage-safe split ---------------------------------------------------
+
+from etlutils_spark.operators.sampling import rate_threshold_hex as _rth
+
+_SPLIT_FINAL = """SELECT d.doc_id,
+           CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node"""
+
+_LEAKAGE_FINAL = f"""SELECT d.doc_id, d.lang,
+           CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS split_key,
+           CASE WHEN md5(CAST(CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT)
+                              AS VARCHAR)) < '{_rth(0.8)}' THEN 'train'
+                WHEN md5(CAST(CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT)
+                              AS VARCHAR)) < '{_rth(0.9)}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node"""
+
+@register(
+    "leakage_safe_split",
+    _duck_minhash_clusters_sql().replace(_SPLIT_FINAL, _LEAKAGE_FINAL),
+)
+def q_leakage_safe_split(spark, sf_dir):
+    """Train/val/test assignment keyed by MinHash near-dup COMPONENT
+    (singletons key on their own id): near-duplicates can never
+    straddle splits, eliminating eval contamination by construction.
+    Same 0.8/0.1 digest thresholds as train_val_test_split."""
+    from etlutils_spark.operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        docs, num_hashes=8, bands=4, threshold=0.5, portable=True
+    )
+    out = leakage_safe_split(docs, pairs, fractions=(0.8, 0.1))
+    return out.select("doc_id", "lang", "split_key", "split")

@@ -370,3 +370,57 @@ def pack_ids_export(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         (F.count(F.lit(1)) == seq_len).alias("full"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: tuple[float, float] = (0.8, 0.1),
+    id_col: str = "doc_id",
+    left: str = "doc_id_1",
+    right: str = "doc_id_2",
+    salt: str = "",
+    broadcast_clusters: bool = True,
+) -> DataFrame:
+    """Split assignment keyed by near-dup CLUSTER, not document: every
+    member of a connected near-dup component receives the same split,
+    so train/eval contamination THROUGH NEAR-DUPLICATES is impossible
+    by construction — an i.i.d. per-doc split leaks (a train doc's
+    near-copy lands in eval with probability f_eval; cf. the
+    train-test-overlap findings of Lee et al., ACL 2022).
+
+    ``pairs`` is any near-dup pair frame (``minhash_dedup_pairs``,
+    ``winnow_overlap_pairs``, embedding near-dup...). Output: input
+    columns + ``split_key`` (component id; own id for singletons) +
+    ``split`` — same digest-threshold contract as
+    ``train_val_test_split`` (pure function of the key; survives
+    re-runs, repartitioning, engine changes).
+
+    Scale: the component table is bounded by the near-dup pair set
+    (tiny vs the corpus) so it broadcasts; docs never shuffle. Set
+    ``broadcast_clusters=False`` for pathological pair graphs.
+    """
+    from etlutils_spark.operators.dedup import connected_components
+
+    f_train, f_val = fractions
+    if not (0 <= f_train and 0 <= f_val and f_train + f_val <= 1):
+        raise ValueError(f"invalid fractions {fractions}")
+    comp = connected_components(pairs, left, right)
+    if broadcast_clusters:
+        comp = F.broadcast(comp)
+    labeled = (
+        df.join(comp, df[id_col] == comp["node"], "left")
+        .drop("node")
+        .withColumn(
+            "split_key",
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("long"),
+        )
+        .drop("cluster_id")
+    )
+    d = _digest("split_key", salt)
+    return labeled.withColumn(
+        "split",
+        F.when(d < F.lit(rate_threshold_hex(f_train)), "train")
+        .when(d < F.lit(rate_threshold_hex(f_train + f_val)), "val")
+        .otherwise("test"),
+    )

@@ -499,3 +499,24 @@ def test_pack_ids_export_geometry(spark):
     assert out[("g", 1)]["ids"] == [2, 3, 3, 1]          # doc 0 tail + doc 1
     assert out[("g", 0)]["full"] and out[("g", 1)]["full"]
     assert out[("h", 0)]["ids"] == [2, 2, 2] and not out[("h", 0)]["full"]
+
+
+def test_leakage_safe_split_components_cohere(spark):
+    from etlutils_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id bigint, text string"
+    )
+    # near-dup chain 3-7-11 and pair 4-15; everything else singleton
+    pairs = spark.createDataFrame(
+        [(3, 7), (7, 11), (4, 15)], "doc_id_1 bigint, doc_id_2 bigint"
+    )
+    out = leakage_safe_split(docs, pairs).collect()
+    split = {r["doc_id"]: r["split"] for r in out}
+    key = {r["doc_id"]: r["split_key"] for r in out}
+    assert split[3] == split[7] == split[11]
+    assert split[4] == split[15]
+    assert key[3] == key[7] == key[11] == 3   # min-id component label
+    assert key[4] == key[15] == 4
+    assert key[0] == 0                         # singleton keys on itself
+    assert set(split.values()) <= {"train", "val", "test"}
