@@ -18,8 +18,18 @@ from etlutils_spark.sources.sql import read_sql, write_sql
 from etlutils_spark.sources.files import read_table, load_star
 from etlutils_spark.sources.merge import merge_upsert, scd2_apply
 from etlutils_spark.operators.curation import curate_documents
-from etlutils_spark.operators.dedup import window_dedup_rewrite, window_dedup_stats
-from etlutils_spark.operators.text import build_vocab, oov_stats
+from etlutils_spark.operators.dedup import (
+    window_dedup_rewrite,
+    window_dedup_stats,
+    winnow_overlap_pairs,
+)
+from etlutils_spark.operators.similarity import centroid_assign, semantic_dedup
+from etlutils_spark.operators.sampling import (
+    leakage_safe_split,
+    pack_ids_export,
+    token_budget_sample,
+)
+from etlutils_spark.operators.text import build_vocab, oov_stats, tokens_to_ids
 from etlutils_spark.operators.quality import percentile_prune
 from etlutils_spark.plans.checks import check_constraints
 
@@ -43,6 +53,13 @@ __all__ = [
     "oov_stats",
     "window_dedup_stats",
     "window_dedup_rewrite",
+    "winnow_overlap_pairs",
+    "centroid_assign",
+    "semantic_dedup",
+    "leakage_safe_split",
+    "pack_ids_export",
+    "token_budget_sample",
+    "tokens_to_ids",
     "percentile_prune",
 ]
 
