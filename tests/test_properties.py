@@ -155,3 +155,50 @@ def test_scd2_matches_reference(spark, target_rows, update_rows):
     # invariant: exactly one current row per surviving key
     keys_current = [x[0] for x in got if x[4]]
     assert len(keys_current) == len(set(keys_current))
+
+
+def ref_window_dedup(docs: list[tuple[int, str]], window: int):
+    """Pure-Python reference: non-overlapping spans, first occurrence
+    by (doc_id, idx) wins."""
+    seen = {}
+    spans = []
+    for doc_id, text in sorted(docs):
+        toks = text.split(" ")
+        for idx, s in enumerate(range(0, max(len(toks), 1), window)):
+            chunk = toks[s:s + window]
+            key = " ".join(chunk)
+            kept = key not in seen
+            if kept:
+                seen[key] = (doc_id, idx)
+            spans.append((doc_id, len(chunk), kept))
+    out = {}
+    for doc_id, n, kept in spans:
+        agg = out.setdefault(doc_id, [0, 0, 0, 0])
+        agg[0] += 1
+        agg[1] += 0 if kept else 1
+        agg[2] += n
+        agg[3] += n if kept else 0
+    return {
+        d: (a[0], a[1], a[2], a[3]) for d, a in out.items()
+    }
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=9).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+    st.integers(2, 4),
+)
+def test_window_dedup_matches_reference(spark, texts, window):
+    from etlutils_spark.operators.dedup import window_dedup_stats
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["n_tokens"],
+                      r["n_kept_tokens"])
+        for r in window_dedup_stats(df, window=window).collect()
+    }
+    assert got == ref_window_dedup(docs, window)

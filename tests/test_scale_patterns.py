@@ -75,3 +75,21 @@ def test_bucketed_join_has_no_shuffle(spark, star, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_pack_ids_export_window_is_partitioned(spark):
+    # the corpus-wide offset window must be PARTITIONED by the group
+    # column (groups pack in parallel); a global window would serialize
+    # the whole corpus through one task
+    from etlutils_spark.operators.sampling import pack_ids_export
+
+    vocab = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "token string, vocab_rank bigint"
+    )
+    df = spark.createDataFrame(
+        [(0, "g", "a b"), (1, "h", "b a")],
+        "doc_id bigint, source string, text string",
+    )
+    out = pack_ids_export(df, vocab, seq_len=4, group_col="source")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(source" in plan
