@@ -71,6 +71,21 @@ COMMENTARY = {
     "quality_percentile_prune": "both windows (group count + "
     "row_number) share ONE Sort+Exchange on the group key — a single "
     "shuffle and a single sort pass feed the per-group rank cut.",
+    "dedup_window_spans": "first occurrence is a partial_min(struct) "
+    "hash aggregate (map-side combine collapses duplicate mass), not a "
+    "row_number window; only md5 span keys shuffle, never span text.",
+    "embedding_cluster_assign": "K centroids broadcast (nested-loop "
+    "cross join); argmax is a partial max_by hash aggregate on the id "
+    "key — no per-id sort window.",
+    "winnow_fingerprints": "k-gram hashing + window minima entirely in "
+    "whole-stage codegen (sequence/transform/slice/array_min); the only "
+    "row multiplication is the winnowed-density explode.",
+    "pack_ids_export": "offset window PARTITIONED by source (groups "
+    "pack in parallel) computed BEFORE the token explode; pack assembly "
+    "is a hash aggregate whose per-key state is seq_len-bounded.",
+    "token_budget_sample": "one Exchange on the group key feeds the "
+    "exclusive prefix-sum window; the keep rule is a stateless compare "
+    "on the windowed column.",
 }
 
 
