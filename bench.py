@@ -78,6 +78,7 @@ R4_EXTRAS = [
     "tokenize_to_ids",
     "pack_ids_export",
     "leakage_safe_split",
+    "curation_pipeline_tokens",
 ]
 
 

@@ -69,3 +69,60 @@ def curate_documents(
     if sample_rate < 1.0:
         kept = hash_sample(kept, sample_rate, key_col=id_col, salt=sample_salt)
     return assign_shards(kept, n_shards, key_col=id_col)
+
+
+def curate_to_sequences(
+    docs: DataFrame,
+    seq_len: int = 64,
+    window: int = 32,
+    vocab_top_n: int = 256,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_stopword_ratio: float = 0.05,
+    max_avg_token_len: float = 12.0,
+) -> DataFrame:
+    """Documents in, training sequences out — the tokenizer-side
+    completion of ``curate_documents``:
+
+        quality filter -> exact dedup -> span-level dedup REWRITE ->
+        vocab induction (on the surviving corpus) -> fixed-length id
+        sequence export
+
+    Returns ``pack_ids_export`` rows: ``(group, pack_id, ids,
+    n_tokens, full)``. Every stage is deterministic, so the emitted
+    sequences are a pure function of the input corpus — rerunning the
+    build reproduces byte-identical training data.
+
+    Scale: the same cheap-to-expensive stage order as
+    ``curate_documents`` — stateless quality predicates cut the corpus
+    first; exact dedup shuffles digests; the span rewrite shuffles span
+    keys then only SURVIVING span text; vocab is a bounded top-N; the
+    packer's state is seq_len-bounded per key.
+    """
+    from etlutils_spark.operators.dedup import (
+        drop_exact_duplicates,
+        window_dedup_rewrite,
+    )
+    from etlutils_spark.operators.quality import quality_filter
+    from etlutils_spark.operators.sampling import pack_ids_export
+    from etlutils_spark.operators.text import build_vocab
+
+    kept = quality_filter(
+        docs, text_col, id_col,
+        min_tokens=min_tokens, max_tokens=max_tokens,
+        min_stopword_ratio=min_stopword_ratio,
+        max_avg_token_len=max_avg_token_len,
+        keep_only=True,
+    )
+    kept = drop_exact_duplicates(kept, text_col, id_col)
+    rewritten = window_dedup_rewrite(
+        kept, window=window, text_col=text_col, id_col=id_col
+    ).join(docs.select(id_col, group_col), id_col)
+    vocab = build_vocab(rewritten, top_n=vocab_top_n, text_col="dedup_text")
+    return pack_ids_export(
+        rewritten, vocab, seq_len=seq_len, group_col=group_col,
+        text_col="dedup_text", id_col=id_col,
+    )

@@ -1068,3 +1068,83 @@ def q_pack_ids_export(spark, sf_dir):
         "source", "pack_id", "n_tokens", "full",
         F.md5(F.concat_ws(" ", ids_str)).alias("ids_md5"),
     )
+
+
+@register(
+    "curation_pipeline_tokens",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             len(w) AS n_tokens,
+             len(list_filter(w, t -> list_contains(['the','a','of','and','to','in'], t))) AS n_stop,
+             list_sum(list_transform(w, t -> len(t))) AS sum_len
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+    q AS (
+      SELECT d0.* FROM documents d0 JOIN m ON d0.doc_id = m.doc_id
+      WHERE m.n_tokens >= 20 AND m.n_tokens <= 100000
+        AND CAST(m.n_stop AS DOUBLE) / greatest(m.n_tokens, 1) >= 0.05
+        AND CAST(m.sum_len AS DOUBLE) / greatest(m.n_tokens, 1) <= 12.0),
+    d AS (
+      SELECT q.* FROM q
+      JOIN (SELECT min(doc_id) AS doc_id
+            FROM (SELECT doc_id,
+                         md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h
+                  FROM q)
+            GROUP BY h) kk ON q.doc_id = kk.doc_id),
+    st0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+    sp AS (SELECT doc_id, w,
+                  UNNEST(generate_series(1, greatest(len(w), 1), 32)) AS cs
+           FROM st0),
+    ck AS (SELECT doc_id, CAST((cs - 1) // 32 AS BIGINT) AS idx,
+                  array_to_string(list_slice(w, cs, least(cs + 31, len(w))), ' ')
+                    AS chunk_text
+           FROM sp),
+    mk AS (SELECT *, row_number() OVER (PARTITION BY md5(chunk_text)
+                                        ORDER BY doc_id, idx) AS rn
+           FROM ck),
+    rw AS (SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY idx) AS dedup_text
+           FROM mk WHERE rn = 1 GROUP BY doc_id),
+    rws AS (SELECT rw.doc_id, rw.dedup_text, d.source
+            FROM rw JOIN d ON rw.doc_id = d.doc_id),
+    vt AS (SELECT s AS token
+           FROM (SELECT string_split(dedup_text, ' ') AS w FROM rws),
+                UNNEST(w) AS t(s)),
+    vc AS (SELECT token, count(*) AS c FROM vt GROUP BY token),
+    vocab AS (SELECT token,
+                     CAST(row_number() OVER (ORDER BY c DESC, token) AS BIGINT)
+                       AS vocab_rank
+              FROM vc ORDER BY c DESC, token LIMIT 256),
+    t2 AS (SELECT doc_id, source, string_split(dedup_text, ' ') AS w FROM rws),
+    pos AS (SELECT doc_id, source, w[ord] AS token, ord
+            FROM t2, UNNEST(generate_series(1, len(w))) AS u(ord)),
+    enc AS (SELECT pos.doc_id, pos.source, pos.ord,
+                   COALESCE(v.vocab_rank, 0) AS id
+            FROM pos LEFT JOIN vocab v USING (token)),
+    dl AS (SELECT doc_id, source, count(*) AS n_ids FROM enc GROUP BY 1, 2),
+    stt AS (SELECT doc_id,
+                   SUM(n_ids) OVER (PARTITION BY source ORDER BY doc_id)
+                     - n_ids AS strt
+            FROM dl),
+    g AS (SELECT enc.source, stt.strt + enc.ord - 1 AS gidx, enc.id
+          FROM enc JOIN stt ON enc.doc_id = stt.doc_id)
+    SELECT source, CAST(gidx // 64 AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           count(*) = 64 AS full,
+           md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gidx)) AS ids_md5
+    FROM g GROUP BY 1, 2
+    """,
+)
+def q_curation_pipeline_tokens(spark, sf_dir):
+    """The tokenizer-side end-to-end: quality filter -> exact dedup ->
+    span-dedup REWRITE -> vocab induction on the survivors ->
+    fixed-length id sequences (curate_to_sequences). Deterministic
+    stage-by-stage, so the emitted training sequences hash-match the
+    oracle's replication of the whole chain."""
+    from etlutils_spark.operators.curation import curate_to_sequences
+
+    packs = curate_to_sequences(_t(spark, sf_dir, "documents"))
+    ids_str = F.transform(F.col("ids"), lambda i: i.cast("string"))
+    return packs.select(
+        "source", "pack_id", "n_tokens", "full",
+        F.md5(F.concat_ws(" ", ids_str)).alias("ids_md5"),
+    )

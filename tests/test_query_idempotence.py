@@ -22,7 +22,8 @@ def test_queries_rerun_identical(spark):
                  "curation_pipeline_batch",
                  # late r4: tracked-persist span/fingerprint/cluster tiers
                  "dedup_window_spans", "winnow_overlap_pairs",
-                 "semantic_dedup_survivors", "token_budget_sample"]:
+                 "semantic_dedup_survivors", "token_budget_sample",
+                 "curation_pipeline_tokens"]:
         a = _rows(qs[name](spark, SF))
         b = _rows(qs[name](spark, SF))
         assert a == b, name
