@@ -17,7 +17,7 @@ from etlutils_spark.operators.transfun import trans_fun
 from etlutils_spark.sources.sql import read_sql, write_sql
 from etlutils_spark.sources.files import read_table, load_star
 from etlutils_spark.sources.merge import merge_upsert, scd2_apply
-from etlutils_spark.operators.curation import curate_documents
+from etlutils_spark.operators.curation import curate_documents, curate_to_sequences
 from etlutils_spark.operators.dedup import (
     window_dedup_rewrite,
     window_dedup_stats,
@@ -48,6 +48,7 @@ __all__ = [
     "merge_upsert",
     "scd2_apply",
     "curate_documents",
+    "curate_to_sequences",
     "check_constraints",
     "build_vocab",
     "oov_stats",
