@@ -79,6 +79,7 @@ R4_EXTRAS = [
     "pack_ids_export",
     "leakage_safe_split",
     "curation_pipeline_tokens",
+    "incremental_span_dedup",
 ]
 
 

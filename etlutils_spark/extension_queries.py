@@ -1089,9 +1089,9 @@ def q_heavy_hitters_contract(spark, sf_dir):
 # Non-overlapping span width for the registered window-dedup query.
 WINDOW_DEDUP_TOKENS = 32
 
-@register(
-    "dedup_window_spans",
-    f"""
+# Shared by the batch query and the streaming-replay query (whose
+# cross-batch contract is equality with the batch result).
+_DUCK_WINDOW_SPANS_SQL = f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     s AS (SELECT doc_id, w,
                  UNNEST(generate_series(1, greatest(len(w), 1),
@@ -1118,8 +1118,9 @@ WINDOW_DEDUP_TOKENS = 32
            CAST(sum(CASE WHEN rn = 1 THEN n ELSE 0 END) AS DOUBLE)
              / CAST(sum(n) AS DOUBLE) AS kept_ratio
     FROM m GROUP BY doc_id
-    """,
-)
+    """
+
+@register("dedup_window_spans", _DUCK_WINDOW_SPANS_SQL)
 def q_dedup_window_spans(spark, sf_dir):
     """Sequence-level exact-span dedup accounting: non-overlapping
     32-token windows, corpus-wide first occurrence kept (lowest
@@ -1406,3 +1407,74 @@ def q_leakage_safe_split(spark, sf_dir):
     )
     out = leakage_safe_split(docs, pairs, fractions=(0.8, 0.1))
     return out.select("doc_id", "lang", "split_key", "split")
+
+
+@register("incremental_span_dedup", _DUCK_WINDOW_SPANS_SQL)
+def q_incremental_span_dedup(spark, sf_dir):
+    """The streaming incremental span-dedup index
+    (streaming/incremental_spans.py) driven to completion over the
+    documents corpus split into 4 doc_id-RANGE micro-batches replayed
+    in ascending order (range slices + sequential file mtimes — batch
+    order is load-bearing for first-occurrence semantics, unlike the
+    pair-based incremental LSH). Each batch's spans are checked against
+    the key index of everything already ingested, then the new keys are
+    appended; the accumulated per-doc stats therefore equal the BATCH
+    window_dedup_stats, and the batch oracle checks the incremental
+    path end to end.
+
+    Scale: per-batch cost is O(batch) tokenization + a broadcast
+    anti-join of the batch's distinct keys against the index — never
+    O(corpus) re-work; the index holds one md5 per distinct span."""
+    import os
+    import shutil
+    import time
+
+    from etlutils_spark.pipeline_queries import _rt_path
+    from etlutils_spark.streaming.incremental_spans import incremental_span_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    per = max(1, (n_docs + 3) // 4)
+    root = _rt_path(spark, "inc_spans")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    staging = os.path.join(root, "staging")
+    (
+        docs.withColumn(
+            "__slice", F.least(F.lit(3), (F.col("doc_id") / per).cast("int"))
+        )
+        .repartition(4, "__slice")
+        .write.mode("overwrite")
+        .partitionBy("__slice")
+        .parquet(staging)
+    )
+    t0 = time.time() - 1000
+    for i in range(4):
+        slice_dir = os.path.join(staging, f"__slice={i}")
+        part = next(
+            f for f in sorted(os.listdir(slice_dir)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"slice{i}.parquet")
+        os.replace(os.path.join(slice_dir, part), dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))  # ascending replay order
+    shutil.rmtree(staging)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = incremental_span_dedup(
+        stream,
+        index_dir=os.path.join(root, "index"),
+        stats_dir=os.path.join(root, "stats"),
+        checkpoint=os.path.join(root, "ckpt"),
+        window=WINDOW_DEDUP_TOKENS,
+    )
+    q.awaitTermination()
+    # at-least-once appends: stats rows are deterministic per doc, so
+    # distinct restores exactly-once
+    return spark.read.parquet(os.path.join(root, "stats")).distinct()

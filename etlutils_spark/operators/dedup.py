@@ -673,19 +673,19 @@ def cluster_survivors(
     )
 
 
-def _marked_spans(
+def span_rows(
     df: DataFrame,
-    window: int,
-    text_col: str,
-    id_col: str,
-    portable: bool,
+    window: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
     keep_text: bool = False,
 ) -> DataFrame:
-    """Shared span stage for the window-dedup family: non-overlapping
-    ``window``-token spans with a ``__kept`` flag marking the corpus-wide
-    first occurrence of each distinct span. ``keep_text=True`` carries
-    the span text through (needed by the rewrite form; the stats form
-    stays key-only so wide text never shuffles)."""
+    """Non-overlapping ``window``-token span rows: ``(id, __idx, __n,
+    __key[, __text])`` — one row per span, key = md5 of the span text
+    (portable) or xxhash64-hex (fast path). The raw-material stage of
+    the window-dedup family, also consumed by the streaming incremental
+    index (``streaming.incremental_spans``)."""
     base = with_tokens(df, text_col)
     toks = F.col(TOKENS_COL)
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(window))
@@ -699,9 +699,25 @@ def _marked_spans(
     ]
     if keep_text:
         cols.append(span_text.alias("__text"))
-    keyed = base.select(
+    return base.select(
         id_col, toks.alias("__w"), F.posexplode(starts).alias("__idx", "__start")
     ).select(id_col, *cols)
+
+
+def _marked_spans(
+    df: DataFrame,
+    window: int,
+    text_col: str,
+    id_col: str,
+    portable: bool,
+    keep_text: bool = False,
+) -> DataFrame:
+    """Shared span stage for the window-dedup family: ``span_rows``
+    plus a ``__kept`` flag marking the corpus-wide first occurrence of
+    each distinct span. ``keep_text=True`` carries the span text
+    through (needed by the rewrite form; the stats form stays key-only
+    so wide text never shuffles)."""
+    keyed = span_rows(df, window, text_col, id_col, portable, keep_text)
     # feeds the first-occurrence agg AND the join probe side: materialize
     # once (same rule as the shingle table in jaccard_pairs).
     keyed = _persist_tracked(keyed)

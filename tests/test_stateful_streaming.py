@@ -118,3 +118,52 @@ def test_incremental_lsh_finds_cross_batch_pairs(spark, tmp_path):
     # index holds every doc's profile after the stream drains
     idx = spark.read.parquet(str(tmp_path / "index"))
     assert {r.doc_id for r in idx.select("doc_id").collect()} == {0, 1, 10, 11, 12}
+
+
+def test_incremental_span_dedup_cross_batch_first_occurrence(spark, tmp_path):
+    """A span first seen in batch 1 is a DUP when batch 2 repeats it —
+    the index, not batch locality, decides first occurrence; final
+    stats equal the batch operator on the concatenated corpus."""
+    import time
+
+    from etlutils_spark.operators.dedup import window_dedup_stats
+    from etlutils_spark.streaming.incremental_spans import incremental_span_dedup
+
+    batches = [
+        [(0, "a b c d e f g h")],
+        [(10, "a b c d x y z w"),    # first span dups batch-1 doc 0
+         (11, "p q r s")],
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(1)\
+            .write.parquet(str(src / f"b{i}"))
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = incremental_span_dedup(
+        stream,
+        index_dir=str(tmp_path / "index"),
+        stats_dir=str(tmp_path / "stats"),
+        checkpoint=str(tmp_path / "ckpt"),
+        window=4,
+    )
+    q.awaitTermination()
+
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["n_kept_tokens"])
+        for r in spark.read.parquet(str(tmp_path / "stats")).distinct().collect()
+    }
+    all_rows = [r for b in batches for r in b]
+    batch_df = spark.createDataFrame(all_rows, "doc_id bigint, text string")
+    want = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["n_kept_tokens"])
+        for r in window_dedup_stats(batch_df, window=4).collect()
+    }
+    assert got == want
+    assert got[10] == (2, 1, 4)  # cross-batch dup detected
