@@ -382,6 +382,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = True,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """Semantic deduplication (the SemDeDup pattern — Abbas et al.,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -402,6 +403,10 @@ def semantic_dedup(
     Skewed clusters are the risk (one mega-cluster re-creates
     all-pairs): raise K or recurse into oversized clusters; the
     assignment stage itself is linear and broadcast-only.
+    ``max_cluster_size`` makes that failure LOUD — raise instead of
+    silently running a quadratic join over a mega-cluster (the same
+    fail-fast contract as ``cosine_topk_arrow``'s query-size guard and
+    ``merge_upsert``'s partition budget).
     """
     from etlutils_spark.caching import persist_tracked
 
@@ -412,6 +417,22 @@ def semantic_dedup(
     av = persist_tracked(
         assigned.join(corpus.select(id_col, vec_col), id_col)
     )
+    if max_cluster_size is not None:
+        big = (
+            av.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_cluster_size)
+            .limit(1)
+            .collect()
+        )
+        if big:
+            raise ValueError(
+                f"cluster {big[0]['cluster_id']} has {big[0]['__n']} members "
+                f"> max_cluster_size={max_cluster_size}: the within-cluster "
+                "pairwise stage would be quadratic in it. Raise the centroid "
+                "count K, or recurse semantic_dedup into the oversized "
+                "cluster with finer centroids."
+            )
     a = av.select(
         "cluster_id", F.col(id_col).alias("__id1"), F.col(vec_col).alias("__v1")
     )

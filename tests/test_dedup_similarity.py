@@ -397,3 +397,20 @@ def test_window_dedup_rewrite_reassembles_in_order(spark):
     assert set(out) == {0, 1}
     assert out[0]["dedup_text"] == "a b c d e f g h"
     assert out[1]["dedup_text"] == "x y z w" and out[1]["n_kept_tokens"] == 4
+
+
+def test_semantic_dedup_cluster_size_guard(spark):
+    from etlutils_spark.operators.similarity import semantic_dedup
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cluster_id bigint, embedding array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.01 * i]) for i in range(5)],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="max_cluster_size"):
+        semantic_dedup(corpus, cents, max_cluster_size=3)
+    # within budget: runs normally
+    assert semantic_dedup(corpus, cents, threshold=1.01,
+                          max_cluster_size=10).count() == 5
