@@ -202,3 +202,41 @@ def test_window_dedup_matches_reference(spark, texts, window):
         for r in window_dedup_stats(df, window=window).collect()
     }
     assert got == ref_window_dedup(docs, window)
+
+
+def ref_token_budget(rows, budget):
+    import hashlib
+
+    def ordkey(doc_id):
+        return hashlib.md5(str(doc_id).encode()).hexdigest()
+
+    by_group = {}
+    for doc_id, group, text in rows:
+        by_group.setdefault(group, []).append((ordkey(doc_id), doc_id, len(text.split(" "))))
+    kept = set()
+    for group, docs in by_group.items():
+        prefix = 0
+        for _, doc_id, n in sorted(docs):
+            if prefix < budget:
+                kept.add(doc_id)
+            prefix += n
+    return kept
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("xy"),
+                  st.integers(1, 8)),
+        min_size=1, max_size=10,
+    ),
+    st.integers(1, 20),
+)
+def test_token_budget_matches_reference(spark, specs, budget):
+    from etlutils_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, g, " ".join(["t"] * n)) for i, (g, n) in enumerate(specs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    got = {r["doc_id"] for r in
+           token_budget_sample(df, budget, group_col="lang").collect()}
+    assert got == ref_token_budget([(i, g, t) for (i, g, t) in rows], budget)
