@@ -387,7 +387,7 @@ def tokens_to_ids(
     oov_id: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_literal_vocab: int = 65536,
+    max_literal_vocab: int = 8192,
 ) -> DataFrame:
     """Encode each document's tokens as integer ids from a vocabulary
     (``build_vocab`` output or any ``(token, vocab_rank)`` frame) — the
@@ -399,10 +399,13 @@ def tokens_to_ids(
     ``max_literal_vocab`` entries) and embedded as a plan-literal map,
     so encoding is a zero-shuffle per-row ``transform`` lookup in
     whole-stage codegen — the same travel-in-the-plan discipline as the
-    stopword lists. A BPE-scale vocabulary beyond the literal budget
-    belongs in a broadcast join (explode + join + positional
-    re-assembly); this operator deliberately raises rather than
-    silently building a multi-megabyte plan.
+    stopword lists. The budget default is MEASURED, not guessed:
+    Catalyst planning cost is fine at 8k map entries (~3 s end to end)
+    but blows up at 32k (~58 s — expression-tree size, not data). A
+    BPE-scale vocabulary beyond the literal budget belongs in a
+    broadcast join (explode + join + positional re-assembly); this
+    operator deliberately raises rather than silently building a
+    pathological plan.
     """
     rows = vocab.select("token", "vocab_rank").limit(max_literal_vocab + 1).collect()
     if len(rows) > max_literal_vocab:
