@@ -1422,9 +1422,11 @@ def q_incremental_span_dedup(spark, sf_dir):
     window_dedup_stats, and the batch oracle checks the incremental
     path end to end.
 
-    Scale: per-batch cost is O(batch) tokenization + a broadcast
-    anti-join of the batch's distinct keys against the index — never
-    O(corpus) re-work; the index holds one md5 per distinct span."""
+    Scale: per-batch cost is O(batch) tokenization + a broadcast probe
+    of the batch's distinct keys against the index — never O(corpus)
+    re-work; the index holds one (md5, first-occurrence) row per
+    distinct span, which is also what makes failure replay emit
+    byte-identical stats (see module docstring)."""
     import os
     import shutil
     import time

@@ -9,17 +9,17 @@ retention stats are final the moment its batch commits, and later
 batches can never "steal" a first occurrence from an earlier one.
 
 Index design (the 100 TB story):
-- One row per DISTINCT span key ever seen: ``(__key string)`` — 32
-  bytes of md5 per unique span, append-only parquet. Duplicate mass
-  never grows the index.
+- One row per DISTINCT span key ever seen, WITH its first occurrence:
+  ``(__key string, __first struct<i,x>)`` — ~48 bytes per unique span,
+  append-only parquet. Duplicate mass never grows the index.
 - Per batch, only the new documents are tokenized (incremental cost is
-  O(batch)); the batch's distinct keys are checked against the index
-  with a left-anti join — the batch side is tiny, so Catalyst
-  broadcasts it against the index scan. At real scale the index is
-  written bucketed by key prefix so the probe prunes instead of
-  scanning.
+  O(batch)); the batch's distinct keys probe the index with a left
+  join — the batch side is tiny, so Catalyst broadcasts it against the
+  index scan. At real scale the index is written bucketed by key
+  prefix so the probe prunes instead of scanning.
 - Batch-local first occurrence uses the same combinable
-  ``min(struct(id, idx))`` aggregate as the batch operator.
+  ``min(struct(id, idx))`` aggregate as the batch operator; the
+  overall first is the struct-min of (index entry, batch-local min).
 
 Cross-batch contract: when documents arrive in ascending ``id`` order
 (one doc never split across batches), the accumulated per-doc stats
@@ -27,10 +27,15 @@ equal the BATCH ``window_dedup_stats`` over the full corpus — which is
 how the registered query oracle-checks this path end to end.
 
 Failure/exactly-once: foreachBatch + checkpoint gives at-least-once
-appends; stats rows are deterministic per doc, so a replayed batch
-re-appends identical rows and a downstream ``distinct`` restores
-exactly-once. Re-appended index keys are harmless (the anti-join
-semantics only need key EXISTENCE).
+appends. Storing the first-occurrence POSITION in the index (not just
+the key) is what makes replay safe: a batch that died after its index
+append re-runs against an index that already contains its own keys,
+but those entries carry the batch's own (id, idx) minima, so the
+struct-min reproduces the exact same kept decisions and the re-appended
+stats rows are IDENTICAL — a downstream ``distinct`` restores
+exactly-once. (A key-existence-only index would mark the replayed
+batch's spans as dups and emit diverging stats.) Replayed keys append
+no new index rows.
 """
 
 from __future__ import annotations
@@ -65,22 +70,36 @@ def incremental_span_dedup(
         keyed = span_rows(
             batch_df, window, text_col, id_col, portable=True
         ).localCheckpoint(eager=True)
-        firsts = keyed.groupBy("__key").agg(
+        local = keyed.groupBy("__key").agg(
             F.min(
                 F.struct(F.col(id_col).alias("i"), F.col("__idx").alias("x"))
-            ).alias("__first")
+            ).alias("__bf")
         )
         try:
-            index = spark.read.parquet(index_dir).select("__key")
-            # keys already in the index were first in an EARLIER batch:
-            # nothing in this batch keeps them
-            firsts = firsts.join(index, "__key", "left_anti")
+            index = spark.read.parquet(index_dir).withColumnRenamed(
+                "__first", "__if"
+            )
+            joined = local.join(index, "__key", "left")
+            # overall first = struct-min of the index entry (earlier
+            # batch, or THIS batch under failure replay) and the
+            # batch-local min — replay-idempotent by construction
+            firsts = joined.select(
+                "__key",
+                F.when(
+                    F.col("__if").isNotNull() & (F.col("__if") < F.col("__bf")),
+                    F.col("__if"),
+                ).otherwise(F.col("__bf")).alias("__first"),
+                F.col("__if").isNull().alias("__is_new"),
+            )
         except AnalysisException:
-            pass
-        marked = keyed.join(firsts, "__key", "left").withColumn(
+            firsts = local.select(
+                "__key", F.col("__bf").alias("__first"),
+                F.lit(True).alias("__is_new"),
+            )
+        firsts = firsts.localCheckpoint(eager=True)
+        marked = keyed.join(firsts.select("__key", "__first"), "__key").withColumn(
             "__kept",
-            F.col("__first").isNotNull()
-            & (F.col(id_col) == F.col("__first.i"))
+            (F.col(id_col) == F.col("__first.i"))
             & (F.col("__idx") == F.col("__first.x")),
         )
         n_tokens = F.sum("__n").cast("bigint")
@@ -97,7 +116,9 @@ def incremental_span_dedup(
             (n_kept.cast("double") / n_tokens.cast("double")).alias("kept_ratio"),
         )
         stats.write.mode("append").parquet(stats_dir)
-        firsts.select("__key").write.mode("append").parquet(index_dir)
+        firsts.filter(F.col("__is_new")).select("__key", "__first").write.mode(
+            "append"
+        ).parquet(index_dir)
 
     return (
         docs.writeStream.foreachBatch(_process)

@@ -167,3 +167,52 @@ def test_incremental_span_dedup_cross_batch_first_occurrence(spark, tmp_path):
     }
     assert got == want
     assert got[10] == (2, 1, 4)  # cross-batch dup detected
+
+
+def test_incremental_span_dedup_replay_is_idempotent(spark, tmp_path):
+    """The worst failure window: a batch dies AFTER its index append
+    but BEFORE the checkpoint commit. The replay runs against an index
+    that already contains the batch's own keys — the positional index
+    entries make it reproduce byte-identical stats, so distinct()
+    restores exactly-once."""
+    import time
+
+    from etlutils_spark.streaming.incremental_spans import incremental_span_dedup
+
+    batches = [
+        [(0, "a b c d e f g h")],
+        [(10, "a b c d x y z w"), (11, "p q r s")],
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(1)\
+            .write.parquet(str(src / f"b{i}"))
+        time.sleep(1.1)
+
+    def run(ckpt, path_glob):
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path_glob)
+        )
+        q = incremental_span_dedup(
+            stream,
+            index_dir=str(tmp_path / "index"),
+            stats_dir=str(tmp_path / "stats"),
+            checkpoint=str(tmp_path / ckpt),
+            window=4,
+        )
+        q.awaitTermination()
+
+    run("ckpt", str(src) + "/*")
+    before = sorted(map(str, spark.read.parquet(str(tmp_path / "stats"))
+                        .distinct().collect()))
+    n_index = spark.read.parquet(str(tmp_path / "index")).count()
+    # simulate the replay: re-process batch 2 with a FRESH checkpoint —
+    # the index already holds its keys (post-append state)
+    run("ckpt_replay", str(src / "b1"))
+    after = sorted(map(str, spark.read.parquet(str(tmp_path / "stats"))
+                       .distinct().collect()))
+    assert after == before                      # stats identical after distinct
+    assert spark.read.parquet(str(tmp_path / "index")).count() == n_index
