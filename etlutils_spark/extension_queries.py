@@ -1480,3 +1480,49 @@ def q_incremental_span_dedup(spark, sf_dir):
     # at-least-once appends: stats rows are deterministic per doc, so
     # distinct restores exactly-once
     return spark.read.parquet(os.path.join(root, "stats")).distinct()
+
+
+WINDOW_SHIFT_STRIDE = 16
+
+@register(
+    "dedup_window_spans_shifted",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, w,
+                 UNNEST(generate_series(1, greatest(len(w), 1),
+                                        {WINDOW_SHIFT_STRIDE})) AS cs
+          FROM t),
+    k AS (SELECT doc_id,
+                 CAST((cs - 1) // {WINDOW_SHIFT_STRIDE} AS BIGINT) AS idx,
+                 len(list_slice(w, cs, least(cs + {WINDOW_DEDUP_TOKENS} - 1,
+                                             len(w)))) AS n,
+                 md5(array_to_string(
+                     list_slice(w, cs, least(cs + {WINDOW_DEDUP_TOKENS} - 1,
+                                             len(w))), ' ')) AS key
+          FROM s),
+    m AS (SELECT *, row_number() OVER (PARTITION BY key
+                                       ORDER BY doc_id, idx) AS rn
+          FROM k)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN rn = 1 THEN n ELSE 0 END) AS BIGINT)
+             AS n_kept_tokens,
+           CAST(sum(CASE WHEN rn = 1 THEN n ELSE 0 END) AS DOUBLE)
+             / CAST(sum(n) AS DOUBLE) AS kept_ratio
+    FROM m GROUP BY doc_id
+    """,
+)
+def q_dedup_window_spans_shifted(spark, sf_dir):
+    """Overlapping-stride span dedup (32-token windows every 16): a
+    duplicated span whose alignment offset between documents is a
+    multiple of the stride lands on identical keys — the recall dial
+    the non-overlapping form lacks, at 2x the span-row mass."""
+    from etlutils_spark.operators.dedup import window_dedup_stats
+
+    return window_dedup_stats(
+        _t(spark, sf_dir, "documents"),
+        window=WINDOW_DEDUP_TOKENS, stride=WINDOW_SHIFT_STRIDE,
+    )

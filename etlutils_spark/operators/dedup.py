@@ -680,15 +680,26 @@ def span_rows(
     id_col: str = "doc_id",
     portable: bool = True,
     keep_text: bool = False,
+    stride: int | None = None,
 ) -> DataFrame:
-    """Non-overlapping ``window``-token span rows: ``(id, __idx, __n,
-    __key[, __text])`` — one row per span, key = md5 of the span text
+    """``window``-token span rows: ``(id, __idx, __n, __key[,
+    __text])`` — one row per span, key = md5 of the span text
     (portable) or xxhash64-hex (fast path). The raw-material stage of
     the window-dedup family, also consumed by the streaming incremental
-    index (``streaming.incremental_spans``)."""
+    index (``streaming.incremental_spans``).
+
+    ``stride`` (default = ``window``, non-overlapping) sets the start
+    spacing. A stride s < window emits overlapping spans: duplicate
+    content whose alignment offset between two documents is a multiple
+    of s then lands on identical span keys — non-overlapping windows
+    only catch offset-0 alignment. s=1 is the exhaustive (suffix-
+    array-recall) limit at ~window× the row mass; s is the recall/cost
+    dial in between."""
+    if stride is None:
+        stride = window
     base = with_tokens(df, text_col)
     toks = F.col(TOKENS_COL)
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(window))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
     chunk = F.slice(F.col("__w"), F.col("__start"), window)
     span_text = F.concat_ws(" ", chunk)
     key = F.md5(span_text) if portable else F.hex(F.xxhash64(span_text))
@@ -711,13 +722,14 @@ def _marked_spans(
     id_col: str,
     portable: bool,
     keep_text: bool = False,
+    stride: int | None = None,
 ) -> DataFrame:
     """Shared span stage for the window-dedup family: ``span_rows``
     plus a ``__kept`` flag marking the corpus-wide first occurrence of
     each distinct span. ``keep_text=True`` carries the span text
     through (needed by the rewrite form; the stats form stays key-only
     so wide text never shuffles)."""
-    keyed = span_rows(df, window, text_col, id_col, portable, keep_text)
+    keyed = span_rows(df, window, text_col, id_col, portable, keep_text, stride)
     # feeds the first-occurrence agg AND the join probe side: materialize
     # once (same rule as the shingle table in jaccard_pairs).
     keyed = _persist_tracked(keyed)
@@ -739,6 +751,7 @@ def window_dedup_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     portable: bool = True,
+    stride: int | None = None,
 ) -> DataFrame:
     """Sequence-level exact-duplicate accounting (the span-granular
     complement to doc-level dedup; cf. Lee et al., "Deduplicating
@@ -757,6 +770,11 @@ def window_dedup_stats(
     Output: ``(id, n_windows, n_dup_windows, n_tokens, n_kept_tokens,
     kept_ratio)``.
 
+    With an overlapping ``stride`` (< window; see ``span_rows``) the
+    token columns count SPAN-token mass, not document length (a token
+    appears in window/stride spans); the ratios remain the span
+    retention metrics.
+
     Scale: span keys are md5 digests (``portable=True``; xxhash64-hex
     fast path) — the wide span text itself never shuffles. First
     occurrence is a ``min(struct(id, idx))`` aggregation (map-side
@@ -766,7 +784,7 @@ def window_dedup_stats(
     shuffles total — span-key agg, span-key join back, per-doc
     re-aggregation — all on uniform (md5) or natural (id) keys.
     """
-    marked = _marked_spans(df, window, text_col, id_col, portable)
+    marked = _marked_spans(df, window, text_col, id_col, portable, stride=stride)
     n_tokens = F.sum("__n").cast("bigint")
     n_kept = F.sum(F.when(F.col("__kept"), F.col("__n")).otherwise(0)).cast("bigint")
     return marked.groupBy(id_col).agg(

@@ -414,3 +414,23 @@ def test_semantic_dedup_cluster_size_guard(spark):
     # within budget: runs normally
     assert semantic_dedup(corpus, cents, threshold=1.01,
                           max_cluster_size=10).count() == 5
+
+
+def test_window_dedup_stride_catches_shifted_duplicate(spark):
+    from etlutils_spark.operators.dedup import window_dedup_stats
+
+    content = " ".join(f"c{i}" for i in range(32))
+    rows = [
+        (0, content + " " + " ".join(f"tail{i}" for i in range(8))),
+        # same 32-token span, shifted by exactly one stride (16 tokens)
+        (1, " ".join(f"pre{i}" for i in range(16)) + " " + content),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # non-overlapping windows: doc 1's copy never aligns -> no dups
+    plain = {r["doc_id"]: r["n_dup_windows"]
+             for r in window_dedup_stats(df, window=32).collect()}
+    assert plain == {0: 0, 1: 0}
+    # stride-16 overlap: the shifted span lands on an identical key
+    shifted = {r["doc_id"]: r["n_dup_windows"]
+               for r in window_dedup_stats(df, window=32, stride=16).collect()}
+    assert shifted[1] >= 1
