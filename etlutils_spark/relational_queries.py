@@ -1681,3 +1681,40 @@ def q_unpivot_order_metrics(spark, sf_dir):
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@register(
+    "full_outer_reconcile",
+    """
+    WITH o AS (SELECT o_custkey AS custkey,
+                      CAST(count(*) AS BIGINT) AS n_orders
+               FROM orders GROUP BY 1)
+    SELECT COALESCE(o.custkey, c.c_custkey) AS custkey,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           c.c_custkey IS NOT NULL AS in_customer,
+           o.custkey IS NOT NULL AS has_orders
+    FROM o FULL OUTER JOIN customer c ON o.custkey = c.c_custkey
+    """,
+)
+def q_full_outer_reconcile(spark, sf_dir):
+    """Two-table reconciliation via FULL OUTER join: customers with no
+    orders AND order keys with no customer row both survive, with
+    presence flags — the audit shape matchmerge's inner/left contract
+    (reference semantics) deliberately excludes. Scale: the aggregate
+    side is customer-cardinality; one shuffle on the join key (full
+    outer cannot broadcast), AQE handles skew."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        o.join(c, o["custkey"] == c["c_custkey"], "full_outer")
+        .select(
+            F.coalesce(o["custkey"], c["c_custkey"]).alias("custkey"),
+            F.coalesce(o["n_orders"], F.lit(0)).alias("n_orders"),
+            c["c_custkey"].isNotNull().alias("in_customer"),
+            o["custkey"].isNotNull().alias("has_orders"),
+        )
+    )
