@@ -80,6 +80,8 @@ R4_EXTRAS = [
     "leakage_safe_split",
     "curation_pipeline_tokens",
     "incremental_span_dedup",
+    "dedup_window_spans_shifted",
+    "full_outer_reconcile",
 ]
 
 
