@@ -434,3 +434,34 @@ def test_window_dedup_stride_catches_shifted_duplicate(spark):
     shifted = {r["doc_id"]: r["n_dup_windows"]
                for r in window_dedup_stats(df, window=32, stride=16).collect()}
     assert shifted[1] >= 1
+
+
+def test_span_dedup_fast_hash_parity(spark):
+    # the xxhash64 fast path must produce identical STATS to the
+    # portable-md5 oracle mode (only the key domain differs)
+    from etlutils_spark.operators.dedup import window_dedup_stats
+
+    rows = [(0, "a b c d e f g h"), (1, "a b c d x y z w"), (2, "a b c d")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    canon = lambda out: sorted(map(str, out.collect()))
+    assert canon(window_dedup_stats(df, window=4, portable=True)) == \
+           canon(window_dedup_stats(df, window=4, portable=False))
+
+
+def test_centroid_assign_fast_parity(spark):
+    # double fast-path cosine must agree with the decimal-exact path on
+    # ASSIGNMENT (scores may differ in the last ulp)
+    from etlutils_spark.operators.similarity import centroid_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from pyspark.sql import functions as F
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster_id"), "embedding"
+    )
+    a = {r["vec_id"]: r["cluster_id"]
+         for r in centroid_assign(emb, cents, exact=True).collect()}
+    b = {r["vec_id"]: r["cluster_id"]
+         for r in centroid_assign(emb, cents, exact=False).collect()}
+    # ulp-level score differences may flip genuine ties only; on this
+    # corpus assignments must match outright
+    assert a == b
