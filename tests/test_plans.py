@@ -329,3 +329,20 @@ def test_semantic_dedup_pairwise_stays_jvm(spark, qs):
     plan = physical_plan(qs["semantic_dedup_survivors"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_all_queries_emit_canonicalizer_safe_schemas(spark, qs):
+    """Every registered query's output schema must be ATOMIC columns
+    only: the driver's canonicalizer sorts rows via pandas and dies on
+    array/map/struct cells (the round-3 multimodal_features defect).
+    Operators may return complex types — registered queries must
+    project them to scalars (md5/concat_ws/counts)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, fn in qs.items():
+        df = fn(spark, SF)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append((name, f.name, str(f.dataType)))
+    assert bad == []
