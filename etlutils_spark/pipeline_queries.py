@@ -1148,3 +1148,17 @@ def q_curation_pipeline_tokens(spark, sf_dir):
         "source", "pack_id", "n_tokens", "full",
         F.md5(F.concat_ws(" ", ids_str)).alias("ids_md5"),
     )
+
+
+@register("format_roundtrip_orc", f"SELECT {_DOC_COLS} FROM documents")
+def q_format_roundtrip_orc(spark, sf_dir):
+    """ORC sink+source fidelity (sources/files.py read_orc/write_orc):
+    same contract as the CSV/JSON round-trips. The oracle never reads
+    ORC — a faithful round-trip must equal the parquet original, which
+    DuckDB selects directly."""
+    from etlutils_spark.sources.files import read_orc, write_orc
+
+    df = _t(spark, sf_dir, "documents").select(*_DOC_COLS.split(", "))
+    path = _rt_path(spark, "orc")
+    write_orc(df, path, mode="overwrite")
+    return read_orc(spark, path)
