@@ -1162,3 +1162,38 @@ def q_format_roundtrip_orc(spark, sf_dir):
     path = _rt_path(spark, "orc")
     write_orc(df, path, mode="overwrite")
     return read_orc(spark, path)
+
+
+@register(
+    "hilbert_curve_order2",
+    """
+    WITH pts AS (SELECT DISTINCT CAST(c_custkey % 4 AS BIGINT) AS x,
+                                 CAST(c_nationkey % 4 AS BIGINT) AS y
+                 FROM customer),
+    canon AS (SELECT * FROM (VALUES
+        (0,0,0),(1,0,1),(1,1,2),(0,1,3),
+        (0,2,4),(0,3,5),(1,3,6),(1,2,7),
+        (2,2,8),(2,3,9),(3,3,10),(3,2,11),
+        (3,1,12),(2,1,13),(2,0,14),(3,0,15)) AS t(x, y, d))
+    SELECT p.x, p.y, CAST(c.d AS BIGINT) AS hilbert_d
+    FROM pts p JOIN canon c ON p.x = c.x AND p.y = c.y
+    """,
+)
+def q_hilbert_curve_order2(spark, sf_dir):
+    """Driver evidence for the Hilbert layout key (sources/layout.py,
+    vectorized pandas UDF): data-derived 4x4 grid points keyed at
+    order 2 must reproduce the CANONICAL public Hilbert curve (the
+    classic xy2d walk (0,0)->(1,0)->(1,1)->(0,1)->(0,2)->...), embedded
+    in the oracle as a VALUES table — an implementation-independent
+    check of the rotate/reflect recurrence the Z-order query can't
+    provide."""
+    from etlutils_spark.sources.layout import hilbert_key
+
+    c = _t(spark, sf_dir, "customer")
+    pts = c.select(
+        (F.col("c_custkey") % 4).cast("long").alias("x"),
+        (F.col("c_nationkey") % 4).cast("long").alias("y"),
+    ).distinct()
+    return pts.select(
+        "x", "y", hilbert_key(pts, ["x", "y"], bits=2).alias("hilbert_d")
+    )
