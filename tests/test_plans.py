@@ -346,3 +346,12 @@ def test_all_queries_emit_canonicalizer_safe_schemas(spark, qs):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 bad.append((name, f.name, str(f.dataType)))
     assert bad == []
+
+
+def test_full_outer_single_shuffle_pair(spark, qs):
+    # full outer cannot broadcast: expect a shuffle-based join (SMJ or
+    # shuffled hash), never BroadcastHashJoin, and no cartesian
+    plan = physical_plan(qs["full_outer_reconcile"](spark, SF))
+    assert "FullOuter" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -144,3 +144,32 @@ def test_tokens_to_ids_literal_budget_raises(spark):
 
     with _pytest.raises(ValueError, match="max_literal_vocab"):
         tokens_to_ids(df, vocab, max_literal_vocab=3)
+
+
+def test_winnow_coverage_property_random(spark):
+    # property over random corpora: ANY two docs sharing a contiguous
+    # run of >= window + k - 1 = 6 tokens must share >= 1 fingerprint
+    import random
+
+    from etlutils_spark.operators.text import winnow_fingerprints
+
+    rng = random.Random(7)
+    rows = []
+    planted = []
+    for i in range(12):
+        toks = [f"w{rng.randrange(50)}" for _ in range(rng.randrange(8, 20))]
+        rows.append((i, " ".join(toks)))
+    shared = [f"s{j}" for j in range(6)]
+    for i, j in ((100, 101), (102, 103)):
+        pre_a = [f"a{rng.randrange(50)}" for _ in range(rng.randrange(0, 5))]
+        pre_b = [f"b{rng.randrange(50)}" for _ in range(rng.randrange(0, 5))]
+        rows.append((i, " ".join(pre_a + shared)))
+        rows.append((j, " ".join(pre_b + shared + ["tail"])))
+        planted.append((i, j))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fps = winnow_fingerprints(df, k=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    for i, j in planted:
+        assert by_doc[i] & by_doc[j], (i, j)
