@@ -1526,3 +1526,26 @@ def q_dedup_window_spans_shifted(spark, sf_dir):
         _t(spark, sf_dir, "documents"),
         window=WINDOW_DEDUP_TOKENS, stride=WINDOW_SHIFT_STRIDE,
     )
+
+
+@register(
+    "profile_embeddings",
+    """
+    SELECT CAST(i - 1 AS INT) AS dim,
+           CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT))
+                AS DOUBLE) / (count(*) * 1e9) AS mean_val,
+           MIN(CAST(embedding[i] AS DOUBLE)) AS min_val,
+           MAX(CAST(embedding[i] AS DOUBLE)) AS max_val,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY i
+    """,
+)
+def q_profile_embeddings(spark, sf_dir):
+    """Per-dimension embedding profile (decimal-exact means, min/max,
+    count) — the degenerate-dimension / normalization sanity check run
+    before ANN or clustering; the embeddings-tier twin of
+    profile_documents."""
+    from etlutils_spark.operators.similarity import profile_embeddings
+
+    return profile_embeddings(_t(spark, sf_dir, "embeddings"))

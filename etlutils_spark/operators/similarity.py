@@ -447,3 +447,36 @@ def semantic_dedup(
         .distinct()
     )
     return av.join(dropped, id_col, "left_anti").select(id_col, "cluster_id")
+
+
+def profile_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension corpus statistics for an embedding column — the
+    sanity check before ANN/clustering work: a dimension with zero
+    variance (min == max) is dead weight in every distance, a mean far
+    from 0 suggests the embeddings were never centered, and wildly
+    uneven ranges mean unnormalized vectors. Output one row per
+    dimension: ``(dim, mean_val, min_val, max_val, n_vectors)``.
+
+    Scale: one posexplode (dim-multiplied row count, narrow rows) and
+    one combinable aggregation on the dimension key — a single shuffle
+    of (dim, partial-agg) pairs. The mean is the scaled-long form
+    (floor(v*1e9) summed as exact integers — the Q1 scaled-long
+    pattern): 1e-9 resolution, bit-identical under any partitioning
+    AND any engine (a decimal(·,12) sum of float inputs differs by an
+    ulp cross-engine in the final decimal->double conversion — measured
+    on this corpus).
+    """
+    dims = df.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "__v")
+    ).select("dim", F.col("__v").cast("double").alias("__v"))
+    scaled = F.floor(F.col("__v") * 1e9).cast("long")
+    mean = F.sum(scaled).cast("double") / (F.count(F.lit(1)) * F.lit(1e9))
+    return dims.groupBy("dim").agg(
+        mean.alias("mean_val"),
+        F.min("__v").alias("min_val"),
+        F.max("__v").alias("max_val"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+    )

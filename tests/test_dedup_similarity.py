@@ -465,3 +465,18 @@ def test_centroid_assign_fast_parity(spark):
     # ulp-level score differences may flip genuine ties only; on this
     # corpus assignments must match outright
     assert a == b
+
+
+def test_profile_embeddings_flags_degenerate_dim(spark):
+    from etlutils_spark.operators.similarity import profile_embeddings
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [3.0, 5.0]), (2, [2.0, 5.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {r["dim"]: r for r in profile_embeddings(emb).collect()}
+    assert out[0]["min_val"] == 1.0 and out[0]["max_val"] == 3.0
+    assert abs(out[0]["mean_val"] - 2.0) < 1e-8
+    # dim 1 is degenerate: min == max (dead weight in every distance)
+    assert out[1]["min_val"] == out[1]["max_val"] == 5.0
+    assert all(r["n_vectors"] == 3 for r in out.values())
