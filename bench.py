@@ -82,6 +82,9 @@ R4_EXTRAS = [
     "incremental_span_dedup",
     "dedup_window_spans_shifted",
     "full_outer_reconcile",
+    "profile_embeddings",
+    "format_roundtrip_orc",
+    "hilbert_curve_order2",
 ]
 
 
