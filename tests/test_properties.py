@@ -240,3 +240,41 @@ def test_token_budget_matches_reference(spark, specs, budget):
     got = {r["doc_id"] for r in
            token_budget_sample(df, budget, group_col="lang").collect()}
     assert got == ref_token_budget([(i, g, t) for (i, g, t) in rows], budget)
+
+
+def ref_containment(docs, n=3, thresh=0.5):
+    sh = {}
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        s = {" ".join(toks[i:i + n]) for i in range(max(len(toks) - n + 1, 0))
+             if len(toks) >= n}
+        sh[doc_id] = s
+    out = set()
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if not sh[a] or not sh[b]:
+                continue
+            inter = len(sh[a] & sh[b])
+            if inter / min(len(sh[a]), len(sh[b])) >= thresh:
+                out.add((a, b))
+    return out
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(st.sampled_from("pqrs"), min_size=3, max_size=8).map(" ".join),
+        min_size=2, max_size=5,
+    )
+)
+def test_containment_matches_reference(spark, texts):
+    from etlutils_spark.operators.dedup import jaccard_pairs, shingle_rows
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in jaccard_pairs(shingle_rows(df), containment_threshold=0.5).collect()
+    }
+    assert got == ref_containment(docs)
