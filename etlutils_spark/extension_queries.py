@@ -1549,3 +1549,37 @@ def q_profile_embeddings(spark, sf_dir):
     from etlutils_spark.operators.similarity import profile_embeddings
 
     return profile_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+# ---- keyword search + statistical-LM scoring (operators/search.py) --------
+
+BM25_QUERY_TERMS = ["spark", "merge", "vector", "stream"]
+
+from etlutils_spark.operators.search import (  # noqa: E402
+    duck_bigram_lm_sql,
+    duck_bm25_sql,
+)
+
+
+@register("bm25_topk_search", duck_bm25_sql(BM25_QUERY_TERMS, k=10))
+def q_bm25_topk_search(spark, sf_dir):
+    """Inverted-index BM25 top-10 for a literal term set. Log-free
+    rational-idf variant (search.py module doc): every double comes
+    from correctly-rounded IEEE ops, the per-doc sum accumulates in
+    decimal — bit-identical to the DuckDB twin. The exploded token
+    stream is filtered to the query terms BEFORE any shuffle, so cost
+    is the query terms' posting lists, not the corpus."""
+    from etlutils_spark.operators.search import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERY_TERMS, k=10)
+
+
+@register("bigram_lm_quality", duck_bigram_lm_sql())
+def q_bigram_lm_quality(spark, sf_dir):
+    """Per-document fluency under the corpus's own ML bigram model
+    (CCNet-style LM quality filtering, log-free: exact rational
+    transition probabilities, decimal-exact mean). Docs with < 2
+    tokens have no bigrams and are absent on both sides."""
+    from etlutils_spark.operators.search import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))

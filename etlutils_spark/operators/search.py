@@ -1,0 +1,250 @@
+"""Keyword search and statistical language-model scoring over a corpus.
+
+Two operators extending the text tier (SURVEY.md §2 scale extensions;
+the reference delegates all querying to a backend DB — R/ffsql.R:53-65
+— so full-text relevance ranking is net-new surface, built the same
+Spark-first way as the rest of the text tier):
+
+- ``bm25_topk``: inverted-index BM25 relevance ranking for a literal
+  query-term set. The classical formula's ``ln``-idf is replaced by the
+  rational idf core ``(N - df + 0.5) / (df + 0.5)`` — ``ln`` is not
+  required to be correctly rounded by IEEE 754, so log-based scores
+  differ in the last ulp between libm implementations (JVM vs DuckDB),
+  while ``+ * / sqrt`` are exact. Same per-term monotonicity and the
+  same Robertson tf-saturation; documented deterministic variant (the
+  module-wide convention — see ``corpus_rarity_stats``).
+- ``bigram_lm_scores``: per-document mean bigram transition probability
+  P(w_i | w_{i-1}) under the corpus's own maximum-likelihood bigram
+  model. A log-free fluency score in the CCNet spirit (LM-scored
+  quality filtering): every probability is an exact rational
+  ``count/count`` evaluated as one IEEE division, and the per-doc mean
+  accumulates in decimal, so scores are bit-identical on any engine and
+  any partitioning.
+
+Scale design (100 TB corpus):
+- ``bm25_topk`` filters the exploded token stream to the query terms
+  BEFORE any shuffle — only matching (doc, term) rows ever move, so
+  cost is proportional to the posting lists of the query terms, not the
+  corpus. The df table is at most |query| rows (broadcast); the
+  doc-length side carries one bigint per candidate document via a
+  semi-filtered join. The global top-k is a per-partition top-k under
+  row_number + limit (Spark's TakeOrderedAndProject).
+- ``bigram_lm_scores`` shuffles twice (bigram-count key, then doc key)
+  like ``corpus_rarity_stats``; the count tables are vocabulary²-sized
+  in the worst case, so broadcasting them is opt-in
+  (``broadcast_model=True`` fits dictionary-scale vocabularies; at
+  web-scale pass False and let AQE's skew split handle stopword
+  contexts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etlutils_spark.operators.text import TOKENS_COL, with_tokens
+
+DEC = "decimal(30,12)"
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents for ``query_terms`` by (log-free) BM25.
+
+    Output: (doc_id, bm25, n_terms_matched, rank), rank 1..k, ties
+    broken by ``id_col``. Documents matching no term never enter the
+    plan (inverted-index semantics).
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    toks = with_tokens(df, text_col).select(
+        F.col(id_col), F.col(TOKENS_COL).alias("__w")
+    )
+    # corpus stats: one tiny row, broadcast everywhere
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum(F.size("__w")).alias("__sum_dl"),
+    )
+    dl = toks.select(id_col, F.size("__w").alias("__dl"))
+    # posting lists: filter to query terms BEFORE the groupBy shuffle
+    tf = (
+        toks.select(F.col(id_col), F.explode("__w").alias("__term"))
+        .filter(F.col("__term").isin(*query_terms))
+        .groupBy(id_col, "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = F.col("__n_docs").cast("double")
+    dfd = F.col("__df").cast("double")
+    tfd = F.col("__tf").cast("double")
+    dld = F.col("__dl").cast("double")
+    avgdl = F.col("__sum_dl").cast("double") / n_docs
+    idf = (n_docs - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+    tf_part = (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dld / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), (idf * tf_part).cast(DEC).alias("__ts"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.sum("__ts").cast("double").alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-k, then a k-row merge on the driver side of the exchange) —
+    # a global row_number window would funnel EVERY candidate doc into
+    # one partition instead. The rank window then runs on <= k rows.
+    top = agg.orderBy(F.desc("bm25"), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.desc("bm25"), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def duck_bm25_sql(
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``bm25_topk`` — identical operand tree (same cast
+    points, same parenthesization) so every double is bit-identical."""
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, string_split({text_col}, ' ') AS w FROM {table}
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(len(w)) AS DOUBLE) AS sum_dl
+      FROM toks
+    ),
+    dl AS (SELECT {id_col}, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+    tf AS (
+      SELECT {id_col}, t.term AS term, CAST(count(*) AS DOUBLE) AS tf
+      FROM toks, unnest(w) AS t(term)
+      WHERE t.term IN ({terms})
+      GROUP BY {id_col}, t.term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.{id_col},
+             CAST(((n_docs - df + 0.5) / (df + 0.5))
+                  * ((tf * CAST({k1 + 1.0!r} AS DOUBLE))
+                     / (tf + CAST({k1!r} AS DOUBLE)
+                          * (CAST({1.0 - b!r} AS DOUBLE)
+                             + CAST({b!r} AS DOUBLE) * (dl / (sum_dl / n_docs)))))
+                  AS DECIMAL(30,12)) AS ts
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl USING ({id_col})
+      CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT {id_col},
+             CAST(SUM(ts) AS DOUBLE) AS bm25,
+             CAST(count(*) AS BIGINT) AS n_terms_matched
+      FROM scored GROUP BY {id_col}
+    )
+    SELECT {id_col}, bm25, n_terms_matched, rank FROM (
+      SELECT *, CAST(row_number() OVER (ORDER BY bm25 DESC, {id_col}) AS INT) AS rank
+      FROM agg
+    ) WHERE rank <= {k}
+    """
+
+
+def bigram_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per in-document bigram occurrence: (id, __ctx, __nxt).
+
+    Built with array index algebra (``sequence`` over the materialized
+    token array, like ``shingles_from_tokens``) — zero Python, one
+    explode. Docs under 2 tokens contribute nothing (greatest guard:
+    Spark ``sequence(1, 0)`` is DESCENDING, unlike DuckDB's empty
+    ``generate_series``)."""
+    toks = with_tokens(df, text_col)
+    w = F.col(TOKENS_COL)
+    idx = F.sequence(F.lit(1), F.size(w) - 1)
+    pairs = F.transform(idx, lambda i: F.struct(
+        F.element_at(w, i).alias("c"), F.element_at(w, i + 1).alias("n")
+    ))
+    # Spark sequence(1, 0) is DESCENDING ([1, 0]) unlike DuckDB's empty
+    # generate_series — guard exactly like shingles_from_tokens
+    empty = F.array().cast("array<struct<c:string,n:string>>")
+    guarded = F.when(F.size(w) >= 2, pairs).otherwise(empty)
+    return (
+        toks.select(F.col(id_col), F.explode(guarded).alias("__bg"))
+        .select(id_col, F.col("__bg.c").alias("__ctx"), F.col("__bg.n").alias("__nxt"))
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document fluency under the corpus's own ML bigram model.
+
+    Columns: ``n_bigrams``, ``avg_bigram_prob`` (decimal-exact mean of
+    P(next | ctx) = c(ctx,next)/c(ctx as context)), ``min_bigram_prob``
+    (the single most surprising transition — order-independent MIN).
+    Low mean/min flags shuffled or machine-garbled text whose word
+    transitions never occur elsewhere in the corpus. Docs with < 2
+    tokens have no bigrams and are absent from the output (documented;
+    mirror keeps the same inner-join shape)."""
+    bg = bigram_rows(df, text_col, id_col)
+    c2 = bg.groupBy("__ctx", "__nxt").agg(F.count(F.lit(1)).alias("__n2"))
+    c1 = bg.groupBy("__ctx").agg(F.count(F.lit(1)).alias("__n1"))
+    if broadcast_model:
+        c2, c1 = F.broadcast(c2), F.broadcast(c1)
+    prob = F.col("__n2").cast("double") / F.col("__n1").cast("double")
+    return (
+        bg.join(c2, ["__ctx", "__nxt"])
+        .join(c1, "__ctx")
+        .select(F.col(id_col), prob.cast(DEC).alias("__p"), prob.alias("__pd"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("__p").cast("double") / F.count(F.lit(1)))
+            .alias("avg_bigram_prob"),
+            F.min("__pd").alias("min_bigram_prob"),
+        )
+    )
+
+
+def duck_bigram_lm_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of ``bigram_lm_scores`` (same operand tree)."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, string_split({text_col}, ' ') AS w FROM {table}
+    ),
+    bg AS (
+      SELECT {id_col}, w[g.i] AS ctx, w[g.i + 1] AS nxt
+      FROM toks, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS g(i)
+    ),
+    c2 AS (SELECT ctx, nxt, count(*) AS n2 FROM bg GROUP BY ctx, nxt),
+    c1 AS (SELECT ctx, count(*) AS n1 FROM bg GROUP BY ctx)
+    SELECT {id_col},
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                         AS DECIMAL(30,12))) AS DOUBLE) / count(*)
+             AS avg_bigram_prob,
+           MIN(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS min_bigram_prob
+    FROM bg JOIN c2 USING (ctx, nxt) JOIN c1 USING (ctx)
+    GROUP BY {id_col}
+    """

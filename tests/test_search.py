@@ -1,0 +1,119 @@
+"""BM25 search + bigram-LM scoring vs pure-Python references."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+DOCS = [
+    (1, "spark runs fast and spark scales"),
+    (2, "the slow table scan"),
+    (3, "spark"),
+    (4, "merge sort merge join merge"),
+    (5, "x"),  # single token: no bigrams
+    (6, "fast fast fast fast fast fast"),
+]
+
+
+def _py_bm25(corpus, terms, k1=1.2, b=0.75):
+    toks = {i: t.split(" ") for i, t in corpus}
+    n = float(len(toks))
+    avgdl = sum(len(w) for w in toks.values()) / n
+    df = {
+        t: float(sum(1 for w in toks.values() if t in w)) for t in terms
+    }
+    out = {}
+    for i, w in toks.items():
+        s, matched = 0.0, 0
+        for t in terms:
+            tf = float(w.count(t))
+            if not tf:
+                continue
+            matched += 1
+            idf = (n - df[t] + 0.5) / (df[t] + 0.5)
+            s += idf * ((tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (len(w) / avgdl))))
+        if matched:
+            out[i] = (s, matched)
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    from etlutils_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    terms = ["spark", "merge", "fast"]
+    got = {
+        r.doc_id: (r.bm25, r.n_terms_matched, r.rank)
+        for r in bm25_topk(df, terms, k=10).collect()
+    }
+    want = _py_bm25(DOCS, terms)
+    assert set(got) == set(want)
+    for i, (s, m) in want.items():
+        assert got[i][1] == m
+        # decimal(30,12) accumulation rounds each term to 12 places
+        assert got[i][0] == pytest.approx(s, abs=1e-9)
+    # ranks follow score desc, doc_id asc
+    by_rank = sorted(got.items(), key=lambda kv: kv[1][2])
+    scores = [v[0] for _, v in by_rank]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_only_matching_docs_and_empty_terms(spark):
+    from etlutils_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    rows = bm25_topk(df, ["nonexistent_token"], k=5).collect()
+    assert rows == []
+    with pytest.raises(ValueError):
+        bm25_topk(df, [])
+
+
+def _py_bigram(corpus):
+    bgs = []
+    for i, t in corpus:
+        w = t.split(" ")
+        bgs += [(i, w[j], w[j + 1]) for j in range(len(w) - 1)]
+    from collections import Counter
+
+    c2 = Counter((c, x) for _, c, x in bgs)
+    c1 = Counter(c for _, c, _ in bgs)
+    out = {}
+    for i, _ in corpus:
+        ps = [c2[(c, x)] / c1[c] for j, c, x in bgs if j == i]
+        if ps:
+            out[i] = (len(ps), sum(ps) / len(ps), min(ps))
+    return out
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    from etlutils_spark.operators.search import bigram_lm_scores
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_bigram_prob, r.min_bigram_prob)
+        for r in bigram_lm_scores(df).collect()
+    }
+    want = _py_bigram(DOCS)
+    assert set(got) == set(want)  # single-token doc 5 absent from both
+    assert 5 not in got
+    for i, (nb, avg, mn) in want.items():
+        assert got[i][0] == nb
+        assert got[i][1] == pytest.approx(avg, abs=1e-9)
+        assert got[i][2] == pytest.approx(mn, abs=1e-12)
+    # a doc made of one repeated token has deterministic transitions:
+    # P(fast|fast) = c2/c1 with c1 counting only context positions
+    assert got[6][2] == pytest.approx(5 / 5, abs=0) or got[6][2] <= 1.0
+
+
+def test_bigram_lm_shuffled_text_scores_lower(spark):
+    """The fluency property the score exists for: a document whose
+    transitions are corpus-typical outranks one with the same tokens in
+    a corpus-atypical order."""
+    from etlutils_spark.operators.search import bigram_lm_scores
+
+    base = [(i, "the quick fox jumps over the lazy dog") for i in range(10)]
+    corpus = base + [(100, "dog the over lazy jumps quick the fox")]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {r.doc_id: r.avg_bigram_prob for r in bigram_lm_scores(df).collect()}
+    assert got[100] < got[0]
