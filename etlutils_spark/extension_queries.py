@@ -1583,3 +1583,49 @@ def q_bigram_lm_quality(spark, sf_dir):
     from etlutils_spark.operators.search import bigram_lm_scores
 
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ann_pq_recall_contract",
+    """
+    SELECT vec_id AS query_id,
+           CAST(10 AS BIGINT) AS n_exact,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def q_ann_pq_recall_contract(spark, sf_dir):
+    """Product-quantization ANN verified by CONTRACT (the sketch-tier
+    pattern): recall@10 of the PQ shortlist+exact-rerank path vs the
+    brute-force top-10 must be >= 0.7 per query. Measured at sf0.01:
+    recall is 1.0 for every query with shortlist=256 (BASELINE.md), so
+    the 0.7 floor has wide margin while still failing on any real
+    quantizer regression. Both sides of the recall division are
+    Spark-computed; only ids and booleans cross to the oracle."""
+    from etlutils_spark.operators.similarity import cosine_topk, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, q, k=10).select(
+        "query_id", F.col("vec_id").alias("__hit")
+    )
+    pq = pq_topk(emb, q, k=10, shortlist=256).select(
+        "query_id", F.col("vec_id").alias("__hit")
+    )
+    hits = exact.join(pq, ["query_id", "__hit"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__n_hit")
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            (
+                F.coalesce(F.col("__n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+                >= 0.7
+            ).alias("recall_ok"),
+        )
+    )

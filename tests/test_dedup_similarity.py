@@ -480,3 +480,42 @@ def test_profile_embeddings_flags_degenerate_dim(spark):
     # dim 1 is degenerate: min == max (dead weight in every distance)
     assert out[1]["min_val"] == out[1]["max_val"] == 5.0
     assert all(r["n_vectors"] == 3 for r in out.values())
+
+
+def test_pq_topk_exact_when_shortlist_covers_corpus(emb):
+    """shortlist >= |corpus| makes the ADC stage a pure pre-filter: the
+    exact re-rank then reproduces brute force row-for-row (including
+    bit-identical cosines, both decimal-exact)."""
+    from etlutils_spark.operators.similarity import pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 2)
+    exact = {(r.query_id, r.vec_id, r.rank, r.cosine)
+             for r in cosine_topk(emb, queries, k=3).collect()}
+    pq = {(r.query_id, r.vec_id, r.rank, r.cosine)
+          for r in pq_topk(emb, queries, k=3, m=4, ksub=4, shortlist=100).collect()}
+    assert pq == exact
+
+
+def test_pq_topk_neardup_recall_and_determinism(emb):
+    from etlutils_spark.operators.similarity import pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 2)
+    a = pq_topk(emb, queries, k=3, m=4, ksub=4, shortlist=6).collect()
+    top1 = {r.query_id: r.vec_id for r in a if r.rank == 1}
+    # the planted near-duplicate (0 -> 10) survives a pruned shortlist
+    assert top1.get(0) == 10
+    b = pq_topk(emb, queries, k=3, m=4, ksub=4, shortlist=6).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+
+def test_pq_guards(emb):
+    import pytest
+
+    from etlutils_spark.operators.similarity import pq_topk, pq_train
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=5)  # dim 16 % 5 != 0
+    with pytest.raises(ValueError, match="max_query_rows"):
+        pq_topk(emb, emb, k=3, m=4, max_query_rows=3)
+    books = pq_train(emb, m=4, ksub=4)
+    assert books.shape == (4, 4, 4)
