@@ -85,6 +85,9 @@ R4_EXTRAS = [
     "profile_embeddings",
     "format_roundtrip_orc",
     "hilbert_curve_order2",
+    "bm25_topk_search",
+    "bigram_lm_quality",
+    "ann_pq_recall_contract",
 ]
 
 

@@ -1629,3 +1629,70 @@ def q_ann_pq_recall_contract(spark, sf_dir):
             ).alias("recall_ok"),
         )
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH c AS (
+      SELECT doc_id, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS blen
+      FROM documents),
+    f AS (
+      SELECT doc_id, g.i AS frame_idx,
+             substr(text, g.i * greatest(blen // 4, 1) + 1,
+                    greatest(blen // 4, 1)) AS chunk
+      FROM c, unnest(generate_series(0, 3)) AS g(i))
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(octet_length(encode(chunk)) AS BIGINT) AS frame_len,
+           md5(chunk) AS frame_md5
+    FROM f
+    """,
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video-path frame sampling: 4 evenly-spaced byte-stream frames
+    per payload, one row each with ordinal + digest (the explode shape
+    that fans frames into the image path). Deterministic fake decoder;
+    the oracle reproduces the byte geometry via ASCII substrings, the
+    same pattern as multimodal_audio_chunks. Registry projection keeps
+    the binary frame column out (canonicalizer contract) — users get it
+    from sample_frames directly."""
+    df = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    out = multimodal.sample_frames(df, num_frames=4)
+    return out.select(
+        "doc_id", "frame_idx",
+        F.octet_length("frame").cast("bigint").alias("frame_len"),
+        "frame_md5",
+    )
+
+
+@register(
+    "multimodal_resize",
+    """
+    WITH c AS (
+      SELECT doc_id, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS blen
+      FROM documents)
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS out_len,
+           md5(CASE WHEN blen = 0 THEN repeat(chr(0), 64)
+                    ELSE array_to_string(list_transform(
+                           generate_series(0, 63),
+                           i -> substr(text,
+                                       1 + (i * greatest(blen // 64, 1)) % blen,
+                                       1)), '')
+               END) AS resized_md5
+    FROM c
+    """,
+)
+def q_multimodal_resize(spark, sf_dir):
+    """Fixed-geometry resize (8x8): binary in, exactly width*height
+    bytes out via deterministic stride sampling (the PIL slot; swap the
+    UDF body when codecs land — multimodal.py:69). Oracle rebuilds the
+    stride-sampled byte string with ASCII substrings and matches the
+    digest byte-for-byte."""
+    df = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    out = multimodal.resize_batch(df, width=8, height=8)
+    return out.select(
+        "doc_id", "out_len", F.md5("resized").alias("resized_md5")
+    )

@@ -424,3 +424,62 @@ def leakage_safe_split(
         .when(d < F.lit(rate_threshold_hex(f_train + f_val)), "val")
         .otherwise("test"),
     )
+
+
+def _dyadic_pow(c: F.Column, q4: int) -> F.Column:
+    """c^(q4/4) for q4 in {1,2,3,4} as a sqrt chain — sqrt and * are
+    correctly-rounded IEEE ops (pow is NOT), so the result is
+    bit-identical on any engine."""
+    s = F.sqrt(c)
+    ss = F.sqrt(s)
+    return {4: c, 2: s, 1: ss, 3: s * ss}[q4]
+
+
+def temperature_resample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based stratum rebalancing (the multilingual
+    alpha-sampling of XLM-R / UNIMAX): sampling mass per stratum is
+    proportional to ``count^alpha``, flattening the head without
+    drowning the tail. alpha=1 is natural frequency (no-op), alpha=0
+    downsamples every stratum to the smallest's size.
+
+    Derivation: with weights w_s = n_s^alpha the feasible-mixture rate
+    (see ``mixture_resample``) collapses to
+    ``rate_s = min_u(n_u^(1-alpha)) / n_s^(1-alpha)`` — the weight
+    normalization constant cancels, so no order-dependent float sum
+    ever happens. ``alpha`` is restricted to {0, 0.25, 0.5, 0.75}: the
+    exponent then evaluates as a sqrt chain (correctly-rounded IEEE,
+    engine-portable) instead of ``pow`` (not correctly rounded — the
+    same reason the text tier avoids ``ln``; see search.py).
+
+    Keep predicate: the same 60-bit digest-prefix threshold as
+    ``mixture_resample`` — deterministic under retries, partitioning,
+    and engine. Scale: one tiny count aggregation, then a broadcast
+    join + stateless filter at scan speed; no shuffle of ``df``.
+    """
+    q4 = (1.0 - alpha) * 4
+    if alpha not in (0.0, 0.25, 0.5, 0.75) or q4 != int(q4):
+        raise ValueError(
+            "alpha must be one of {0, 0.25, 0.5, 0.75} (dyadic exponents "
+            "evaluate as correctly-rounded sqrt chains; pow is not "
+            "engine-portable)"
+        )
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    pw = _dyadic_pow(F.col("__n").cast("double"), int(q4))
+    pwc = counts.select(strata_col, pw.alias("__pw"))
+    feas = pwc.agg(F.min("__pw").alias("__mn"))
+    rates = pwc.crossJoin(F.broadcast(feas)).select(
+        strata_col, (F.col("__mn") / F.col("__pw")).alias("__rate")
+    )
+    prefix = F.conv(F.substring(_digest(key_col, salt), 1, 15), 16, 10).cast("long")
+    threshold = F.floor(F.col("__rate") * F.lit(float(1 << 60))).cast("long")
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(prefix < threshold)
+        .drop("__rate")
+    )

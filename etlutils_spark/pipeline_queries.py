@@ -1197,3 +1197,30 @@ def q_hilbert_curve_order2(spark, sf_dir):
     return pts.select(
         "x", "y", hilbert_key(pts, ["x", "y"], bits=2).alias("hilbert_d")
     )
+
+
+@register(
+    "mixture_temperature_lang",
+    """
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    pw AS (SELECT lang, sqrt(CAST(n AS DOUBLE)) AS p FROM counts),
+    feas AS (SELECT min(p) AS mn FROM pw),
+    rates AS (SELECT lang, mn / p AS rate FROM pw CROSS JOIN feas)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN rates r USING (lang)
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          < CAST(floor(rate * 1152921504606846976.0) AS BIGINT)
+    """,
+)
+def q_mixture_temperature(spark, sf_dir):
+    """Temperature (alpha=0.5) language rebalancing — sampling mass
+    proportional to count^alpha (XLM-R-style head flattening). The
+    per-stratum rate collapses to min_u(sqrt(n_u))/sqrt(n_s): sqrt
+    chains instead of pow, so the data-dependent thresholds are
+    bit-identical on both engines (operators/sampling.py
+    temperature_resample)."""
+    from etlutils_spark.operators.sampling import temperature_resample
+
+    return temperature_resample(
+        _t(spark, sf_dir, "documents"), alpha=0.5, strata_col="lang"
+    ).select("doc_id", "lang", "source")

@@ -520,3 +520,43 @@ def test_leakage_safe_split_components_cohere(spark):
     assert key[4] == key[15] == 4
     assert key[0] == 0                         # singleton keys on itself
     assert set(split.values()) <= {"train", "val", "test"}
+
+
+def test_temperature_resample_alpha_zero_flattens_to_min(spark):
+    from etlutils_spark.operators.sampling import temperature_resample
+
+    # 1600 en / 400 de: alpha=0 -> uniform weights -> en downsampled
+    # toward de's 400; de (binding) kept whole
+    rows = [(i, "x", "en" if i % 10 < 8 else "de", 1) for i in range(2000)]
+    df = _docs_df(spark, rows)
+    out = temperature_resample(df, alpha=0.0, strata_col="lang")
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["de"] == 400
+    assert 320 <= got["en"] <= 480
+
+
+def test_temperature_resample_alpha_half_sqrt_mass(spark):
+    from etlutils_spark.operators.sampling import temperature_resample
+
+    rows = [(i, "x", "en" if i % 10 < 8 else "de", 1) for i in range(2000)]
+    df = _docs_df(spark, rows)
+    out = temperature_resample(df, alpha=0.5, strata_col="lang")
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["de"] == 400  # smallest stratum: rate 1
+    # expected en mass = sqrt(400 * 1600) = 800 (hash-sample variance)
+    assert 700 <= got["en"] <= 900
+    # determinism + subset
+    again = temperature_resample(df, alpha=0.5, strata_col="lang")
+    assert sorted(r["doc_id"] for r in again.collect()) == \
+        sorted(r["doc_id"] for r in out.collect())
+
+
+def test_temperature_resample_rejects_non_dyadic_alpha(spark):
+    from etlutils_spark.operators.sampling import temperature_resample
+
+    rows = [(i, "x", "en", 1) for i in range(10)]
+    df = _docs_df(spark, rows)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_resample(df, alpha=0.3, strata_col="lang")
