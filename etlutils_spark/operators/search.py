@@ -26,9 +26,11 @@ Scale design (100 TB corpus):
   BEFORE any shuffle — only matching (doc, term) rows ever move, so
   cost is proportional to the posting lists of the query terms, not the
   corpus. The df table is at most |query| rows (broadcast); the
-  doc-length side carries one bigint per candidate document via a
-  semi-filtered join. The global top-k is a per-partition top-k under
-  row_number + limit (Spark's TakeOrderedAndProject).
+  doc-length side is a one-bigint-per-doc projection whose join AQE
+  sizes at runtime (broadcast below the threshold, shuffle on the
+  doc-id key at corpus scale — both sides are then already narrow).
+  The global top-k compiles to TakeOrderedAndProject (per-partition
+  top-k, k-row merge).
 - ``bigram_lm_scores`` shuffles twice (bigram-count key, then doc key)
   like ``corpus_rarity_stats``; the count tables are vocabulary²-sized
   in the worst case, so broadcasting them is opt-in
