@@ -23,12 +23,19 @@ from etlutils_spark.operators.dedup import (
     window_dedup_stats,
     winnow_overlap_pairs,
 )
-from etlutils_spark.operators.similarity import centroid_assign, semantic_dedup
+from etlutils_spark.operators.similarity import (
+    centroid_assign,
+    pq_topk,
+    pq_train,
+    semantic_dedup,
+)
 from etlutils_spark.operators.sampling import (
     leakage_safe_split,
     pack_ids_export,
+    temperature_resample,
     token_budget_sample,
 )
+from etlutils_spark.operators.search import bigram_lm_scores, bm25_topk
 from etlutils_spark.operators.text import build_vocab, oov_stats, tokens_to_ids
 from etlutils_spark.operators.quality import percentile_prune
 from etlutils_spark.plans.checks import check_constraints
@@ -62,6 +69,11 @@ __all__ = [
     "token_budget_sample",
     "tokens_to_ids",
     "percentile_prune",
+    "pq_train",
+    "pq_topk",
+    "temperature_resample",
+    "bm25_topk",
+    "bigram_lm_scores",
 ]
 
 __version__ = "0.1.0"
