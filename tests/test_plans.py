@@ -355,3 +355,29 @@ def test_full_outer_single_shuffle_pair(spark, qs):
     assert "FullOuter" in plan
     assert "BroadcastHashJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_plan_shape(spark, qs):
+    """BM25: global top-k must be TakeOrderedAndProject (never a global
+    row_number window funneling all candidates into one partition), all
+    side tables broadcast, and the posting-list isin filter must be
+    present (it is what bounds cost to the query terms' posting lists)."""
+    df = qs["bm25_topk_search"](spark, SF)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "spark" in plan and "merge" in plan  # term literals in the filter
+
+
+def test_pq_topk_rerank_broadcasts(spark):
+    """PQ re-rank: shortlist and query frames must broadcast — the
+    corpus-side vector fetch may never shuffle on their account."""
+    from etlutils_spark.operators.similarity import pq_topk
+    from etlutils_spark.sources.files import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, "embeddings", SF)
+    out = pq_topk(emb, emb.filter(F.col("vec_id") < 2), k=3, m=4, ksub=4)
+    plan = physical_plan(out)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2

@@ -23,7 +23,11 @@ def test_queries_rerun_identical(spark):
                  # late r4: tracked-persist span/fingerprint/cluster tiers
                  "dedup_window_spans", "winnow_overlap_pairs",
                  "semantic_dedup_survivors", "token_budget_sample",
-                 "curation_pipeline_tokens"]:
+                 "curation_pipeline_tokens",
+                 # continuation: driver-collected state (PQ codebooks /
+                 # ADC LUTs), data-dependent rates, corpus-stat joins
+                 "ann_pq_recall_contract", "bm25_topk_search",
+                 "bigram_lm_quality", "mixture_temperature_lang"]:
         a = _rows(qs[name](spark, SF))
         b = _rows(qs[name](spark, SF))
         assert a == b, name
