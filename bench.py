@@ -166,6 +166,7 @@ def main() -> None:
         extras[name] = round(best, 3)
 
     experiments = {
+        **pq_scan_mode_experiment(spark),
         **minhash_hash_mode_experiment(spark),
         **skew_join_experiment(spark),
         **bucketed_join_experiment(spark),
@@ -353,6 +354,51 @@ def ann_jvm_vs_arrow_experiment(spark) -> dict[str, float]:
     finally:
         rep.unpersist()
     return {"ann_jvm_expr_sec": jvm, "ann_arrow_blas_sec": arrow}
+
+
+def pq_scan_mode_experiment(spark) -> dict[str, float]:
+    """PQ tier: exact Arrow/BLAS brute force vs the PQ path fused
+    (normalize+encode+ADC each run — the one-shot cost) vs the PQ scan
+    over a PRE-ENCODED codes table (the steady-state production mode:
+    encode once, query many). Corpus replicated 32x so the scan stage
+    dominates. The headline PQ win at 100 TB is memory geometry (m
+    bytes/vector vs 4*dim), which local wall-clock can only hint at —
+    the pre-encoded scan reading 32x less data per row is that hint."""
+    from pyspark.sql import functions as F
+
+    from etlutils_spark.operators.similarity import (
+        cosine_topk_arrow,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+    from etlutils_spark.sources.files import read_table
+
+    emb = read_table(spark, "embeddings", SF_DIR)
+    q = emb.filter(F.col("vec_id") < 5)
+    n = emb.count()
+    rep = (
+        emb.crossJoin(F.broadcast(spark.range(32).select(F.col("id").alias("__r"))))
+        .select((F.col("vec_id") + F.col("__r") * n).alias("vec_id"), "embedding")
+    )
+    rep.persist().count()
+    books = pq_train(rep)
+    codes = pq_encode(rep, books)
+    codes.persist().count()
+    try:
+        brute = time_min2(cosine_topk_arrow(rep, q, k=10))
+        fused = time_min2(pq_topk(rep, q, k=10, shortlist=256))
+        pre = time_min2(
+            pq_topk(rep, q, k=10, shortlist=256, codes=codes, codebooks=books)
+        )
+    finally:
+        rep.unpersist()
+        codes.unpersist()
+    return {
+        "ann_bruteforce_arrow_sec": brute,
+        "ann_pq_fused_sec": fused,
+        "ann_pq_precoded_sec": pre,
+    }
 
 
 def minhash_hash_mode_experiment(spark) -> dict[str, float]:

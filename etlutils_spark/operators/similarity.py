@@ -537,6 +537,46 @@ def pq_train(
     return books
 
 
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode the corpus to PQ codes: (id, codes array<int>), one byte
+    of information per subspace. This is the ONCE-per-dataset half of
+    the production PQ pattern — materialize the codes table, then every
+    subsequent query scans codes only (``pq_topk(codes=...)``), never
+    re-reading or re-normalizing the float vectors. At 100 TB the codes
+    table is smaller than the raw vectors by dim*4/m (32x at dim 64,
+    m 8) and is what actually fits the page cache."""
+    import pandas as pd
+
+    from etlutils_spark.sources.files import spread
+
+    books = codebooks
+    m, _, dsub = books.shape
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+            codes = np.empty((len(C), m), dtype=np.int32)
+            for s in range(m):
+                Xs = C[:, s * dsub:(s + 1) * dsub]
+                d2 = (books[s] ** 2).sum(-1)[None, :] - 2.0 * (Xs @ books[s].T)
+                codes[:, s] = d2.argmin(1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": list(codes)}
+            )
+
+    return spread(corpus.select(id_col, vec_col)).mapInPandas(
+        run, schema=f"{id_col} long, codes array<int>"
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -550,6 +590,8 @@ def pq_topk(
     sample_limit: int = 65_536,
     seed: int = 42,
     max_query_rows: int = 100_000,
+    codes: DataFrame | None = None,
+    codebooks: "np.ndarray | None" = None,
 ) -> DataFrame:
     """PQ-compressed approximate top-k with exact re-ranking — the
     memory-scale ANN path: the scan stage touches only ``m`` one-byte
@@ -574,13 +616,30 @@ def pq_topk(
     where raw vectors cannot; the shuffle carries shortlist rows, not
     scores; re-rank reads only shortlisted vectors (at cluster scale,
     via an id-bucketed layout).
+
+    Two scan modes: fused (default — normalize+encode+ADC in one pass
+    over the vectors; right for one-shot queries) and precomputed —
+    pass ``codes=pq_encode(corpus, books)`` (+ the same ``codebooks``)
+    and the scan stage reads ONLY the codes table; the float vectors
+    are touched again just for the shortlist re-rank. The steady-state
+    production mode: encode once, query many.
     """
     import pandas as pd
 
     from etlutils_spark.sources.files import spread
 
     shortlist = shortlist or 8 * k
-    books = pq_train(corpus, m, ksub, vec_col, id_col, sample_limit, seed)
+    if codes is not None and codebooks is None:
+        raise ValueError(
+            "codes= requires the codebooks= they were encoded with "
+            "(training a fresh codebook would silently mis-decode them)"
+        )
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_train(corpus, m, ksub, vec_col, id_col, sample_limit, seed)
+    )
+    m = books.shape[0]
     dsub = books.shape[2]
 
     q_rows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
@@ -598,7 +657,30 @@ def pq_topk(
 
     schema = f"{query_id_col} long, {id_col} long, __adc double"
 
-    def scan(batches):
+    def _emit(ids, code_mat):
+        # ADC score: sum of per-subspace table lookups
+        S = np.zeros((len(ids), len(qids)))
+        for s in range(m):
+            S += lut[:, s, code_mat[:, s]].T  # (batch, n_queries)
+        S[ids[:, None] == qids[None, :]] = -np.inf
+        out_q, out_i, out_s = [], [], []
+        kk = min(shortlist, len(ids))
+        for j in range(len(qids)):
+            col = S[:, j]
+            cand = np.argpartition(-col, kk - 1)[:kk] if len(col) > kk else np.arange(len(col))
+            order = np.lexsort((ids[cand], -col[cand]))[:kk]
+            sel = cand[order]
+            keep = col[sel] > -np.inf
+            out_q.append(np.full(keep.sum(), qids[j]))
+            out_i.append(ids[sel][keep])
+            out_s.append(col[sel][keep])
+        return pd.DataFrame({
+            query_id_col: np.concatenate(out_q),
+            id_col: np.concatenate(out_i),
+            "__adc": np.concatenate(out_s),
+        })
+
+    def scan_fused(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -606,34 +688,29 @@ def pq_topk(
             C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
             # encode: nearest sub-centroid per subspace (||c||^2 - 2<x,c>)
-            codes = np.empty((len(C), m), dtype=np.int64)
+            code_mat = np.empty((len(C), m), dtype=np.int64)
             for s in range(m):
                 Xs = C[:, s * dsub:(s + 1) * dsub]
                 d2 = (books[s] ** 2).sum(-1)[None, :] - 2.0 * (Xs @ books[s].T)
-                codes[:, s] = d2.argmin(1)
-            # ADC score: sum of per-subspace table lookups
-            S = np.zeros((len(C), len(qids)))
-            for s in range(m):
-                S += lut[:, s, codes[:, s]].T  # (batch, n_queries)
-            S[ids[:, None] == qids[None, :]] = -np.inf
-            out_q, out_i, out_s = [], [], []
-            kk = min(shortlist, len(ids))
-            for j in range(len(qids)):
-                col = S[:, j]
-                cand = np.argpartition(-col, kk - 1)[:kk] if len(col) > kk else np.arange(len(col))
-                order = np.lexsort((ids[cand], -col[cand]))[:kk]
-                sel = cand[order]
-                keep = col[sel] > -np.inf
-                out_q.append(np.full(keep.sum(), qids[j]))
-                out_i.append(ids[sel][keep])
-                out_s.append(col[sel][keep])
-            yield pd.DataFrame({
-                query_id_col: np.concatenate(out_q),
-                id_col: np.concatenate(out_i),
-                "__adc": np.concatenate(out_s),
-            })
+                code_mat[:, s] = d2.argmin(1)
+            yield _emit(ids, code_mat)
 
-    partial = spread(corpus.select(id_col, vec_col)).mapInPandas(scan, schema=schema)
+    def scan_codes(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            code_mat = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            yield _emit(ids, code_mat)
+
+    if codes is not None:
+        partial = codes.select(id_col, "codes").mapInPandas(
+            scan_codes, schema=schema
+        )
+    else:
+        partial = spread(corpus.select(id_col, vec_col)).mapInPandas(
+            scan_fused, schema=schema
+        )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("__adc"), F.col(id_col))
     short = (
         partial.withColumn("__r", F.row_number().over(w))

@@ -519,3 +519,24 @@ def test_pq_guards(emb):
         pq_topk(emb, emb, k=3, m=4, max_query_rows=3)
     books = pq_train(emb, m=4, ksub=4)
     assert books.shape == (4, 4, 4)
+
+
+def test_pq_precomputed_codes_match_fused(emb):
+    """Encode-once production mode: scanning a materialized codes table
+    must reproduce the fused normalize+encode+ADC scan exactly."""
+    import pytest
+
+    from etlutils_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    queries = emb.filter(F.col("vec_id") < 2)
+    fused = {tuple(r) for r in
+             pq_topk(emb, queries, k=3, m=4, ksub=4, shortlist=6).collect()}
+    books = pq_train(emb, m=4, ksub=4)
+    codes = pq_encode(emb, books, )
+    pre = {tuple(r) for r in
+           pq_topk(emb, queries, k=3, m=4, ksub=4, shortlist=6,
+                   codes=codes, codebooks=books).collect()}
+    assert pre == fused
+    # codes without their codebooks is a silent-misdecode hazard: raise
+    with pytest.raises(ValueError, match="codebooks"):
+        pq_topk(emb, queries, codes=codes)
