@@ -25,6 +25,7 @@ from etlutils_spark.operators.dedup import (
 )
 from etlutils_spark.operators.similarity import (
     centroid_assign,
+    pq_encode,
     pq_topk,
     pq_train,
     semantic_dedup,
@@ -70,6 +71,7 @@ __all__ = [
     "tokens_to_ids",
     "percentile_prune",
     "pq_train",
+    "pq_encode",
     "pq_topk",
     "temperature_resample",
     "bm25_topk",
