@@ -117,3 +117,51 @@ def test_bigram_lm_shuffled_text_scores_lower(spark):
     df = spark.createDataFrame(corpus, ["doc_id", "text"])
     got = {r.doc_id: r.avg_bigram_prob for r in bigram_lm_scores(df).collect()}
     assert got[100] < got[0]
+
+
+# ---- property tests vs the pure-Python references on random corpora -------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SET = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_words = st.sampled_from("alpha beta gamma delta epsilon zeta".split())
+_texts = st.lists(_words, min_size=1, max_size=10).map(" ".join)
+
+
+@SET
+@given(st.lists(_texts, min_size=2, max_size=6))
+def test_bm25_property_random_corpus(spark, doc_texts):
+    from etlutils_spark.operators.search import bm25_topk
+
+    corpus = list(enumerate(doc_texts))
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    terms = ["alpha", "delta"]
+    got = {r.doc_id: (r.bm25, r.n_terms_matched)
+           for r in bm25_topk(df, terms, k=100).collect()}
+    want = _py_bm25(corpus, terms)
+    assert set(got) == set(want)
+    for i, (s, m) in want.items():
+        assert got[i][1] == m
+        assert got[i][0] == pytest.approx(s, abs=1e-9)
+
+
+@SET
+@given(st.lists(_texts, min_size=1, max_size=6))
+def test_bigram_lm_property_random_corpus(spark, doc_texts):
+    from etlutils_spark.operators.search import bigram_lm_scores
+
+    corpus = list(enumerate(doc_texts))
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_bigrams, r.avg_bigram_prob)
+           for r in bigram_lm_scores(df).collect()}
+    want = _py_bigram(corpus)
+    assert set(got) == set(want)
+    for i, (nb, avg, _mn) in want.items():
+        assert got[i][0] == nb
+        assert got[i][1] == pytest.approx(avg, abs=1e-9)
