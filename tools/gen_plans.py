@@ -86,6 +86,21 @@ COMMENTARY = {
     "token_budget_sample": "one Exchange on the group key feeds the "
     "exclusive prefix-sum window; the keep rule is a stateless compare "
     "on the windowed column.",
+    "bm25_topk_search": "posting-list isin filter sits between the "
+    "token explode and the (doc,term) aggregate — only query-term rows "
+    "ever shuffle; df/stats/doc-length joins all broadcast; the global "
+    "top-k is TakeOrderedAndProject, never a one-partition rank window.",
+    "bigram_lm_quality": "bigram pairs built by array index algebra "
+    "(no join for adjacency); two count shuffles (model key, doc key); "
+    "model tables broadcast back; mean accumulates in decimal.",
+    "ann_pq_recall_contract": "both ANN passes side by side: brute "
+    "force is one broadcast nested loop, the PQ path is a mapInPandas "
+    "ADC scan whose per-batch shortlists shuffle (shortlist rows, not "
+    "scores) into one rank window, then broadcast joins for the exact "
+    "re-rank and the recall audit.",
+    "mixture_temperature_lang": "one tiny count aggregate -> sqrt-chain "
+    "rates -> broadcast join + stateless digest-threshold filter; the "
+    "corpus itself never shuffles.",
 }
 
 
