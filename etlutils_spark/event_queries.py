@@ -554,3 +554,136 @@ def q_asof_next_purchase(spark, sf_dir):
         "event_id", "user_id", "ts",
         F.first(purchase_ts, ignorenulls=True).over(w).alias("next_purchase_ts"),
     )
+
+
+@register(
+    "funnel_stages_user",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events),
+    p1 AS (
+      SELECT *,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS running_view
+      FROM e),
+    p2 AS (
+      SELECT *,
+             min(CASE WHEN event_type = 'click' AND running_view IS NOT NULL
+                       AND ts >= running_view THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS running_click
+      FROM p1)
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS view_ts,
+           min(CASE WHEN event_type = 'click' AND running_view IS NOT NULL
+                     AND ts >= running_view THEN ts END) AS click_ts,
+           min(CASE WHEN event_type = 'purchase' AND running_click IS NOT NULL
+                     AND ts >= running_click THEN ts END) AS purchase_ts,
+           CAST(CASE WHEN min(CASE WHEN event_type = 'purchase'
+                                    AND running_click IS NOT NULL
+                                    AND ts >= running_click THEN ts END)
+                          IS NOT NULL THEN 3
+                     WHEN min(CASE WHEN event_type = 'click'
+                                    AND running_view IS NOT NULL
+                                    AND ts >= running_view THEN ts END)
+                          IS NOT NULL THEN 2
+                     WHEN min(CASE WHEN event_type = 'view' THEN ts END)
+                          IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage
+    FROM p2 GROUP BY user_id
+    """,
+)
+def q_funnel_stages(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase) per user: each stage
+    timestamp is the earliest event of that type occurring at-or-after
+    the previous stage's earliest completion (running-min windows, the
+    sequential-pattern shape ad-hoc SQL gets wrong by ignoring order).
+
+    One shuffle: both running-min windows and the final per-user
+    aggregate share the user_id partitioning — Spark reuses the single
+    Sort+Exchange (the same-window-spec reuse pinned by the sessionize
+    plans). Ties (click at the exact view timestamp) count as
+    conversion; the (ts, event_id) ordering makes the running mins
+    deterministic under any partitioning."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    p1 = e.withColumn("running_view", F.min(view_ts).over(w))
+    qual_click = F.when(
+        (F.col("event_type") == "click")
+        & F.col("running_view").isNotNull()
+        & (F.col("ts") >= F.col("running_view")),
+        F.col("ts"),
+    )
+    p2 = p1.withColumn("running_click", F.min(qual_click).over(w))
+    qual_purchase = F.when(
+        (F.col("event_type") == "purchase")
+        & F.col("running_click").isNotNull()
+        & (F.col("ts") >= F.col("running_click")),
+        F.col("ts"),
+    )
+    agg = p2.groupBy("user_id").agg(
+        F.min(view_ts).alias("view_ts"),
+        F.min(qual_click).alias("click_ts"),
+        F.min(qual_purchase).alias("purchase_ts"),
+    )
+    stage = (
+        F.when(F.col("purchase_ts").isNotNull(), 3)
+        .when(F.col("click_ts").isNotNull(), 2)
+        .when(F.col("view_ts").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return agg.select(
+        "user_id", "view_ts", "click_ts", "purchase_ts",
+        stage.cast("int").alias("stage"),
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    firsts AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+      FROM e GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT f.cohort_day,
+             date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset,
+             e.user_id
+      FROM e JOIN firsts f USING (user_id))
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM active GROUP BY cohort_day, day_offset
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity day, activity
+    counted at each day offset. Two shuffles (per-user first-day agg;
+    the cohort/offset re-aggregation after a broadcastable
+    user->cohort join — user cardinality is the small side vs the
+    event fact, the classic retention join shape at scale)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    active = (
+        e.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )

@@ -29,3 +29,57 @@ def test_ingest_verbose_prints_rate(star, tmp_path, capsys):
     ingest_to_parquet(star["region"], str(tmp_path / "r"), verbose=True)
     out = capsys.readouterr().out
     assert "TOTAL=" in out and "rows/sec" in out
+
+
+def test_funnel_ordering_semantics(spark):
+    """A click BEFORE any view must not convert; one at-or-after the
+    first view must. Purchase requires a qualified click before it."""
+    import datetime as dt
+
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, u, off, typ):
+        return (i, t0 + dt.timedelta(minutes=off), u, typ, 0.0, "{}")
+
+    rows = [
+        # user 1: click(1) view(2) click(3) purchase(4) -> full funnel,
+        # click_ts = minute 3 (the pre-view click at minute 1 ignored)
+        ev(1, 1, 1, "click"), ev(2, 1, 2, "view"),
+        ev(3, 1, 3, "click"), ev(4, 1, 4, "purchase"),
+        # user 2: purchase(1) view(2) click(3) -> stage 2, purchase NULL
+        # (the purchase predates the qualified click)
+        ev(5, 2, 1, "purchase"), ev(6, 2, 2, "view"), ev(7, 2, 3, "click"),
+        # user 3: error only -> stage 0
+        ev(8, 3, 1, "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="funnel_t_")  # funnel only reads events
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r.user_id: (r.stage, r.click_ts, r.purchase_ts)
+           for r in em.queries()["funnel_stages_user"](spark, d).collect()}
+    assert out[1][0] == 3 and out[1][1] == t0 + dt.timedelta(minutes=3)
+    assert out[2][0] == 2 and out[2][2] is None
+    assert out[3][0] == 0
+
+
+def test_funnel_single_exchange(spark, sf_dir):
+    """Both running-min windows and the per-user aggregate must share
+    ONE shuffle on user_id (same-window-spec reuse)."""
+    import __spark_entry__ as em
+    from etlutils_spark.plans.checks import physical_plan
+
+    import re
+
+    plan = physical_plan(em.queries()["funnel_stages_user"](spark, sf_dir))
+    # formatted mode prints each node once in the tree as "(n) Exchange"
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
