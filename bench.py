@@ -88,6 +88,8 @@ R4_EXTRAS = [
     "bm25_topk_search",
     "bigram_lm_quality",
     "ann_pq_recall_contract",
+    "funnel_stages_user",
+    "cohort_retention",
 ]
 
 
