@@ -90,6 +90,7 @@ R4_EXTRAS = [
     "ann_pq_recall_contract",
     "funnel_stages_user",
     "cohort_retention",
+    "quality_rank_blend",
 ]
 
 

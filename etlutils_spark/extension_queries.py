@@ -1696,3 +1696,68 @@ def q_multimodal_resize(spark, sf_dir):
     return out.select(
         "doc_id", "out_len", F.md5("resized").alias("resized_md5")
     )
+
+
+@register(
+    "knn_label_consistency",
+    f"""
+    WITH {DUCK_NORMS},
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                  AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id,
+      UNNEST(generate_series(1, len(q.embedding))) AS t(i)
+      GROUP BY 1, 2),
+    cos AS (
+      SELECT query_id, dots.vec_id AS vec_id, dot / (n1.nrm * n2.nrm) AS cosine
+      FROM dots
+      JOIN norms n1 ON query_id = n1.vec_id
+      JOIN norms n2 ON dots.vec_id = n2.vec_id),
+    nn AS (
+      SELECT query_id, vec_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id) AS rn
+            FROM cos)
+      WHERE rn <= 5),
+    lbl AS (
+      SELECT nn.query_id, e.label AS nlabel
+      FROM nn JOIN embeddings e ON nn.vec_id = e.vec_id),
+    cnt AS (
+      SELECT query_id, nlabel, count(*) AS c
+      FROM lbl GROUP BY query_id, nlabel),
+    maj AS (
+      SELECT query_id, nlabel AS majority_label
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY c DESC, nlabel) AS r
+            FROM cnt)
+      WHERE r = 1),
+    per AS (
+      SELECT l.query_id, e.label,
+             CAST(SUM(CASE WHEN l.nlabel = e.label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_same_label,
+             CAST(count(*) AS BIGINT) AS n_neighbors
+      FROM lbl l JOIN embeddings e ON l.query_id = e.vec_id
+      GROUP BY l.query_id, e.label)
+    SELECT per.query_id AS vec_id, per.label, maj.majority_label,
+           per.n_same_label, per.n_neighbors,
+           maj.majority_label = per.label AS consistent
+    FROM per JOIN maj USING (query_id)
+    """,
+)
+def q_knn_label_consistency(spark, sf_dir):
+    """Embedding-space label audit: each vector's own label vs the
+    majority label of its 5 exact nearest neighbors (mislabel /
+    boundary screening before training on labeled data). The audit
+    aggregation (operators/similarity.py knn_label_consistency) is
+    backend-agnostic — here it composes with the brute-force top-k; at
+    corpus scale you feed it the LSH/IVF/PQ neighbor table instead."""
+    from etlutils_spark.operators.similarity import (
+        cosine_topk,
+        knn_label_consistency,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nn = cosine_topk(emb, emb, k=5)
+    return knn_label_consistency(nn, emb.select("vec_id", "label"))

@@ -21,7 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etlutils_spark.operators.text import TOKENS_COL, with_tokens
@@ -213,4 +213,70 @@ def percentile_prune(
         df.join(F.broadcast(thr), group_col)
         .filter(F.col(score_col) >= F.col("__thr"))
         .drop("__thr")
+    )
+
+
+def rank_blend(
+    df: DataFrame,
+    signal_cols: dict[str, bool],
+    id_col: str = "doc_id",
+    approx_buckets: int | None = None,
+) -> DataFrame:
+    """Blend several per-document quality signals into one composite
+    percentile rank (the ensemble-filtering step: each signal on its
+    own scale becomes a [0,1] rank, the blend is their mean — how
+    multi-classifier curation pipelines combine scores without
+    unit-calibrating them).
+
+    ``signal_cols`` maps column -> higher_is_better. Exact mode (the
+    registered, oracle-checked form): rank = (row_number-1)/(n-1) under
+    (signal, id) ordering — the id tie-break makes every rank
+    deterministic on any engine, and the divisions/mean are single IEEE
+    ops. Each signal costs a global sort, fine up to dictionary scale.
+
+    ``approx_buckets=B`` is the 100 TB mode (the percentile_prune
+    pattern): one percentile_approx sketch pass per signal gives B
+    thresholds, each row maps to its bucket index /B — no global sort,
+    one broadcast of B doubles per signal. Sketch thresholds are
+    engine-specific, so this mode is pytest-verified (monotone vs the
+    exact ranks) rather than oracle-checked.
+    """
+    if not signal_cols:
+        raise ValueError("signal_cols must be a non-empty {col: higher_is_better}")
+    rank_cols = []
+    if approx_buckets is None:
+        # n stays in-plan (1-row agg, broadcast) — no eager job here
+        out = df.crossJoin(
+            F.broadcast(df.agg(F.count(F.lit(1)).alias("__n")))
+        )
+        denom = F.greatest(F.col("__n") - 1, F.lit(1)).cast("double")
+        for c, hib in signal_cols.items():
+            w = Window.orderBy(
+                F.col(c).asc() if hib else F.col(c).desc(), F.col(id_col)
+            )
+            out = out.withColumn(
+                f"rank_{c}",
+                (F.row_number().over(w) - F.lit(1)).cast("double") / denom,
+            )
+            rank_cols.append(f"rank_{c}")
+    else:
+        out = df
+        for c, hib in signal_cols.items():
+            probs = [i / approx_buckets for i in range(1, approx_buckets)]
+            thresholds = df.agg(
+                F.percentile_approx(c, probs, 10_000).alias("t")
+            ).first()["t"]
+            lits = F.array(*[F.lit(float(t)) for t in thresholds])
+            bucket = F.size(F.filter(lits, lambda t: t <= F.col(c))).cast(
+                "double"
+            ) / F.lit(float(approx_buckets))
+            out = out.withColumn(
+                f"rank_{c}", bucket if hib else (F.lit(1.0) - bucket)
+            )
+            rank_cols.append(f"rank_{c}")
+    acc = F.col(rank_cols[0])
+    for rc in rank_cols[1:]:
+        acc = acc + F.col(rc)
+    return out.select(
+        id_col, *rank_cols, (acc / F.lit(float(len(rank_cols)))).alias("blend_rank")
     )

@@ -294,22 +294,20 @@ def cosine_topk_arrow(
             C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
             S = C @ Q.T  # (batch, n_queries)
             S[ids[:, None] == qids[None, :]] = -np.inf  # self-match
-            out_q, out_i, out_c = [], [], []
             kk = min(k, len(ids))
-            for j in range(len(qids)):
-                col = S[:, j]
-                cand = np.argpartition(-col, kk - 1)[:kk] if len(col) > kk else np.arange(len(col))
-                order = np.lexsort((ids[cand], -col[cand]))[:kk]
-                sel = cand[order]
-                keep = col[sel] > -np.inf
-                out_q.append(np.full(keep.sum(), qids[j]))
-                out_i.append(ids[sel][keep])
-                out_c.append(col[sel][keep])
+            # vectorized column-wise (cosine DESC, id ASC) top-k — one
+            # C-side lexsort for all queries (see pq_topk._emit)
+            order = np.lexsort(
+                (np.broadcast_to(ids[:, None], S.shape), -S), axis=0
+            )[:kk]
+            sel_s = np.take_along_axis(S, order, axis=0)
+            keep = sel_s > -np.inf
+            qcols = np.broadcast_to(qids[None, :], sel_s.shape)
             yield pd.DataFrame(
                 {
-                    query_id_col: np.concatenate(out_q),
-                    id_col: np.concatenate(out_i),
-                    "cosine": np.concatenate(out_c),
+                    query_id_col: qcols[keep],
+                    id_col: ids[order][keep],
+                    "cosine": sel_s[keep],
                 }
             )
 
@@ -663,21 +661,22 @@ def pq_topk(
         for s in range(m):
             S += lut[:, s, code_mat[:, s]].T  # (batch, n_queries)
         S[ids[:, None] == qids[None, :]] = -np.inf
-        out_q, out_i, out_s = [], [], []
         kk = min(shortlist, len(ids))
-        for j in range(len(qids)):
-            col = S[:, j]
-            cand = np.argpartition(-col, kk - 1)[:kk] if len(col) > kk else np.arange(len(col))
-            order = np.lexsort((ids[cand], -col[cand]))[:kk]
-            sel = cand[order]
-            keep = col[sel] > -np.inf
-            out_q.append(np.full(keep.sum(), qids[j]))
-            out_i.append(ids[sel][keep])
-            out_s.append(col[sel][keep])
+        # column-wise top-k, fully vectorized: one lexsort sorts EVERY
+        # query's column by (score DESC, id ASC) in C — no per-query
+        # Python loop (that loop made corpus-as-queries audits O(|Q|)
+        # interpreter iterations per batch; measured 16 -> 4 s at 5k
+        # queries)
+        order = np.lexsort(
+            (np.broadcast_to(ids[:, None], S.shape), -S), axis=0
+        )[:kk]
+        sel_s = np.take_along_axis(S, order, axis=0)    # (kk, nq)
+        keep = sel_s > -np.inf
+        qcols = np.broadcast_to(qids[None, :], sel_s.shape)
         return pd.DataFrame({
-            query_id_col: np.concatenate(out_q),
-            id_col: np.concatenate(out_i),
-            "__adc": np.concatenate(out_s),
+            query_id_col: qcols[keep],
+            id_col: ids[order][keep],
+            "__adc": sel_s[keep],
         })
 
     def scan_fused(batches):
@@ -735,3 +734,68 @@ def pq_topk(
     )
     wf = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(wf)).filter(F.col("rank") <= k)
+
+
+def knn_label_consistency(
+    neighbors: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Neighborhood label audit (confident-learning-style mislabel
+    screening): for each query vector, the majority label among its
+    retrieved neighbors vs its own label. Points whose neighborhood
+    disagrees are mislabel / boundary candidates — the embedding-space
+    data-quality check run before training on labeled corpora.
+
+    ``neighbors`` is ANY top-k output with (query_id, vec_id) — brute
+    force, LSH, IVF, or PQ: the audit is decoupled from the ANN backend
+    on purpose, because at 100 TB the neighbor table comes from the
+    bucketed/compressed path, never a corpus-sized broadcast.
+
+    Output: (id, label, majority_label, n_same_label, n_neighbors,
+    consistent). Majority ties break toward the smaller label id
+    (row_number over (count DESC, label ASC) — deterministic on any
+    engine). Scale: two aggregations on the query key plus a broadcast
+    label join; cost is O(|neighbors|), not O(corpus).
+    """
+    nl = labels.select(
+        F.col(id_col), F.col(label_col).alias("__nlabel")
+    )
+    j = neighbors.select(query_id_col, id_col).join(nl, id_col)
+    counts = j.groupBy(query_id_col, "__nlabel").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__cnt"), F.col("__nlabel")
+    )
+    majority = (
+        counts.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col(query_id_col),
+            F.col("__nlabel").alias("majority_label"),
+        )
+    )
+    own = labels.select(F.col(id_col).alias(query_id_col), F.col(label_col))
+    per_query = (
+        j.join(F.broadcast(own), query_id_col)
+        .groupBy(query_id_col, label_col)
+        .agg(
+            F.sum((F.col("__nlabel") == F.col(label_col)).cast("bigint"))
+            .alias("n_same_label"),
+            F.count(F.lit(1)).alias("n_neighbors"),
+        )
+    )
+    return (
+        per_query.join(F.broadcast(majority), query_id_col)
+        .select(
+            F.col(query_id_col).alias(id_col),
+            label_col,
+            "majority_label",
+            "n_same_label",
+            "n_neighbors",
+            (F.col("majority_label") == F.col(label_col)).alias("consistent"),
+        )
+    )

@@ -14,7 +14,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from etlutils_spark.entry_queries import _t, register
+from etlutils_spark.entry_queries import REGISTRY, _t, register
 from etlutils_spark.operators.text import corpus_rarity_stats
 from etlutils_spark.operators.quality import (
     PII_PATTERNS,
@@ -1224,3 +1224,67 @@ def q_mixture_temperature(spark, sf_dir):
     return temperature_resample(
         _t(spark, sf_dir, "documents"), alpha=0.5, strata_col="lang"
     ).select("doc_id", "lang", "source")
+
+
+def _rank_blend_oracle() -> str:
+    # compose the three already-oracled signal queries as subqueries
+    # (DuckDB allows WITH inside a parenthesized subquery), then mirror
+    # rank_blend's (row_number-1)/greatest(n-1,1) exactly
+    ts = REGISTRY["text_stats"][1]
+    rep = REGISTRY["text_repetition"][1]
+    rar = REGISTRY["corpus_rarity"][1]
+    return f"""
+    WITH ts AS (SELECT doc_id, quality_score FROM ({ts})),
+    rep AS (SELECT doc_id, dup_ngram_ratio FROM ({rep})),
+    rar AS (SELECT doc_id, rare_ratio FROM ({rar})),
+    sig AS (
+      SELECT ts.doc_id, quality_score, dup_ngram_ratio, rare_ratio
+      FROM ts JOIN rep USING (doc_id) JOIN rar USING (doc_id)),
+    r AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY quality_score ASC, doc_id) - 1
+                  AS DOUBLE)
+               / CAST(greatest((SELECT count(*) FROM sig) - 1, 1) AS DOUBLE)
+               AS rank_quality_score,
+             CAST(row_number() OVER (ORDER BY dup_ngram_ratio DESC, doc_id) - 1
+                  AS DOUBLE)
+               / CAST(greatest((SELECT count(*) FROM sig) - 1, 1) AS DOUBLE)
+               AS rank_dup_ngram_ratio,
+             CAST(row_number() OVER (ORDER BY rare_ratio DESC, doc_id) - 1
+                  AS DOUBLE)
+               / CAST(greatest((SELECT count(*) FROM sig) - 1, 1) AS DOUBLE)
+               AS rank_rare_ratio
+      FROM sig)
+    SELECT doc_id, rank_quality_score, rank_dup_ngram_ratio, rank_rare_ratio,
+           ((rank_quality_score + rank_dup_ngram_ratio) + rank_rare_ratio)
+             / 3.0 AS blend_rank
+    FROM r
+    """
+
+
+@register("quality_rank_blend", _rank_blend_oracle())
+def q_quality_rank_blend(spark, sf_dir):
+    """Ensemble quality blending: three independent signals (composite
+    quality score UP, n-gram repetition DOWN, rare-token ratio DOWN)
+    rank-normalized to [0,1] and averaged — the multi-classifier
+    curation composite, unit-free by construction. Exact mode (global
+    row_number ranks, id tie-break) is the registered oracle-checked
+    form; rank_blend(approx_buckets=B) is the sketch-threshold 100 TB
+    mode (operators/quality.py)."""
+    from etlutils_spark.operators.quality import rank_blend, repetition_stats
+    from etlutils_spark.operators.text import corpus_rarity_stats, text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = (
+        text_stats(docs).select("doc_id", "quality_score")
+        .join(repetition_stats(docs).select("doc_id", "dup_ngram_ratio"), "doc_id")
+        .join(
+            corpus_rarity_stats(docs, rare_max_count=_RARE_MAX)
+            .select("doc_id", "rare_ratio"),
+            "doc_id",
+        )
+    )
+    return rank_blend(
+        sig,
+        {"quality_score": True, "dup_ngram_ratio": False, "rare_ratio": False},
+    )

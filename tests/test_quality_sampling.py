@@ -560,3 +560,61 @@ def test_temperature_resample_rejects_non_dyadic_alpha(spark):
     df = _docs_df(spark, rows)
     with pytest.raises(ValueError, match="alpha"):
         temperature_resample(df, alpha=0.3, strata_col="lang")
+
+
+def test_rank_blend_exact_known_values(spark):
+    from etlutils_spark.operators.quality import rank_blend
+
+    rows = [(1, 10.0, 0.9), (2, 20.0, 0.5), (3, 30.0, 0.1)]
+    df = spark.createDataFrame(rows, "doc_id long, good double, bad double")
+    out = {r.doc_id: (r.rank_good, r.rank_bad, r.blend_rank)
+           for r in rank_blend(df, {"good": True, "bad": False}).collect()}
+    # good ascending: 10->0, 20->0.5, 30->1; bad descending: 0.9->0 ... 0.1->1
+    assert out[1] == (0.0, 0.0, 0.0)
+    assert out[2] == (0.5, 0.5, 0.5)
+    assert out[3] == (1.0, 1.0, 1.0)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="signal_cols"):
+        rank_blend(df, {})
+
+
+def test_rank_blend_approx_mode_monotone(spark):
+    from etlutils_spark.operators.quality import rank_blend
+
+    rows = [(i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    exact = {r.doc_id: r.blend_rank
+             for r in rank_blend(df, {"s": True}).collect()}
+    approx = {r.doc_id: r.blend_rank
+              for r in rank_blend(df, {"s": True}, approx_buckets=10).collect()}
+    # bucket ranks never invert the exact ordering (monotone contract)
+    ids = sorted(exact, key=exact.get)
+    vals = [approx[i] for i in ids]
+    assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:]))
+    assert set(vals) <= {i / 10 for i in range(11)}
+
+
+def test_knn_label_consistency_flags_planted_mislabel(spark):
+    from etlutils_spark.operators.similarity import (
+        cosine_topk,
+        knn_label_consistency,
+    )
+
+    # two tight clusters; vec 5 sits in cluster A but carries label B
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    rows = []
+    for i in range(5):
+        rows.append((i, [x + 0.01 * i for x in a], 0))
+    for i in range(6, 11):
+        rows.append((i, [x + 0.01 * i for x in b], 1))
+    rows.append((5, [x + 0.05 for x in a], 1))  # mislabeled
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    nn = cosine_topk(emb, emb, k=3)
+    out = {r.vec_id: (r.majority_label, r.consistent, r.n_same_label)
+           for r in knn_label_consistency(nn, emb.select("vec_id", "label")).collect()}
+    assert out[5] == (0, False, 0)   # neighborhood says cluster A
+    assert out[0][1] is True and out[7][1] is True
