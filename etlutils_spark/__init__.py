@@ -25,6 +25,7 @@ from etlutils_spark.operators.dedup import (
 )
 from etlutils_spark.operators.similarity import (
     centroid_assign,
+    knn_label_consistency,
     pq_encode,
     pq_topk,
     pq_train,
@@ -38,7 +39,7 @@ from etlutils_spark.operators.sampling import (
 )
 from etlutils_spark.operators.search import bigram_lm_scores, bm25_topk
 from etlutils_spark.operators.text import build_vocab, oov_stats, tokens_to_ids
-from etlutils_spark.operators.quality import percentile_prune
+from etlutils_spark.operators.quality import percentile_prune, rank_blend
 from etlutils_spark.plans.checks import check_constraints
 
 __all__ = [
@@ -70,6 +71,8 @@ __all__ = [
     "token_budget_sample",
     "tokens_to_ids",
     "percentile_prune",
+    "rank_blend",
+    "knn_label_consistency",
     "pq_train",
     "pq_encode",
     "pq_topk",

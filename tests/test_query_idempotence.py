@@ -27,7 +27,8 @@ def test_queries_rerun_identical(spark):
                  # continuation: driver-collected state (PQ codebooks /
                  # ADC LUTs), data-dependent rates, corpus-stat joins
                  "ann_pq_recall_contract", "bm25_topk_search",
-                 "bigram_lm_quality", "mixture_temperature_lang"]:
+                 "bigram_lm_quality", "mixture_temperature_lang",
+                 "quality_rank_blend", "funnel_stages_user"]:
         a = _rows(qs[name](spark, SF))
         b = _rows(qs[name](spark, SF))
         assert a == b, name
