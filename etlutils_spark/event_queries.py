@@ -556,9 +556,7 @@ def q_asof_next_purchase(spark, sf_dir):
     )
 
 
-@register(
-    "funnel_stages_user",
-    """
+FUNNEL_ORACLE_SQL = """
     WITH e AS (
       SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
       FROM events),
@@ -593,21 +591,14 @@ def q_asof_next_purchase(spark, sf_dir):
                           IS NOT NULL THEN 1
                      ELSE 0 END AS INT) AS stage
     FROM p2 GROUP BY user_id
-    """,
-)
-def q_funnel_stages(spark, sf_dir):
-    """Ordered funnel (view -> click -> purchase) per user: each stage
-    timestamp is the earliest event of that type occurring at-or-after
-    the previous stage's earliest completion (running-min windows, the
-    sequential-pattern shape ad-hoc SQL gets wrong by ignoring order).
+    """
 
-    One shuffle: both running-min windows and the final per-user
-    aggregate share the user_id partitioning — Spark reuses the single
-    Sort+Exchange (the same-window-spec reuse pinned by the sessionize
-    plans). Ties (click at the exact view timestamp) count as
-    conversion; the (ts, event_id) ordering makes the running mins
-    deterministic under any partitioning."""
-    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+
+def funnel_stages(e):
+    """Batch funnel core over an events frame with (event_id, user_id,
+    ts, event_type) — shared by the registered query and the streaming
+    incremental funnel (streaming/funnel.py). Semantics: see
+    q_funnel_stages."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -643,6 +634,23 @@ def q_funnel_stages(spark, sf_dir):
         "user_id", "view_ts", "click_ts", "purchase_ts",
         stage.cast("int").alias("stage"),
     )
+
+
+@register("funnel_stages_user", FUNNEL_ORACLE_SQL)
+def q_funnel_stages(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase) per user: each stage
+    timestamp is the earliest event of that type occurring at-or-after
+    the previous stage's earliest completion (running-min windows, the
+    sequential-pattern shape ad-hoc SQL gets wrong by ignoring order).
+
+    One shuffle: both running-min windows and the final per-user
+    aggregate share the user_id partitioning — Spark reuses the single
+    Sort+Exchange (the same-window-spec reuse pinned by the sessionize
+    plans). Ties (click at the exact view timestamp) count as
+    conversion; the (ts, event_id) ordering makes the running mins
+    deterministic under any partitioning."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    return funnel_stages(e)
 
 
 @register(
@@ -687,3 +695,69 @@ def q_cohort_retention(spark, sf_dir):
     return active.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+@register("streaming_funnel", FUNNEL_ORACLE_SQL)
+def q_streaming_funnel(spark, sf_dir):
+    """The incremental streaming funnel (streaming/funnel.py) driven to
+    completion over the events corpus split into 4 event-time-ordered
+    micro-batches (ascending file mtimes; ts order is load-bearing —
+    later batches must not contain earlier qualifying events). The
+    accumulated per-user state equals the batch funnel over the whole
+    corpus, so the batch oracle checks the incremental path end to end.
+
+    Per-batch cost is O(state users + batch); state is the funnel's
+    sufficient statistic (3 timestamps/user) re-seeded as pseudo-events
+    — min-aggregation state folding, idempotent under replay."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    from etlutils_spark.pipeline_queries import _rt_path
+    from etlutils_spark.streaming.funnel import incremental_funnel
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    root = _rt_path(spark, "inc_funnel")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    staging = os.path.join(root, "staging")
+    sliced = ev.withColumn(
+        "__slice", F.ntile(4).over(W.orderBy("ts", "event_id")) - 1
+    )
+    (
+        sliced.repartition(4, "__slice")
+        .write.mode("overwrite")
+        .partitionBy("__slice")
+        .parquet(staging)
+    )
+    import time as _time
+
+    t0 = _time.time() - 1000
+    for i in range(4):
+        slice_dir = os.path.join(staging, f"__slice={i}")
+        part = next(
+            f for f in sorted(os.listdir(slice_dir)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"slice{i}.parquet")
+        os.replace(os.path.join(slice_dir, part), dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    shutil.rmtree(staging)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = incremental_funnel(
+        stream,
+        state_dir=os.path.join(root, "state"),
+        checkpoint=os.path.join(root, "ckpt"),
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(root, "state"))

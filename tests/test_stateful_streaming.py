@@ -216,3 +216,34 @@ def test_incremental_span_dedup_replay_is_idempotent(spark, tmp_path):
                        .distinct().collect()))
     assert after == before                      # stats identical after distinct
     assert spark.read.parquet(str(tmp_path / "index")).count() == n_index
+
+
+def test_incremental_funnel_state_folding_idempotent(spark):
+    """The funnel state is a min-aggregation sufficient statistic:
+    folding a batch twice (at-least-once replay) must reproduce the
+    state bit-for-bit, and state-as-pseudo-events must round-trip."""
+    import datetime as dt
+
+    from etlutils_spark.event_queries import funnel_stages
+    from etlutils_spark.streaming.funnel import _state_as_events
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=1), 1, "view", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=2), 1, "click", 0.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=3), 2, "click", 0.0, "{}"),  # pre-view
+        (4, t0 + dt.timedelta(minutes=4), 2, "view", 0.0, "{}"),
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string"
+    ).select("event_id", "user_id", "ts", "event_type")
+    state1 = funnel_stages(batch)
+    # replay: fold the SAME batch against the state it produced
+    state2 = funnel_stages(batch.unionByName(_state_as_events(state1)))
+    a = sorted(map(str, state1.collect()))
+    b = sorted(map(str, state2.collect()))
+    assert a == b
+    # round-trip: state-as-events alone reproduces the state
+    state3 = funnel_stages(_state_as_events(state1))
+    assert sorted(map(str, state3.collect())) == a
