@@ -91,6 +91,7 @@ R4_EXTRAS = [
     "funnel_stages_user",
     "cohort_retention",
     "quality_rank_blend",
+    "streaming_funnel",
 ]
 
 
