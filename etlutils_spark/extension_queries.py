@@ -1761,3 +1761,74 @@ def q_knn_label_consistency(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     nn = cosine_topk(emb, emb, k=5)
     return knn_label_consistency(nn, emb.select("vec_id", "label"))
+
+
+@register(
+    "text_token_gini",
+    """
+    WITH toks AS (
+      SELECT doc_id, s AS token
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(w) AS t(s)),
+    c AS (SELECT doc_id, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+    agg AS (SELECT doc_id, sum(cnt) AS n, count(*) AS n_distinct,
+                   sum(cnt * cnt) AS ss
+            FROM c GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS BIGINT) AS n_distinct_tokens,
+           CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE) AS type_token_ratio,
+           1.0 - (CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             AS token_gini
+    FROM agg
+    """,
+)
+def q_text_token_gini(spark, sf_dir):
+    """Lexical diversity: token-distribution Gini impurity (the
+    log-free entropy proxy — integer counts + exact divisions) and
+    type-token ratio, computed shuffle-free as squared run lengths of
+    the sorted token array; the oracle re-derives the same counts via
+    unnest + GROUP BY."""
+    from etlutils_spark.operators.text import token_gini_stats
+
+    return token_gini_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "decontaminate_semantic_embeddings",
+    f"""
+    WITH {DUCK_NORMS},
+    dots AS (
+      SELECT c.vec_id AS vec_id, b.vec_id AS bid,
+             CAST(SUM(CAST(CAST(c.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                  AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      FROM embeddings c
+      JOIN embeddings b ON b.vec_id < 10 AND c.vec_id >= 10,
+      UNNEST(generate_series(1, len(c.embedding))) AS t(i)
+      GROUP BY 1, 2),
+    cos AS (
+      SELECT dots.vec_id, dot / (n1.nrm * n2.nrm) AS cosine
+      FROM dots
+      JOIN norms n1 ON dots.vec_id = n1.vec_id
+      JOIN norms n2 ON dots.bid = n2.vec_id)
+    SELECT vec_id,
+           max(cosine) AS max_benchmark_cosine,
+           max(cosine) >= 0.8 AS contaminated
+    FROM cos GROUP BY vec_id
+    """,
+)
+def q_decontaminate_semantic(spark, sf_dir):
+    """Embedding-space decontamination: corpus vectors (vec_id >= 10)
+    scored by max decimal-exact cosine against a 10-vector benchmark
+    set embedded in the plan as literals — one shuffle-free corpus
+    scan IS the whole pass (similarity.py decontaminate_semantic); the
+    semantic twin of the shingle-based decontaminate_overlap for
+    paraphrased benchmark leakage."""
+    from etlutils_spark.operators.similarity import decontaminate_semantic
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return decontaminate_semantic(
+        emb.filter(F.col("vec_id") >= 10),
+        emb.filter(F.col("vec_id") < 10),
+        threshold=0.8,
+    )

@@ -799,3 +799,53 @@ def knn_label_consistency(
             (F.col("majority_label") == F.col(label_col)).alias("consistent"),
         )
     )
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_benchmark_rows: int = 4096,
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus vectors whose cosine
+    to ANY benchmark vector reaches ``threshold`` — the semantic twin of
+    the shingle-based ``dedup.decontaminate`` (paraphrased benchmark
+    leakage that n-gram overlap misses).
+
+    The benchmark embeds into the PLAN as literal arrays (bounded by
+    ``max_benchmark_rows``, fail-fast guard — the tokens_to_ids
+    literal-budget pattern): each corpus row evaluates B decimal-exact
+    cosines and a ``greatest`` fold, entirely in whole-stage codegen.
+    Zero shuffle, zero join — the scan IS the decontamination pass, so
+    at 100 TB the cost is one corpus read regardless of cluster shape.
+    For benchmark sets beyond the literal budget, fall back to the
+    broadcast-join form (``embedding_neardup_pairs`` against the union)
+    or block with LSH first.
+
+    Output: (id, max_benchmark_cosine, contaminated).
+    """
+    rows = (
+        benchmark.select(vec_col).limit(max_benchmark_rows + 1).collect()
+    )
+    if len(rows) > max_benchmark_rows:
+        raise ValueError(
+            f"benchmark has more than max_benchmark_rows={max_benchmark_rows} "
+            "rows; the benchmark embeds into the plan as literals — use the "
+            "broadcast-join form for corpus-sized benchmarks"
+        )
+    if not rows:
+        raise ValueError("benchmark is empty")
+    cos_exprs = []
+    for r in rows:
+        lit_vec = F.array(*[F.lit(float(x)) for x in r[0]])
+        cos_exprs.append(cosine_exact(F.col(vec_col), lit_vec))
+    max_cos = (
+        F.greatest(*cos_exprs) if len(cos_exprs) > 1 else cos_exprs[0]
+    )
+    return corpus.select(
+        F.col(id_col),
+        max_cos.alias("max_benchmark_cosine"),
+        (max_cos >= F.lit(threshold)).alias("contaminated"),
+    )

@@ -425,3 +425,49 @@ def tokens_to_ids(
     return base.select(id_col, ids.alias("ids")).withColumn(
         "n_ids", F.size("ids").cast("bigint")
     )
+
+
+def token_gini_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document lexical-diversity score: Gini impurity of the token
+    distribution, ``1 - sum(count_t^2) / n^2`` — the log-free entropy
+    proxy (this module's convention: ``ln`` is not correctly-rounded
+    IEEE, Gini is pure integer counts + two exact divisions). Near 0 =
+    one token dominates (degenerate/boilerplate); near 1 = uniformly
+    diverse vocabulary. Plus type-token ratio ``n_distinct / n``.
+
+    Zero shuffle: ``sum(count^2)`` is the sum of squared run lengths of
+    the SORTED token array — the same O(n log n) per-row fold as
+    ``repetition_stats``, all in whole-stage codegen."""
+    base = with_tokens(df, text_col)
+    toks = F.col(TOKENS_COL)
+    n = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("ss"),
+    )
+
+    def _step(acc, t):
+        is_new = acc["prev"].isNull() | (acc["prev"] != t)
+        # close the previous run's square on a boundary
+        ss = F.when(is_new, acc["ss"] + acc["run"] * acc["run"]).otherwise(acc["ss"])
+        run = F.when(is_new, F.lit(1).cast("bigint")).otherwise(acc["run"] + 1)
+        return F.struct(t.alias("prev"), run.alias("run"), ss.alias("ss"))
+
+    sum_sq = F.aggregate(
+        F.array_sort(toks), init, _step,
+        lambda acc: acc["ss"] + acc["run"] * acc["run"],
+    )
+    nd = n.cast("double")
+    gini = F.lit(1.0) - (sum_sq.cast("double") / (nd * nd))
+    return base.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        (n_distinct.cast("double") / nd).alias("type_token_ratio"),
+        gini.alias("token_gini"),
+    )

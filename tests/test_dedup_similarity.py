@@ -540,3 +540,21 @@ def test_pq_precomputed_codes_match_fused(emb):
     # codes without their codebooks is a silent-misdecode hazard: raise
     with pytest.raises(ValueError, match="codebooks"):
         pq_topk(emb, queries, codes=codes)
+
+
+def test_decontaminate_semantic_flags_planted_neardup(emb):
+    import pytest
+
+    from etlutils_spark.operators.similarity import decontaminate_semantic
+
+    # benchmark = vector 0; corpus contains its planted near-dup (id 10)
+    bench = emb.filter(F.col("vec_id") == 0)
+    corpus = emb.filter(F.col("vec_id") > 0)
+    out = {r.vec_id: (r.max_benchmark_cosine, r.contaminated)
+           for r in decontaminate_semantic(corpus, bench, threshold=0.95).collect()}
+    assert out[10][1] is True and out[10][0] > 0.99
+    assert sum(1 for _, c in out.values() if c) == 1  # only the plant
+    with pytest.raises(ValueError, match="max_benchmark_rows"):
+        decontaminate_semantic(corpus, emb, max_benchmark_rows=3)
+    with pytest.raises(ValueError, match="empty"):
+        decontaminate_semantic(corpus, emb.filter(F.col("vec_id") < 0))

@@ -173,3 +173,32 @@ def test_winnow_coverage_property_random(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
     for i, j in planted:
         assert by_doc[i] & by_doc[j], (i, j)
+
+
+def test_token_gini_known_values(spark):
+    from etlutils_spark.operators.text import token_gini_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.n_distinct_tokens, r.type_token_ratio, r.token_gini)
+           for r in token_gini_stats(df).collect()}
+    assert got[1] == (4, 1, 0.25, 0.0)           # one token dominates
+    assert got[2] == (4, 4, 1.0, 1.0 - 4 / 16)   # uniform: 0.75
+    assert got[3] == (4, 2, 0.5, 1.0 - 8 / 16)   # 2+2: 0.5
+
+
+def test_token_gini_matches_python_reference(spark):
+    from collections import Counter
+
+    from etlutils_spark.operators.text import token_gini_stats
+
+    texts = ["x y z x y x", "w", "p q p q p q p q", "m n o"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r.token_gini for r in token_gini_stats(df).collect()}
+    for i, t in enumerate(texts):
+        c = Counter(t.split(" "))
+        n = sum(c.values())
+        want = 1.0 - sum(v * v for v in c.values()) / (n * n)
+        assert got[i] == pytest.approx(want, abs=1e-12), i
