@@ -92,6 +92,9 @@ R4_EXTRAS = [
     "cohort_retention",
     "quality_rank_blend",
     "streaming_funnel",
+    "text_token_gini",
+    "decontaminate_semantic_embeddings",
+    "profile_drift_documents",
 ]
 
 

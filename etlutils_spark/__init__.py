@@ -11,7 +11,7 @@ reference citations (file:line into /root/reference).
 
 from etlutils_spark.session import get_session
 from etlutils_spark.operators.matchmerge import matchmerge
-from etlutils_spark.operators.recode import recoder, rename_columns, factorise
+from etlutils_spark.operators.recode import factorise, profile_drift, recoder, rename_columns
 from etlutils_spark.operators.locf import na_locf_plus_one
 from etlutils_spark.operators.transfun import trans_fun
 from etlutils_spark.sources.sql import read_sql, write_sql
@@ -25,6 +25,7 @@ from etlutils_spark.operators.dedup import (
 )
 from etlutils_spark.operators.similarity import (
     centroid_assign,
+    decontaminate_semantic,
     knn_label_consistency,
     pq_encode,
     pq_topk,
@@ -38,7 +39,7 @@ from etlutils_spark.operators.sampling import (
     token_budget_sample,
 )
 from etlutils_spark.operators.search import bigram_lm_scores, bm25_topk
-from etlutils_spark.operators.text import build_vocab, oov_stats, tokens_to_ids
+from etlutils_spark.operators.text import build_vocab, oov_stats, token_gini_stats, tokens_to_ids
 from etlutils_spark.operators.quality import percentile_prune, rank_blend
 from etlutils_spark.plans.checks import check_constraints
 
@@ -73,6 +74,9 @@ __all__ = [
     "percentile_prune",
     "rank_blend",
     "knn_label_consistency",
+    "token_gini_stats",
+    "decontaminate_semantic",
+    "profile_drift",
     "pq_train",
     "pq_encode",
     "pq_topk",

@@ -152,3 +152,49 @@ def profile_table(df, columns=None):
         "__n AS n_rows",
         f"stack({len(cols)}, {stack}) AS (column, n_nulls, n_distinct, min_str, max_str)",
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+
+
+def profile_drift(df_a, df_b, columns=None):
+    """Snapshot drift report: ``profile_table`` of two corpus versions
+    joined per column, with deltas — the audit run between dataset
+    releases (did nulls appear? did cardinality collapse? did a range
+    shift?). Output one row per column:
+    (column, n_rows_a/b + delta, n_nulls_a/b + delta,
+    n_distinct_a/b + delta, min_changed, max_changed).
+
+    Scale: each side is ONE aggregation pass (profile_table); the join
+    is |columns| rows. Comparing a 100 TB release against its
+    predecessor costs two scans, nothing more."""
+    from pyspark.sql import functions as F
+
+    cols = columns or [c for c in df_a.columns if c in set(df_b.columns)]
+    pa = profile_table(df_a, cols)
+    pb = profile_table(df_b, cols)
+    a = pa.select(
+        "column",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("n_nulls").alias("n_nulls_a"),
+        F.col("n_distinct").alias("n_distinct_a"),
+        F.col("min_str").alias("__mn_a"),
+        F.col("max_str").alias("__mx_a"),
+    )
+    b = pb.select(
+        "column",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("n_nulls").alias("n_nulls_b"),
+        F.col("n_distinct").alias("n_distinct_b"),
+        F.col("min_str").alias("__mn_b"),
+        F.col("max_str").alias("__mx_b"),
+    )
+    j = a.join(b, "column")
+    return j.select(
+        "column",
+        "n_rows_a", "n_rows_b",
+        (F.col("n_rows_b") - F.col("n_rows_a")).alias("n_rows_delta"),
+        "n_nulls_a", "n_nulls_b",
+        (F.col("n_nulls_b") - F.col("n_nulls_a")).alias("n_nulls_delta"),
+        "n_distinct_a", "n_distinct_b",
+        (F.col("n_distinct_b") - F.col("n_distinct_a")).alias("n_distinct_delta"),
+        (~F.col("__mn_a").eqNullSafe(F.col("__mn_b"))).alias("min_changed"),
+        (~F.col("__mx_a").eqNullSafe(F.col("__mx_b"))).alias("max_changed"),
+    )

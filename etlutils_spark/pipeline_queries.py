@@ -1288,3 +1288,47 @@ def q_quality_rank_blend(spark, sf_dir):
         sig,
         {"quality_score": True, "dup_ngram_ratio": False, "rare_ratio": False},
     )
+
+
+def _profile_side_sql(pred: str) -> str:
+    cols = ["doc_id", "lang", "n_chars"]
+    parts = []
+    for c in cols:
+        parts.append(f"""
+      SELECT '{c}' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+             CAST(min({c}) AS VARCHAR) AS min_str,
+             CAST(max({c}) AS VARCHAR) AS max_str
+      FROM documents WHERE {pred}""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "profile_drift_documents",
+    f"""
+    WITH pa AS ({_profile_side_sql('TRUE')}),
+    pb AS ({_profile_side_sql('doc_id % 2 = 0')})
+    SELECT pa."column",
+           pa.n_rows AS n_rows_a, pb.n_rows AS n_rows_b,
+           pb.n_rows - pa.n_rows AS n_rows_delta,
+           pa.n_nulls AS n_nulls_a, pb.n_nulls AS n_nulls_b,
+           pb.n_nulls - pa.n_nulls AS n_nulls_delta,
+           pa.n_distinct AS n_distinct_a, pb.n_distinct AS n_distinct_b,
+           pb.n_distinct - pa.n_distinct AS n_distinct_delta,
+           NOT (pa.min_str IS NOT DISTINCT FROM pb.min_str) AS min_changed,
+           NOT (pa.max_str IS NOT DISTINCT FROM pb.max_str) AS max_changed
+    FROM pa JOIN pb USING ("column")
+    """,
+)
+def q_profile_drift(spark, sf_dir):
+    """Release-to-release drift audit: per-column profile deltas
+    between the documents corpus and a half-corpus snapshot proxy
+    (even doc_ids) — row/null/cardinality deltas plus range-shift
+    flags. Two single-pass profiles + a |columns|-row join
+    (operators/recode.py profile_drift); auditing a 100 TB release
+    against its predecessor is exactly two scans."""
+    from etlutils_spark.operators.recode import profile_drift
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return profile_drift(docs, docs.filter(F.col("doc_id") % 2 == 0))

@@ -83,3 +83,22 @@ def test_funnel_single_exchange(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+
+
+def test_profile_drift_detects_planted_changes(spark):
+    from etlutils_spark.operators.recode import profile_drift
+
+    a = spark.createDataFrame(
+        [(1, "en", 10), (2, "de", 20), (3, "fr", 30)],
+        "doc_id long, lang string, n long",
+    )
+    b = spark.createDataFrame(
+        [(1, "en", 10), (2, None, 99)],  # row dropped, null appeared, max shifted
+        "doc_id long, lang string, n long",
+    )
+    out = {r.column: r for r in profile_drift(a, b).collect()}
+    assert out["doc_id"].n_rows_delta == -1
+    assert out["lang"].n_nulls_delta == 1
+    # en/de/fr -> en only (NULL is excluded from distinct counts)
+    assert out["lang"].n_distinct_delta == -2
+    assert out["n"].max_changed is True and out["n"].min_changed is False
