@@ -28,7 +28,9 @@ def test_queries_rerun_identical(spark):
                  # ADC LUTs), data-dependent rates, corpus-stat joins
                  "ann_pq_recall_contract", "bm25_topk_search",
                  "bigram_lm_quality", "mixture_temperature_lang",
-                 "quality_rank_blend", "funnel_stages_user"]:
+                 "quality_rank_blend", "funnel_stages_user",
+                 "streaming_funnel", "knn_label_consistency",
+                 "profile_drift_documents"]:
         a = _rows(qs[name](spark, SF))
         b = _rows(qs[name](spark, SF))
         assert a == b, name
