@@ -101,6 +101,21 @@ COMMENTARY = {
     "mixture_temperature_lang": "one tiny count aggregate -> sqrt-chain "
     "rates -> broadcast join + stateless digest-threshold filter; the "
     "corpus itself never shuffles.",
+    "funnel_stages_user": "both running-min windows and the per-user "
+    "aggregate share ONE Exchange+Sort on user_id (same-window-spec "
+    "reuse); stage qualification is stateless CASE algebra.",
+    "text_token_gini": "zero shuffle: the token-distribution sum of "
+    "squares is a per-row fold over the sorted token array, entirely "
+    "in whole-stage codegen.",
+    "decontaminate_semantic_embeddings": "the benchmark is plan-literal "
+    "arrays: B decimal-exact cosines + greatest per row — no join, no "
+    "shuffle; the corpus scan IS the decontamination pass.",
+    "quality_rank_blend": "three signal subplans joined on doc_id, "
+    "then one global Sort per signal for the exact ranks (documented "
+    "dictionary-scale mode; approx_buckets drops the sorts).",
+    "knn_label_consistency": "neighbor table -> two aggregations on "
+    "the query key + broadcast label joins; audit cost is "
+    "O(|neighbors|), decoupled from how neighbors were produced.",
 }
 
 
