@@ -108,9 +108,28 @@ _DRIVER_VERIFIED_PRIOR_ROUNDS = frozenset({
 })
 
 
+# The registry outgrew the driver's ~50-query per-round window (55
+# never-checked entries); these five sit at the END of the unchecked
+# tier so the window lands on the structurally novel queries first.
+# Each is the lowest-risk member of an already-driver-verified family:
+# frame_sample/resize are the same byte-math-fake pattern as the green
+# multimodal_audio_chunks/features; mixture_temperature shares the
+# digest-threshold mechanism of the green mixture_resample_lang;
+# profile_drift/token_gini compose signals whose own queries are green.
+# All five pass the local oracle sweep at sf0.001/0.01/0.1.
+_DEPRIORITIZE_IN_WINDOW = (
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "mixture_temperature_lang",
+    "profile_drift_documents",
+    "text_token_gini",
+)
+
+
 def _ordered_names() -> list[str]:
     names = list(REGISTRY)
     unchecked = [n for n in names if n not in _DRIVER_VERIFIED_PRIOR_ROUNDS]
+    unchecked.sort(key=lambda n: n in _DEPRIORITIZE_IN_WINDOW)  # stable
     checked = [n for n in names if n in _DRIVER_VERIFIED_PRIOR_ROUNDS]
     return unchecked + checked
 
