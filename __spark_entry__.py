@@ -108,21 +108,23 @@ _DRIVER_VERIFIED_PRIOR_ROUNDS = frozenset({
 })
 
 
-# The registry outgrew the driver's ~50-query per-round window (55
-# never-checked entries); these five sit at the END of the unchecked
-# tier so the window lands on the structurally novel queries first.
-# Each is the lowest-risk member of an already-driver-verified family:
-# frame_sample/resize are the same byte-math-fake pattern as the green
-# multimodal_audio_chunks/features; mixture_temperature shares the
-# digest-threshold mechanism of the green mixture_resample_lang;
-# profile_drift/token_gini compose signals whose own queries are green.
-# All five pass the local oracle sweep at sf0.001/0.01/0.1.
+# The registry outgrew the driver's ~50-query per-round window; these
+# sit at the END of the unchecked tier so the window lands on the
+# structurally novel queries first. Each is the lowest-risk member of
+# an already-driver-verified family: frame_sample/resize are the same
+# byte-math-fake pattern as the green multimodal_audio_chunks/features;
+# mixture_temperature shares the digest-threshold mechanism of the
+# green mixture_resample_lang; profile_drift/token_gini compose signals
+# whose own queries are green; multi_horizon generalizes the green
+# window_rolling_7d frame. All pass the local oracle sweep at
+# sf0.001/0.01 (and sf0.1 where the oracle is tractable).
 _DEPRIORITIZE_IN_WINDOW = (
     "multimodal_frame_sample",
     "multimodal_resize",
     "mixture_temperature_lang",
     "profile_drift_documents",
     "text_token_gini",
+    "window_multi_horizon",
 )
 
 

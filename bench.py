@@ -95,6 +95,7 @@ R4_EXTRAS = [
     "text_token_gini",
     "decontaminate_semantic_embeddings",
     "profile_drift_documents",
+    "window_multi_horizon",
 ]
 
 

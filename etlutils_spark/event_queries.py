@@ -761,3 +761,52 @@ def q_streaming_funnel(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.parquet(os.path.join(root, "state"))
+
+
+def _duck_horizon(us: int, alias: str) -> str:
+    return f"""
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+               RANGE BETWEEN {us} PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS sum_{alias},
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+               RANGE BETWEEN {us} PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_{alias}"""
+
+
+_H_US = {"1d": 24 * 3600 * 1_000_000, "7d": 7 * 24 * 3600 * 1_000_000,
+         "30d": 30 * 24 * 3600 * 1_000_000}
+
+
+@register(
+    "window_multi_horizon",
+    f"""
+    SELECT event_id, user_id, ts, value,
+           {",".join(_duck_horizon(us, h) for h, us in _H_US.items())}
+    FROM events
+    """,
+)
+def q_window_multi_horizon(spark, sf_dir):
+    """Multi-horizon rolling features (1d/7d/30d value sums + counts
+    per user-event) — the feature-engineering staple where N horizons
+    must NOT cost N shuffles: all six aggregates share one
+    (user_id, epoch-micros) partitioning and ordering, so the plan is
+    ONE Exchange + ONE Sort feeding three Window frame nodes (pinned
+    by test). Decimal-exact sums keep every horizon
+    partition-invariant."""
+    ev = _t(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "ts", "value"]
+    out = []
+    for h, us in _H_US.items():
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.unix_micros("ts"))
+            .rangeBetween(-us, 0)
+        )
+        out.append(
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .over(w).cast("double").alias(f"sum_{h}")
+        )
+        out.append(F.count(F.lit(1)).over(w).alias(f"n_{h}"))
+    return ev.select(*cols, *out)

@@ -381,3 +381,14 @@ def test_pq_topk_rerank_broadcasts(spark):
     plan = physical_plan(out)
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_multi_horizon_single_exchange(spark, qs):
+    """Three rolling horizons must share ONE shuffle + ONE sort (same
+    partitioning/ordering), not pay per-horizon exchanges."""
+    import re
+
+    df = qs["window_multi_horizon"](spark, SF)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
