@@ -115,8 +115,8 @@ _DRIVER_VERIFIED_PRIOR_ROUNDS = frozenset({
 # byte-math-fake pattern as the green multimodal_audio_chunks/features;
 # mixture_temperature shares the digest-threshold mechanism of the
 # green mixture_resample_lang; profile_drift/token_gini compose signals
-# whose own queries are green; multi_horizon generalizes the green
-# window_rolling_7d frame. All pass the local oracle sweep at
+# whose own queries are green; multi_horizon and user_cadence generalize
+# the green window_rolling_7d / sessionize window family. All pass the local oracle sweep at
 # sf0.001/0.01 (and sf0.1 where the oracle is tractable).
 _DEPRIORITIZE_IN_WINDOW = (
     "multimodal_frame_sample",
@@ -125,6 +125,7 @@ _DEPRIORITIZE_IN_WINDOW = (
     "profile_drift_documents",
     "text_token_gini",
     "window_multi_horizon",
+    "user_cadence_stats",
 )
 
 

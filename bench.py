@@ -96,6 +96,7 @@ R4_EXTRAS = [
     "decontaminate_semantic_embeddings",
     "profile_drift_documents",
     "window_multi_horizon",
+    "user_cadence_stats",
 ]
 
 

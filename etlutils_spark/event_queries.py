@@ -810,3 +810,47 @@ def q_window_multi_horizon(spark, sf_dir):
         )
         out.append(F.count(F.lit(1)).over(w).alias(f"n_{h}"))
     return ev.select(*cols, *out)
+
+
+@register(
+    "user_cadence_stats",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+      FROM events),
+    gaps AS (
+      SELECT user_id,
+             us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS gap_us
+      FROM e)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_us) AS DOUBLE) / count(*) AS mean_gap_us,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_user_cadence_stats(spark, sf_dir):
+    """Per-user activity cadence: inter-event gap mean/min/max in
+    microseconds (the churn/engagement feature family). One shuffle on
+    user_id: the lag window and the aggregate share the partitioning;
+    gaps are exact integer micros, the mean is one integer-sum / count
+    division — engine-portable without decimals. Users with a single
+    event have no gaps and are absent on both sides."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    return (
+        ev.withColumn("gap_us", gap)
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            (F.sum("gap_us").cast("double") / F.count(F.lit(1)))
+            .alias("mean_gap_us"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
