@@ -102,3 +102,49 @@ def test_profile_drift_detects_planted_changes(spark):
     # en/de/fr -> en only (NULL is excluded from distinct counts)
     assert out["lang"].n_distinct_delta == -2
     assert out["n"].max_changed is True and out["n"].min_changed is False
+
+
+def test_funnel_matches_python_reference_random(spark):
+    """Random event sequences vs an independent O(n) scan reference:
+    the window formulation must equal the obvious sequential algorithm
+    for every ordering of views/clicks/purchases."""
+    import datetime as dt
+    import random
+
+    from etlutils_spark.event_queries import funnel_stages
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(25):
+        for k in range(rng.randint(1, 12)):
+            eid += 1
+            rows.append(
+                (eid, u,
+                 t0 + dt.timedelta(minutes=rng.randint(0, 500)),
+                 rng.choice(["view", "click", "purchase", "error"])))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r.user_id: (r.view_ts, r.click_ts, r.purchase_ts, r.stage)
+           for r in funnel_stages(df).collect()}
+
+    # sequential reference: scan events in (ts, event_id) order keeping
+    # the earliest qualifying timestamp per stage
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for e, u, ts, typ in rows:
+        per_user[u].append((ts, e, typ))
+    for u, evs in per_user.items():
+        v = c = p = None
+        for ts, _e, typ in sorted(evs):
+            if typ == "view" and v is None:
+                v = ts
+            elif typ == "click" and v is not None and ts >= v and c is None:
+                c = ts
+            elif typ == "purchase" and c is not None and ts >= c and p is None:
+                p = ts
+        stage = 3 if p else (2 if c else (1 if v else 0))
+        assert got[u] == (v, c, p, stage), u
