@@ -116,7 +116,9 @@ _DRIVER_VERIFIED_PRIOR_ROUNDS = frozenset({
 # mixture_temperature shares the digest-threshold mechanism of the
 # green mixture_resample_lang; profile_drift/token_gini compose signals
 # whose own queries are green; multi_horizon and user_cadence generalize
-# the green window_rolling_7d / sessionize window family. All pass the local oracle sweep at
+# the green window_rolling_7d / sessionize window family;
+# hard_negative_mining is the green ann_cosine_topk scan plus one
+# stateless label predicate. All pass the local oracle sweep at
 # sf0.001/0.01 (and sf0.1 where the oracle is tractable).
 _DEPRIORITIZE_IN_WINDOW = (
     "multimodal_frame_sample",
@@ -126,6 +128,7 @@ _DEPRIORITIZE_IN_WINDOW = (
     "text_token_gini",
     "window_multi_horizon",
     "user_cadence_stats",
+    "hard_negative_mining",
 )
 
 

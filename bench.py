@@ -97,6 +97,7 @@ R4_EXTRAS = [
     "profile_drift_documents",
     "window_multi_horizon",
     "user_cadence_stats",
+    "hard_negative_mining",
 ]
 
 

@@ -1832,3 +1832,43 @@ def q_decontaminate_semantic(spark, sf_dir):
         emb.filter(F.col("vec_id") < 10),
         threshold=0.8,
     )
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH {DUCK_NORMS},
+    dots AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS vec_id, c.label AS label,
+             CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)
+                  AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      FROM embeddings q
+      JOIN embeddings c
+        ON q.vec_id < 5 AND c.vec_id <> q.vec_id AND c.label <> q.label,
+      UNNEST(generate_series(1, len(q.embedding))) AS t(i)
+      GROUP BY 1, 2, 3, 4),
+    cos AS (
+      SELECT query_id, query_label, dots.vec_id AS vec_id, label,
+             dot / (n1.nrm * n2.nrm) AS cosine
+      FROM dots
+      JOIN norms n1 ON query_id = n1.vec_id
+      JOIN norms n2 ON dots.vec_id = n2.vec_id)
+    SELECT query_id, query_label, vec_id, label, cosine,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rn
+          FROM cos)
+    WHERE rn <= 10
+    """,
+)
+def q_hard_negative_mining(spark, sf_dir):
+    """Hard negatives for 5 query vectors: most-similar corpus vectors
+    with a DIFFERENT label (contrastive-training prep; the mismatch
+    predicate runs before ranking so the window never sees positives).
+    Exact scan here; the LSH/PQ shortlist feeds the same ranking at
+    corpus scale (similarity.py hard_negative_mining)."""
+    from etlutils_spark.operators.similarity import hard_negative_mining
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negative_mining(emb, emb.filter(F.col("vec_id") < 5), k=10)

@@ -849,3 +849,47 @@ def decontaminate_semantic(
         max_cos.alias("max_benchmark_cosine"),
         (max_cos >= F.lit(threshold)).alias("contaminated"),
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Contrastive-training prep: for each query, the ``k`` most-similar
+    corpus vectors carrying a DIFFERENT label — the hard negatives that
+    make embedding training informative (easy random negatives teach
+    nothing). Exact form: one corpus scan with the label-mismatch
+    predicate applied BEFORE ranking (same broadcast-queries shape as
+    ``cosine_topk``); at corpus scale swap the scan for the LSH/PQ
+    shortlist and feed it the same final ranking.
+
+    Output: (query_id, vec_id, cosine, rank) + both labels for audit.
+    """
+    from etlutils_spark.sources.files import spread
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("query_label"),
+    )
+    c = spread(corpus.select(id_col, vec_col, label_col))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col(query_id_col) != F.col(id_col))
+            & (F.col(label_col) != F.col("query_label"))
+        )
+        .select(
+            query_id_col, "query_label", id_col, label_col,
+            cosine_exact("__qv", vec_col).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -558,3 +558,16 @@ def test_decontaminate_semantic_flags_planted_neardup(emb):
         decontaminate_semantic(corpus, emb, max_benchmark_rows=3)
     with pytest.raises(ValueError, match="empty"):
         decontaminate_semantic(corpus, emb.filter(F.col("vec_id") < 0))
+
+
+def test_hard_negative_mining_excludes_same_label(emb):
+    from etlutils_spark.operators.similarity import hard_negative_mining
+
+    labeled = emb.withColumn("label", (F.col("vec_id") % 2).cast("int"))
+    out = hard_negative_mining(labeled, labeled.filter(F.col("vec_id") < 2), k=3)
+    rows = out.collect()
+    assert rows and all(r.label != r.query_label for r in rows)
+    # vec 10 is the planted near-dup of vec 0 (labels 0 vs 0: SAME
+    # label -> excluded); top negative for query 0 must not be 10
+    top = {r.query_id: r.vec_id for r in rows if r.rank == 1}
+    assert top.get(0) != 10
