@@ -26,6 +26,7 @@ from etlutils_spark.operators.dedup import (
 from etlutils_spark.operators.similarity import (
     centroid_assign,
     decontaminate_semantic,
+    hard_negative_mining,
     knn_label_consistency,
     pq_encode,
     pq_topk,
@@ -76,6 +77,7 @@ __all__ = [
     "knn_label_consistency",
     "token_gini_stats",
     "decontaminate_semantic",
+    "hard_negative_mining",
     "profile_drift",
     "pq_train",
     "pq_encode",
