@@ -129,6 +129,7 @@ _DEPRIORITIZE_IN_WINDOW = (
     "window_multi_horizon",
     "user_cadence_stats",
     "hard_negative_mining",
+    "dedup_cluster_size_histogram",
 )
 
 

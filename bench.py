@@ -98,6 +98,7 @@ R4_EXTRAS = [
     "window_multi_horizon",
     "user_cadence_stats",
     "hard_negative_mining",
+    "dedup_cluster_size_histogram",
 ]
 
 

@@ -1872,3 +1872,33 @@ def q_hard_negative_mining(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return hard_negative_mining(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    f"""
+    WITH base AS ({_duck_minhash_clusters_sql()}),
+    sizes_h AS (
+      SELECT cluster_id, count(*) AS cluster_size
+      FROM base GROUP BY cluster_id)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes_h GROUP BY cluster_size
+    """,
+)
+def q_dedup_cluster_size_histogram(spark, sf_dir):
+    """Dedup health diagnostics: the distribution of near-dup cluster
+    sizes (how much duplicate mass, how concentrated). A fat tail here
+    is what makes within-cluster quadratic stages dangerous — this is
+    the number the semantic_dedup/jaccard guards key off, now
+    measurable as a query. Composes the verified cluster labeling with
+    two tiny aggregations (cluster key, then size key)."""
+    clusters = REGISTRY["dedup_minhash_clusters"][0](spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+    )
