@@ -116,6 +116,17 @@ COMMENTARY = {
     "knn_label_consistency": "neighbor table -> two aggregations on "
     "the query key + broadcast label joins; audit cost is "
     "O(|neighbors|), decoupled from how neighbors were produced.",
+    "window_multi_horizon": "six rolling aggregates over three frames "
+    "share ONE Exchange + ONE Sort (identical partitioning/ordering); "
+    "horizons differ only in the RANGE bound.",
+    "user_cadence_stats": "lag window and per-user aggregate share one "
+    "shuffle; gaps stay exact integer micros end to end.",
+    "hard_negative_mining": "label-mismatch predicate filters the "
+    "broadcast nested loop BEFORE the ranking window — positives never "
+    "enter the sort.",
+    "dedup_cluster_size_histogram": "verified cluster labels -> two "
+    "tiny combinable aggregations (cluster key, then size key); the "
+    "pair graph is never re-materialized.",
 }
 
 
