@@ -147,8 +147,18 @@ def main() -> None:
         # keep the operator tree, drop the verbose per-node detail section
         tree = plan.split("\n\n")[0]
         tree = re.sub(r"#\d+L?", "", tree)
+        lines = tree.strip().splitlines()
+        if len(lines) > 200:
+            # iterative operators (e.g. min-label propagation) unroll
+            # into repeating plan blocks — the head carries the shape
+            tree = "\n".join(lines[:200]) + (
+                f"\n... [{len(lines) - 200} further lines: the iterative"
+                " rounds repeat the block above]"
+            )
+        else:
+            tree = "\n".join(lines)
         print(f"## {name}\n\n**Why this plan:** {note}\n")
-        print("```\n" + tree.strip() + "\n```\n")
+        print("```\n" + tree + "\n```\n")
     spark.stop()
 
 
