@@ -93,3 +93,26 @@ def test_pack_ids_export_window_is_partitioned(spark):
     out = pack_ids_export(df, vocab, seq_len=4, group_col="source")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(source" in plan
+
+
+def test_results_partition_count_invariant(spark, sf_dir):
+    """The determinism contract, tested directly: decimal-accumulated
+    aggregates and derived floats must be BITWISE identical when the
+    shuffle partition count changes (different partial-aggregation
+    grouping = different float summation order on a naive plan)."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n in ("2", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for name in ("q1_pricing_summary", "bigram_lm_quality",
+                         "stats_moments"):
+                rows = sorted(map(str, qs[name](spark, sf_dir).collect()))
+                results.setdefault(name, []).append(rows)
+        for name, (a, b) in results.items():
+            assert a == b, f"{name} differs across partition counts"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
