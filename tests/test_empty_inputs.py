@@ -220,3 +220,52 @@ def test_embedding_cluster_ops_empty(spark):
         [], "cluster_id bigint, embedding array<float>"
     )
     assert centroid_assign(emb1, empty_cents).count() == 0
+
+
+def test_search_tier_empty(spark):
+    from etlutils_spark.operators.search import bigram_lm_scores, bm25_topk
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string")
+    out = bm25_topk(docs, ["x"], k=5)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "bm25", "n_terms_matched", "rank"]
+    out2 = bigram_lm_scores(docs)
+    assert out2.count() == 0
+    assert "avg_bigram_prob" in out2.columns
+
+
+def test_temperature_and_rank_blend_empty(spark):
+    from etlutils_spark.operators.quality import rank_blend
+    from etlutils_spark.operators.sampling import temperature_resample
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string, lang string")
+    assert temperature_resample(docs, 0.5, strata_col="lang").count() == 0
+    sig = spark.createDataFrame([], "doc_id bigint, s double")
+    out = rank_blend(sig, {"s": True})
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "rank_s", "blend_rank"]
+
+
+def test_funnel_and_cadence_empty(spark):
+    import __spark_entry__  # noqa: F401  (registers funnel_stages' module)
+    from etlutils_spark.event_queries import funnel_stages
+
+    e = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = funnel_stages(e)
+    assert out.count() == 0
+    assert out.columns == ["user_id", "view_ts", "click_ts", "purchase_ts", "stage"]
+
+
+def test_gini_and_drift_empty(spark):
+    from etlutils_spark.operators.recode import profile_drift
+    from etlutils_spark.operators.text import token_gini_stats
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string")
+    assert token_gini_stats(docs).count() == 0
+    a = spark.createDataFrame([], "doc_id bigint, n long")
+    out = profile_drift(a, a).collect()
+    # empty tables still profile: one row per column, zero counts
+    assert {r.column for r in out} == {"doc_id", "n"}
+    assert all(r.n_rows_a == 0 and r.n_rows_delta == 0 for r in out)
