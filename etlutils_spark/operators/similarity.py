@@ -510,6 +510,10 @@ def pq_train(
         .limit(sample_limit)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "pq_train: corpus is empty — codebooks need at least one vector"
+        )
     X = np.asarray([r[1] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
     dim = X.shape[1]

@@ -269,3 +269,13 @@ def test_gini_and_drift_empty(spark):
     # empty tables still profile: one row per column, zero counts
     assert {r.column for r in out} == {"doc_id", "n"}
     assert all(r.n_rows_a == 0 and r.n_rows_delta == 0 for r in out)
+
+
+def test_pq_train_empty_raises(spark):
+    import pytest
+
+    from etlutils_spark.operators.similarity import pq_train
+
+    emb = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        pq_train(emb)
