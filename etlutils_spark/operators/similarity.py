@@ -279,11 +279,14 @@ def cosine_topk_arrow(
             "broadcast-sized (use cosine_topk, or raise max_query_rows "
             "deliberately)"
         )
+    schema = f"{query_id_col} long, {id_col} long, cosine double"
+    if not q_rows:  # empty queries: empty result, stable schema
+        return corpus.sparkSession.createDataFrame(
+            [], schema + ", rank int"
+        )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
-
-    schema = f"{query_id_col} long, {id_col} long, cosine double"
 
     def score_batches(batches):
         for pdf in batches:
@@ -650,6 +653,10 @@ def pq_topk(
             f"queries has more than max_query_rows={max_query_rows} rows; "
             "the ADC lookup tables are built per query and shipped to every "
             "task (use cosine_topk for corpus-sized query sets)"
+        )
+    if not q_rows:  # empty queries: empty result, stable schema
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, cosine double, rank int"
         )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)

@@ -279,3 +279,19 @@ def test_pq_train_empty_raises(spark):
     emb = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         pq_train(emb)
+
+
+def test_ann_empty_query_sets(spark):
+    from etlutils_spark.operators.similarity import cosine_topk_arrow, pq_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    noq = emb.filter(F.col("vec_id") < 0)
+    out = pq_topk(emb, noq, k=3, m=4, ksub=2)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "cosine", "rank"]
+    out2 = cosine_topk_arrow(emb, noq, k=3)
+    assert out2.count() == 0
+    assert out2.columns == ["query_id", "vec_id", "cosine", "rank"]
