@@ -195,7 +195,13 @@ def lsh_topk(
     ``cosine_topk`` so recall is directly measurable.
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        probe = corpus.select(vec_col).first()
+        if probe is None:
+            raise ValueError(
+                "lsh_topk: corpus is empty — pass dim= explicitly to "
+                "build an index over a not-yet-populated corpus"
+            )
+        dim = len(probe[0])
     planes = hyperplanes(dim, num_planes, seed)
     rpb = num_planes // bands
 

@@ -295,3 +295,15 @@ def test_ann_empty_query_sets(spark):
     out2 = cosine_topk_arrow(emb, noq, k=3)
     assert out2.count() == 0
     assert out2.columns == ["query_id", "vec_id", "cosine", "rank"]
+
+
+def test_lsh_topk_empty_corpus_raises_without_dim(spark):
+    import pytest
+
+    from etlutils_spark.operators.similarity import lsh_topk
+
+    emb = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="dim"):
+        lsh_topk(emb, emb, k=3)
+    # with dim given, an empty corpus yields an empty result
+    assert lsh_topk(emb, emb, k=3, dim=8).count() == 0
