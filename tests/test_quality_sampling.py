@@ -618,3 +618,20 @@ def test_knn_label_consistency_flags_planted_mislabel(spark):
            for r in knn_label_consistency(nn, emb.select("vec_id", "label")).collect()}
     assert out[5] == (0, False, 0)   # neighborhood says cluster A
     assert out[0][1] is True and out[7][1] is True
+
+
+def test_temperature_resample_quarter_alphas(spark):
+    """The 0.25/0.75 sqrt-chain branches: expected kept mass follows
+    min(n^q)/n^q with q = 1-alpha (n_en=1600, n_de=400 -> rate_en =
+    (400/1600)^q)."""
+    from etlutils_spark.operators.sampling import temperature_resample
+
+    rows = [(i, "x", "en" if i % 10 < 8 else "de", 1) for i in range(2000)]
+    df = _docs_df(spark, rows)
+    for alpha, q in ((0.25, 0.75), (0.75, 0.25)):
+        got = {r["lang"]: r["n"] for r in
+               temperature_resample(df, alpha=alpha, strata_col="lang")
+               .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert got["de"] == 400  # binding stratum kept whole
+        expected_en = 1600 * (400 / 1600) ** q
+        assert abs(got["en"] - expected_en) <= 0.25 * expected_en, (alpha, got)
