@@ -825,6 +825,7 @@ def decontaminate_semantic(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_benchmark_rows: int = 4096,
+    exact: bool = True,
 ) -> DataFrame:
     """Embedding-space decontamination: flag corpus vectors whose cosine
     to ANY benchmark vector reaches ``threshold`` — the semantic twin of
@@ -854,10 +855,15 @@ def decontaminate_semantic(
         )
     if not rows:
         raise ValueError("benchmark is empty")
+    # exact=True: decimal-accumulated cosines (bit-identical to the
+    # DuckDB oracle; ~8x the cost of plain doubles per row at B=10).
+    # exact=False is the production scan: double accumulation, same
+    # flags unless a score sits within an ulp of the threshold.
+    cos = cosine_exact if exact else cosine_fast
     cos_exprs = []
     for r in rows:
         lit_vec = F.array(*[F.lit(float(x)) for x in r[0]])
-        cos_exprs.append(cosine_exact(F.col(vec_col), lit_vec))
+        cos_exprs.append(cos(F.col(vec_col), lit_vec))
     max_cos = (
         F.greatest(*cos_exprs) if len(cos_exprs) > 1 else cos_exprs[0]
     )

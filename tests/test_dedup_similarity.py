@@ -571,3 +571,16 @@ def test_hard_negative_mining_excludes_same_label(emb):
     # label -> excluded); top negative for query 0 must not be 10
     top = {r.query_id: r.vec_id for r in rows if r.rank == 1}
     assert top.get(0) != 10
+
+
+def test_decontaminate_semantic_fast_mode_agrees(emb):
+    from etlutils_spark.operators.similarity import decontaminate_semantic
+
+    bench = emb.filter(F.col("vec_id") < 2)
+    corpus = emb.filter(F.col("vec_id") >= 2)
+    a = {r.vec_id: r.contaminated
+         for r in decontaminate_semantic(corpus, bench, threshold=0.9).collect()}
+    b = {r.vec_id: r.contaminated
+         for r in decontaminate_semantic(corpus, bench, threshold=0.9,
+                                         exact=False).collect()}
+    assert a == b  # double-accumulated flags match decimal-exact flags
