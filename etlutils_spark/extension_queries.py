@@ -1894,11 +1894,7 @@ def q_dedup_cluster_size_histogram(spark, sf_dir):
     the number the semantic_dedup/jaccard guards key off, now
     measurable as a query. Composes the verified cluster labeling with
     two tiny aggregations (cluster key, then size key)."""
+    from etlutils_spark.operators.dedup import cluster_size_histogram
+
     clusters = REGISTRY["dedup_minhash_clusters"][0](spark, sf_dir)
-    sizes = clusters.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return sizes.groupBy("cluster_size").agg(
-        F.count(F.lit(1)).alias("n_clusters"),
-        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
-    )
+    return cluster_size_histogram(clusters)

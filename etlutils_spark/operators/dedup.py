@@ -870,3 +870,22 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
+
+
+def cluster_size_histogram(
+    clusters: DataFrame, cluster_col: str = "cluster_id"
+) -> DataFrame:
+    """Distribution of near-dup cluster sizes from a MATERIALIZED
+    cluster table (the connected_components output users persist) —
+    (cluster_size, n_clusters, n_docs). The fat-tail diagnostic the
+    quadratic-stage guards key off; two combinable aggregations, so on
+    the stored table it costs seconds where recomputing the labeling
+    from raw text costs the whole dedup pipeline (the registered
+    query's measured 10.5 s at sf0.1 is ~entirely that dependency)."""
+    sizes = clusters.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+    )
