@@ -19,6 +19,7 @@ from etlutils_spark.sources.files import read_table, load_star
 from etlutils_spark.sources.merge import merge_upsert, scd2_apply
 from etlutils_spark.operators.curation import curate_documents, curate_to_sequences
 from etlutils_spark.operators.dedup import (
+    cluster_size_histogram,
     window_dedup_rewrite,
     window_dedup_stats,
     winnow_overlap_pairs,
@@ -66,6 +67,7 @@ __all__ = [
     "window_dedup_stats",
     "window_dedup_rewrite",
     "winnow_overlap_pairs",
+    "cluster_size_histogram",
     "centroid_assign",
     "semantic_dedup",
     "leakage_safe_split",
