@@ -501,9 +501,11 @@ def pq_train(
     seed: int = 42,
     iters: int = 10,
 ) -> "np.ndarray":
-    """Train product-quantization codebooks: split the (L2-normalized)
-    vector into ``m`` subspaces and run seeded Lloyd k-means with
-    ``ksub`` centroids per subspace on a bounded, deterministic sample.
+    """Train product-quantization codebooks (Jegou, Douze & Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    split the (L2-normalized) vector into ``m`` subspaces and run
+    seeded Lloyd k-means with ``ksub`` centroids per subspace on a
+    bounded, deterministic sample.
 
     Returns codebooks shaped (m, ksub, dim/m), float64. The sample is
     the first ``sample_limit`` vectors by ``id_col`` — deterministic
