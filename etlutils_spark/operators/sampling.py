@@ -441,6 +441,7 @@ def temperature_resample(
     strata_col: str = "lang",
     key_col: str = "doc_id",
     salt: str = "",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Temperature-based stratum rebalancing (the multilingual
     alpha-sampling of XLM-R / UNIMAX): sampling mass per stratum is
@@ -457,6 +458,12 @@ def temperature_resample(
     engine-portable) instead of ``pow`` (not correctly rounded — the
     same reason the text tier avoids ``ln``; see search.py).
 
+    ``weight_col`` switches the stratum mass from row counts to a
+    column sum (e.g. token counts) — production mixtures balance TOKEN
+    mass, not document counts; the keep predicate stays per-row, so the
+    kept token mass matches the target in expectation (docs vary in
+    length — the standard contract).
+
     Keep predicate: the same 60-bit digest-prefix threshold as
     ``mixture_resample`` — deterministic under retries, partitioning,
     and engine. Scale: one tiny count aggregation, then a broadcast
@@ -469,7 +476,10 @@ def temperature_resample(
             "evaluate as correctly-rounded sqrt chains; pow is not "
             "engine-portable)"
         )
-    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    mass = (
+        F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    )
+    counts = df.groupBy(strata_col).agg(mass.alias("__n"))
     pw = _dyadic_pow(F.col("__n").cast("double"), int(q4))
     pwc = counts.select(strata_col, pw.alias("__pw"))
     feas = pwc.agg(F.min("__pw").alias("__mn"))

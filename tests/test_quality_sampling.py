@@ -635,3 +635,21 @@ def test_temperature_resample_quarter_alphas(spark):
         assert got["de"] == 400  # binding stratum kept whole
         expected_en = 1600 * (400 / 1600) ** q
         assert abs(got["en"] - expected_en) <= 0.25 * expected_en, (alpha, got)
+
+
+def test_temperature_resample_token_weighted(spark):
+    """weight_col switches stratum mass to a column sum: with en docs
+    4x LONGER (same doc counts), token-weighted alpha=0 flattens en's
+    TOKEN mass toward de's, keeping ~n_de_tokens/n_en_tokens of en docs."""
+    from etlutils_spark.operators.sampling import temperature_resample
+
+    rows = [(i, "x", "en" if i < 1000 else "de", 400 if i < 1000 else 100)
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_tokens long")
+    out = temperature_resample(df, alpha=0.0, strata_col="lang",
+                               weight_col="n_tokens")
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["de"] == 1000                 # binding stratum kept whole
+    # en token mass 400k vs de 100k -> rate 0.25 -> ~250 of 1000 docs
+    assert 180 <= got["en"] <= 320
