@@ -168,6 +168,7 @@ def mixture_resample(
     strata_col: str = "source",
     key_col: str = "doc_id",
     salt: str = "",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Resample to a target domain mixture (e.g. 30% web / 30% code /
     40% books) at the LARGEST total the data supports, deterministically.
@@ -194,7 +195,11 @@ def mixture_resample(
     wdf = spark.createDataFrame(
         [(k, float(v)) for k, v in sorted(weights.items())], f"{strata_col} string, __wt double"
     )
-    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    # weight_col: mixture targets expressed over TOKEN mass instead of
+    # document counts (per-row keep predicate unchanged — kept token
+    # mass matches the target in expectation; see temperature_resample)
+    mass = F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    counts = df.groupBy(strata_col).agg(mass.alias("__n"))
     joined = counts.join(F.broadcast(wdf), strata_col)
     feas = joined.agg(F.min(F.col("__n") / F.col("__wt")).alias("__total"))
     rates = (

@@ -653,3 +653,20 @@ def test_temperature_resample_token_weighted(spark):
     assert got["de"] == 1000                 # binding stratum kept whole
     # en token mass 400k vs de 100k -> rate 0.25 -> ~250 of 1000 docs
     assert 180 <= got["en"] <= 320
+
+
+def test_mixture_resample_token_weighted(spark):
+    from etlutils_spark.operators.sampling import mixture_resample
+
+    # equal doc counts; en docs carry 4x the tokens -> a 50/50 TOKEN
+    # mixture must downsample en docs to ~1/4 of de's keep rate
+    rows = [(i, "x", "en" if i < 1000 else "de", 400 if i < 1000 else 100, 1)
+            for i in range(2000)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_tokens long, pad int")
+    out = mixture_resample(df, {"en": 0.5, "de": 0.5}, strata_col="lang",
+                           weight_col="n_tokens")
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["de"] == 1000  # binding stratum (less token mass) whole
+    assert 180 <= got["en"] <= 320  # rate 100k/400k = 0.25 of 1000 docs
