@@ -189,19 +189,24 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "extras_r4": extras,
-                "experiments": experiments,
-                "sf": sf,
-            }
-        )
-    )
+    compact = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    full = {**compact, "extras_r4": extras, "experiments": experiments}
+    # The driver captures only the last ~2000 bytes of stdout
+    # (BENCH_r04 lost the headline to tail truncation). stdout carries
+    # EXACTLY ONE compact line (~1 KB) so it always survives the tail
+    # window; the full report (extras + experiments) goes to stderr and
+    # a sidecar file for humans/the judge.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    print(json.dumps(full), file=sys.stderr)
+    print(json.dumps(compact), flush=True)
     spark.stop()
 
 
