@@ -66,7 +66,11 @@ _DRIVER_VERIFIED_PRIOR_ROUNDS = frozenset({
     "ann_arrow_topk", "ann_ivf_topk", "ann_lsh_topk",
     "ann_pq_recall_contract", "approx_distinct_contract",
     "approx_quantiles_contract", "asof_next_purchase",
-    "bigram_lm_quality", "bm25_topk_search", "cohort_retention",
+    # bigram_lm_quality + streaming_funnel deliberately absent despite
+    # green r4 rows: their r5 registrations changed (AQE-chosen join
+    # strategy for the bigram model tables; tie-safe micro-batch
+    # slicing) and must re-check in the new form.
+    "bm25_topk_search", "cohort_retention",
     "constraint_audit", "curation_pipeline_batch",
     "curation_pipeline_tokens", "decontaminate_semantic_embeddings",
     "dedup_containment", "dedup_simhash", "dedup_window_rewrite",
@@ -80,7 +84,7 @@ _DRIVER_VERIFIED_PRIOR_ROUNDS = frozenset({
     "profile_embeddings", "quality_percentile_prune",
     "quality_rank_blend", "salted_agg_event_types",
     "salted_join_hotkey", "scd2_history", "semantic_dedup_survivors",
-    "streaming_funnel", "streaming_interval_join",
+    "streaming_interval_join",
     "token_budget_sample", "tokenize_to_ids", "train_val_test_split",
     "unpivot_order_metrics", "vocab_oov_rate", "vocab_top_tokens",
     "winnow_fingerprints", "winnow_overlap_pairs",

@@ -725,8 +725,20 @@ def q_streaming_funnel(spark, sf_dir):
     src = os.path.join(root, "src")
     os.makedirs(src)
     staging = os.path.join(root, "staging")
+    # ntile gives ts-ordered, equal-size slices; the min-over-(user,ts)
+    # rewrite then pulls every equal-ts event of a user into the
+    # earliest slice any of them landed in, so a micro-batch boundary
+    # can never split a user's exact-timestamp tie group (the one case
+    # where incremental replay order could diverge from the batch
+    # oracle — streaming/funnel.py's documented seed-sorts-first
+    # caveat). Monotonic per user: (ts, event_id) ordering makes group
+    # mins nondecreasing in ts, so later slices never hold earlier
+    # qualifying events.
     sliced = ev.withColumn(
-        "__slice", F.ntile(4).over(W.orderBy("ts", "event_id")) - 1
+        "__slice", F.ntile(4).over(W.orderBy("ts", "event_id"))
+    ).withColumn(
+        "__slice",
+        F.min("__slice").over(W.partitionBy("user_id", "ts")) - 1,
     )
     (
         sliced.repartition(4, "__slice")

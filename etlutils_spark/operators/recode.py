@@ -167,7 +167,15 @@ def profile_drift(df_a, df_b, columns=None):
     predecessor costs two scans, nothing more."""
     from pyspark.sql import functions as F
 
-    cols = columns or [c for c in df_a.columns if c in set(df_b.columns)]
+    if columns is None:
+        cols = [c for c in df_a.columns if c in set(df_b.columns)]
+    else:
+        cols = list(columns)
+        if not cols:
+            raise ValueError(
+                "profile_drift: columns=[] profiles nothing; pass None "
+                "to profile all shared columns"
+            )
     pa = profile_table(df_a, cols)
     pb = profile_table(df_b, cols)
     a = pa.select(

@@ -33,10 +33,11 @@ Scale design (100 TB corpus):
   top-k, k-row merge).
 - ``bigram_lm_scores`` shuffles twice (bigram-count key, then doc key)
   like ``corpus_rarity_stats``; the count tables are vocabulary²-sized
-  in the worst case, so broadcasting them is opt-in
-  (``broadcast_model=True`` fits dictionary-scale vocabularies; at
-  web-scale pass False and let AQE's skew split handle stopword
-  contexts).
+  in the worst case, so broadcasting them is opt-in and OFF by default
+  (``broadcast_model=False`` leaves the join strategy to AQE, which
+  broadcasts the tables when their runtime size fits and skew-splits
+  stopword contexts otherwise; pass True only when the model is known
+  dictionary-scale).
 """
 
 from __future__ import annotations
@@ -196,7 +197,7 @@ def bigram_lm_scores(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    broadcast_model: bool = True,
+    broadcast_model: bool = False,
 ) -> DataFrame:
     """Per-document fluency under the corpus's own ML bigram model.
 

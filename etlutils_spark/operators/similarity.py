@@ -605,6 +605,7 @@ def pq_topk(
     max_query_rows: int = 100_000,
     codes: DataFrame | None = None,
     codebooks: "np.ndarray | None" = None,
+    max_shortlist_rows: int = 4_000_000,
 ) -> DataFrame:
     """PQ-compressed approximate top-k with exact re-ranking — the
     memory-scale ANN path: the scan stage touches only ``m`` one-byte
@@ -618,8 +619,10 @@ def pq_topk(
     emits each Arrow batch's top-``shortlist`` per query by ADC inner
     product (the combiner pattern of ``cosine_topk_arrow``) -> one
     window collapses batch shortlists to the global shortlist -> the
-    shortlist ids (|queries| * shortlist rows, broadcast-sized by
-    construction) semi-join the corpus for decimal-exact cosine
+    shortlist ids (|queries| * shortlist rows — held broadcast-sized by
+    the ``max_shortlist_rows`` guard, which fails loudly with the
+    remediation when the product exceeds it) semi-join the corpus for
+    decimal-exact cosine
     re-ranking. Output contract matches ``cosine_topk``:
     (query_id, vec_id, cosine, rank) — recall is directly measurable,
     and the exact re-rank makes reported cosines bit-identical to the
@@ -661,6 +664,15 @@ def pq_topk(
             f"queries has more than max_query_rows={max_query_rows} rows; "
             "the ADC lookup tables are built per query and shipped to every "
             "task (use cosine_topk for corpus-sized query sets)"
+        )
+    if len(q_rows) * shortlist > max_shortlist_rows:
+        raise ValueError(
+            f"shortlist frame would be {len(q_rows)}*{shortlist}="
+            f"{len(q_rows) * shortlist} rows, over max_shortlist_rows="
+            f"{max_shortlist_rows}; it is explicitly broadcast for the "
+            "exact re-rank, so cap it: lower shortlist, split the query "
+            "set into batches, or raise max_shortlist_rows only if "
+            "executors can hold the broadcast"
         )
     if not q_rows:  # empty queries: empty result, stable schema
         return corpus.sparkSession.createDataFrame(

@@ -102,6 +102,12 @@ def test_profile_drift_detects_planted_changes(spark):
     # en/de/fr -> en only (NULL is excluded from distinct counts)
     assert out["lang"].n_distinct_delta == -2
     assert out["n"].max_changed is True and out["n"].min_changed is False
+    # columns=None means "all shared columns"; an explicit empty list
+    # is a caller bug and must not silently widen to everything
+    import pytest
+
+    with pytest.raises(ValueError, match="columns"):
+        profile_drift(a, b, columns=[])
 
 
 def test_funnel_matches_python_reference_random(spark):

@@ -517,6 +517,11 @@ def test_pq_guards(emb):
         pq_train(emb, m=5)  # dim 16 % 5 != 0
     with pytest.raises(ValueError, match="max_query_rows"):
         pq_topk(emb, emb, k=3, m=4, max_query_rows=3)
+    # the shortlist frame is explicitly broadcast for the exact re-rank;
+    # |queries| x shortlist over the cap must fail loudly, not OOM
+    with pytest.raises(ValueError, match="max_shortlist_rows"):
+        pq_topk(emb, emb.filter(F.col("vec_id") < 2), k=3, m=4,
+                shortlist=8, max_shortlist_rows=10)
     books = pq_train(emb, m=4, ksub=4)
     assert books.shape == (4, 4, 4)
 
