@@ -11,9 +11,15 @@ Reference semantics (R/matchmerge.R:95-182 in /root/reference):
   name collisions are suffixed ``.y`` → here ``_y`` (valid Spark
   identifier; R/matchmerge.R:48,168-171).
 - multi-column keys: the reference space-concatenates into one string
-  key (R/matchmerge.R:113-126); we join on the column tuple instead
-  (idiomatic, avoids the type-coercion pitfalls of string concat) —
-  documented divergence.
+  key (R/matchmerge.R:113-126); we join on the column tuple by default
+  (idiomatic, avoids the type-coercion pitfalls of string concat).
+  ``paste_keys=True`` opts into bug-for-bug parity with the reference's
+  pasted key for R-code ports that rely on coerced-string matching:
+  each key column is coerced the way R's ``paste``/``as.character``
+  would — integral doubles print without a trailing ``.0`` (R prints
+  ``1``, not ``1.0``), and NULL/NA becomes the literal string ``"NA"``,
+  so NA keys MATCH each other (and any honest ``"NA"`` value) exactly
+  as they do in R, where SQL join semantics would drop them.
 - expression keys (``by.iskey=TRUE``, R/matchmerge.R:127-161) map to
   joining on arbitrary Column expressions via ``by_x_expr``/``by_y_expr``.
 - row order of ``x`` preserved (R/matchmerge.R:180-181): DataFrames are
@@ -82,6 +88,33 @@ def assert_unique_key(df: DataFrame, keys: Sequence[str]) -> None:
         raise DuplicateKeyError("Key of y contains doubles which is not allowed")
 
 
+def r_paste_key(df: DataFrame, cols: Sequence[str]) -> Column:
+    """The reference's composite key, reproduced coercion-for-coercion:
+    ``do.call(paste, as.list(df[, cols]))`` (R/matchmerge.R:113-126) —
+    space-joined ``as.character`` of each column, where integral
+    doubles drop the trailing ``.0`` (R prints ``as.character(1.0)`` as
+    ``"1"``) and NA prints as the literal ``"NA"`` (so NA keys compare
+    equal, unlike SQL NULL). Pure column algebra — stays in codegen."""
+    from pyspark.sql import types as T
+
+    parts = []
+    for c in cols:
+        col = F.col(c)
+        dt = df.schema[c].dataType
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            s = F.when(
+                col.cast("double") == F.floor(col),
+                col.cast("decimal(38,0)").cast("string"),
+            ).otherwise(col.cast("string"))
+        elif isinstance(dt, T.BooleanType):
+            # R prints logicals as TRUE/FALSE, not true/false
+            s = F.when(col, "TRUE").otherwise("FALSE")
+        else:
+            s = col.cast("string")
+        parts.append(F.coalesce(s, F.lit("NA")))
+    return F.concat_ws(" ", *parts)
+
+
 def matchmerge(
     x: DataFrame,
     y: DataFrame,
@@ -95,6 +128,7 @@ def matchmerge(
     by_y_expr: Column | None = None,
     broadcast_right: bool | str = True,
     preserve_order: bool = False,
+    paste_keys: bool = False,
 ) -> DataFrame:
     """Lookup join with the reference's semantics (see module docstring).
 
@@ -109,6 +143,7 @@ def matchmerge(
             add_columns=add_columns, check_duplicates=check_duplicates,
             trace=trace, by_x_expr=by_x_expr, by_y_expr=by_y_expr,
             broadcast_right=broadcast_right, preserve_order=False,
+            paste_keys=paste_keys,
         )
         return out.orderBy(order_col).drop(order_col)
 
@@ -130,6 +165,24 @@ def matchmerge(
     keys_y = [by_y] if isinstance(by_y, str) else list(by_y)
     if len(keys_x) != len(keys_y):
         raise ValueError("by_x and by_y must name the same number of columns")
+
+    if paste_keys and len(keys_x) > 1:
+        # Reference parity mode: join on the single pasted-string key
+        # exactly as R builds it (R/matchmerge.R:113-126), then drop the
+        # derived key — output layout matches tuple mode. The uniqueness
+        # check runs on the pasted key, as in the reference.
+        kcol = "__mm_paste_key"
+        if add_columns is None:
+            add_columns = [c for c in y.columns if c not in keys_y]
+        drop_keys = [k for k in keys_y if k not in add_columns]
+        out = matchmerge(
+            x.withColumn(kcol, r_paste_key(x, keys_x)),
+            y.withColumn(kcol, r_paste_key(y, keys_y)).drop(*drop_keys),
+            by_x=kcol, by_y=kcol, all_x=all_x, add_columns=add_columns,
+            check_duplicates=check_duplicates, trace=trace,
+            broadcast_right=broadcast_right,
+        )
+        return out.drop(kcol)
 
     # Vector-y modes (reference: y may be a bare vector, R/matchmerge.R:
     # 32-34,100-110; the joined value column is relabeled to

@@ -41,6 +41,35 @@ def assert_levels(df: DataFrame, column: str, levels: Sequence[str], sample: int
         raise DomainError(f"column {column!r} has values outside levels: {vals}")
 
 
+def assert_levels_frozen(
+    new_df: DataFrame, existing_df: DataFrame, column: str, sample: int = 5
+) -> None:
+    """Validate that ``column`` in ``new_df`` introduces no level absent
+    from ``existing_df`` — the reference's per-column ``appendLevels=
+    FALSE`` contract (R/ffsql.R:257-266: a frozen factor's dictionary
+    must not grow on append; here growth is a loud ``DomainError``
+    rather than R's silent NA coercion, documented divergence).
+
+    Distributed: one left-anti join of the new side's distinct values
+    against the existing side's distinct values (both dictionary-sized
+    after the per-side partial-distinct), then a ``sample``-row bounded
+    collect. NULL never counts as a new level."""
+    new_vals = new_df.select(F.col(column).alias("__lvl")).where(
+        F.col(column).isNotNull()
+    ).distinct()
+    old_vals = existing_df.select(F.col(column).alias("__lvl")).where(
+        F.col(column).isNotNull()
+    ).distinct()
+    bad = new_vals.join(old_vals, "__lvl", "left_anti").limit(sample).collect()
+    if bad:
+        vals = sorted({r[0] for r in bad})
+        raise DomainError(
+            f"append would add new levels to frozen column {column!r}: "
+            f"{vals} (appendLevels=False for this column; drop the "
+            "freeze or recode the incoming values)"
+        )
+
+
 def physical_plan(df: DataFrame) -> str:
     """The formatted physical plan as a string (for audits/tests)."""
     return df._jdf.queryExecution().explainString(

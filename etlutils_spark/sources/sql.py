@@ -110,6 +110,7 @@ def read_sql(
     custom_schema: str | None = None,
     options: Mapping[str, str] | None = None,
     properties: Mapping[str, str] | None = None,
+    append_levels: "Mapping[str, bool] | bool | None" = None,
 ) -> DataFrame:
     """Chunked SQL ingest (read.dbi/odbc/jdbc.ffdf → one JDBC reader).
 
@@ -117,6 +118,16 @@ def read_sql(
     must be given. ``x`` is the reference's append-to-existing frame:
     the new result is unioned by name onto it (UNION ALL semantics,
     R/ffsql.R:267-272).
+
+    ``append_levels`` is the reference's per-column dictionary-growth
+    permission on that append path (R/ffsql.R:257-266, default TRUE for
+    every column): pass ``{"col": False}`` (or ``False`` for every
+    string column, mirroring R's recycled logical) to freeze a column's
+    level dictionary — if the incoming rows would introduce a value
+    absent from ``x``, the read raises ``DomainError`` listing the
+    offending levels (loud, vs R's silent NA coercion — documented
+    divergence). Validation is a distributed anti-join per frozen
+    column and runs eagerly at call time.
 
     ``batch_bytes`` is the reference's BATCHBYTES auto chunk sizing
     (R/ffsql.R:245-254): the cursor ``fetchsize`` is derived as
@@ -172,8 +183,40 @@ def read_sql(
     if nrows is not None:
         df = df.limit(nrows)
     if x is not None:
+        _check_frozen_levels(df, x, append_levels)
         df = x.unionByName(df)
     return df
+
+
+def _check_frozen_levels(
+    new_df: DataFrame,
+    existing_df: DataFrame,
+    append_levels: "Mapping[str, bool] | bool | None",
+) -> None:
+    """Resolve the reference's recycled-logical ``appendLevels`` form
+    (R/ffsql.R:257 ``repnam(appendLevels, col.names, default=TRUE)``)
+    and anti-join-validate each frozen column. ``None``/``True`` =
+    every dictionary may grow (reference default); ``False`` freezes
+    every string ("factor"-mapped) column shared by both frames."""
+    from etlutils_spark.plans.checks import assert_levels_frozen
+
+    if append_levels is None or append_levels is True:
+        return
+    shared = [c for c in new_df.columns if c in set(existing_df.columns)]
+    if append_levels is False:
+        frozen = [
+            c for c in shared
+            if isinstance(new_df.schema[c].dataType, T.StringType)
+        ]
+    else:
+        unknown = [c for c in append_levels if c not in shared]
+        if unknown:
+            raise ValueError(
+                f"append_levels names columns absent from both frames: {unknown}"
+            )
+        frozen = [c for c, grow in append_levels.items() if not grow]
+    for c in frozen:
+        assert_levels_frozen(new_df, existing_df, c)
 
 
 def write_sql(
@@ -211,10 +254,17 @@ def ingest_to_parquet(
     mode: str = "overwrite",
     partition_by: Sequence[str] | None = None,
     verbose: bool = False,
+    append_levels: "Mapping[str, bool] | bool | None" = None,
 ) -> None:
     """Persist an ingested frame as the engine's at-rest format (the
     ffdf role, SURVEY §1.4): partitioned Parquet. ``mode="append"``
     mirrors the ffdf grow-in-place path (R/ffsql.R:319-323).
+
+    ``append_levels`` (append mode only) is the reference's per-column
+    dictionary-freeze on the grow path (R/ffsql.R:257-266; see
+    ``read_sql``): frozen columns whose incoming values aren't already
+    present in the stored table raise ``DomainError`` before anything
+    is written. Growth is the default, as in the reference.
 
     ``verbose`` prints read+write wall-clock and rows/sec, mirroring the
     reference's per-run instrumentation format (R/ffsql.R:335-337:
@@ -225,6 +275,13 @@ def ingest_to_parquet(
     import time
 
     t0 = time.time()
+    if mode == "append" and append_levels not in (None, True):
+        try:
+            existing = df.sparkSession.read.parquet(path)
+        except Exception:  # noqa: BLE001 - first append = nothing stored yet
+            existing = None
+        if existing is not None:
+            _check_frozen_levels(df, existing, append_levels)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

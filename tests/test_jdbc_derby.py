@@ -139,3 +139,28 @@ def test_nrows_cap_and_x_append(spark, star, derby_url):
     )
     # x= append-to-existing is UNION ALL (R/ffsql.R:26-27,133-135)
     assert appended.count() == 2 * base.count()
+
+
+def test_x_append_frozen_levels_live(spark, star, derby_url):
+    """appendLevels=FALSE parity on the live JDBC append path
+    (R/ffsql.R:257-266): a frozen column whose incoming rows carry an
+    unseen level fails the read; same-dictionary appends pass."""
+    from etlutils_spark.plans.checks import DomainError
+
+    write_sql(star["nation"], derby_url, "nation_lv", mode="overwrite",
+              options=DRIVER)
+    existing = _lower(
+        read_sql(spark, url=derby_url, table="nation_lv", options=DRIVER)
+    ).filter("n_regionkey <= 2")  # drop some n_name levels from x
+    with pytest.raises(DomainError, match="frozen column 'n_name'"):
+        read_sql(
+            spark, url=derby_url, table="nation_lv", x=existing,
+            options=DRIVER, append_levels={"n_name": False},
+        )
+    ok = read_sql(
+        spark, url=derby_url, table="nation_lv",
+        x=_lower(read_sql(spark, url=derby_url, table="nation_lv",
+                          options=DRIVER)),
+        options=DRIVER, append_levels={"n_name": False},
+    )
+    assert ok.count() == 2 * star["nation"].count()

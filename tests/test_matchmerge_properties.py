@@ -62,3 +62,53 @@ def test_matchmerge_auto_respects_disabled_threshold(spark, star):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+def test_paste_keys_reproduces_r_coerced_matching(spark):
+    """R golden (run against the reference semantics):
+    ``do.call(paste, list(c(1L,2L,NA), c("u","v","w")))`` is
+    ``c("1 u","2 v","NA w")`` and ``paste`` of ``c(1.0, NA)`` with
+    ``c("u","w")`` is ``c("1 u","NA w")`` — the double 1.0 coerces to
+    "1" and NA to the literal "NA", so rows 1 and 3 match. SQL tuple
+    join drops the NA row; paste_keys=True must keep it."""
+    x = spark.createDataFrame(
+        [(1, "u"), (2, "v"), (None, "w")], "a int, b string"
+    )
+    y = spark.createDataFrame(
+        [(1.0, "u", "one"), (None, "w", "na-w")],
+        "a double, b string, val string",
+    )
+    pasted = matchmerge(x, y, by_x=["a", "b"], by_y=["a", "b"],
+                        paste_keys=True)
+    got = {(r.a, r.b, r.val) for r in pasted.collect()}
+    assert got == {(1, "u", "one"), (None, "w", "na-w")}
+    # default tuple mode: NULL keys never match (SQL semantics)
+    tup = matchmerge(x, y, by_x=["a", "b"], by_y=["a", "b"])
+    assert {(r.a, r.b, r.val) for r in tup.collect()} == {(1, "u", "one")}
+    # the unique-key check runs on the PASTED key: two y rows that
+    # collide only after coercion ("1 u" from 1L and from 1.0) error
+    import pytest
+
+    from etlutils_spark.operators.matchmerge import DuplicateKeyError
+
+    y_dup = spark.createDataFrame(
+        [(1.0, "u", "one"), (1.0, "u", "uno")],
+        "a double, b string, val string",
+    )
+    with pytest.raises(DuplicateKeyError):
+        matchmerge(x, y_dup, by_x=["a", "b"], by_y=["a", "b"],
+                   paste_keys=True).collect()
+
+
+def test_r_paste_key_coercions(spark):
+    """as.character parity table: integral doubles drop '.0', TRUE/FALSE
+    casing, NA -> 'NA', plain strings pass through."""
+    from etlutils_spark.operators.matchmerge import r_paste_key
+
+    df = spark.createDataFrame(
+        [(1.0, True, "s", 7), (2.5, False, None, None)],
+        "d double, l boolean, s string, i int",
+    )
+    got = [r.k for r in
+           df.select(r_paste_key(df, ["d", "l", "s", "i"]).alias("k"))
+           .collect()]
+    assert got == ["1 TRUE s 7", "2.5 FALSE NA NA"]

@@ -87,3 +87,48 @@ def test_ingest_to_parquet_append_mirrors_ffdf_grow(spark, star, tmp_path):
     ingest_to_parquet(first, out, mode="overwrite")
     ingest_to_parquet(first, out, mode="append")  # the x= append path
     assert spark.read.parquet(out).count() == 2 * first.count()
+
+
+def test_append_levels_freeze_and_growth(spark, tmp_path):
+    """The reference's appendLevels contract (R/ffsql.R:257-266):
+    growth is the per-column default; a frozen column rejects appends
+    that would widen its dictionary (loudly, vs R's silent NA)."""
+    from etlutils_spark.plans.checks import DomainError
+
+    out = str(tmp_path / "lvls")
+    base = spark.createDataFrame(
+        [(1, "en"), (2, "de")], "doc_id long, lang string"
+    )
+    grown = spark.createDataFrame(
+        [(3, "fr"), (4, None)], "doc_id long, lang string"
+    )
+    ingest_to_parquet(base, out, mode="overwrite")
+    # default: dictionaries may grow (appendLevels=TRUE recycled)
+    ingest_to_parquet(grown, out, mode="append")
+    assert spark.read.parquet(out).count() == 4
+    # frozen column: the new level is rejected before any write
+    with pytest.raises(DomainError, match="frozen column 'lang'.*'zz'"):
+        ingest_to_parquet(
+            spark.createDataFrame([(5, "zz")], "doc_id long, lang string"),
+            out, mode="append", append_levels={"lang": False},
+        )
+    assert spark.read.parquet(out).count() == 4  # nothing was written
+    # frozen column with only known levels (and NULLs) appends fine
+    ingest_to_parquet(
+        spark.createDataFrame([(6, "fr"), (7, None)],
+                              "doc_id long, lang string"),
+        out, mode="append", append_levels={"lang": False},
+    )
+    assert spark.read.parquet(out).count() == 6
+    # recycled-logical False freezes every shared string column
+    with pytest.raises(DomainError, match="frozen column 'lang'"):
+        ingest_to_parquet(
+            spark.createDataFrame([(8, "xx")], "doc_id long, lang string"),
+            out, mode="append", append_levels=False,
+        )
+    # naming a column absent from both frames is a caller bug
+    from etlutils_spark.sources.sql import read_sql  # noqa: F401
+    from etlutils_spark.sources.sql import _check_frozen_levels
+
+    with pytest.raises(ValueError, match="absent"):
+        _check_frozen_levels(base, base, {"nope": False})
