@@ -498,21 +498,40 @@ def connected_components(
     left: str = "doc_id_1",
     right: str = "doc_id_2",
     max_iter: int = 25,
+    algorithm: str = "minlabel",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Union-find over an undirected pair list: (node, cluster_id) where
     cluster_id = the minimum node id in the node's connected component —
     the step that turns near-dup PAIRS into an actionable keep/drop
     assignment (keep cluster_id == node, drop the rest).
 
-    Min-label propagation: each round every node takes the min of its
-    own label and its neighbors' labels; converges in O(graph diameter)
-    rounds (dup clusters are near-cliques — diameter 1-2) with an O(E)
-    shuffle per round, all join/groupBy (no driver-side graph). Each
-    round is AQE-planned independently; labels persist round-to-round
-    and are freed on replacement. For planet-scale general graphs swap
-    in the alternating large-star/small-star variant; for dedup graphs
-    the simple propagation is the right cost.
+    ``algorithm="minlabel"`` (default): each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds (dup clusters are near-cliques — diameter
+    1-2) with an O(E) shuffle per round, all join/groupBy (no
+    driver-side graph). Each round is AQE-planned independently; labels
+    persist round-to-round and are freed on replacement.
+
+    ``algorithm="star"``: the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — O(log n) rounds on ANY graph, independent of
+    diameter, at ~2 edge-shuffles per round. The right choice when the
+    pair graph is arbitrary (e.g. ``leakage_safe_split`` over mixed
+    link sources, long chains of pairwise matches) rather than the
+    near-clique dup graphs min-label is tuned for; see the chain-graph
+    test for the round-count separation.
+
+    ``stats``: optional dict, receives ``{"rounds": n}`` for plan
+    audits and tests.
     """
+    if algorithm == "star":
+        return _cc_star(pairs, left, right, max_iter, stats)
+    if algorithm != "minlabel":
+        raise ValueError(
+            f"algorithm={algorithm!r}: use 'minlabel' (diameter-bounded, "
+            "dup-graph default) or 'star' (log-bounded, general graphs)"
+        )
     e = pairs.select(
         F.col(left).cast("long").alias("a"), F.col(right).cast("long").alias("b")
     )
@@ -527,18 +546,27 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy("a").agg(F.min("comp").alias("nbr_comp"))
         )
+        # localCheckpoint (not persist): the round's plan references the
+        # prior labels multiple times, so without lineage truncation the
+        # logical tree doubles per round — exponential analysis memory
+        # on long-diameter graphs. Checkpointing materializes the ~node
+        # table and restarts lineage each round. (At cluster scale with
+        # preemptible executors, swap for reliable checkpoint() to a
+        # checkpoint dir — same call shape.)
         new_labels = (
             labels.join(nbr, labels["node"] == nbr["a"], "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -558,9 +586,100 @@ def connected_components(
             f"connected_components did not converge within max_iter={max_iter} "
             "rounds; labels would be partially propagated (cluster_id != "
             "component minimum). Raise max_iter — rounds needed is O(graph "
-            "diameter)."
+            "diameter), or switch to algorithm='star' (O(log n) rounds)."
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("node", F.col("comp").alias("cluster_id"))
+
+
+def _cc_star(
+    pairs: DataFrame,
+    left: str,
+    right: str,
+    max_iter: int,
+    stats: dict | None,
+) -> DataFrame:
+    """Alternating large-star/small-star rounds (Kiveris et al. 2014).
+
+    Edges live max->min oriented; each round runs Large-Star (every
+    node hooks its larger neighbors onto its neighborhood minimum) then
+    Small-Star (every node stars its smaller neighbors + itself onto
+    their minimum). The fixed point is a star per component centered at
+    the component minimum, reached in O(log n) rounds on any graph —
+    two O(E) shuffles per round, no driver-side state beyond the
+    convergence probe."""
+    e = pairs.select(
+        F.col(left).cast("long").alias("u"), F.col(right).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    all_nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # canonical max->min orientation
+    edges = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+
+    converged = False
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # Large-Star: m(u) = min over Gamma(u) ∪ {u}; emit (w, m) for
+        # every neighbor w > u. w > u >= m, so orientation holds.
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        after_large = (
+            sym.join(lmins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # Small-Star on the oriented list: every smaller neighbor w != m
+        # and u itself attach to m = min of u's smaller neighborhood.
+        smins = after_large.groupBy("u").agg(F.min("v").alias("m"))
+        # localCheckpoint for the same reason as min-label: new_edges'
+        # plan holds after_large ~3x and after_large holds sym 2x, so
+        # un-truncated lineage grows ~6x per round.
+        new_edges = (
+            after_large.join(smins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            or edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges.unpersist()
+        edges = new_edges
+        if not changed:
+            converged = True
+            break
+    if not converged:
+        edges.unpersist()
+        all_nodes.unpersist()
+        raise RuntimeError(
+            f"connected_components(algorithm='star') did not converge "
+            f"within max_iter={max_iter} rounds; O(log n) rounds suffice "
+            "on any graph — raise max_iter."
+        )
+    labels = (
+        all_nodes.join(edges, all_nodes["node"] == edges["u"], "left")
+        .select(
+            "node",
+            F.coalesce(F.col("v"), F.col("node")).alias("cluster_id"),
+        )
+    )
+    if stats is not None:
+        stats["rounds"] = rounds
+    return labels
 
 
 def decontaminate(

@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The decode step is STUBBED (no image/audio libraries in this
-container): ``decode_image`` raises NotImplementedError unless a
-deterministic fake decoder is requested. Everything around the stub —
+The decode step is capability-probed: ``decode_image``/``resize_image``
+use PIL when it is importable (``has_imaging()``) and raise
+NotImplementedError otherwise (this container ships no imaging
+library). The deterministic fakes (``fake_features``/``fake_resize``)
+remain the registered-query/oracle mode regardless — oracles need
+byte-math reproducibility, not a codec. Everything around the decode —
 schema, binary payload handling, mapInPandas batch shape, partition
-strategy — is real and tested, so dropping in PIL/librosa later is a
-one-function change.
+strategy — is real and tested either way.
 
 Scale notes: binary payloads ride in parquet as BYTE_ARRAY; feature
 extraction is embarrassingly parallel (mapInPandas, no shuffle);
@@ -43,17 +45,36 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image(data: bytes) -> "np.ndarray":
-    """Real decoder slot. Requires an imaging library not present in
-    this container."""
+def has_imaging() -> bool:
+    """Capability probe: is a PIL-compatible imaging library importable
+    in THIS interpreter? (Checked on the worker too — pandas UDFs
+    re-import on executors, so a driver-side True does not guarantee
+    worker availability on heterogeneous clusters; probe where you
+    decode.)"""
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image(data: bytes) -> "np.ndarray":
+    """Decode an encoded image payload to an HxWx3 uint8 RGB array via
+    PIL when importable; raises NotImplementedError otherwise (this
+    container ships no imaging library — the deterministic fakes remain
+    the registered-query/oracle mode either way)."""
+    try:
+        from PIL import Image
+    except ImportError as exc:
         raise NotImplementedError(
             "image decoding requires PIL/pillow, not available in this "
             "environment; use fake_features for the deterministic stub"
         ) from exc
-    raise NotImplementedError("wire PIL decode here when the library lands")
+    import io
+
+    with Image.open(io.BytesIO(data)) as im:
+        return np.asarray(im.convert("RGB"))
 
 
 def fake_features(data: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -67,15 +88,22 @@ def fake_features(data: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def resize_image(data: bytes, width: int, height: int) -> bytes:
-    """Real resize slot — needs an imaging library (absent here)."""
+    """Resize an encoded image to width x height via PIL when
+    importable (returns PNG bytes); NotImplementedError otherwise —
+    ``fake_resize`` stays the oracle mode."""
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
+        from PIL import Image
+    except ImportError as exc:
         raise NotImplementedError(
             "image resize requires PIL/pillow; use fake_resize for the "
             "deterministic stub"
         ) from exc
-    raise NotImplementedError("wire PIL resize here when the library lands")
+    import io
+
+    with Image.open(io.BytesIO(data)) as im:
+        buf = io.BytesIO()
+        im.convert("RGB").resize((width, height)).save(buf, format="PNG")
+        return buf.getvalue()
 
 
 def fake_resize(data: bytes, width: int, height: int) -> bytes:

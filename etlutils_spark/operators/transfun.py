@@ -30,15 +30,34 @@ def trans_fun(
     fn: Callable[..., pd.DataFrame],
     schema,
     *args,
+    infer_sample_rows: int = 100,
     **kwargs,
 ) -> DataFrame:
     """Apply ``fn(chunk, *args, **kwargs)`` to every Arrow batch.
 
-    ``schema`` is the output schema (DDL string or StructType) — the
-    Spark analogue of the reference's schema-by-first-chunk inference
-    (R/ffsql.R:181-220), made explicit because lazy plans need a schema
-    before execution.
+    ``schema`` is the output schema (DDL string or StructType) — lazy
+    plans need a schema before execution. ``schema="infer"`` recovers
+    the reference's schema-by-first-chunk ergonomics (R/ffsql.R:181-220):
+    one bounded sample of ``infer_sample_rows`` rows is pulled to the
+    driver, ``fn`` runs on it, and the output pandas frame's dtypes
+    become the plan schema. Same footgun as the reference, stated up
+    front: the sample must be REPRESENTATIVE — a dtype that only
+    surfaces in later batches (e.g. the sample's column is all-NaN, or
+    all-integral floats where later chunks carry strings) infers wrong
+    and fails at execution; pass an explicit schema in that case.
+    Inference runs ``fn`` once extra on the sample (cost: one
+    ``limit``-pruned scan + a driver-side call).
     """
+    if isinstance(schema, str) and schema == "infer":
+        sample = df.limit(infer_sample_rows).toPandas()
+        out = fn(sample, *args, **kwargs)
+        if out is None or len(out) == 0:
+            raise ValueError(
+                "schema='infer' needs fn(sample) to return at least one "
+                "row (empty output leaves object dtypes unresolvable); "
+                "pass an explicit schema"
+            )
+        schema = df.sparkSession.createDataFrame(out.reset_index(drop=True)).schema
 
     def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -183,11 +183,33 @@ def test_multimodal_feature_plumbing(docs):
     assert by_id[0].payload_len > 0
 
 
+@pytest.mark.skipif(multimodal.has_imaging(), reason="PIL present: real path")
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError, match="PIL|pillow"):
         multimodal.decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError, match="PIL|pillow"):
         multimodal.resize_image(b"\x89PNG", 8, 8)
+
+
+@pytest.mark.skipif(not multimodal.has_imaging(), reason="no imaging lib")
+def test_decode_real_path_when_pil_lands():
+    """Conditional: when an imaging library is importable the hooks run
+    for real (decode -> HxWx3 uint8, resize -> exact target geometry);
+    the fakes stay the registered-query mode either way."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    ).save(buf, format="PNG")
+    png = buf.getvalue()
+    arr = multimodal.decode_image(png)
+    assert arr.shape == (4, 4, 3) and arr.dtype == np.uint8
+    out = multimodal.resize_image(png, 2, 2)
+    assert multimodal.decode_image(out).shape == (2, 2, 3)
 
 
 def test_resize_batch_geometry(docs):
@@ -255,6 +277,39 @@ def test_connected_components_chain_and_islands(spark):
     )
     out = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+    # the star variant labels identically on the same graph
+    star = {r.node: r.cluster_id
+            for r in connected_components(pairs, algorithm="star").collect()}
+    assert star == out
+    import pytest
+
+    with pytest.raises(ValueError, match="minlabel.*star|star.*minlabel"):
+        connected_components(pairs, algorithm="bogus")
+
+
+def test_cc_star_beats_minlabel_on_chains(spark):
+    """Kiveris-style alternating stars converge in O(log n) rounds where
+    min-label propagation needs O(diameter): on a 24-node chain (the
+    arbitrary-pair-graph shape leakage_safe_split can see) star must
+    finish in a fraction of min-label's rounds with identical labels."""
+    n = 24
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_id_1 long, doc_id_2 long"
+    )
+    s_min, s_star = {}, {}
+    lab_min = {r.node: r.cluster_id
+               for r in connected_components(pairs, max_iter=50,
+                                             stats=s_min).collect()}
+    lab_star = {r.node: r.cluster_id
+                for r in connected_components(pairs, algorithm="star",
+                                              max_iter=50,
+                                              stats=s_star).collect()}
+    assert lab_min == {i: 0 for i in range(n)}
+    assert lab_star == lab_min
+    # diameter 23 -> min-label needs >= 23 rounds; star is logarithmic
+    assert s_min["rounds"] >= 23
+    assert s_star["rounds"] <= 8
+    assert s_star["rounds"] < s_min["rounds"] / 2
 
 
 def test_cosine_topk_arrow_matches_jvm(spark, sf_dir):

@@ -233,3 +233,34 @@ def test_factorise(spark):
     assert dict(out.dtypes)["x"] == "int"  # untouched
     levels = [r.y for r in factor_levels(df, "y").collect()]
     assert levels == ["A", "B"]
+
+
+def test_trans_fun_schema_infer(spark):
+    """schema='infer' reproduces the reference's schema-by-first-chunk
+    ergonomics (R/ffsql.R:181-220): a column-adding transform needs no
+    explicit schema — the sampled output's dtypes become the plan
+    schema — and an empty sample output fails loudly."""
+    import pytest
+
+    from etlutils_spark.operators.transfun import trans_fun
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 3.5), (3, 5.0)], "k long, v double"
+    )
+
+    def add_cols(pdf):
+        out = pdf.copy()
+        out["v2"] = out["v"] * 2
+        out["tag"] = "x" + out["k"].astype(str)
+        return out
+
+    got = trans_fun(df, add_cols, "infer")
+    assert [f.name for f in got.schema.fields] == ["k", "v", "v2", "tag"]
+    rows = {(r.k, r.v2, r.tag) for r in got.collect()}
+    assert rows == {(1, 4.0, "x1"), (2, 7.0, "x2"), (3, 10.0, "x3")}
+    # explicit-schema path unchanged
+    same = trans_fun(df, add_cols, "k long, v double, v2 double, tag string")
+    assert same.schema == got.schema
+    # empty sample output cannot resolve dtypes -> loud error
+    with pytest.raises(ValueError, match="infer"):
+        trans_fun(df, lambda pdf: pdf.iloc[0:0], "infer")
