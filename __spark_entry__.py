@@ -79,7 +79,9 @@ _DRIVER_VERIFIED_PRIOR_ROUNDS = frozenset({
     "full_outer_reconcile", "funnel_stages_user",
     "heavy_hitters_contract", "hilbert_curve_order2",
     "incremental_lsh_pairs", "incremental_span_dedup",
-    "knn_label_consistency", "leakage_safe_split",
+    "knn_label_consistency",
+    # leakage_safe_split re-fronted: its r5 form labels components with
+    # the star algorithm (value-identical, different plan) — re-check.
     "multimodal_features", "multimodal_probe", "pack_ids_export",
     "profile_embeddings", "quality_percentile_prune",
     "quality_rank_blend", "salted_agg_event_types",

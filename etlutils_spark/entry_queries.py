@@ -184,6 +184,64 @@ def q_matchmerge_composite_key(spark, sf_dir):
 
 
 @register(
+    "matchmerge_paste_key",
+    """
+    WITH x AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_custkey % 7 = 0 THEN NULL
+                  ELSE CAST(o_custkey % 3 AS INTEGER) END AS tier
+      FROM orders),
+    y AS (
+      SELECT CAST(c_custkey AS DOUBLE) AS cust_d,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL
+                  ELSE CAST(c_custkey % 3 AS INTEGER) END AS tier,
+             c_name
+      FROM customer),
+    kx AS (
+      SELECT o_orderkey, o_custkey, tier,
+             concat_ws(' ',
+               COALESCE(CAST(o_custkey AS VARCHAR), 'NA'),
+               COALESCE(CAST(tier AS VARCHAR), 'NA')) AS pk
+      FROM x),
+    ky AS (
+      SELECT c_name,
+             concat_ws(' ',
+               COALESCE(CASE WHEN cust_d = floor(cust_d)
+                             THEN CAST(CAST(cust_d AS BIGINT) AS VARCHAR)
+                             ELSE CAST(cust_d AS VARCHAR) END, 'NA'),
+               COALESCE(CAST(tier AS VARCHAR), 'NA')) AS pk
+      FROM y)
+    SELECT kx.o_orderkey, kx.o_custkey, kx.tier, ky.c_name
+    FROM kx JOIN ky USING (pk)
+    """,
+)
+def q_matchmerge_paste_key(spark, sf_dir):
+    """paste_keys=True parity mode (R/matchmerge.R:113-126): the
+    composite (custkey, tier) key joins as R's space-pasted string —
+    the DOUBLE-typed right custkey coerces to the same text as the
+    left INT (integral doubles drop '.0', as.character-style), and the
+    NULL tiers (custkey % 7 == 0) paste to literal 'NA' so they MATCH,
+    where the default tuple join would drop every NULL-keyed row. The
+    oracle rebuilds the same coerced key in DuckDB, so the join
+    semantics are verified against an independent engine."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.when(F.col("o_custkey") % 7 == 0, F.lit(None))
+        .otherwise((F.col("o_custkey") % 3).cast("int")).alias("tier"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("double").alias("cust_d"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise((F.col("c_custkey") % 3).cast("int")).alias("tier"),
+        "c_name",
+    )
+    return matchmerge(
+        orders, cust, by_x=["o_custkey", "tier"], by_y=["cust_d", "tier"],
+        add_columns=["c_name"], paste_keys=True,
+    )
+
+
+@register(
     "matchmerge_vector_y",
     """
     SELECT c.c_custkey, c.c_name, k.o_custkey AS ordered_key

@@ -242,6 +242,32 @@ def q_dedup_minhash_clusters(spark, sf_dir):
     )
 
 
+@register("dedup_clusters_star", _duck_minhash_clusters_sql())
+def q_dedup_clusters_star(spark, sf_dir):
+    """The same cluster labeling as ``dedup_minhash_clusters`` computed
+    with the alternating large-star/small-star algorithm (Kiveris et
+    al. 2014; ``connected_components(algorithm="star")``) — O(log n)
+    rounds on any pair-graph shape vs min-label's O(diameter). Same
+    recursive-closure oracle: both algorithms must produce the
+    component-minimum labeling bit-for-bit."""
+    from etlutils_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        docs, num_hashes=8, bands=4, threshold=0.5, portable=True
+    )
+    comp = connected_components(pairs, "doc_id_1", "doc_id_2",
+                                algorithm="star")
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(comp, F.col("doc_id") == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).cast("long").alias("cluster_id"),
+        )
+    )
+
+
 @register("incremental_lsh_pairs", _duck_minhash_sql())
 def q_incremental_lsh_pairs(spark, sf_dir):
     """The streaming incremental MinHash+LSH index

@@ -386,6 +386,7 @@ def leakage_safe_split(
     right: str = "doc_id_2",
     salt: str = "",
     broadcast_clusters: bool = True,
+    cc_algorithm: str = "star",
 ) -> DataFrame:
     """Split assignment keyed by near-dup CLUSTER, not document: every
     member of a connected near-dup component receives the same split,
@@ -404,13 +405,19 @@ def leakage_safe_split(
     Scale: the component table is bounded by the near-dup pair set
     (tiny vs the corpus) so it broadcasts; docs never shuffle. Set
     ``broadcast_clusters=False`` for pathological pair graphs.
+    ``pairs`` here is an ARBITRARY link graph (multiple pair sources
+    union'd, chains of pairwise matches), not the near-clique dup
+    graphs min-label propagation is tuned for — so the component
+    labeling defaults to ``cc_algorithm="star"`` (O(log n) rounds on
+    any shape; see connected_components); pass "minlabel" to match the
+    dedup pipelines' default.
     """
     from etlutils_spark.operators.dedup import connected_components
 
     f_train, f_val = fractions
     if not (0 <= f_train and 0 <= f_val and f_train + f_val <= 1):
         raise ValueError(f"invalid fractions {fractions}")
-    comp = connected_components(pairs, left, right)
+    comp = connected_components(pairs, left, right, algorithm=cc_algorithm)
     if broadcast_clusters:
         comp = F.broadcast(comp)
     labeled = (
