@@ -612,19 +612,25 @@ def _cc_star(
     e = pairs.select(
         F.col(left).cast("long").alias("u"), F.col(right).cast("long").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    all_nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # canonical max->min orientation
+    # canonical max->min orientation; the upstream pair pipeline (often
+    # a full minhash->LSH->verify chain) runs exactly ONCE, into this
+    # persisted table — everything else derives from it
     edges = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    # node set off the CACHED edges (eager checkpoint: by the time the
+    # final labels need it, the original edges table has been replaced
+    # and unpersisted — deriving lazily would re-run the pair pipeline)
+    all_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     converged = False
     rounds = 0
+    prev_count = edges.count()
     for _ in range(max_iter):
         rounds += 1
         # Large-Star: m(u) = min over Gamma(u) ∪ {u}; emit (w, m) for
@@ -653,10 +659,16 @@ def _cc_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # convergence probe: both sides are distinct sets, so equal
+        # cardinality + one empty set-difference proves equality — one
+        # cheap count on the just-checkpointed table per round; the
+        # exceptAll job runs only in rounds where the counts agree
+        new_count = new_edges.count()
         changed = (
-            new_edges.exceptAll(edges).limit(1).count()
-            or edges.exceptAll(new_edges).limit(1).count()
+            new_count != prev_count
+            or new_edges.exceptAll(edges).limit(1).count() > 0
         )
+        prev_count = new_count
         edges.unpersist()
         edges = new_edges
         if not changed:
