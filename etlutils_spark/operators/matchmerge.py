@@ -107,8 +107,10 @@ def r_paste_key(df: DataFrame, cols: Sequence[str]) -> Column:
                 col.cast("decimal(38,0)").cast("string"),
             ).otherwise(col.cast("string"))
         elif isinstance(dt, T.BooleanType):
-            # R prints logicals as TRUE/FALSE, not true/false
-            s = F.when(col, "TRUE").otherwise("FALSE")
+            # R prints logicals as TRUE/FALSE, not true/false; a NULL
+            # condition must fall through to NULL (-> 'NA'), not to the
+            # otherwise-branch
+            s = F.when(col.isNotNull(), F.when(col, "TRUE").otherwise("FALSE"))
         else:
             s = col.cast("string")
         parts.append(F.coalesce(s, F.lit("NA")))

@@ -112,3 +112,52 @@ def test_r_paste_key_coercions(spark):
            df.select(r_paste_key(df, ["d", "l", "s", "i"]).alias("k"))
            .collect()]
     assert got == ["1 TRUE s 7", "2.5 FALSE NA NA"]
+
+
+def _r_paste_ref(vals):
+    """Python reference of R's do.call(paste, ...) cell coercion."""
+    out = []
+    for v in vals:
+        if v is None:
+            out.append("NA")
+        elif isinstance(v, bool):
+            out.append("TRUE" if v else "FALSE")
+        elif isinstance(v, float):
+            out.append(str(int(v)) if v == int(v) else repr(v))
+        else:
+            out.append(str(v))
+    return " ".join(out)
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-999, 999)),
+            st.one_of(
+                st.none(),
+                st.floats(-1e6, 1e6, allow_nan=False).map(
+                    lambda f: round(f, 3)
+                ),
+            ),
+            st.one_of(st.none(), st.booleans()),
+            st.one_of(st.none(), st.text("abcNA ", min_size=0, max_size=5)),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_r_paste_key_matches_python_reference(spark, rows):
+    """r_paste_key must coerce every cell exactly as R's paste would
+    (via the Python reference above) for ints, short-decimal doubles,
+    logicals, strings, and NULLs in any combination."""
+    from etlutils_spark.operators.matchmerge import r_paste_key
+
+    df = spark.createDataFrame(
+        rows, "i int, d double, l boolean, s string"
+    )
+    got = [r.k for r in
+           df.select(r_paste_key(df, ["i", "d", "l", "s"]).alias("k"))
+           .collect()]
+    want = [_r_paste_ref(list(t)) for t in rows]
+    assert got == want

@@ -392,3 +392,14 @@ def test_multi_horizon_single_exchange(spark, qs):
     plan = physical_plan(df)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
+
+
+def test_histogram_query_runs_off_materialized_clusters(spark, qs):
+    """The registered dedup_cluster_size_histogram must measure the two
+    aggregations over the materialized cluster table, NOT re-derive the
+    labeling: no shingle explode (Generate), no join, exactly one
+    parquet scan (the scratch cluster table) in the plan."""
+    plan = physical_plan(qs["dedup_cluster_size_histogram"](spark, SF))
+    assert "Generate" not in plan and "Join" not in plan, plan
+    tree = plan.split("\n\n")[0]  # tree block (details repeat the nodes)
+    assert tree.count("Scan parquet") == 1, tree
