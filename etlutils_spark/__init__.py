@@ -35,13 +35,20 @@ from etlutils_spark.operators.similarity import (
     semantic_dedup,
 )
 from etlutils_spark.operators.sampling import (
+    cap_per_group,
     leakage_safe_split,
     pack_ids_export,
     temperature_resample,
     token_budget_sample,
 )
 from etlutils_spark.operators.search import bigram_lm_scores, bm25_topk
-from etlutils_spark.operators.text import build_vocab, oov_stats, token_gini_stats, tokens_to_ids
+from etlutils_spark.operators.text import (
+    build_vocab,
+    line_boilerplate_removal,
+    oov_stats,
+    token_gini_stats,
+    tokens_to_ids,
+)
 from etlutils_spark.operators.quality import percentile_prune, rank_blend
 from etlutils_spark.plans.checks import check_constraints
 
@@ -70,7 +77,9 @@ __all__ = [
     "cluster_size_histogram",
     "centroid_assign",
     "semantic_dedup",
+    "cap_per_group",
     "leakage_safe_split",
+    "line_boilerplate_removal",
     "pack_ids_export",
     "token_budget_sample",
     "tokens_to_ids",

@@ -578,6 +578,59 @@ def q_ann_arrow_topk(spark, sf_dir):
 
 _STOP_LIT = ", ".join(f"'{w}'" for w in STOPWORDS)
 
+
+@register(
+    "line_boilerplate_docs",
+    r"""
+    WITH pl AS (
+      SELECT doc_id,
+             regexp_replace(text, '(\S+ \S+) ', '\1' || chr(10), 'g') AS t
+      FROM documents),
+    split_t AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM pl),
+    lines AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ls[i] AS line
+      FROM split_t, UNNEST(generate_series(1, len(ls))) AS g(i)),
+    freq AS (
+      SELECT line, count(DISTINCT doc_id) AS n_docs
+      FROM lines GROUP BY line),
+    total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    boiler AS (
+      SELECT line FROM freq, total
+      WHERE n_docs >= 2 AND n_docs / n >= 0.05)
+    SELECT l.doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler_lines,
+           md5(COALESCE(string_agg(
+                 CASE WHEN b.line IS NULL THEN l.line END,
+                 chr(10) ORDER BY l.pos), '')) AS clean_md5
+    FROM lines l LEFT JOIN boiler b USING (line)
+    GROUP BY l.doc_id
+    """,
+)
+def q_line_boilerplate_docs(spark, sf_dir):
+    """CCNet/RefinedWeb line-level boilerplate removal driven through
+    the oracle gate: documents are deterministically re-lined (every
+    2nd space -> newline, a pure regexp projection — the synthetic
+    corpus ships no newlines) so cross-document duplicate lines exist,
+    then lines in >= 2 docs AND >= 5% of the corpus are dropped and
+    each doc is reassembled in original order. Output is per-doc
+    (n_lines, n_boiler_lines, md5 of the cleaned text) — the md5 pins
+    the exact reassembly against DuckDB's ORDER BY string_agg."""
+    from etlutils_spark.operators.text import line_boilerplate_removal
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"(\S+ \S+) ", "$1\n").alias("text"),
+    )
+    out = line_boilerplate_removal(
+        docs, max_doc_frac=0.05, min_doc_count=2
+    )
+    return out.select(
+        "doc_id", "n_lines", "n_boiler_lines",
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+    )
+
 @register(
     "text_stats",
     f"""

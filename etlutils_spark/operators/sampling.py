@@ -267,6 +267,60 @@ def train_val_test_split(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+    approx: bool = False,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, deterministically — the
+    per-domain/per-source cap of web-corpus curation (don't let one
+    crawl host dominate the training mixture). Selection is by key
+    digest order, so it is a pure function of (key, salt): stable
+    under re-runs, repartitioning, and engine changes, like every
+    sampler in this module.
+
+    Exact mode (default): ``row_number`` over (group, digest) — one
+    shuffle on ``group_col``. The window sorts each group's rows, so a
+    pathologically hot group (one domain with 10^9 docs at web scale)
+    concentrates in one task; that is exactly the case the cap exists
+    for, so at that scale use ``approx=True``.
+
+    ``approx=True``: per-group counts (one combinable agg, broadcast
+    back) turn the cap into a per-group digest threshold
+    ``cap/n_group`` — a stateless filter, no window, no skew, at the
+    cost of binomial noise around the cap (~±sqrt(cap)); groups at or
+    under the cap are kept whole exactly."""
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    if not approx:
+        w = Window.partitionBy(group_col).orderBy(
+            _digest(key_col, salt), F.col(key_col)
+        )
+        return (
+            df.withColumn("__capr", F.row_number().over(w))
+            .filter(F.col("__capr") <= cap)
+            .drop("__capr")
+        )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    # digest's leading 64 bits as an integer vs cap/n * 2^64 (double
+    # precision is ample for a sampling threshold)
+    lead = F.conv(F.substring(_digest(key_col, salt), 1, 15), 16, 10).cast(
+        "double"
+    )
+    thresh = (
+        F.when(F.col("__n") <= cap, F.lit(float(1 << 60)))
+        .otherwise(F.lit(cap) / F.col("__n") * F.lit(float(1 << 60)))
+    )
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .filter(lead < thresh)
+        .drop("__n")
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     budget_tokens: int,

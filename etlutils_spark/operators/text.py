@@ -471,3 +471,80 @@ def token_gini_stats(
         (n_distinct.cast("double") / nd).alias("type_token_ratio"),
         gini.alias("token_gini"),
     )
+
+
+def line_boilerplate_removal(
+    df: DataFrame,
+    max_doc_frac: float = 0.02,
+    min_doc_count: int = 2,
+    delim: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level boilerplate removal: a line
+    occurring in >= ``min_doc_count`` documents AND >= ``max_doc_frac``
+    of the corpus is boilerplate (headers, navigation, cookie banners —
+    content that repeats across pages without being content), and is
+    dropped from every document; the survivors are reassembled in
+    original order.
+
+    Output: one row per input doc —
+    ``(id_col, n_lines, n_boiler_lines, text_clean)`` where
+    ``text_clean`` is the document with boilerplate lines removed
+    (empty string when everything was boilerplate).
+
+    Scale: explode to (doc, pos, line) is linear; line frequency is a
+    two-level combinable aggregation keyed on the line itself (hash the
+    line to a digest first at web scale to shrink the shuffle key);
+    the boilerplate set is frequency-mass-bounded — each boilerplate
+    line occupies >= max_doc_frac*N doc-slots, so there can be at most
+    (avg lines/doc)/max_doc_frac such lines, a broadcast-sized build
+    side by construction; reassembly is one
+    groupBy(doc) with an order-struct array_sort — the same combinable
+    collect used by pack_sequences. No quadratic stage, no driver
+    state."""
+    if not 0.0 < max_doc_frac <= 1.0:
+        raise ValueError(f"max_doc_frac must be in (0,1], got {max_doc_frac}")
+    total = df.select(
+        F.count(F.lit(1)).cast("double").alias("__total_docs")
+    )
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(delim))
+        ).alias("__pos", "__line"),
+    )
+    freq = (
+        lines.select(id_col, "__line")
+        .distinct()  # per-doc dedup: a line repeated within one doc counts once
+        .groupBy("__line")
+        .agg(F.count(F.lit(1)).alias("__n_docs"))
+    )
+    boiler = (
+        freq.crossJoin(F.broadcast(total))
+        .filter(
+            (F.col("__n_docs") >= min_doc_count)
+            & (F.col("__n_docs") / F.col("__total_docs") >= max_doc_frac)
+        )
+        .select("__line", F.lit(True).alias("__boiler"))
+    )
+    marked = lines.join(boiler, "__line", "left")
+    seq = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("__boiler").isNull(),
+                F.struct(F.col("__pos"), F.col("__line")),
+            )
+        )
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("__boiler"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boiler_lines"),
+        F.concat_ws(
+            delim, F.transform(seq, lambda s: s["__line"])
+        ).alias("text_clean"),
+    )

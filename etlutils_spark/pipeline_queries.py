@@ -23,6 +23,7 @@ from etlutils_spark.operators.quality import (
     repetition_stats,
 )
 from etlutils_spark.operators.sampling import (
+    cap_per_group,
     hash_sample,
     mixture_resample,
     pack_sequences,
@@ -35,6 +36,29 @@ from etlutils_spark.operators.sampling import (
 
 _SAMPLE_RATE = 0.1
 _STRATA_RATES = {"en": 0.05, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 1.0}
+
+
+@register(
+    "source_cap_sample",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 10
+    """,
+)
+def q_source_cap_sample(spark, sf_dir):
+    """Per-source cap (web-curation per-domain cap): keep at most 10
+    docs per source, selected by key-digest order — deterministic under
+    re-runs/repartitioning, like every sampler here. Exact window mode;
+    the approx digest-threshold mode is the no-skew path for hot
+    domains at web scale (operators/sampling.py::cap_per_group)."""
+    return cap_per_group(
+        _t(spark, sf_dir, "documents"), cap=10, group_col="source"
+    ).select("doc_id", "lang", "source")
 
 
 @register(

@@ -670,3 +670,68 @@ def test_mixture_resample_token_weighted(spark):
            out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got["de"] == 1000  # binding stratum (less token mass) whole
     assert 180 <= got["en"] <= 320  # rate 100k/400k = 0.25 of 1000 docs
+
+
+def test_cap_per_group_exact_and_approx(spark):
+    from etlutils_spark.operators.sampling import cap_per_group
+
+    rows = [(i, f"g{i % 4}") for i in range(400)]  # 4 groups x 100
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    capped = cap_per_group(df, cap=10, group_col="source")
+    sizes = {r.source: r.n for r in
+             capped.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {f"g{i}": 10 for i in range(4)}
+    # deterministic: same selection on re-run and after repartitioning
+    again = cap_per_group(df.repartition(7), cap=10, group_col="source")
+    assert ({r.doc_id for r in capped.collect()}
+            == {r.doc_id for r in again.collect()})
+    # groups under the cap are kept whole
+    whole = cap_per_group(df, cap=500, group_col="source")
+    assert whole.count() == 400
+    # approx mode: under-cap groups kept whole exactly; hot groups land
+    # near the cap (binomial noise ~ +-sqrt(cap))
+    approx = cap_per_group(df, cap=50, group_col="source", approx=True)
+    asz = {r.source: r.n for r in
+           approx.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(25 <= n <= 75 for n in asz.values()), asz
+    assert cap_per_group(df, cap=500, group_col="source",
+                         approx=True).count() == 400
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_group(df, cap=0)
+
+
+def test_line_boilerplate_removal_golden(spark):
+    from etlutils_spark.operators.text import line_boilerplate_removal
+
+    # "FOOTER" appears in 3/4 docs (75% >= 20%): boilerplate.
+    # "rare line" appears once: content. Order must be preserved.
+    rows = [
+        (0, "alpha one\nFOOTER\nbeta two"),
+        (1, "FOOTER\ngamma three"),
+        (2, "delta four\nFOOTER"),
+        (3, "rare line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           line_boilerplate_removal(df, max_doc_frac=0.2).collect()}
+    assert out[0].text_clean == "alpha one\nbeta two"
+    assert out[1].text_clean == "gamma three"
+    assert out[2].text_clean == "delta four"
+    assert out[3].text_clean == "rare line"
+    assert out[0].n_lines == 3 and out[0].n_boiler_lines == 1
+    assert out[3].n_boiler_lines == 0
+    # a doc that is pure boilerplate reassembles to the empty string
+    df2 = spark.createDataFrame(
+        rows + [(4, "FOOTER")], "doc_id long, text string"
+    )
+    out2 = {r.doc_id: r for r in
+            line_boilerplate_removal(df2, max_doc_frac=0.2).collect()}
+    assert out2[4].text_clean == "" and out2[4].n_boiler_lines == 1
+    # a line repeated WITHIN one doc counts that doc once (stays content)
+    df3 = spark.createDataFrame(
+        [(0, "x\nx\nx"), (1, "y")], "doc_id long, text string"
+    )
+    out3 = {r.doc_id: r.text_clean for r in
+            line_boilerplate_removal(df3, max_doc_frac=0.5,
+                                     min_doc_count=2).collect()}
+    assert out3[0] == "x\nx\nx"
