@@ -307,3 +307,15 @@ def test_lsh_topk_empty_corpus_raises_without_dim(spark):
         lsh_topk(emb, emb, k=3)
     # with dim given, an empty corpus yields an empty result
     assert lsh_topk(emb, emb, k=3, dim=8).count() == 0
+
+
+def test_boilerplate_and_cap_empty(spark):
+    from etlutils_spark.operators.sampling import cap_per_group
+    from etlutils_spark.operators.text import line_boilerplate_removal
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string, source string")
+    out = line_boilerplate_removal(docs)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_lines", "n_boiler_lines", "text_clean"]
+    assert cap_per_group(docs, cap=5).count() == 0
+    assert cap_per_group(docs, cap=5, approx=True).count() == 0
