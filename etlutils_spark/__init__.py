@@ -43,6 +43,8 @@ from etlutils_spark.operators.sampling import (
 )
 from etlutils_spark.operators.search import bigram_lm_scores, bm25_topk
 from etlutils_spark.operators.text import (
+    bpe_encode,
+    bpe_train,
     build_vocab,
     line_boilerplate_removal,
     oov_stats,
@@ -77,6 +79,8 @@ __all__ = [
     "cluster_size_histogram",
     "centroid_assign",
     "semantic_dedup",
+    "bpe_encode",
+    "bpe_train",
     "cap_per_group",
     "leakage_safe_split",
     "line_boilerplate_removal",

@@ -579,6 +579,59 @@ def q_ann_arrow_topk(spark, sf_dir):
 _STOP_LIT = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
+# "Pretrained" BPE merge table for the driver query — the production
+# scenario bpe_encode exists for: a tokenizer trained once (bounded
+# sample, driver-side — operators/text.py::bpe_train; this list IS its
+# output for num_merges=16 on this corpus family) then applied at full
+# corpus scale as pure column algebra. Frozen as literals so the DuckDB
+# twin can be generated from the same table.
+_BPE_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"),
+]
+
+
+def _duck_bpe_sql() -> str:
+    fs, gs = "chr(28)", "chr(29)"
+    s = (
+        f"array_to_string(list_transform("
+        f"list_filter(string_split(text, ' '), x -> len(x) > 0), "
+        f"w -> {fs} || array_to_string(string_split(w, ''), {gs} || {fs}) "
+        f"|| {gs}), ' ')"
+    )
+    for a, b in _BPE_MERGES:
+        pat = f"{fs} || '{a}' || {gs} || {fs} || '{b}' || {gs}"
+        rep = f"{fs} || '{a}{b}' || {gs}"
+        s = f"replace({s}, {pat}, {rep})"
+    return f"""
+    WITH enc AS (SELECT doc_id, {s} AS s FROM documents)
+    SELECT doc_id,
+           CAST(len(s) - len(replace(s, chr(28), '')) AS BIGINT) AS n_pieces,
+           md5(s) AS pieces_md5
+    FROM enc
+    """
+
+
+@register("bpe_encode_docs", _duck_bpe_sql())
+def q_bpe_encode_docs(spark, sf_dir):
+    """Distributed BPE tokenization (Sennrich et al. 2016) under the
+    oracle gate: the frozen 16-merge table applies to every document as
+    a chain of sentinel-delimited plain replaces — no Python worker,
+    whole-stage codegen, the shape that runs at 100 TB. The DuckDB twin
+    is GENERATED from the same merge literals, so the sentinel string
+    (and hence piece sequence) must match byte-for-byte; training
+    itself is bounded-sample driver-side (bpe_train), differential-
+    tested against a pure-Python reference in pytest."""
+    from etlutils_spark.operators.text import bpe_encode
+
+    out = bpe_encode(_t(spark, sf_dir, "documents"), _BPE_MERGES)
+    return out.select(
+        "doc_id", "n_pieces", F.md5(F.col("encoded")).alias("pieces_md5")
+    )
+
+
 @register(
     "line_boilerplate_docs",
     r"""

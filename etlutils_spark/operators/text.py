@@ -548,3 +548,132 @@ def line_boilerplate_removal(
             delim, F.transform(seq, lambda s: s["__line"])
         ).alias("text_clean"),
     )
+
+
+# Sentinel piece delimiters for BPE encoding (ASCII file/group
+# separators — absent from natural text; bpe_encode documents the
+# contract). A piece p travels as FS+p+GS, so a merge pattern
+# FS+a+GS+FS+b+GS can only ever match at a true piece boundary —
+# substring-safe plain replace() in ANY engine, no lookbehind regex
+# (RE2-portable by construction).
+BPE_FS = "\x1c"
+BPE_GS = "\x1d"
+
+
+def bpe_train(
+    df: DataFrame,
+    num_merges: int = 16,
+    sample_limit: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "list[tuple[str, str]]":
+    """Byte-pair-encoding merge induction on a bounded deterministic
+    sample (Sennrich et al., ACL 2016) — the ``pq_train`` pattern:
+    tokenizers train on a sample driver-side (classic, cheap), then the
+    learned merge table applies distributed at full scale
+    (``bpe_encode``). Word-level: characters within whitespace words;
+    no end-of-word marker (documented divergence from the paper's
+    ``</w>`` — pieces never span words here regardless).
+
+    Deterministic: the sample is the ``sample_limit`` lowest
+    ``md5(id)`` docs (stable under partitioning/engine), and merge
+    ties break lexicographically. Returns the ordered merge list."""
+    from collections import Counter
+
+    rows = (
+        df.select(text_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_limit)
+        .collect()
+    )
+    word_freq: Counter = Counter()
+    for r in rows:
+        for w in (r[0] or "").split():
+            word_freq[tuple(w)] += 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for word, f in word_freq.items():
+            for i in range(len(word) - 1):
+                pairs[(word[i], word[i + 1])] += f
+        if not pairs:
+            break
+        top = max(pairs.values())
+        a, b = min(p for p, c in pairs.items() if c == top)
+        merges.append((a, b))
+        ab = a + b
+        new_freq: Counter = Counter()
+        for word, f in word_freq.items():
+            out, i = [], 0
+            while i < len(word):
+                if i + 1 < len(word) and word[i] == a and word[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_freq[tuple(out)] += f
+        word_freq = new_freq
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply an ordered BPE merge list to every document — the
+    100 TB-scale half of the tokenizer: pure column algebra (split /
+    transform / K plain ``replace`` calls, one per merge), no Python
+    worker, stays inside whole-stage codegen, embarrassingly parallel.
+
+    Output: ``(id_col, n_pieces, encoded)`` where ``encoded`` is the
+    sentinel-delimited piece string (each piece as FS+piece+GS, words
+    joined by spaces) — deterministic and engine-portable, so a DuckDB
+    twin built from the same merge literals reproduces it
+    byte-for-byte. Contract: input text must not contain the FS/GS
+    control characters (ASCII 0x1C/0x1D; never present in natural
+    text)."""
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda w: F.length(w) > 0
+    )
+    wrap = lambda w: F.concat(  # noqa: E731
+        F.lit(BPE_FS),
+        F.concat_ws(BPE_GS + BPE_FS, F.split(w, "")),
+        F.lit(BPE_GS),
+    )
+    s = F.concat_ws(" ", F.transform(words, wrap))
+    for a, b in merges:
+        s = F.replace(
+            s,
+            F.lit(f"{BPE_FS}{a}{BPE_GS}{BPE_FS}{b}{BPE_GS}"),
+            F.lit(f"{BPE_FS}{a}{b}{BPE_GS}"),
+        )
+    return df.select(
+        F.col(id_col),
+        (F.length(s) - F.length(F.replace(s, F.lit(BPE_FS), F.lit(""))))
+        .cast("bigint")
+        .alias("n_pieces"),
+        s.alias("encoded"),
+    )
+
+
+def bpe_encode_reference(text: str, merges: "list[tuple[str, str]]") -> "list[str]":
+    """Pure-Python reference of the classic per-word greedy merge loop
+    (for differential tests of bpe_encode's replace-chain)."""
+    out: list[str] = []
+    for w in text.split():
+        pieces = list(w)
+        for a, b in merges:
+            i, nxt = 0, []
+            while i < len(pieces):
+                if i + 1 < len(pieces) and pieces[i] == a and pieces[i + 1] == b:
+                    nxt.append(a + b)
+                    i += 2
+                else:
+                    nxt.append(pieces[i])
+                    i += 1
+            pieces = nxt
+        out.extend(pieces)
+    return out

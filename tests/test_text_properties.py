@@ -202,3 +202,51 @@ def test_token_gini_matches_python_reference(spark):
         n = sum(c.values())
         want = 1.0 - sum(v * v for v in c.values()) / (n * n)
         assert got[i] == pytest.approx(want, abs=1e-12), i
+
+
+def test_bpe_train_golden(spark):
+    """Hand-computed BPE on a tiny corpus: 'abab abc' x2.
+    Pair counts round 1: (a,b)x3... wait per word: 'abab' has (a,b)x2,
+    (b,a)x1; 'abc' has (a,b),(b,c). Totals with freq 2 docs:
+    (a,b)=6, (b,a)=2, (b,c)=2 -> merge ('a','b'). Round 2 words:
+    (ab,ab) and (ab,c): pairs (ab,ab)=2, (ab,c)=2 -> lexicographic tie
+    -> ('ab','ab')."""
+    from etlutils_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame(
+        [(0, "abab abc"), (1, "abab abc")], "doc_id long, text string"
+    )
+    merges = bpe_train(df, num_merges=2)
+    assert merges == [("a", "b"), ("ab", "ab")]
+
+
+def test_bpe_encode_matches_python_reference(spark, star):
+    """Differential: the sentinel replace-chain must equal the classic
+    per-word greedy merge loop on real corpus text."""
+    from etlutils_spark.operators.text import (
+        BPE_FS,
+        bpe_encode,
+        bpe_encode_reference,
+        bpe_train,
+    )
+
+    docs = star["documents"]
+    merges = bpe_train(docs, num_merges=12, sample_limit=200)
+    sample = docs.limit(30)
+    out = {r.doc_id: r for r in bpe_encode(sample, merges).collect()}
+    for r in sample.collect():
+        ref = bpe_encode_reference(r.text, merges)
+        got = [p[:-1] for p in
+               out[r.doc_id].encoded.replace(" ", "").split(BPE_FS) if p]
+        assert got == ref
+        assert out[r.doc_id].n_pieces == len(ref)
+
+
+def test_bpe_encode_stays_jvm_side(spark, star):
+    from etlutils_spark.operators.text import bpe_encode, bpe_train
+    from etlutils_spark.plans.checks import physical_plan
+
+    docs = star["documents"]
+    merges = bpe_train(docs, num_merges=4, sample_limit=100)
+    plan = physical_plan(bpe_encode(docs, merges))
+    assert "Python" not in plan  # no UDF: pure replace-chain codegen
