@@ -32,6 +32,7 @@ from etlutils_spark.operators.similarity import (
     pq_encode,
     pq_topk,
     pq_train,
+    quantize_embeddings_int8,
     semantic_dedup,
 )
 from etlutils_spark.operators.sampling import (
@@ -82,6 +83,7 @@ __all__ = [
     "bpe_encode",
     "bpe_train",
     "cap_per_group",
+    "quantize_embeddings_int8",
     "leakage_safe_split",
     "line_boilerplate_removal",
     "pack_ids_export",

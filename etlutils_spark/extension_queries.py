@@ -579,6 +579,68 @@ def q_ann_arrow_topk(spark, sf_dir):
 _STOP_LIT = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+    sc AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS amax
+      FROM v),
+    q AS (
+      SELECT vec_id, e, amax,
+             CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END AS denom
+      FROM sc),
+    codes AS (
+      SELECT vec_id,
+             CASE WHEN amax = 0 THEN 0.0 ELSE amax / 127.0 END AS scale,
+             list_transform(e, x -> CAST(floor(x / denom + 0.5) AS INTEGER))
+               AS cs,
+             e, CASE WHEN amax = 0 THEN 0.0
+                     ELSE amax / 127.0 END AS s2
+      FROM q)
+    SELECT vec_id, scale,
+           md5(array_to_string(cs, ',')) AS codes_md5,
+           CAST(list_max(list_transform(
+                 generate_series(1, len(cs)),
+                 i -> abs(e[i] - cs[i] * s2))) AS DOUBLE) AS max_abs_err
+    FROM codes
+    """,
+)
+def q_embedding_quantize_int8(spark, sf_dir):
+    """int8 embedding quantization through the oracle gate: per-vector
+    scale, md5 of the code sequence (bit-identical half-up-floor
+    arithmetic in both engines), and the max reconstruction error —
+    which the scale/2-per-dim bound caps by construction."""
+    from etlutils_spark.operators.similarity import (
+        dequantize_int8,
+        quantize_embeddings_int8,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings_int8(emb).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    recon = dequantize_int8(q)
+    err = F.array_max(
+        F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            recon,
+            lambda a, b: F.abs(a - b),
+        )
+    )
+    return q.select(
+        "vec_id",
+        "scale",
+        F.md5(F.concat_ws(",", F.transform("codes", lambda c: c.cast("string"))))
+        .alias("codes_md5"),
+        err.alias("max_abs_err"),
+    )
+
+
 # "Pretrained" BPE merge table for the driver query — the production
 # scenario bpe_encode exists for: a tokenizer trained once (bounded
 # sample, driver-side — operators/text.py::bpe_train; this list IS its

@@ -489,6 +489,53 @@ def profile_embeddings(
     )
 
 
+def quantize_embeddings_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the 4-8× storage
+    compressor embedding pipelines apply before ANN indexing (codes +
+    one float scale per vector; reconstruction error bounded by
+    scale/2 per dimension by construction).
+
+    ``scale = max|v_i| / 127``; ``code_i = floor(v_i/scale + 0.5)``
+    (half-up via floor — ``round()`` is banker's-vs-half-up ambiguous
+    across engines, floor/abs/division are single correctly-rounded
+    IEEE ops, so codes are bit-identical in any engine — the module's
+    portability convention). Zero vectors quantize to all-zero codes
+    with scale 0. Output: ``(id_col, scale, codes array<int>)``.
+
+    Scale: stateless per-row column algebra — no shuffle, no Python,
+    full codegen; at 100 TB this is scan speed."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    denom = F.when(amax == 0.0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    codes = F.transform(
+        v, lambda x: F.floor(x / denom + F.lit(0.5)).cast("int")
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(amax == 0.0, F.lit(0.0)).otherwise(amax / F.lit(127.0))
+        .alias("scale"),
+        codes.alias("codes"),
+    )
+
+
+def dequantize_int8(
+    df: DataFrame,
+    codes_col: str = "codes",
+    scale_col: str = "scale",
+) -> "F.Column":
+    """Reconstruction expression for ``quantize_embeddings_int8``
+    output: ``codes * scale`` as array<double> (|error| <= scale/2 per
+    dimension — pinned by test)."""
+    return F.transform(
+        F.col(codes_col),
+        lambda c: c.cast("double") * F.col(scale_col),
+    )
+
+
 # ---- product quantization (IVF-PQ's compression half) ---------------------
 
 def pq_train(

@@ -644,3 +644,33 @@ def test_decontaminate_semantic_fast_mode_agrees(emb):
          for r in decontaminate_semantic(corpus, bench, threshold=0.9,
                                          exact=False).collect()}
     assert a == b  # double-accumulated flags match decimal-exact flags
+
+
+def test_int8_quantization_error_bound_and_zero_vector(spark, emb):
+    """|reconstruction error| <= scale/2 per dimension by construction;
+    zero vectors quantize to all-zero codes with scale 0; codes fit
+    int8 range."""
+    from etlutils_spark.operators.similarity import (
+        dequantize_int8,
+        quantize_embeddings_int8,
+    )
+
+    q = quantize_embeddings_int8(emb).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    err = F.array_max(
+        F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            dequantize_int8(q),
+            lambda a, b: F.abs(a - b),
+        )
+    )
+    rows = q.select("vec_id", "scale", "codes", err.alias("e")).collect()
+    for r in rows:
+        assert r.e <= r.scale / 2 + 1e-12
+        assert all(-127 <= c <= 127 for c in r.codes)
+    zero = spark.createDataFrame(
+        [(99, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    zr = quantize_embeddings_int8(zero).collect()[0]
+    assert zr.scale == 0.0 and all(c == 0 for c in zr.codes)
