@@ -99,6 +99,13 @@ R4_EXTRAS = [
     "user_cadence_stats",
     "hard_negative_mining",
     "dedup_cluster_size_histogram",
+    # round-5 additions
+    "matchmerge_paste_key",
+    "dedup_clusters_star",
+    "line_boilerplate_docs",
+    "source_cap_sample",
+    "bpe_encode_docs",
+    "embedding_quantize_int8",
 ]
 
 
