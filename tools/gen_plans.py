@@ -127,6 +127,20 @@ COMMENTARY = {
     "dedup_cluster_size_histogram": "verified cluster labels -> two "
     "tiny combinable aggregations (cluster key, then size key); the "
     "pair graph is never re-materialized.",
+    "bpe_encode_docs": "the whole tokenizer is ONE stateless Project "
+    "over the scan — a 16-deep plain-replace chain in whole-stage "
+    "codegen; no Python worker, no shuffle, no join.",
+    "line_boilerplate_docs": "line explode -> per-doc-distinct "
+    "frequency (two-level combinable agg) -> frequency-mass-bounded "
+    "boilerplate set broadcast back -> one sorted-collect aggregate "
+    "reassembles docs; only (doc,line) rows shuffle, text travels "
+    "once.",
+    "source_cap_sample": "one Exchange+Sort on source feeds the "
+    "digest-ordered rank cut; the approx mode (not registered) drops "
+    "even that for a stateless threshold filter.",
+    "embedding_quantize_int8": "stateless per-row array algebra — "
+    "scale, codes, and reconstruction error all inside one codegen "
+    "stage; no shuffle anywhere.",
 }
 
 
