@@ -15,7 +15,7 @@ from etlutils_spark.operators.recode import factorise, profile_drift, recoder, r
 from etlutils_spark.operators.locf import na_locf_plus_one
 from etlutils_spark.operators.transfun import trans_fun
 from etlutils_spark.sources.sql import read_sql, write_sql
-from etlutils_spark.sources.files import read_table, load_star
+from etlutils_spark.sources.files import load_star, read_table, read_text_corpus
 from etlutils_spark.sources.merge import merge_upsert, scd2_apply
 from etlutils_spark.operators.curation import curate_documents, curate_to_sequences
 from etlutils_spark.operators.dedup import (
@@ -84,6 +84,7 @@ __all__ = [
     "bpe_train",
     "cap_per_group",
     "quantize_embeddings_int8",
+    "read_text_corpus",
     "leakage_safe_split",
     "line_boilerplate_removal",
     "pack_ids_export",

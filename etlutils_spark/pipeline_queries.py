@@ -644,6 +644,31 @@ def q_format_roundtrip_json(spark, sf_dir):
     return spark.read.schema(df.schema).json(path)
 
 
+@register(
+    "format_roundtrip_text",
+    """
+    SELECT md5(text) AS line_md5, CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def q_format_roundtrip_text(spark, sf_dir):
+    """Raw-text sink+source fidelity for the LLM-ingest path: the
+    documents corpus written as plain one-doc-per-line text files and
+    read back through read_text_corpus must preserve the content
+    MULTISET exactly (per-line md5 + occurrence count — id-free, since
+    raw text carries no keys; duplicates must survive with their
+    multiplicity)."""
+    from etlutils_spark.sources.files import read_text_corpus
+
+    df = _t(spark, sf_dir, "documents").select("text")
+    path = _rt_path(spark, "text")
+    df.write.mode("overwrite").text(path)
+    back = read_text_corpus(spark, path)
+    return back.groupBy(F.md5("text").alias("line_md5")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
 # ---- storage-layout pruning (Z-order) --------------------------------------
 
 # A stats-pruning scan reads a file iff the file's [min, max] envelope

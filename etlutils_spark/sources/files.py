@@ -130,6 +130,42 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None, **optio
     return reader.json(path)
 
 
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    line_sep: str | None = None,
+    **options,
+) -> DataFrame:
+    """Raw text-file corpus source — the most common LLM-corpus ingest
+    format (one document per line, or per ``line_sep`` block): files in
+    ``path`` (plain or transparently-decompressed .gz) become the
+    engine's documents shape ``(doc_id, text, source, n_chars)``.
+
+    ``doc_id`` is ``xxhash64(text)`` — a pure content hash, so ids are
+    stable under any partitioning/file layout and exact duplicates
+    share an id (which downstream ``dedup_exact`` treats as the
+    collapse key; pipelines that need per-OCCURRENCE identity should
+    carry ``source`` + a content hash together). ``source`` is the
+    originating file name.
+
+    Scale: ``spark.read.text`` splits uncompressed files by HDFS block
+    (gz is single-split per file — shard compressed corpora into many
+    files); everything added here is stateless column algebra on top of
+    the scan."""
+    reader = spark.read
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    raw = reader.text(path)
+    return raw.select(
+        F.xxhash64(F.col("value")).alias("doc_id"),
+        F.col("value").alias("text"),
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("source"),
+        F.length("value").cast("bigint").alias("n_chars"),
+    )
+
+
 def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
     """ORC source (Spark-native columnar alternative to parquet; same
     pushdown/pruning machinery — PushedFilters + ReadSchema reach the

@@ -178,3 +178,27 @@ def test_scd2_apply_history_passthrough_and_second_change(spark):
     # no-op update: single row for key 2, still the original version
     assert rows[(2, "X")].is_current is True
     assert rows[(2, "X")].valid_from.year == 2000
+
+
+def test_read_text_corpus(spark, tmp_path):
+    """Raw text ingest: documents shape, content-stable ids, per-file
+    source attribution, duplicate lines keep multiplicity."""
+    from etlutils_spark.sources.files import read_text_corpus
+
+    (tmp_path / "a.txt").write_text("alpha beta\ndup line\n")
+    (tmp_path / "b.txt").write_text("dup line\ngamma\n")
+    out = read_text_corpus(spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    by_text = {}
+    for r in out:
+        by_text.setdefault(r.text, []).append(r)
+    # exact duplicates share the content-hash id, sources differ
+    dups = by_text["dup line"]
+    assert len(dups) == 2 and dups[0].doc_id == dups[1].doc_id
+    assert {d.source for d in dups} == {"a.txt", "b.txt"}
+    assert by_text["gamma"][0].n_chars == 5
+    # ids are stable under repartitioning (pure content hash)
+    again = {r.text: r.doc_id
+             for r in read_text_corpus(spark, str(tmp_path))
+             .repartition(3).collect()}
+    assert all(again[r.text] == r.doc_id for r in out)
