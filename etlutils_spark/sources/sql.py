@@ -255,6 +255,7 @@ def ingest_to_parquet(
     partition_by: Sequence[str] | None = None,
     verbose: bool = False,
     append_levels: "Mapping[str, bool] | bool | None" = None,
+    evolve_schema: bool = False,
 ) -> None:
     """Persist an ingested frame as the engine's at-rest format (the
     ffdf role, SURVEY §1.4): partitioned Parquet. ``mode="append"``
@@ -266,6 +267,16 @@ def ingest_to_parquet(
     present in the stored table raise ``DomainError`` before anything
     is written. Growth is the default, as in the reference.
 
+    ``evolve_schema`` (append mode only) governs schema drift — the
+    routine 100 TB reality of new columns arriving mid-corpus. Default
+    False mirrors the reference's fixed-ffdf-schema contract: an append
+    whose column set differs from the stored table raises before
+    anything is written (parquet would otherwise accept it silently and
+    surprise the next plain read). True permits additive drift — new
+    columns land as parquet column chunks, and readers opt into the
+    union schema via ``spark.read.option("mergeSchema", "true")``
+    (merging is a read-side option; this flag only gates the write).
+
     ``verbose`` prints read+write wall-clock and rows/sec, mirroring the
     reference's per-run instrumentation format (R/ffsql.R:335-337:
     "... dbi-read=...secs ffdf-write=...secs TOTAL=...secs"). Spark
@@ -275,13 +286,23 @@ def ingest_to_parquet(
     import time
 
     t0 = time.time()
-    if mode == "append" and append_levels not in (None, True):
+    if mode == "append":
         try:
             existing = df.sparkSession.read.parquet(path)
         except Exception:  # noqa: BLE001 - first append = nothing stored yet
             existing = None
         if existing is not None:
-            _check_frozen_levels(df, existing, append_levels)
+            if not evolve_schema and set(df.columns) != set(existing.columns):
+                new = sorted(set(df.columns) - set(existing.columns))
+                gone = sorted(set(existing.columns) - set(df.columns))
+                raise ValueError(
+                    f"append schema drift: new columns {new}, missing "
+                    f"columns {gone} vs the stored table; pass "
+                    "evolve_schema=True to permit additive drift "
+                    "(readers then need mergeSchema=true)"
+                )
+            if append_levels not in (None, True):
+                _check_frozen_levels(df, existing, append_levels)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

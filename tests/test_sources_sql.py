@@ -132,3 +132,24 @@ def test_append_levels_freeze_and_growth(spark, tmp_path):
 
     with pytest.raises(ValueError, match="absent"):
         _check_frozen_levels(base, base, {"nope": False})
+
+
+def test_append_schema_drift_gate(spark, tmp_path):
+    """Default append mirrors the reference's fixed-ffdf-schema
+    contract (drift raises before any write); evolve_schema=True
+    permits additive drift, visible to mergeSchema readers."""
+    out = str(tmp_path / "drift")
+    base = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    ingest_to_parquet(base, out, mode="overwrite")
+    drifted = spark.createDataFrame(
+        [(2, "b", "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="evolve_schema"):
+        ingest_to_parquet(drifted, out, mode="append")
+    assert spark.read.parquet(out).count() == 1  # nothing written
+    ingest_to_parquet(drifted, out, mode="append", evolve_schema=True)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    assert merged.count() == 2
+    rows = {r.doc_id: r for r in merged.collect()}
+    assert rows[1].lang is None and rows[2].lang == "en"
