@@ -20,6 +20,7 @@ from etlutils_spark.sources.merge import merge_upsert, scd2_apply
 from etlutils_spark.operators.curation import curate_documents, curate_to_sequences
 from etlutils_spark.operators.dedup import (
     cluster_size_histogram,
+    triplet_mining,
     window_dedup_rewrite,
     window_dedup_stats,
     winnow_overlap_pairs,
@@ -85,6 +86,7 @@ __all__ = [
     "cap_per_group",
     "quantize_embeddings_int8",
     "read_text_corpus",
+    "triplet_mining",
     "leakage_safe_split",
     "line_boilerplate_removal",
     "pack_ids_export",

@@ -268,6 +268,46 @@ def q_dedup_clusters_star(spark, sf_dir):
     )
 
 
+def _duck_triplets_sql() -> str:
+    from etlutils_spark.operators.sampling import rate_threshold_hex
+
+    return f"""
+    WITH base AS ({_duck_minhash_clusters_sql()}),
+    pool AS (
+      SELECT doc_id AS neg_cand, cluster_id AS neg_cluster FROM base
+      WHERE md5(CAST(doc_id AS VARCHAR)) < '{rate_threshold_hex(0.1)}'),
+    pairs AS (
+      SELECT a.doc_id AS anchor, b.doc_id AS positive, a.cluster_id
+      FROM base a JOIN base b
+        ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id),
+    cand AS (
+      SELECT p.anchor, p.positive, pool.neg_cand,
+             md5(CAST(p.anchor AS VARCHAR) || '|' ||
+                 CAST(pool.neg_cand AS VARCHAR)) AS pick
+      FROM pairs p JOIN pool ON pool.neg_cluster <> p.cluster_id)
+    SELECT anchor, positive, min_by(neg_cand, pick) AS negative
+    FROM cand GROUP BY anchor, positive
+    """
+
+
+@register("triplet_mining_pairs", _duck_triplets_sql())
+def q_triplet_mining_pairs(spark, sf_dir):
+    """Contrastive triplet formation from the verified near-dup
+    clusters: every intra-cluster (anchor < positive) pair plus a
+    deterministic digest-selected negative from a bounded broadcast
+    pool outside the anchor's cluster (operators/dedup.py::
+    triplet_mining — the label-free structural former; semantic hard
+    negatives are hard_negative_mining's job). The oracle recomputes
+    the identical selection, so the negative choice is pinned
+    cross-engine."""
+    from etlutils_spark.operators.dedup import triplet_mining
+
+    clusters = _materialized_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("node"), "cluster_id"
+    )
+    return triplet_mining(clusters, neg_pool_rate=0.1)
+
+
 @register("incremental_lsh_pairs", _duck_minhash_sql())
 def q_incremental_lsh_pairs(spark, sf_dir):
     """The streaming incremental MinHash+LSH index

@@ -1020,3 +1020,73 @@ def cluster_size_histogram(
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
     )
+
+
+def triplet_mining(
+    clusters: DataFrame,
+    neg_pool_rate: float = 0.1,
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+    max_pool: int = 4096,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic (anchor, positive, negative) triplet formation for
+    contrastive/embedder training from a near-dup cluster table (the
+    ``connected_components`` output): every intra-cluster ordered pair
+    (anchor < positive) becomes a triplet whose negative is drawn from
+    OUTSIDE the anchor's cluster.
+
+    Negative selection is a pure function of (anchor, salt): a
+    digest-threshold sample of nodes (``neg_pool_rate``) forms a
+    bounded broadcast pool (loud error above ``max_pool`` — raise the
+    cap or lower the rate), and each anchor takes the pool member with
+    the minimum ``md5(anchor || member)`` digest among members of a
+    different cluster. Reproducible under re-runs, repartitioning, and
+    engine changes — no RNG anywhere (the module's sampling
+    convention). Semantically-hard negatives (nearest wrong-label
+    vectors) come from ``similarity.hard_negative_mining``; this
+    operator is the label-free structural former.
+
+    Scale: pairs are intra-cluster only (bounded by dup mass, the same
+    bound every cluster consumer here relies on); the pool is
+    broadcast-sized by contract; the argmin is one combinable min_by
+    aggregate over |pairs| x |pool| broadcast-nested-loop rows —
+    |pool| is a constant, so cost is linear in the pair count."""
+    from etlutils_spark.operators.sampling import rate_threshold_hex
+
+    if not 0.0 < neg_pool_rate <= 1.0:
+        raise ValueError(f"neg_pool_rate must be in (0,1], got {neg_pool_rate}")
+    nodes = clusters.select(
+        F.col(node_col).cast("long").alias("node"),
+        F.col(cluster_col).cast("long").alias("cluster_id"),
+    )
+    pool = nodes.filter(
+        F.md5(F.concat(F.col("node").cast("string"), F.lit(salt)))
+        < F.lit(rate_threshold_hex(neg_pool_rate))
+    ).select(
+        F.col("node").alias("neg_cand"),
+        F.col("cluster_id").alias("neg_cluster"),
+    )
+    pool_rows = pool.limit(max_pool + 1).count()
+    if pool_rows > max_pool:
+        raise ValueError(
+            f"negative pool exceeds max_pool={max_pool} rows at "
+            f"neg_pool_rate={neg_pool_rate}; it is broadcast into every "
+            "task — lower the rate or raise max_pool only if executors "
+            "can hold it"
+        )
+    a = nodes.select(F.col("node").alias("anchor"), "cluster_id")
+    b = nodes.select(F.col("node").alias("positive"),
+                     F.col("cluster_id").alias("__c2"))
+    pairs = a.join(
+        b, (F.col("cluster_id") == F.col("__c2"))
+        & (F.col("anchor") < F.col("positive"))
+    ).select("anchor", "positive", "cluster_id")
+    cand = pairs.join(
+        F.broadcast(pool), F.col("neg_cluster") != F.col("cluster_id")
+    )
+    pick = F.md5(F.concat(F.col("anchor").cast("string"), F.lit("|"),
+                          F.col("neg_cand").cast("string"), F.lit(salt)))
+    return cand.groupBy("anchor", "positive").agg(
+        F.min_by("neg_cand", pick).alias("negative")
+    )

@@ -674,3 +674,30 @@ def test_int8_quantization_error_bound_and_zero_vector(spark, emb):
     )
     zr = quantize_embeddings_int8(zero).collect()[0]
     assert zr.scale == 0.0 and all(c == 0 for c in zr.codes)
+
+
+def test_triplet_mining_semantics(spark):
+    """Triplets: anchors/positives share a cluster, negatives never do;
+    selection is deterministic; pool-size guard fires loudly."""
+    from etlutils_spark.operators.dedup import triplet_mining
+
+    clusters = spark.createDataFrame(
+        [(i, i // 3) for i in range(30)],  # 10 clusters of 3
+        "node long, cluster_id long",
+    )
+    out = triplet_mining(clusters, neg_pool_rate=1.0).collect()
+    assert len(out) == 10 * 3  # 3 ordered pairs per 3-clique
+    cl = {i: i // 3 for i in range(30)}
+    for r in out:
+        assert cl[r.anchor] == cl[r.positive] and r.anchor < r.positive
+        assert cl[r.negative] != cl[r.anchor]
+    again = {(r.anchor, r.positive): r.negative
+             for r in triplet_mining(clusters.repartition(5),
+                                     neg_pool_rate=1.0).collect()}
+    assert all(again[(r.anchor, r.positive)] == r.negative for r in out)
+    import pytest
+
+    with pytest.raises(ValueError, match="max_pool"):
+        triplet_mining(clusters, neg_pool_rate=1.0, max_pool=5).collect()
+    with pytest.raises(ValueError, match="neg_pool_rate"):
+        triplet_mining(clusters, neg_pool_rate=0.0)
