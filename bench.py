@@ -106,6 +106,8 @@ R4_EXTRAS = [
     "source_cap_sample",
     "bpe_encode_docs",
     "embedding_quantize_int8",
+    "format_roundtrip_text",
+    "triplet_mining_pairs",
 ]
 
 
