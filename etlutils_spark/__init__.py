@@ -11,7 +11,13 @@ reference citations (file:line into /root/reference).
 
 from etlutils_spark.session import get_session
 from etlutils_spark.operators.matchmerge import matchmerge
-from etlutils_spark.operators.recode import factorise, profile_drift, recoder, rename_columns
+from etlutils_spark.operators.recode import (
+    corpus_diff,
+    factorise,
+    profile_drift,
+    recoder,
+    rename_columns,
+)
 from etlutils_spark.operators.locf import na_locf_plus_one
 from etlutils_spark.operators.transfun import trans_fun
 from etlutils_spark.sources.sql import read_sql, write_sql
@@ -84,6 +90,7 @@ __all__ = [
     "bpe_encode",
     "bpe_train",
     "cap_per_group",
+    "corpus_diff",
     "quantize_embeddings_int8",
     "read_text_corpus",
     "triplet_mining",

@@ -620,6 +620,53 @@ _STOP_LIT = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
 @register(
+    "corpus_diff_releases",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 10 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 13 = 0),
+    a2 AS (SELECT doc_id, md5(text) AS md5_a FROM documents),
+    b2 AS (SELECT doc_id, md5(text) AS md5_b FROM b)
+    SELECT doc_id, md5_a, md5_b,
+           CASE WHEN md5_a IS NULL THEN 'added'
+                WHEN md5_b IS NULL THEN 'removed'
+                WHEN md5_a <> md5_b THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM a2 FULL OUTER JOIN b2 USING (doc_id)
+    """,
+)
+def q_corpus_diff_releases(spark, sf_dir):
+    """Document-level release diff (operators/recode.py::corpus_diff):
+    version B is derived deterministically from the corpus (every 10th
+    doc removed, every 7th changed, every 13th re-added under a new
+    id), and the diff must classify every id as
+    added/removed/changed/unchanged with both content digests — the
+    audit table a release pipeline publishes. One id-key shuffle; text
+    never moves (digests are computed in the scan projection)."""
+    from etlutils_spark.operators.recode import corpus_diff
+
+    a = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b = (
+        a.filter(F.col("doc_id") % 10 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" v2")))
+            .otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            a.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(a, b)
+
+
+@register(
     "embedding_quantize_int8",
     """
     WITH v AS (

@@ -154,3 +154,16 @@ def test_funnel_matches_python_reference_random(spark):
                 p = ts
         stage = 3 if p else (2 if c else (1 if v else 0))
         assert got[u] == (v, c, p, stage), u
+
+
+def test_corpus_diff_classifies_all_states(spark):
+    from etlutils_spark.operators.recode import corpus_diff
+
+    a = spark.createDataFrame(
+        [(1, "same"), (2, "old"), (3, "gone")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(1, "same"), (2, "new"), (4, "fresh")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.status for r in corpus_diff(a, b).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
