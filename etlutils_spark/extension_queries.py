@@ -305,7 +305,10 @@ def q_triplet_mining_pairs(spark, sf_dir):
     clusters = _materialized_clusters(spark, sf_dir).select(
         F.col("doc_id").alias("node"), "cluster_id"
     )
-    return triplet_mining(clusters, neg_pool_rate=0.1)
+    # max_pool raised for the registered form: the oracle's fixed 10%
+    # pool has no cap, so the guard must not fire first at larger SFs
+    # (production callers tune neg_pool_rate down instead)
+    return triplet_mining(clusters, neg_pool_rate=0.1, max_pool=1_000_000)
 
 
 @register("incremental_lsh_pairs", _duck_minhash_sql())
@@ -629,8 +632,8 @@ _STOP_LIT = ", ".join(f"'{w}'" for w in STOPWORDS)
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id, text
       FROM documents WHERE doc_id % 13 = 0),
-    a2 AS (SELECT doc_id, md5(text) AS md5_a FROM documents),
-    b2 AS (SELECT doc_id, md5(text) AS md5_b FROM b)
+    a2 AS (SELECT doc_id, COALESCE(md5(text), '__null__') AS md5_a FROM documents),
+    b2 AS (SELECT doc_id, COALESCE(md5(text), '__null__') AS md5_b FROM b)
     SELECT doc_id, md5_a, md5_b,
            CASE WHEN md5_a IS NULL THEN 'added'
                 WHEN md5_b IS NULL THEN 'removed'
@@ -746,7 +749,7 @@ def _duck_bpe_sql() -> str:
     fs, gs = "chr(28)", "chr(29)"
     s = (
         f"array_to_string(list_transform("
-        f"list_filter(string_split(text, ' '), x -> len(x) > 0), "
+        f"list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0), "
         f"w -> {fs} || array_to_string(string_split(w, ''), {gs} || {fs}) "
         f"|| {gs}), ' ')"
     )

@@ -575,6 +575,11 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # unpersist() frees the round-0 PERSISTED table; checkpointed
+        # rounds are a CacheManager no-op — their blocks are released by
+        # the ContextCleaner once the reassignment below drops the last
+        # reference (prompt under CPython refcounting), so live storage
+        # stays ~2 round-tables deep
         labels.unpersist()
         labels = new_labels
         if changed == 0:
@@ -669,6 +674,8 @@ def _cc_star(
             or new_edges.exceptAll(edges).limit(1).count() > 0
         )
         prev_count = new_count
+        # frees the round-0 persisted edge table; checkpointed rounds
+        # release via ContextCleaner on reassignment (see min-label)
         edges.unpersist()
         edges = new_edges
         if not changed:

@@ -93,8 +93,17 @@ def r_paste_key(df: DataFrame, cols: Sequence[str]) -> Column:
     ``do.call(paste, as.list(df[, cols]))`` (R/matchmerge.R:113-126) —
     space-joined ``as.character`` of each column, where integral
     doubles drop the trailing ``.0`` (R prints ``as.character(1.0)`` as
-    ``"1"``) and NA prints as the literal ``"NA"`` (so NA keys compare
-    equal, unlike SQL NULL). Pure column algebra — stays in codegen."""
+    ``"1"``), NaN/Inf print as R's ``NaN``/``Inf``/``-Inf`` (not
+    Spark's ``Infinity``), and NA prints as the literal ``"NA"`` (so NA
+    keys compare equal, unlike SQL NULL). Pure column algebra — stays
+    in codegen.
+
+    Parity bound (documented divergence): non-integral doubles render
+    via Spark's cast-to-string, which matches R for plain-decimal
+    magnitudes but switches to ``1.5E-5``-style scientific notation
+    where R prints ``1.5e-05`` — keys relying on scientific-notation
+    text equality diverge. The hypothesis differential pins the
+    plain-decimal range."""
     from pyspark.sql import types as T
 
     parts = []
@@ -102,10 +111,14 @@ def r_paste_key(df: DataFrame, cols: Sequence[str]) -> Column:
         col = F.col(c)
         dt = df.schema[c].dataType
         if isinstance(dt, (T.FloatType, T.DoubleType)):
-            s = F.when(
-                col.cast("double") == F.floor(col),
-                col.cast("decimal(38,0)").cast("string"),
-            ).otherwise(col.cast("string"))
+            d = col.cast("double")
+            s = (
+                F.when(F.isnan(d), "NaN")
+                .when(d == float("inf"), "Inf")
+                .when(d == float("-inf"), "-Inf")
+                .when(d == F.floor(d), col.cast("decimal(38,0)").cast("string"))
+                .otherwise(col.cast("string"))
+            )
         elif isinstance(dt, T.BooleanType):
             # R prints logicals as TRUE/FALSE, not true/false; a NULL
             # condition must fall through to NULL (-> 'NA'), not to the
@@ -168,11 +181,14 @@ def matchmerge(
     if len(keys_x) != len(keys_y):
         raise ValueError("by_x and by_y must name the same number of columns")
 
-    if paste_keys and len(keys_x) > 1:
+    if paste_keys:
         # Reference parity mode: join on the single pasted-string key
         # exactly as R builds it (R/matchmerge.R:113-126), then drop the
         # derived key — output layout matches tuple mode. The uniqueness
-        # check runs on the pasted key, as in the reference.
+        # check runs on the pasted key, as in the reference. Single-
+        # column keys take the same path: R's match() coerces mixed
+        # types and matches NA to NA there too, so the flag must not
+        # silently no-op on one-key joins.
         kcol = "__mm_paste_key"
         if add_columns is None:
             add_columns = [c for c in y.columns if c not in keys_y]

@@ -223,14 +223,21 @@ def corpus_diff(
 
     Scale: one shuffle on the id key (or zero with id-bucketed
     layouts); digests are computed in the scan projection so text
-    never shuffles — at 100 TB the join moves (id, md5) pairs only."""
+    never shuffles — at 100 TB the join moves (id, md5) pairs only.
+
+    A present row with NULL text digests to the sentinel ``__null__``
+    (NULL digests would be indistinguishable from row absence in the
+    full-outer join, misclassifying NULL-text docs as added/removed)."""
     from pyspark.sql import functions as F
 
+    sentinel = F.lit("__null__")
     a = df_a.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("md5_a")
+        F.col(id_col),
+        F.coalesce(F.md5(F.col(text_col)), sentinel).alias("md5_a"),
     )
     b = df_b.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("md5_b")
+        F.col(id_col),
+        F.coalesce(F.md5(F.col(text_col)), sentinel).alias("md5_b"),
     )
     return a.join(b, id_col, "full_outer").select(
         id_col,

@@ -305,7 +305,7 @@ def cap_per_group(
             .drop("__capr")
         )
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
-    # digest's leading 64 bits as an integer vs cap/n * 2^64 (double
+    # digest's leading 60 bits as an integer vs cap/n * 2^60 (double
     # precision is ample for a sampling threshold)
     lead = F.conv(F.substring(_digest(key_col, salt), 1, 15), 16, 10).cast(
         "double"
@@ -314,10 +314,16 @@ def cap_per_group(
         F.when(F.col("__n") <= cap, F.lit(float(1 << 60)))
         .otherwise(F.lit(cap) / F.col("__n") * F.lit(float(1 << 60)))
     )
+    # null-safe join: a NULL group is a group like any other (the exact
+    # window mode caps it too); plain equality would silently drop
+    # every NULL-group row instead of capping them
+    cts = counts.withColumnRenamed(group_col, "__grp")
     return (
-        df.join(F.broadcast(counts), group_col)
+        df.join(
+            F.broadcast(cts), F.col(group_col).eqNullSafe(F.col("__grp"))
+        )
         .filter(lead < thresh)
-        .drop("__n")
+        .drop("__grp", "__n")
     )
 
 

@@ -510,10 +510,13 @@ def line_boilerplate_removal(
     )
     import re as _re
 
+    # NULL text coalesces to '' (one empty line) so every input doc
+    # yields an output row — split(NULL) would posexplode to zero rows
+    # and silently drop the document from the result
     lines = df.select(
         F.col(id_col),
         F.posexplode(
-            F.split(F.col(text_col), _re.escape(delim))
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(delim))
         ).alias("__pos", "__line"),
     )
     freq = (
@@ -634,9 +637,12 @@ def bpe_encode(
     twin built from the same merge literals reproduces it
     byte-for-byte. Contract: input text must not contain the FS/GS
     control characters (ASCII 0x1C/0x1D; never present in natural
-    text)."""
+    text). Word boundaries are ANY whitespace run (regex ``\\s+``) —
+    the same boundary ``bpe_train``/``bpe_encode_reference`` use via
+    ``str.split()``, so tabs/newlines in real corpora never leak into
+    pieces."""
     words = F.filter(
-        F.split(F.col(text_col), " "), lambda w: F.length(w) > 0
+        F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0
     )
     wrap = lambda w: F.concat(  # noqa: E731
         F.lit(BPE_FS),

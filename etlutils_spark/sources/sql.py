@@ -289,12 +289,34 @@ def ingest_to_parquet(
     if mode == "append":
         try:
             existing = df.sparkSession.read.parquet(path)
-        except Exception:  # noqa: BLE001 - first append = nothing stored yet
-            existing = None
+        except Exception as exc:
+            # only a genuinely-absent table means "first append";
+            # anything else (corrupt footer, permissions) must NOT
+            # silently bypass the drift/frozen-level gates
+            msg = str(exc)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                existing = None
+            else:
+                raise
         if existing is not None:
-            if not evolve_schema and set(df.columns) != set(existing.columns):
-                new = sorted(set(df.columns) - set(existing.columns))
-                gone = sorted(set(existing.columns) - set(df.columns))
+            have = {f.name: f.dataType.simpleString() for f in existing.schema}
+            want = {f.name: f.dataType.simpleString() for f in df.schema}
+            conflicts = sorted(
+                f"{c}: {have[c]} -> {want[c]}"
+                for c in want.keys() & have.keys()
+                if have[c] != want[c]
+            )
+            if conflicts:
+                # a same-name type change is never additive: parquet
+                # accepts the write but plain AND mergeSchema reads
+                # both break mid-scan — always an error
+                raise ValueError(
+                    f"append type drift (not permitted even with "
+                    f"evolve_schema=True): {conflicts}"
+                )
+            if not evolve_schema and set(want) != set(have):
+                new = sorted(set(want) - set(have))
+                gone = sorted(set(have) - set(want))
                 raise ValueError(
                     f"append schema drift: new columns {new}, missing "
                     f"columns {gone} vs the stored table; pass "

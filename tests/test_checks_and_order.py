@@ -167,3 +167,12 @@ def test_corpus_diff_classifies_all_states(spark):
     )
     out = {r.doc_id: r.status for r in corpus_diff(a, b).collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_corpus_diff_null_text_is_presence_not_absence(spark):
+    from etlutils_spark.operators.recode import corpus_diff
+
+    a = spark.createDataFrame([(1, None), (2, "x")], "doc_id long, text string")
+    b = spark.createDataFrame([(1, None), (2, None)], "doc_id long, text string")
+    out = {r.doc_id: r.status for r in corpus_diff(a, b).collect()}
+    assert out == {1: "unchanged", 2: "changed"}

@@ -161,3 +161,23 @@ def test_r_paste_key_matches_python_reference(spark, rows):
            .collect()]
     want = [_r_paste_ref(list(t)) for t in rows]
     assert got == want
+
+
+def test_paste_keys_single_column_matches_na(spark):
+    """paste_keys must not silently no-op on one-key joins: R's match()
+    coerces types and matches NA there too."""
+    x = spark.createDataFrame([(1,), (None,)], "k int")
+    y = spark.createDataFrame([(1.0, "one"), (None, "na")],
+                              "k double, v string")
+    out = {(r.k, r.v) for r in
+           matchmerge(x, y, by_x="k", by_y="k", paste_keys=True).collect()}
+    assert out == {(1, "one"), (None, "na")}
+    # NaN pastes as R's 'NaN' (not 'NA' / not Spark's 'Infinity' family)
+    from etlutils_spark.operators.matchmerge import r_paste_key
+
+    df = spark.createDataFrame(
+        [(float("nan"),), (float("inf",),), (float("-inf"),), (None,)],
+        "d double",
+    )
+    got = [r.k for r in df.select(r_paste_key(df, ["d"]).alias("k")).collect()]
+    assert got == ["NaN", "Inf", "-Inf", "NA"]

@@ -735,3 +735,18 @@ def test_line_boilerplate_removal_golden(spark):
             line_boilerplate_removal(df3, max_doc_frac=0.5,
                                      min_doc_count=2).collect()}
     assert out3[0] == "x\nx\nx"
+
+
+def test_cap_per_group_null_group_both_modes(spark):
+    """A NULL group is a group: both modes must cap it, not drop it."""
+    from etlutils_spark.operators.sampling import cap_per_group
+
+    rows = [(i, None if i < 50 else "g") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    exact = cap_per_group(df, cap=10, group_col="source")
+    ex = {r.source: 0 for r in exact.collect()}
+    ncnt = sum(1 for r in exact.collect() if r.source is None)
+    assert ncnt == 10
+    approx = cap_per_group(df, cap=60, group_col="source", approx=True)
+    null_rows = [r for r in approx.collect() if r.source is None]
+    assert len(null_rows) == 50  # under the cap: kept whole, not dropped

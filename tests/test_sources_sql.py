@@ -153,3 +153,16 @@ def test_append_schema_drift_gate(spark, tmp_path):
     assert merged.count() == 2
     rows = {r.doc_id: r for r in merged.collect()}
     assert rows[1].lang is None and rows[2].lang == "en"
+
+
+def test_append_type_drift_always_raises(spark, tmp_path):
+    out = str(tmp_path / "tdrift")
+    ingest_to_parquet(
+        spark.createDataFrame([(1,)], "doc_id long"), out, mode="overwrite"
+    )
+    bad = spark.createDataFrame([("x",)], "doc_id string")
+    with pytest.raises(ValueError, match="type drift"):
+        ingest_to_parquet(bad, out, mode="append")
+    # not even evolve_schema permits a same-name type change
+    with pytest.raises(ValueError, match="type drift"):
+        ingest_to_parquet(bad, out, mode="append", evolve_schema=True)

@@ -250,3 +250,23 @@ def test_bpe_encode_stays_jvm_side(spark, star):
     merges = bpe_train(docs, num_merges=4, sample_limit=100)
     plan = physical_plan(bpe_encode(docs, merges))
     assert "Python" not in plan  # no UDF: pure replace-chain codegen
+
+
+def test_bpe_encode_any_whitespace_boundary(spark):
+    """Tabs/newlines are word boundaries exactly as in bpe_train /
+    the Python reference (str.split) — they never leak into pieces."""
+    from etlutils_spark.operators.text import (
+        BPE_FS,
+        bpe_encode,
+        bpe_encode_reference,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "ab\tcd\nab  cd")], "doc_id long, text string"
+    )
+    merges = [("a", "b"), ("c", "d")]
+    enc = bpe_encode(df, merges).collect()[0]
+    got = [p[:-1] for p in enc.encoded.replace(" ", "").split(BPE_FS) if p]
+    assert got == bpe_encode_reference("ab\tcd\nab  cd", merges)
+    assert got == ["ab", "cd", "ab", "cd"]
+    assert "\t" not in enc.encoded and "\n" not in enc.encoded
