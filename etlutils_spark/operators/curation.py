@@ -42,6 +42,9 @@ def curate_documents(
     sample_rate: float = 1.0,
     sample_salt: str = "",
     n_shards: int = 16,
+    boilerplate_max_doc_frac: float | None = None,
+    source_cap: int | None = None,
+    source_col: str = "source",
 ) -> DataFrame:
     """Run the full curation chain over ``docs`` and return the
     surviving rows (original columns) plus their ``shard`` assignment.
@@ -51,7 +54,26 @@ def curate_documents(
     sharding), so the output is a pure function of the input — the
     reproducibility contract an auditable corpus build needs, and what
     makes the whole chain DuckDB-oracle-checkable.
+
+    Optional stages (default off — they rewrite/select content):
+    ``boilerplate_max_doc_frac`` runs line-level boilerplate removal
+    FIRST (cross-document duplicate lines poison exact dedup and
+    quality stats downstream, so it precedes them); ``source_cap``
+    caps docs per ``source_col`` after dedup (domains shouldn't earn
+    quota from duplicates) via the skew-immune approx mode.
     """
+    if boilerplate_max_doc_frac is not None:
+        from etlutils_spark.operators.text import line_boilerplate_removal
+
+        cleaned = line_boilerplate_removal(
+            docs, max_doc_frac=boilerplate_max_doc_frac,
+            text_col=text_col, id_col=id_col,
+        ).select(id_col, F.col("text_clean"))
+        docs = (
+            docs.drop(text_col)
+            .join(cleaned, id_col)
+            .withColumnRenamed("text_clean", text_col)
+        )
     kept = quality_filter(
         docs, text_col, id_col,
         min_tokens=min_tokens, max_tokens=max_tokens,
@@ -60,6 +82,13 @@ def curate_documents(
         keep_only=True,
     )
     kept = drop_exact_duplicates(kept, text_col, id_col)
+    if source_cap is not None:
+        from etlutils_spark.operators.sampling import cap_per_group
+
+        kept = cap_per_group(
+            kept, cap=source_cap, group_col=source_col,
+            key_col=id_col, approx=True,
+        )
     contam = decontaminate(
         kept, benchmark, n=decontam_n, min_overlap=decontam_min_overlap,
         text_col=text_col, id_col=id_col,

@@ -750,3 +750,39 @@ def test_cap_per_group_null_group_both_modes(spark):
     approx = cap_per_group(df, cap=60, group_col="source", approx=True)
     null_rows = [r for r in approx.collect() if r.source is None]
     assert len(null_rows) == 50  # under the cap: kept whole, not dropped
+
+
+def test_curate_documents_optional_stages(spark):
+    """Opt-in boilerplate removal (pre-dedup) and per-source caps
+    (post-dedup, approx mode) compose into the batch curation chain;
+    defaults leave behavior unchanged."""
+    from etlutils_spark.operators.curation import curate_documents
+
+    body = "the quick brown fox jumps over a lazy dog " * 3
+    rows = []
+    for i in range(40):
+        # every doc shares a FOOTER line; bodies differ per doc
+        rows.append((i, f"{body}doc {i} of the corpus\nFOOTER LINE",
+                     f"s{i % 2}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [(0, "benchmark only text nothing shared with corpus")],
+        "doc_id long, text string",
+    )
+    base = curate_documents(docs, bench, min_tokens=5,
+                            min_stopword_ratio=0.0)
+    assert base.count() == 40
+    # boilerplate stage strips the shared FOOTER line from every doc
+    nb = curate_documents(docs, bench, min_tokens=5,
+                          min_stopword_ratio=0.0,
+                          boilerplate_max_doc_frac=0.5)
+    assert nb.count() == 40
+    assert all("FOOTER" not in r.text for r in nb.collect())
+    # per-source cap bounds each source's survivors
+    capped = curate_documents(docs, bench, min_tokens=5,
+                              min_stopword_ratio=0.0, source_cap=5)
+    per_src = {r.source: r.n for r in
+               capped.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+               .collect()}
+    assert all(n <= 12 for n in per_src.values())  # approx mode: near cap
+    assert capped.count() < 40
