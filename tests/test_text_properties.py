@@ -270,3 +270,56 @@ def test_bpe_encode_any_whitespace_boundary(spark):
     assert got == bpe_encode_reference("ab\tcd\nab  cd", merges)
     assert got == ["ab", "cd", "ab", "cd"]
     assert "\t" not in enc.encoded and "\n" not in enc.encoded
+
+
+def _boilerplate_ref(docs, max_doc_frac, min_doc_count):
+    """Pure-Python reference of line_boilerplate_removal."""
+    from collections import defaultdict
+
+    per_line_docs = defaultdict(set)
+    for did, text in docs:
+        for ln in (text or "").split("\n"):
+            per_line_docs[ln].add(did)
+    n = len(docs)
+    boiler = {
+        ln for ln, ds in per_line_docs.items()
+        if len(ds) >= min_doc_count and len(ds) / n >= max_doc_frac
+    }
+    out = {}
+    for did, text in docs:
+        lines = (text or "").split("\n")
+        kept = [ln for ln in lines if ln not in boiler]
+        out[did] = (len(lines), sum(1 for ln in lines if ln in boiler),
+                    "\n".join(kept))
+    return out
+
+
+@SET
+@given(
+    st.lists(
+        st.one_of(
+            st.sampled_from(["COMMON", "NAV BAR", "alpha", "beta zz"]),
+            st.text("xyz ", min_size=0, max_size=6),
+        ),
+        min_size=1, max_size=6,
+    ).map(lambda ls: "\n".join(ls)),
+    st.integers(2, 4),
+)
+def test_line_boilerplate_matches_python_reference(spark, _doc_text, min_dc):
+    """Differential vs the obvious Python algorithm on random corpora:
+    same boilerplate set, same per-doc counts, same reassembly."""
+    import random
+
+    from etlutils_spark.operators.text import line_boilerplate_removal
+
+    rng = random.Random(hash(_doc_text) & 0xFFFF)
+    docs = [(i, "\n".join(
+        rng.choice(["COMMON", "NAV BAR", "alpha", f"uniq {i} {j}"])
+        for j in range(rng.randint(1, 5))
+    )) for i in range(8)]
+    docs.append((99, _doc_text))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_lines, r.n_boiler_lines, r.text_clean)
+           for r in line_boilerplate_removal(
+               df, max_doc_frac=0.25, min_doc_count=min_dc).collect()}
+    assert got == _boilerplate_ref(docs, 0.25, min_dc)
