@@ -108,6 +108,7 @@ R4_EXTRAS = [
     "embedding_quantize_int8",
     "format_roundtrip_text",
     "triplet_mining_pairs",
+    "corpus_diff_releases",
 ]
 
 
