@@ -59,7 +59,7 @@ from etlutils_spark.operators.text import (
     token_gini_stats,
     tokens_to_ids,
 )
-from etlutils_spark.operators.quality import percentile_prune, rank_blend
+from etlutils_spark.operators.quality import percentile_prune, rank_blend, winsorize
 from etlutils_spark.plans.checks import check_constraints
 
 __all__ = [
@@ -93,6 +93,7 @@ __all__ = [
     "corpus_diff",
     "quantize_embeddings_int8",
     "read_text_corpus",
+    "winsorize",
     "triplet_mining",
     "leakage_safe_split",
     "line_boilerplate_removal",

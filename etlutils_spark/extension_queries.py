@@ -623,6 +623,45 @@ _STOP_LIT = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
 @register(
+    "winsorize_order_totals",
+    """
+    WITH vals AS (
+      SELECT o_orderpriority AS g, o_totalprice AS v
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    ranked AS (
+      SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) - 1 AS r
+      FROM vals),
+    counts AS (SELECT g, count(*) AS n FROM vals GROUP BY g),
+    bounds AS (
+      SELECT r.g, min(v) AS lo, max(v) AS hi
+      FROM ranked r JOIN counts c ON r.g = c.g
+      WHERE r.r = floor(0.05 * (c.n - 1)) OR r.r = floor(0.95 * (c.n - 1))
+      GROUP BY r.g)
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+           least(greatest(o.o_totalprice, b.lo), b.hi) AS o_totalprice_w
+    FROM orders o JOIN bounds b ON o.o_orderpriority = b.g
+    """,
+)
+def q_winsorize_order_totals(spark, sf_dir):
+    """Per-group winsorization (operators/quality.py::winsorize): order
+    totals clipped to each priority group's [P5, P95] band. Thresholds
+    are order statistics (the rank-floor(q*(n-1)) element), not
+    interpolated quantiles — interpolation differs across engines in
+    the last ulp, order statistics are engine-exact, so the oracle
+    matches bitwise."""
+    from etlutils_spark.operators.quality import winsorize
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return winsorize(
+        orders, "o_totalprice", lower_q=0.05, upper_q=0.95,
+        group_col="o_orderpriority",
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice",
+             "o_totalprice_w")
+
+
+@register(
     "corpus_diff_releases",
     """
     WITH b AS (

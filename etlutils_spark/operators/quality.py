@@ -280,3 +280,58 @@ def rank_blend(
     return out.select(
         id_col, *rank_cols, (acc / F.lit(float(len(rank_cols)))).alias("blend_rank")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    column: str,
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    group_col: str | None = None,
+    suffix: str = "_w",
+) -> DataFrame:
+    """Rank-based winsorization: clip ``column`` to its [lower_q,
+    upper_q] empirical quantile band — the standard outlier treatment
+    before numeric features enter training (z-score flags merely mark;
+    this repairs). Adds ``column + suffix``; original kept for audit.
+
+    Thresholds are ORDER-STATISTIC values (the element at rank
+    ``floor(q*(n-1))`` in sort order), not interpolated quantiles:
+    interpolation arithmetic differs across engines in the last ulp,
+    order statistics are engine-exact — the package's oracle
+    convention. NULLs pass through unclipped and take no rank.
+
+    Scale: one Window rank pass per group (or one global aggregate via
+    the grouped form with a constant group), threshold rows broadcast
+    back; with ``group_col`` the shuffle is the group key — the same
+    single-Exchange shape as percentile_prune."""
+    if not 0.0 <= lower_q <= upper_q <= 1.0:
+        raise ValueError(f"need 0 <= lower_q <= upper_q <= 1, got "
+                         f"({lower_q}, {upper_q})")
+    gcol = group_col
+    if gcol is None:
+        df = df.withColumn("__wg", F.lit(1))
+        gcol = "__wg"
+    vals = df.filter(F.col(column).isNotNull()).select(
+        F.col(gcol).alias("__g"), F.col(column).alias("__v")
+    )
+    w = Window.partitionBy("__g").orderBy("__v")
+    ranked = vals.withColumn("__r", F.row_number().over(w) - 1)
+    counts = vals.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    ranked = ranked.join(F.broadcast(counts), "__g")
+    lo_r = F.floor(F.lit(lower_q) * (F.col("__n") - 1))
+    hi_r = F.floor(F.lit(upper_q) * (F.col("__n") - 1))
+    bounds = (
+        ranked.filter((F.col("__r") == lo_r) | (F.col("__r") == hi_r))
+        .groupBy("__g")
+        .agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    )
+    out = df.join(
+        F.broadcast(bounds), F.col(gcol) == F.col("__g"), "left"
+    ).withColumn(
+        column + suffix,
+        F.when(F.col(column).isNull(), F.col(column))
+        .otherwise(F.least(F.greatest(F.col(column), F.col("__lo")),
+                           F.col("__hi"))),
+    ).drop("__g", "__lo", "__hi")
+    return out.drop("__wg") if group_col is None else out

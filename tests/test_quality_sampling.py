@@ -786,3 +786,34 @@ def test_curate_documents_optional_stages(spark):
                .collect()}
     assert all(n <= 12 for n in per_src.values())  # approx mode: near cap
     assert capped.count() < 40
+
+
+def test_winsorize_semantics(spark):
+    """Clipping matches the obvious Python computation; NULLs pass
+    through; grouped thresholds are per-group; bad quantiles raise."""
+    from etlutils_spark.operators.quality import winsorize
+
+    vals = [float(v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 100]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)] + [(99, None)],
+        "id long, v double",
+    )
+    out = {r.id: r.v_w for r in
+           winsorize(df, "v", lower_q=0.1, upper_q=0.9).collect()}
+    # order stats at ranks floor(0.1*9)=0 and floor(0.9*9)=8 -> [1, 9]
+    assert out[0] == 1.0 and out[9] == 9.0 and out[4] == 5.0
+    assert out[99] is None
+    g = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 11)]
+        + [("b", float(v)) for v in range(100, 1100, 100)],
+        "grp string, v double",
+    )
+    gout = winsorize(g, "v", lower_q=0.0, upper_q=0.5, group_col="grp")
+    mx = {r.grp: r.mx for r in
+          gout.groupBy("grp").agg(F.max("v_w").alias("mx")).collect()}
+    # rank floor(0.5*9)=4 -> 5th smallest: a=5, b=500
+    assert mx == {"a": 5.0, "b": 500.0}
+    import pytest
+
+    with pytest.raises(ValueError, match="lower_q"):
+        winsorize(df, "v", lower_q=0.9, upper_q=0.1)
