@@ -109,6 +109,8 @@ R4_EXTRAS = [
     "format_roundtrip_text",
     "triplet_mining_pairs",
     "corpus_diff_releases",
+    "winsorize_order_totals",
+    "embedding_standardize",
 ]
 
 

@@ -41,6 +41,7 @@ from etlutils_spark.operators.similarity import (
     pq_train,
     quantize_embeddings_int8,
     semantic_dedup,
+    standardize_embeddings,
 )
 from etlutils_spark.operators.sampling import (
     cap_per_group,
@@ -93,6 +94,7 @@ __all__ = [
     "corpus_diff",
     "quantize_embeddings_int8",
     "read_text_corpus",
+    "standardize_embeddings",
     "winsorize",
     "triplet_mining",
     "leakage_safe_split",

@@ -623,6 +623,43 @@ _STOP_LIT = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
 @register(
+    "embedding_standardize",
+    """
+    WITH d AS (
+      SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+    stats AS (
+      SELECT dim,
+             CAST(SUM(CAST(floor(v * 1e9) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 1e9) AS mean_v,
+             sqrt(greatest(
+               CAST(SUM(CAST(floor(v * v * 1e9) AS BIGINT)) AS DOUBLE)
+                 / (count(*) * 1e9)
+               - (CAST(SUM(CAST(floor(v * 1e9) AS BIGINT)) AS DOUBLE)
+                  / (count(*) * 1e9))
+                 * (CAST(SUM(CAST(floor(v * 1e9) AS BIGINT)) AS DOUBLE)
+                    / (count(*) * 1e9)),
+               0.0)) AS std_v
+      FROM d GROUP BY dim)
+    SELECT d.vec_id, CAST(d.dim AS INTEGER) AS dim,
+           CASE WHEN s.std_v = 0.0 THEN 0.0
+                ELSE (d.v - s.mean_v) / s.std_v END AS std_val
+    FROM d JOIN stats s USING (dim)
+    """,
+)
+def q_embedding_standardize(spark, sf_dir):
+    """Per-dimension embedding standardization through the oracle gate
+    (operators/similarity.py::standardize_embeddings): dimension
+    means/variances accumulate as scaled-long exact integers, the
+    apply step is single IEEE ops, so every standardized value matches
+    DuckDB bitwise. Row-per-dimension projection (the array form is
+    the production output)."""
+    from etlutils_spark.operators.similarity import standardize_embeddings_rows
+
+    return standardize_embeddings_rows(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
     "winsorize_order_totals",
     """
     WITH vals AS (

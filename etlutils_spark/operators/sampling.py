@@ -274,6 +274,7 @@ def cap_per_group(
     key_col: str = "doc_id",
     salt: str = "",
     approx: bool = False,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per group, deterministically — the
     per-domain/per-source cap of web-corpus curation (don't let one
@@ -281,6 +282,12 @@ def cap_per_group(
     digest order, so it is a pure function of (key, salt): stable
     under re-runs, repartitioning, and engine changes, like every
     sampler in this module.
+
+    ``order_col`` switches selection from digest order to
+    BEST-``order_col``-first (descending, key tie-break) — "keep the
+    top-N docs per domain by quality score", the curation form that
+    composes with ``quality.rank_blend``. Exact mode only (a
+    value-ordered cap has no stateless-threshold equivalent).
 
     Exact mode (default): ``row_number`` over (group, digest) — one
     shuffle on ``group_col``. The window sorts each group's rows, so a
@@ -295,10 +302,18 @@ def cap_per_group(
     under the cap are kept whole exactly."""
     if cap <= 0:
         raise ValueError(f"cap must be positive, got {cap}")
-    if not approx:
-        w = Window.partitionBy(group_col).orderBy(
-            _digest(key_col, salt), F.col(key_col)
+    if order_col is not None and approx:
+        raise ValueError(
+            "order_col requires exact mode: a value-ordered cap has no "
+            "stateless digest-threshold equivalent"
         )
+    if not approx:
+        order = (
+            [F.col(order_col).desc(), F.col(key_col)]
+            if order_col is not None
+            else [_digest(key_col, salt), F.col(key_col)]
+        )
+        w = Window.partitionBy(group_col).orderBy(*order)
         return (
             df.withColumn("__capr", F.row_number().over(w))
             .filter(F.col("__capr") <= cap)

@@ -489,6 +489,73 @@ def profile_embeddings(
     )
 
 
+def standardize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "embedding_std",
+) -> DataFrame:
+    """Per-dimension standardization ((v - mean) / std) of an embedding
+    column — the preprocessing pass before clustering/ANN when
+    dimensions have uneven ranges (see ``profile_embeddings``, which
+    diagnoses exactly that). Zero-variance dimensions standardize to
+    0.0 (a loud NaN would poison every downstream distance).
+
+    Determinism: dimension means/variances accumulate in the scaled-
+    long form (floor(v*1e9) / floor(v*v*1e9) summed as exact integers —
+    the Q1 pattern), so the statistics are bit-identical under any
+    partitioning and any engine; the apply step is single IEEE ops.
+    Scale: one posexplode + combinable agg for the stats (dim-keyed
+    shuffle of partial sums), stats broadcast back, apply is stateless
+    column algebra."""
+    v = F.posexplode(F.col(vec_col)).alias("dim", "__v")
+    dims = df.select(v).select(
+        "dim", F.col("__v").cast("double").alias("__v")
+    )
+    s1 = F.sum(F.floor(F.col("__v") * 1e9).cast("long"))
+    s2 = F.sum(F.floor(F.col("__v") * F.col("__v") * 1e9).cast("long"))
+    n = F.count(F.lit(1))
+    stats = dims.groupBy("dim").agg(
+        (s1.cast("double") / (n * F.lit(1e9))).alias("__mean"),
+        F.sqrt(
+            F.greatest(
+                s2.cast("double") / (n * F.lit(1e9))
+                - (s1.cast("double") / (n * F.lit(1e9)))
+                * (s1.cast("double") / (n * F.lit(1e9))),
+                F.lit(0.0),
+            )
+        ).alias("__std"),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "__v")
+    ).select(id_col, "dim", F.col("__v").cast("double").alias("__v"))
+    std_rows = exploded.join(F.broadcast(stats), "dim").select(
+        id_col,
+        "dim",
+        F.when(F.col("__std") == 0.0, F.lit(0.0))
+        .otherwise((F.col("__v") - F.col("__mean")) / F.col("__std"))
+        .alias("__s"),
+    )
+    seq = F.array_sort(F.collect_list(F.struct(F.col("dim"), F.col("__s"))))
+    return std_rows.groupBy(id_col).agg(
+        F.transform(seq, lambda s: s["__s"]).alias(out_col)
+    )
+
+
+def standardize_embeddings_rows(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Row-per-dimension form of ``standardize_embeddings`` —
+    ``(id, dim, std_val)`` scalars (the oracle-checkable projection;
+    the array form above is the production output)."""
+    arr = standardize_embeddings(df, vec_col, id_col)
+    return arr.select(
+        F.col(id_col), F.posexplode("embedding_std").alias("dim", "std_val")
+    )
+
+
 def quantize_embeddings_int8(
     df: DataFrame,
     vec_col: str = "embedding",

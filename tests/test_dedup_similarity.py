@@ -701,3 +701,25 @@ def test_triplet_mining_semantics(spark):
         triplet_mining(clusters, neg_pool_rate=1.0, max_pool=5).collect()
     with pytest.raises(ValueError, match="neg_pool_rate"):
         triplet_mining(clusters, neg_pool_rate=0.0)
+
+
+def test_standardize_embeddings_moments_and_zero_variance(spark):
+    """Standardized dims have ~0 mean and ~1 std; constant dims map to
+    exactly 0.0 everywhere (never NaN); output order is dim order."""
+    import numpy as np
+
+    from etlutils_spark.operators.similarity import standardize_embeddings
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(50, 4)
+    vecs[:, 2] = 7.0  # zero-variance dimension
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.embedding_std
+           for r in standardize_embeddings(df).collect()}
+    M = np.array([out[i] for i in range(50)])
+    assert M.shape == (50, 4)
+    assert np.allclose(M[:, 2], 0.0)
+    for d in (0, 1, 3):
+        assert abs(M[:, d].mean()) < 1e-6
+        assert abs(M[:, d].std() - 1.0) < 1e-6

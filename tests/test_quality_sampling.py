@@ -817,3 +817,16 @@ def test_winsorize_semantics(spark):
 
     with pytest.raises(ValueError, match="lower_q"):
         winsorize(df, "v", lower_q=0.9, upper_q=0.1)
+
+
+def test_cap_per_group_order_col_keeps_best(spark):
+    from etlutils_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "g", float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    best = cap_per_group(df, cap=3, group_col="source", order_col="score")
+    assert {r.doc_id for r in best.collect()} == {17, 18, 19}
+    import pytest
+
+    with pytest.raises(ValueError, match="exact mode"):
+        cap_per_group(df, cap=3, order_col="score", approx=True)
