@@ -825,7 +825,7 @@ def _duck_bpe_sql() -> str:
     fs, gs = "chr(28)", "chr(29)"
     s = (
         f"array_to_string(list_transform("
-        f"list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0), "
+        f"list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\f]+'), x -> len(x) > 0), "
         f"w -> {fs} || array_to_string(string_split(w, ''), {gs} || {fs}) "
         f"|| {gs}), ' ')"
     )
@@ -865,7 +865,8 @@ def q_bpe_encode_docs(spark, sf_dir):
     r"""
     WITH pl AS (
       SELECT doc_id,
-             regexp_replace(text, '(\S+ \S+) ', '\1' || chr(10), 'g') AS t
+             regexp_replace(COALESCE(text, ''), '(\S+ \S+) ',
+                            '\1' || chr(10), 'g') AS t
       FROM documents),
     split_t AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM pl),
     lines AS (

@@ -190,6 +190,21 @@ def matchmerge(
         # types and matches NA to NA there too, so the flag must not
         # silently no-op on one-key joins.
         kcol = "__mm_paste_key"
+        # bare-key-vector y with a requested label (single-key form):
+        # materialize the label as the ORIGINAL typed key value BEFORE
+        # pasting — otherwise the inner call would alias the pasted
+        # string as the label (string '1' / literal 'NA' instead of the
+        # typed value / NULL, diverging from R, which never pastes the
+        # merged vector's values)
+        if (
+            len(keys_y) == 1
+            and list(y.columns) == keys_y
+            and add_columns is not None
+            and len(list(add_columns)) == 1
+        ):
+            label = list(add_columns)[0]
+            y = y.select(F.col(keys_y[0]), F.col(keys_y[0]).alias(label))
+            add_columns = [label]
         if add_columns is None:
             add_columns = [c for c in y.columns if c not in keys_y]
         drop_keys = [k for k in keys_y if k not in add_columns]

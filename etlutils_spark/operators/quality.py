@@ -318,7 +318,13 @@ def winsorize(
     w = Window.partitionBy("__g").orderBy("__v")
     ranked = vals.withColumn("__r", F.row_number().over(w) - 1)
     counts = vals.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
-    ranked = ranked.join(F.broadcast(counts), "__g")
+    # null-safe joins throughout: a NULL group is a group like any
+    # other (same contract as cap_per_group) — plain equality would
+    # leave every NULL-group row unclipped
+    ranked = ranked.join(
+        F.broadcast(counts.withColumnRenamed("__g", "__gc")),
+        F.col("__g").eqNullSafe(F.col("__gc")),
+    ).drop("__gc")
     lo_r = F.floor(F.lit(lower_q) * (F.col("__n") - 1))
     hi_r = F.floor(F.lit(upper_q) * (F.col("__n") - 1))
     bounds = (
@@ -327,7 +333,7 @@ def winsorize(
         .agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
     )
     out = df.join(
-        F.broadcast(bounds), F.col(gcol) == F.col("__g"), "left"
+        F.broadcast(bounds), F.col(gcol).eqNullSafe(F.col("__g")), "left"
     ).withColumn(
         column + suffix,
         F.when(F.col(column).isNull(), F.col(column))

@@ -501,21 +501,26 @@ def standardize_embeddings(
     diagnoses exactly that). Zero-variance dimensions standardize to
     0.0 (a loud NaN would poison every downstream distance).
 
-    Determinism: dimension means/variances accumulate in the scaled-
-    long form (floor(v*1e9) / floor(v*v*1e9) summed as exact integers —
-    the Q1 pattern), so the statistics are bit-identical under any
-    partitioning and any engine; the apply step is single IEEE ops.
-    Scale: one posexplode + combinable agg for the stats (dim-keyed
-    shuffle of partial sums), stats broadcast back, apply is stateless
-    column algebra."""
-    v = F.posexplode(F.col(vec_col)).alias("dim", "__v")
-    dims = df.select(v).select(
-        "dim", F.col("__v").cast("double").alias("__v")
+    Determinism: dimension means/variances accumulate in the scaled
+    form (floor(v*1e9) / floor(v*v*1e9) summed as exact decimal(38,0)
+    integers — overflow-free to 1e38, where a long sum would silently
+    wrap around 9e9 unit-norm rows; DuckDB's BIGINT sum widens to
+    HUGEINT, so the engines agree), so the statistics are bit-identical
+    under any partitioning and any engine; the apply step is single
+    IEEE ops. NULL or empty embeddings keep their row with a NULL
+    output (posexplode alone would silently drop them). Scale: one
+    posexplode + combinable agg for the stats (dim-keyed shuffle of
+    partial sums), stats broadcast back, apply is stateless column
+    algebra."""
+    exploded = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "__v")
+    ).select(id_col, "dim", F.col("__v").cast("double").alias("__v"))
+    s1 = F.sum(F.floor(F.col("__v") * 1e9).cast("decimal(38,0)"))
+    s2 = F.sum(
+        F.floor(F.col("__v") * F.col("__v") * 1e9).cast("decimal(38,0)")
     )
-    s1 = F.sum(F.floor(F.col("__v") * 1e9).cast("long"))
-    s2 = F.sum(F.floor(F.col("__v") * F.col("__v") * 1e9).cast("long"))
     n = F.count(F.lit(1))
-    stats = dims.groupBy("dim").agg(
+    stats = exploded.groupBy("dim").agg(
         (s1.cast("double") / (n * F.lit(1e9))).alias("__mean"),
         F.sqrt(
             F.greatest(
@@ -526,9 +531,6 @@ def standardize_embeddings(
             )
         ).alias("__std"),
     )
-    exploded = df.select(
-        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "__v")
-    ).select(id_col, "dim", F.col("__v").cast("double").alias("__v"))
     std_rows = exploded.join(F.broadcast(stats), "dim").select(
         id_col,
         "dim",
@@ -537,9 +539,11 @@ def standardize_embeddings(
         .alias("__s"),
     )
     seq = F.array_sort(F.collect_list(F.struct(F.col("dim"), F.col("__s"))))
-    return std_rows.groupBy(id_col).agg(
+    arrays = std_rows.groupBy(id_col).agg(
         F.transform(seq, lambda s: s["__s"]).alias(out_col)
     )
+    # re-attach rows whose embedding was NULL/empty (no exploded rows)
+    return df.select(id_col).join(arrays, id_col, "left")
 
 
 def standardize_embeddings_rows(

@@ -589,10 +589,13 @@ def bpe_train(
         .limit(sample_limit)
         .collect()
     )
+    import re as _re
+
     word_freq: Counter = Counter()
     for r in rows:
-        for w in (r[0] or "").split():
-            word_freq[tuple(w)] += 1
+        for w in _re.split(r"[ \t\n\r\f]+", r[0] or ""):
+            if w:
+                word_freq[tuple(w)] += 1
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         pairs: Counter = Counter()
@@ -637,12 +640,15 @@ def bpe_encode(
     twin built from the same merge literals reproduces it
     byte-for-byte. Contract: input text must not contain the FS/GS
     control characters (ASCII 0x1C/0x1D; never present in natural
-    text). Word boundaries are ANY whitespace run (regex ``\\s+``) —
-    the same boundary ``bpe_train``/``bpe_encode_reference`` use via
-    ``str.split()``, so tabs/newlines in real corpora never leak into
-    pieces."""
+    text). Word boundaries are the explicit ASCII whitespace class
+    ``[ \\t\\n\\r\\f]+`` — spelled out rather than ``\\s`` because the
+    shorthand differs per engine (Java \\s adds \\x0B, Python str.split
+    adds all Unicode spaces like NBSP); train, reference, encode, and
+    the DuckDB oracle all share this one class, so pieces match
+    byte-for-byte and an NBSP is part of its word everywhere."""
     words = F.filter(
-        F.split(F.col(text_col), r"\s+"), lambda w: F.length(w) > 0
+        F.split(F.col(text_col), "[ \t\n\r\f]+"),
+        lambda w: F.length(w) > 0,
     )
     wrap = lambda w: F.concat(  # noqa: E731
         F.lit(BPE_FS),
@@ -668,8 +674,12 @@ def bpe_encode(
 def bpe_encode_reference(text: str, merges: "list[tuple[str, str]]") -> "list[str]":
     """Pure-Python reference of the classic per-word greedy merge loop
     (for differential tests of bpe_encode's replace-chain)."""
+    import re as _re
+
     out: list[str] = []
-    for w in text.split():
+    for w in _re.split(r"[ \t\n\r\f]+", text):
+        if not w:
+            continue
         pieces = list(w)
         for a, b in merges:
             i, nxt = 0, []

@@ -290,11 +290,22 @@ def ingest_to_parquet(
         try:
             existing = df.sparkSession.read.parquet(path)
         except Exception as exc:
-            # only a genuinely-absent table means "first append";
-            # anything else (corrupt footer, permissions) must NOT
-            # silently bypass the drift/frozen-level gates
+            # "nothing stored yet" = path absent OR an existing-but-
+            # empty directory (an orchestrator's mkdir, debris of a
+            # failed first write) — both are first appends; anything
+            # else (corrupt footer, permissions) must NOT silently
+            # bypass the drift/frozen-level gates
             msg = str(exc)
-            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            first_append = any(
+                pat in msg
+                for pat in (
+                    "PATH_NOT_FOUND",
+                    "Path does not exist",
+                    "UNABLE_TO_INFER_SCHEMA",
+                    "Unable to infer schema",
+                )
+            )
+            if first_append:
                 existing = None
             else:
                 raise

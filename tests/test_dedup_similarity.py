@@ -723,3 +723,17 @@ def test_standardize_embeddings_moments_and_zero_variance(spark):
     for d in (0, 1, 3):
         assert abs(M[:, d].mean()) < 1e-6
         assert abs(M[:, d].std() - 1.0) < 1e-6
+
+
+def test_standardize_embeddings_keeps_null_and_empty_rows(spark):
+    from etlutils_spark.operators.similarity import standardize_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0]), (2, None), (3, [])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r.embedding_std
+           for r in standardize_embeddings(df).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[2] is None and out[3] is None
+    assert len(out[0]) == 2

@@ -264,3 +264,19 @@ def test_trans_fun_schema_infer(spark):
     # empty sample output cannot resolve dtypes -> loud error
     with pytest.raises(ValueError, match="infer"):
         trans_fun(df, lambda pdf: pdf.iloc[0:0], "infer")
+
+
+def test_paste_keys_single_bare_vector_label_keeps_typed_value(spark):
+    """Single-key paste mode with a bare key vector + label: the label
+    must carry the ORIGINAL typed key value (R never pastes the merged
+    values), NULL where unmatched — not the pasted string."""
+    x = spark.createDataFrame([(1,), (2,), (None,)], "k int")
+    y = spark.createDataFrame([(1.0,), (None,)], "k double")
+    out = {r.k: r.lab for r in matchmerge(
+        x, y, by_x="k", by_y="k", all_x=True,
+        add_columns=["lab"], paste_keys=True,
+    ).collect()}
+    assert out[1] == 1.0          # typed double, not string '1'
+    assert out[2] is None         # unmatched -> NULL, not 'NA'
+    assert out[None] is None      # NA matched NA; label is the
+                                  # original key value (NULL)

@@ -830,3 +830,19 @@ def test_cap_per_group_order_col_keeps_best(spark):
 
     with pytest.raises(ValueError, match="exact mode"):
         cap_per_group(df, cap=3, order_col="score", approx=True)
+
+
+def test_winsorize_null_group_is_clipped(spark):
+    """A NULL group is a group (same contract as cap_per_group): its
+    rows must clip to the NULL group's own band, not pass through."""
+    from etlutils_spark.operators.quality import winsorize
+
+    rows = ([(i, None, float(v)) for i, v in
+             enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 100])]
+            + [(100 + i, "g", float(i)) for i in range(10)])
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = {r.id: r.v_w for r in
+           winsorize(df, "v", lower_q=0.1, upper_q=0.9,
+                     group_col="grp").collect()}
+    assert out[9] == 9.0  # the NULL group's 100 clips to its own P90
+    assert out[0] == 1.0

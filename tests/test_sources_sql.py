@@ -166,3 +166,14 @@ def test_append_type_drift_always_raises(spark, tmp_path):
     # not even evolve_schema permits a same-name type change
     with pytest.raises(ValueError, match="type drift"):
         ingest_to_parquet(bad, out, mode="append", evolve_schema=True)
+
+
+def test_append_into_empty_directory_is_first_append(spark, tmp_path):
+    """An existing-but-empty directory (orchestrator mkdir) is 'nothing
+    stored yet': the append succeeds instead of failing schema probe."""
+    out = tmp_path / "empty_dir"
+    out.mkdir()
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    ingest_to_parquet(df, str(out), mode="append",
+                      append_levels={"text": False})
+    assert spark.read.parquet(str(out)).count() == 1
