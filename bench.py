@@ -111,6 +111,7 @@ R4_EXTRAS = [
     "corpus_diff_releases",
     "winsorize_order_totals",
     "embedding_standardize",
+    "dedup_rate_report_by_source",
 ]
 
 

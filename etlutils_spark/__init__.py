@@ -26,6 +26,7 @@ from etlutils_spark.sources.merge import merge_upsert, scd2_apply
 from etlutils_spark.operators.curation import curate_documents, curate_to_sequences
 from etlutils_spark.operators.dedup import (
     cluster_size_histogram,
+    dedup_rate_report,
     triplet_mining,
     window_dedup_rewrite,
     window_dedup_stats,
@@ -92,6 +93,7 @@ __all__ = [
     "bpe_train",
     "cap_per_group",
     "corpus_diff",
+    "dedup_rate_report",
     "quantize_embeddings_int8",
     "read_text_corpus",
     "standardize_embeddings",

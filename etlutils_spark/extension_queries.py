@@ -623,6 +623,52 @@ _STOP_LIT = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
 @register(
+    "dedup_rate_report_by_source",
+    f"""
+    WITH lab AS ({_duck_minhash_clusters_sql()}),
+    base AS (
+      SELECT source AS segment, doc_id AS id, md5(text) AS h
+      FROM documents),
+    j AS (
+      SELECT b.segment, b.id, b.h, COALESCE(l.cluster_id, b.id) AS c
+      FROM base b LEFT JOIN lab l ON b.id = l.doc_id),
+    fl AS (
+      SELECT segment, c,
+             CASE WHEN row_number() OVER (PARTITION BY segment, h
+                                          ORDER BY id) > 1
+                  THEN 1 ELSE 0 END AS ed,
+             CASE WHEN row_number() OVER (PARTITION BY segment, c
+                                          ORDER BY id) > 1
+                  THEN 1 ELSE 0 END AS nd
+      FROM j)
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ed) AS BIGINT) AS n_exact_dup_docs,
+           CAST(SUM(ed) AS DOUBLE) / count(*) AS exact_dup_rate,
+           CAST(SUM(nd) AS BIGINT) AS n_near_dup_docs,
+           CAST(SUM(nd) AS DOUBLE) / count(*) AS near_dup_rate,
+           CAST(count(DISTINCT c) AS BIGINT) AS n_clusters,
+           CAST(count(*) AS DOUBLE) / count(DISTINCT c)
+             AS mean_cluster_size
+    FROM fl GROUP BY segment
+    """,
+)
+def q_dedup_rate_report_by_source(spark, sf_dir):
+    """Per-source dedup health summary (operators/dedup.py::
+    dedup_rate_report): exact- and near-duplicate rates, cluster count
+    and mean size per source segment, computed off the MATERIALIZED
+    cluster table — the one-page report a corpus release publishes to
+    say how much duplicate mass each source carries."""
+    from etlutils_spark.operators.dedup import dedup_rate_report
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = _materialized_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("node"), "cluster_id"
+    )
+    return dedup_rate_report(docs, clusters, group_col="source")
+
+
+@register(
     "embedding_standardize",
     """
     WITH d AS (

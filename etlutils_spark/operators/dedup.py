@@ -28,7 +28,7 @@ in Manku et al. (WWW 2007).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -1096,4 +1096,61 @@ def triplet_mining(
                           F.col("neg_cand").cast("string"), F.lit(salt)))
     return cand.groupBy("anchor", "positive").agg(
         F.min_by("neg_cand", pick).alias("negative")
+    )
+
+
+def dedup_rate_report(
+    docs: DataFrame,
+    clusters: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """The one-row-per-segment dedup summary a pipeline run publishes:
+    exact-duplicate rate, near-duplicate rate (docs in multi-member
+    clusters), cluster count and mean size — overall (segment
+    '__all__') and per ``group_col`` when given. Runs off the
+    MATERIALIZED cluster table (the materialize-once/diagnose-many mode
+    of cluster_size_histogram), so the cost is two aggregations and a
+    join of id-keyed narrow rows, never the pair pipeline.
+
+    Columns: ``(segment, n_docs, n_exact_dup_docs, exact_dup_rate,
+    n_near_dup_docs, near_dup_rate, n_clusters, mean_cluster_size)``
+    where exact dups = docs beyond their content-digest group's first,
+    near dups = docs beyond their near-dup cluster's first (a superset
+    when the pair graph subsumes exact matches)."""
+    seg = (
+        F.col(group_col) if group_col is not None else F.lit("__all__")
+    ).alias("segment")
+    base = docs.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.md5(F.col(text_col)).alias("__h"),
+        seg,
+    )
+    lab = clusters.select(
+        F.col(node_col).cast("long").alias("__id"),
+        F.col(cluster_col).cast("long").alias("__c"),
+    )
+    joined = base.join(lab, "__id", "left").select(
+        "segment", "__id", "__h", F.coalesce("__c", F.col("__id")).alias("__c")
+    )
+    w_h = Window.partitionBy("segment", "__h").orderBy("__id")
+    w_c = Window.partitionBy("segment", "__c").orderBy("__id")
+    flagged = joined.select(
+        "segment", "__c",
+        (F.row_number().over(w_h) > 1).cast("int").alias("__ed"),
+        (F.row_number().over(w_c) > 1).cast("int").alias("__nd"),
+    )
+    n = F.count(F.lit(1))
+    return flagged.groupBy("segment").agg(
+        n.cast("bigint").alias("n_docs"),
+        F.sum("__ed").cast("bigint").alias("n_exact_dup_docs"),
+        (F.sum("__ed").cast("double") / n).alias("exact_dup_rate"),
+        F.sum("__nd").cast("bigint").alias("n_near_dup_docs"),
+        (F.sum("__nd").cast("double") / n).alias("near_dup_rate"),
+        F.countDistinct("__c").cast("bigint").alias("n_clusters"),
+        (n.cast("double") / F.countDistinct("__c"))
+        .alias("mean_cluster_size"),
     )

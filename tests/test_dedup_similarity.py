@@ -737,3 +737,32 @@ def test_standardize_embeddings_keeps_null_and_empty_rows(spark):
     assert set(out) == {0, 1, 2, 3}
     assert out[2] is None and out[3] is None
     assert len(out[0]) == 2
+
+
+def test_dedup_rate_report_semantics(spark):
+    """Planted corpus: 2 exact dups + 1 near-dup cluster member in one
+    segment; rates and cluster sizes must match hand computation, and
+    the overall segment covers everything."""
+    from etlutils_spark.operators.dedup import dedup_rate_report
+
+    docs = spark.createDataFrame(
+        [(0, "same text", "a"), (1, "same text", "a"),
+         (2, "near text", "a"), (3, "other", "b")],
+        "doc_id long, text string, source string",
+    )
+    # near-dup clusters: 0,1,2 share a cluster; 3 is a singleton
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3)], "node long, cluster_id long"
+    )
+    by_src = {r.segment: r for r in
+              dedup_rate_report(docs, clusters, group_col="source")
+              .collect()}
+    a = by_src["a"]
+    assert a.n_docs == 3 and a.n_exact_dup_docs == 1  # doc 1 repeats 0
+    assert a.n_near_dup_docs == 2                      # docs 1 and 2
+    assert a.n_clusters == 1 and a.mean_cluster_size == 3.0
+    b = by_src["b"]
+    assert b.n_docs == 1 and b.n_near_dup_docs == 0
+    overall = dedup_rate_report(docs, clusters).collect()[0]
+    assert overall.segment == "__all__" and overall.n_docs == 4
+    assert overall.n_exact_dup_docs == 1 and overall.n_near_dup_docs == 2
