@@ -911,7 +911,8 @@ def q_bpe_encode_docs(spark, sf_dir):
     r"""
     WITH pl AS (
       SELECT doc_id,
-             regexp_replace(COALESCE(text, ''), '(\S+ \S+) ',
+             regexp_replace(COALESCE(text, ''),
+                            '([^ \t\n\r\f]+ [^ \t\n\r\f]+) ',
                             '\1' || chr(10), 'g') AS t
       FROM documents),
     split_t AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM pl),
@@ -949,7 +950,11 @@ def q_line_boilerplate_docs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.regexp_replace(F.col("text"), r"(\S+ \S+) ", "$1\n").alias("text"),
+        # explicit class, not \S: Java counts \x0B as whitespace, RE2
+        # (DuckDB oracle) does not — same portability rule as bpe_encode
+        F.regexp_replace(
+            F.col("text"), r"([^ \t\n\r\f]+ [^ \t\n\r\f]+) ", "$1\n"
+        ).alias("text"),
     )
     out = line_boilerplate_removal(
         docs, max_doc_frac=0.05, min_doc_count=2

@@ -614,21 +614,32 @@ def _cc_star(
     the component minimum, reached in O(log n) rounds on any graph —
     two O(E) shuffles per round, no driver-side state beyond the
     convergence probe."""
-    e = pairs.select(
+    # persisted so the upstream pair pipeline (often a full
+    # minhash->LSH->verify chain) runs exactly ONCE even though both the
+    # edge set and the node set derive from it; released right after the
+    # first edge count materializes both
+    raw = pairs.select(
         F.col(left).cast("long").alias("u"), F.col(right).cast("long").alias("v")
-    ).filter(F.col("u") != F.col("v"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # canonical max->min orientation; the upstream pair pipeline (often
     # a full minhash->LSH->verify chain) runs exactly ONCE, into this
-    # persisted table — everything else derives from it
-    edges = e.select(
-        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    # node set off the CACHED edges (eager checkpoint: by the time the
+    # persisted table — everything else derives from it. Self-loops are
+    # dropped from the EDGE set only; the node set below is built from
+    # the unfiltered pair list so a node whose only pairs are (u, u)
+    # still appears in the output labeled to itself — matching
+    # algorithm='minlabel' row-for-row (round-6 advice fix).
+    edges = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # node set off the raw pair list (eager checkpoint: by the time the
     # final labels need it, the original edges table has been replaced
     # and unpersisted — deriving lazily would re-run the pair pipeline)
     all_nodes = (
-        edges.select(F.col("u").alias("node"))
-        .union(edges.select(F.col("v").alias("node")))
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -636,6 +647,7 @@ def _cc_star(
     converged = False
     rounds = 0
     prev_count = edges.count()
+    raw.unpersist()
     for _ in range(max_iter):
         rounds += 1
         # Large-Star: m(u) = min over Gamma(u) ∪ {u}; emit (w, m) for

@@ -102,8 +102,10 @@ def r_paste_key(df: DataFrame, cols: Sequence[str]) -> Column:
     via Spark's cast-to-string, which matches R for plain-decimal
     magnitudes but switches to ``1.5E-5``-style scientific notation
     where R prints ``1.5e-05`` — keys relying on scientific-notation
-    text equality diverge. The hypothesis differential pins the
-    plain-decimal range."""
+    text equality diverge. Likewise integral magnitudes >= 1e38 exceed
+    decimal(38,0) and render via the plain string cast (``1.0E38`` vs
+    R's ``1e+38``) rather than overflowing to NULL/'NA'. The hypothesis
+    differential pins the plain-decimal range."""
     from pyspark.sql import types as T
 
     parts = []
@@ -116,7 +118,15 @@ def r_paste_key(df: DataFrame, cols: Sequence[str]) -> Column:
                 F.when(F.isnan(d), "NaN")
                 .when(d == float("inf"), "Inf")
                 .when(d == float("-inf"), "-Inf")
-                .when(d == F.floor(d), col.cast("decimal(38,0)").cast("string"))
+                # decimal(38,0) overflows to NULL at |d| >= 1e38, which
+                # would coalesce to literal 'NA' and collide with real
+                # NA keys — huge integral magnitudes fall back to the
+                # plain string cast (documented parity bound: R prints
+                # '1e+38' there, Spark '1.0E38')
+                .when(
+                    (d == F.floor(d)) & (F.abs(d) < F.lit(1e38)),
+                    col.cast("decimal(38,0)").cast("string"),
+                )
                 .otherwise(col.cast("string"))
             )
         elif isinstance(dt, T.BooleanType):
@@ -167,6 +177,16 @@ def matchmerge(
     if by_x_expr is not None or by_y_expr is not None:
         if by_x_expr is None or by_y_expr is None:
             raise ValueError("by_x_expr and by_y_expr must be given together")
+        if paste_keys:
+            # expression keys are already a single derived value per
+            # side; silently falling through to tuple-join semantics
+            # would hand a caller who asked for R paste-key parity
+            # something else entirely (round-6 advice fix)
+            raise ValueError(
+                "paste_keys=True is not supported with expression keys "
+                "(by_x_expr/by_y_expr); paste the expressions yourself "
+                "or pass column names"
+            )
         return _merge_on_expr(x, y, by_x_expr, by_y_expr, how, add_columns,
                               check_duplicates, trace, broadcast_right)
 

@@ -287,6 +287,22 @@ def test_connected_components_chain_and_islands(spark):
         connected_components(pairs, algorithm="bogus")
 
 
+def test_cc_star_keeps_self_loop_only_nodes(spark):
+    # a node whose ONLY pairs are self-pairs must still appear in the
+    # output, labeled to itself, in BOTH algorithms (round-6 advice fix:
+    # star used to build its node set after the u!=v filter and drop it)
+    pairs = spark.createDataFrame(
+        [(1, 2), (5, 5)], "doc_id_1 long, doc_id_2 long"
+    )
+    expected = {1: 1, 2: 1, 5: 5}
+    lab_min = {r.node: r.cluster_id
+               for r in connected_components(pairs).collect()}
+    lab_star = {r.node: r.cluster_id
+                for r in connected_components(pairs, algorithm="star").collect()}
+    assert lab_min == expected
+    assert lab_star == expected
+
+
 def test_cc_star_beats_minlabel_on_chains(spark):
     """Kiveris-style alternating stars converge in O(log n) rounds where
     min-label propagation needs O(diameter): on a 24-node chain (the

@@ -114,6 +114,35 @@ def test_r_paste_key_coercions(spark):
     assert got == ["1 TRUE s 7", "2.5 FALSE NA NA"]
 
 
+def test_r_paste_key_huge_integral_double_not_na(spark):
+    """decimal(38,0) overflows to NULL at |d| >= 1e38; the guard must
+    fall back to the plain string cast so a huge integral key neither
+    renders as literal 'NA' (colliding with genuine NA keys) nor
+    matches a real-NA row (round-6 advice fix)."""
+    from etlutils_spark.operators.matchmerge import r_paste_key
+
+    df = spark.createDataFrame(
+        [(1e38,), (-2.5e40,), (None,)], "d double"
+    )
+    got = [r.k for r in
+           df.select(r_paste_key(df, ["d"]).alias("k")).collect()]
+    assert got[0] != "NA" and got[1] != "NA"
+    assert got[2] == "NA"
+    assert got[0] != got[2] and got[1] != got[2]
+
+
+def test_paste_keys_rejected_with_expression_keys(spark):
+    """paste_keys=True used to be silently ignored when expression keys
+    were given; it must raise instead (round-6 advice fix)."""
+    import pyspark.sql.functions as F
+
+    x = spark.createDataFrame([(1, "a")], "k int, v string")
+    y = spark.createDataFrame([(1, "b")], "k int, w string")
+    with pytest.raises(ValueError, match="paste_keys.*expression"):
+        matchmerge(x, y, by_x_expr=F.col("k") + 1, by_y_expr=F.col("k") + 1,
+                   paste_keys=True)
+
+
 def _r_paste_ref(vals):
     """Python reference of R's do.call(paste, ...) cell coercion."""
     out = []
