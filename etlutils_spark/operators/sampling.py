@@ -454,7 +454,7 @@ def pack_ids_export(
 
 def leakage_safe_split(
     df: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     fractions: tuple[float, float] = (0.8, 0.1),
     id_col: str = "doc_id",
     left: str = "doc_id_1",
@@ -462,6 +462,7 @@ def leakage_safe_split(
     salt: str = "",
     broadcast_clusters: bool = True,
     cc_algorithm: str = "star",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Split assignment keyed by near-dup CLUSTER, not document: every
     member of a connected near-dup component receives the same split,
@@ -486,13 +487,38 @@ def leakage_safe_split(
     labeling defaults to ``cc_algorithm="star"`` (O(log n) rounds on
     any shape; see connected_components); pass "minlabel" to match the
     dedup pipelines' default.
+
+    Production shape: pass ``components=`` — a precomputed ``(node,
+    cluster_id)`` label table (``build_dedup_clusters``'s materialized
+    artifact, renamed or as-is via its id column) — instead of
+    ``pairs``, so the expensive pair pipeline runs once per corpus
+    snapshot, not once per split request. A ``(doc_id, cluster_id)``
+    frame is accepted directly (its first column is treated as the
+    node id).
     """
     from etlutils_spark.operators.dedup import connected_components
 
     f_train, f_val = fractions
     if not (0 <= f_train and 0 <= f_val and f_train + f_val <= 1):
         raise ValueError(f"invalid fractions {fractions}")
-    comp = connected_components(pairs, left, right, algorithm=cc_algorithm)
+    if (pairs is None) == (components is None):
+        raise ValueError("pass exactly one of pairs= or components=")
+    if components is not None:
+        node_col = (
+            "node" if "node" in components.columns else components.columns[0]
+        )
+        comp = components.select(
+            F.col(node_col).cast("long").alias("node"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+        )
+        # a full label table is corpus-sized; rows labeling a node to
+        # itself (singletons AND each cluster's minimum member) are
+        # redundant under the coalesce below, and dropping them bounds
+        # the broadcast side by dup mass — same tiny-side property as
+        # the pairs path
+        comp = comp.filter(F.col("node") != F.col("cluster_id"))
+    else:
+        comp = connected_components(pairs, left, right, algorithm=cc_algorithm)
     if broadcast_clusters:
         comp = F.broadcast(comp)
     labeled = (

@@ -287,6 +287,42 @@ def test_connected_components_chain_and_islands(spark):
         connected_components(pairs, algorithm="bogus")
 
 
+def test_build_dedup_clusters_artifact(spark, tmp_path):
+    """The materialize-once artifact: labels every doc (singletons to
+    themselves), round-trips through parquet, and the expensive pair
+    pipeline scans the corpus exactly ONCE per build (the label join is
+    the only other scan) — counted via an accumulator on the input."""
+    from etlutils_spark.operators.dedup import build_dedup_clusters
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "a completely different document about spark engines"),
+        (4, "another unrelated text concerning parquet layouts"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    docs_counted = docs.mapInPandas(counted, docs.schema)
+    path = str(tmp_path / "clusters")
+    out = build_dedup_clusters(docs_counted, path=path, portable=False)
+    labels = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert labels == {1: 1, 2: 1, 3: 3, 4: 4}
+    # one corpus pass for the shingle->minhash->LSH->verify pipeline
+    # (persisted inside), one for the final label join — nothing more
+    assert acc.value == 2 * len(rows)
+    # the returned frame is parquet-backed: reading again costs no
+    # further input scans
+    before = acc.value
+    assert spark.read.parquet(path).count() == 4
+    assert acc.value == before
+
+
 def test_cc_star_keeps_self_loop_only_nodes(spark):
     # a node whose ONLY pairs are self-pairs must still appear in the
     # output, labeled to itself, in BOTH algorithms (round-6 advice fix:

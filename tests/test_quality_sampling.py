@@ -522,6 +522,40 @@ def test_leakage_safe_split_components_cohere(spark):
     assert set(split.values()) <= {"train", "val", "test"}
 
 
+def test_leakage_safe_split_precomputed_components_match_pairs(spark):
+    """components= (the build_dedup_clusters artifact shape) must yield
+    the identical assignment as the pairs path, and passing both or
+    neither must raise."""
+    import pytest
+
+    from etlutils_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(3, 7), (7, 11), (4, 15)], "doc_id_1 bigint, doc_id_2 bigint"
+    )
+    # full label table as build_dedup_clusters emits it: EVERY doc
+    # labeled, singletons to themselves
+    comp = {3: 3, 7: 3, 11: 3, 4: 4, 15: 4}
+    labels = spark.createDataFrame(
+        [(i, comp.get(i, i)) for i in range(20)],
+        "doc_id bigint, cluster_id bigint",
+    )
+    via_pairs = sorted(
+        tuple(r) for r in leakage_safe_split(docs, pairs).collect()
+    )
+    via_comp = sorted(
+        tuple(r) for r in leakage_safe_split(docs, components=labels).collect()
+    )
+    assert via_comp == via_pairs
+    with pytest.raises(ValueError, match="exactly one"):
+        leakage_safe_split(docs)
+    with pytest.raises(ValueError, match="exactly one"):
+        leakage_safe_split(docs, pairs, components=labels)
+
+
 def test_temperature_resample_alpha_zero_flattens_to_min(spark):
     from etlutils_spark.operators.sampling import temperature_resample
 
