@@ -388,6 +388,7 @@ def tokens_to_ids(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_literal_vocab: int = 8192,
+    mode: str = "auto",
 ) -> DataFrame:
     """Encode each document's tokens as integer ids from a vocabulary
     (``build_vocab`` output or any ``(token, vocab_rank)`` frame) — the
@@ -395,35 +396,87 @@ def tokens_to_ids(
     out-of-vocabulary -> ``oov_id``. Output: ``(id, ids array<bigint>,
     n_ids)``, order-preserving.
 
-    Scale: the vocabulary is collected (bounded: raises above
-    ``max_literal_vocab`` entries) and embedded as a plan-literal map,
-    so encoding is a zero-shuffle per-row ``transform`` lookup in
-    whole-stage codegen — the same travel-in-the-plan discipline as the
-    stopword lists. The budget default is MEASURED, not guessed:
-    Catalyst planning cost is fine at 8k map entries (~3 s end to end)
-    but blows up at 32k (~58 s — expression-tree size, not data). A
-    BPE-scale vocabulary beyond the literal budget belongs in a
-    broadcast join (explode + join + positional re-assembly); this
-    operator deliberately raises rather than silently building a
-    pathological plan.
+    Two execution modes, selected by ``mode``:
+
+    - ``"literal"``: the vocabulary is collected (bounded: raises above
+      ``max_literal_vocab`` entries) and embedded as a plan-literal
+      map, so encoding is a zero-shuffle per-row ``transform`` lookup
+      in whole-stage codegen — the same travel-in-the-plan discipline
+      as the stopword lists. The budget default is MEASURED, not
+      guessed: Catalyst planning cost is fine at 8k map entries (~3 s
+      end to end) but blows up at 32k (~58 s — expression-tree size,
+      not data).
+    - ``"broadcast"``: the production path for BPE-scale (32k-100k+)
+      vocabularies, where any plan-literal encoding is pathological:
+      posexplode tokens, left-join the broadcast vocab table on the
+      token key (hash lookup, no shuffle on the corpus side), then
+      re-assemble each document's id sequence order-preserved via
+      ``array_sort(collect_list(struct(pos, id)))`` — ONE shuffle, on
+      the doc-id key, sized by token count not vocab size. Same
+      contract as literal mode bit-for-bit (pinned by tests).
+    - ``"auto"`` (default): literal when the vocab fits
+      ``max_literal_vocab``, else broadcast — small vocabs keep the
+      zero-shuffle plan, big ones never die on a plan-size cliff.
     """
-    rows = vocab.select("token", "vocab_rank").limit(max_literal_vocab + 1).collect()
-    if len(rows) > max_literal_vocab:
-        raise ValueError(
-            f"vocabulary exceeds max_literal_vocab={max_literal_vocab}; "
-            "use a broadcast-join encoding for BPE-scale vocabularies"
+    if mode not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"mode must be auto|literal|broadcast, got {mode!r}")
+    if mode != "broadcast":
+        rows = (
+            vocab.select("token", "vocab_rank")
+            .limit(max_literal_vocab + 1)
+            .collect()
         )
-    entries = [
-        x for r in rows for x in (F.lit(r["token"]), F.lit(int(r["vocab_rank"])))
-    ]
-    mapping = F.create_map(*entries) if entries else F.create_map()
-    base = with_tokens(df, text_col)
-    ids = F.transform(
-        F.col(TOKENS_COL),
-        lambda t: F.coalesce(F.element_at(mapping, t), F.lit(oov_id)).cast("bigint"),
+        if len(rows) > max_literal_vocab:
+            if mode == "literal":
+                raise ValueError(
+                    f"vocabulary exceeds max_literal_vocab={max_literal_vocab}; "
+                    "use mode='broadcast' for BPE-scale vocabularies"
+                )
+        else:
+            entries = [
+                x
+                for r in rows
+                for x in (F.lit(r["token"]), F.lit(int(r["vocab_rank"])))
+            ]
+            mapping = F.create_map(*entries) if entries else F.create_map()
+            base = with_tokens(df, text_col)
+            ids = F.transform(
+                F.col(TOKENS_COL),
+                lambda t: F.coalesce(
+                    F.element_at(mapping, t), F.lit(oov_id)
+                ).cast("bigint"),
+            )
+            return base.select(id_col, ids.alias("ids")).withColumn(
+                "n_ids", F.size("ids").cast("bigint")
+            )
+    # broadcast-join path (explicit, or auto overflow)
+    tok = with_tokens(df, text_col).select(
+        id_col, F.posexplode_outer(TOKENS_COL).alias("__pos", "token")
     )
-    return base.select(id_col, ids.alias("ids")).withColumn(
-        "n_ids", F.size("ids").cast("bigint")
+    v = F.broadcast(
+        vocab.select(
+            "token", F.col("vocab_rank").cast("bigint").alias("__vid")
+        )
+    )
+    # collect_list skips nulls, so the posexplode_outer row a zero-token
+    # document emits (__pos NULL) re-assembles to an empty ids array —
+    # matching literal mode's transform over the empty token array
+    pair = F.when(
+        F.col("__pos").isNotNull(),
+        F.struct(
+            F.col("__pos").alias("pos"),
+            F.coalesce(F.col("__vid"), F.lit(oov_id)).cast("bigint").alias("vid"),
+        ),
+    )
+    return (
+        tok.join(v, "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(pair)), lambda s: s["vid"]
+            ).alias("ids")
+        )
+        .withColumn("n_ids", F.size("ids").cast("bigint"))
     )
 
 

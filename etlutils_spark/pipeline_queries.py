@@ -1074,6 +1074,46 @@ def q_tokenize_to_ids(spark, sf_dir):
     )
 
 
+@register(
+    "tokenize_to_ids_bigvocab",
+    f"""
+    WITH {_DUCK_VOCAB.replace(f"LIMIT {_VOCAB_N}", "LIMIT 100000")},
+    t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    pos AS (SELECT doc_id, w[ord] AS token, ord
+            FROM t, UNNEST(generate_series(1, len(w))) AS u(ord)),
+    m AS (SELECT pos.doc_id, pos.ord, COALESCE(v.vocab_rank, 0) AS id
+          FROM pos LEFT JOIN vocab v USING (token))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_ids,
+           CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY ord)) AS ids_md5
+    FROM m GROUP BY doc_id
+    """,
+)
+def q_tokenize_to_ids_bigvocab(spark, sf_dir):
+    """``tokens_to_ids`` in its BPE-scale configuration: the vocabulary
+    is the ENTIRE corpus vocab (top 100k — larger than any sane
+    plan-literal budget) and ``max_literal_vocab`` is forced tiny so
+    the auto mode takes the broadcast-join path — posexplode, broadcast
+    vocab hash join, positional re-assembly. Same scalar projection as
+    ``tokenize_to_ids``; with every token in-vocab the oracle pins
+    n_oov = 0 and the full order-preserved id sequence."""
+    from etlutils_spark.operators.text import build_vocab, tokens_to_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = tokens_to_ids(
+        docs, build_vocab(docs, top_n=100_000), max_literal_vocab=64,
+        mode="auto",
+    )
+    ids_str = F.transform(F.col("ids"), lambda i: i.cast("string"))
+    return enc.select(
+        "doc_id",
+        "n_ids",
+        F.size(F.filter(F.col("ids"), lambda i: i == 0)).cast("bigint").alias("n_oov"),
+        F.md5(F.concat_ws(" ", ids_str)).alias("ids_md5"),
+    )
+
+
 PACK_SEQ_LEN = 64
 
 @register(

@@ -143,7 +143,39 @@ def test_tokens_to_ids_literal_budget_raises(spark):
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="max_literal_vocab"):
-        tokens_to_ids(df, vocab, max_literal_vocab=3)
+        tokens_to_ids(df, vocab, max_literal_vocab=3, mode="literal")
+    with _pytest.raises(ValueError, match="mode"):
+        tokens_to_ids(df, vocab, mode="bogus")
+
+
+def test_tokens_to_ids_broadcast_matches_literal(spark):
+    """mode='broadcast' (the BPE-scale path) must reproduce the literal
+    plan's output bit-for-bit — including OOV fills, order preservation,
+    and empty documents — and auto must switch to it past the budget
+    without embedding the vocab in the plan."""
+    from etlutils_spark.operators.text import tokens_to_ids
+
+    vocab = spark.createDataFrame(
+        [(f"w{i}", i + 1) for i in range(50)], "token string, vocab_rank bigint"
+    )
+    df = spark.createDataFrame(
+        [(0, "w3 w1 unseen w3"), (1, ""), (2, "unseen only here"), (3, "w49")],
+        "doc_id bigint, text string",
+    )
+    lit_rows = sorted(
+        tuple(r) for r in tokens_to_ids(df, vocab, mode="literal").collect()
+    )
+    bc = tokens_to_ids(df, vocab, mode="broadcast")
+    bc_rows = sorted(tuple(r) for r in bc.collect())
+    assert bc_rows == lit_rows
+    assert dict((r[0], r[1]) for r in bc_rows)[0] == [4, 2, 0, 4]
+    # auto past the budget = broadcast result, and the vocab must NOT
+    # travel in the plan (no 50-entry literal map / plan-size cliff)
+    auto = tokens_to_ids(df, vocab, max_literal_vocab=10, mode="auto")
+    assert sorted(tuple(r) for r in auto.collect()) == lit_rows
+    plan = auto._jdf.queryExecution().optimizedPlan().toString()
+    assert "w49" not in plan and "map(" not in plan
+    assert len(plan) < 20_000
 
 
 def test_winnow_coverage_property_random(spark):
