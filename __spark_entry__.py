@@ -51,107 +51,145 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Queries already driver-verified in CORRECTNESS_r01..r04. The driver
-# checks a fixed-size prefix of the registry in order; rotating the
-# never-yet-checked (or changed-this-round) queries to the front
-# maximizes cumulative verified coverage across rounds (VERDICT.md r2
-# "Next round" #1). Within each tier the original registration order is
-# preserved. All 50 CORRECTNESS_r04 rows were fully green
-# (rows/schema/hash) and are folded in below, so the only unchecked
-# tier left is the 9 never-driver-checked queries — they now sort
-# first, giving 162/162 cumulative driver verification after r5
-# (VERDICT.md r4 "Next round" #1).
-_DRIVER_VERIFIED_PRIOR_ROUNDS = frozenset({
-    # --- r4 green rows (CORRECTNESS_r04.json, 50/50) ---
-    "ann_arrow_topk", "ann_ivf_topk", "ann_lsh_topk",
-    "ann_pq_recall_contract", "approx_distinct_contract",
-    "approx_quantiles_contract", "asof_next_purchase",
-    # bigram_lm_quality + streaming_funnel deliberately absent despite
-    # green r4 rows: their r5 registrations changed (AQE-chosen join
-    # strategy for the bigram model tables; tie-safe micro-batch
-    # slicing) and must re-check in the new form.
-    "bm25_topk_search", "cohort_retention",
-    "constraint_audit", "curation_pipeline_batch",
-    "curation_pipeline_tokens", "decontaminate_semantic_embeddings",
-    "dedup_containment", "dedup_simhash", "dedup_window_rewrite",
-    "dedup_window_spans", "dedup_window_spans_shifted",
-    "embedding_cluster_assign", "format_roundtrip_orc",
-    "full_outer_reconcile", "funnel_stages_user",
-    "heavy_hitters_contract", "hilbert_curve_order2",
-    "incremental_lsh_pairs", "incremental_span_dedup",
-    "knn_label_consistency",
-    # leakage_safe_split re-fronted: its r5 form labels components with
-    # the star algorithm (value-identical, different plan) — re-check.
-    "multimodal_features", "multimodal_probe", "pack_ids_export",
-    "profile_embeddings", "quality_percentile_prune",
-    "quality_rank_blend", "salted_agg_event_types",
-    "salted_join_hotkey", "scd2_history", "semantic_dedup_survivors",
-    "streaming_interval_join",
-    "token_budget_sample", "tokenize_to_ids", "train_val_test_split",
-    "unpivot_order_metrics", "vocab_oov_rate", "vocab_top_tokens",
-    "winnow_fingerprints", "winnow_overlap_pairs",
-    "zorder_pruning_stats",
-    # --- r1..r3 green rows ---
-    "agg_cube", "agg_rollup", "ann_cosine_topk",
-    "anti_join_customers", "append_union",
-    "asof_last_purchase", "chunk_documents_windows",
-    "cogroup_asof_enrich", "collect_sorted_sizes", "corpus_rarity",
-    "correlated_subquery", "decontaminate_overlap",
-    "dedup_cluster_survivors", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_exact_survivors", "dedup_minhash_clusters",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "delegated_sql",
-    "distinct_agg_segments", "explode_token_freq",
-    "factor_levels_brand", "format_roundtrip_csv",
-    "format_roundtrip_json", "fuzzy_matchmerge_segments",
-    "grouped_apply_rank", "grouping_sets_sql", "having_filter",
-    "histogram_price_buckets", "ingest_limit", "json_extract_props",
-    "json_map_explode", "lateral_topk_per_nation", "locf_events",
-    "matchmerge_composite_key", "matchmerge_expr_key",
-    "matchmerge_inner", "matchmerge_left", "matchmerge_vector_y",
-    "mixture_resample_lang", "multimodal_audio_chunks",
-    "multimodal_meta", "outlier_flags_events",
-    "pack_sequences_source", "pandas_udf_normalize",
-    "percentile_quantity", "pivot_status_counts", "profile_documents",
-    "q10_returned_items", "q11_important_stock",
-    "q12_late_shipment_priority", "q13_customer_order_distribution",
-    "q14_promo_share", "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q18_large_volume_orders",
-    "q19_disjunctive_filter", "q1_pricing_summary",
-    "q20_excess_stock_suppliers", "q21_waiting_supplier",
-    "q22_idle_rich_customers", "q2_min_cost_supplier",
-    "q3_top_revenue_orders", "q4_priority_returns",
-    "q5_nation_revenue", "q6_revenue_forecast", "q7_volume_shipping",
-    "q8_market_share", "q9_product_type_profit", "quality_filter_flags",
-    "range_join_purchase_window", "recode_mktsegment",
-    "rename_project", "sample_hash_10pct", "sample_stratified_lang",
-    "scalar_funcs_projection", "semi_join_customers", "sessionize_events",
-    "sessionize_native_window", "sessionize_stateful_evicted",
-    "set_except", "set_intersect", "shard_manifest", "stats_moments",
-    "streaming_curation_pipeline", "streaming_window_counts",
-    "text_fingerprint", "text_lang_id", "text_redact_pii",
-    "text_repetition", "text_stats", "text_token_counts",
-    "time_rollup_multigrain", "transfun_derived_date",
-    "union_distinct_nations", "upsert_scd1", "window_rank_functions",
-    "window_rolling_7d", "window_running_spend",
-    "window_topk_per_customer", "write_roundtrip",
+# Driver-verification freshness ledger. The driver checks a fixed-size
+# (~50) prefix of the registry in order, so the ordering policy below
+# decides what gets re-verified each round (VERDICT.md r5 "Next round"
+# #3): queries never driver-checked, or whose REGISTERED BEHAVIOR
+# changed this round, sort first; everything else sorts by staleness —
+# oldest green driver row first — so cumulative verification never goes
+# stale. _LAST_DRIVER_CHECK maps each query to the latest round whose
+# CORRECTNESS_r0N.json holds a fully-green row for it (rows+schema+hash
+# all matching); regenerate after each round by folding in the new
+# green rows.
+
+_LAST_DRIVER_CHECK = {
+    # --- last green driver row: CORRECTNESS_r01.json ---
+    "ann_cosine_topk": 1, "dedup_embedding_cosine": 1, "dedup_exact": 1,
+    "dedup_exact_survivors": 1, "dedup_minhash_clusters": 1,
+    "dedup_minhash_lsh": 1, "dedup_ngram_jaccard": 1, "text_lang_id": 1,
+    "text_stats": 1,
+    # --- last green driver row: CORRECTNESS_r02.json ---
+    "collect_sorted_sizes": 2, "correlated_subquery": 2,
+    "delegated_sql": 2, "explode_token_freq": 2, "grouping_sets_sql": 2,
+    "having_filter": 2, "histogram_price_buckets": 2,
+    "json_extract_props": 2, "json_map_explode": 2,
+    "percentile_quantity": 2, "pivot_status_counts": 2,
+    "q10_returned_items": 2, "q12_late_shipment_priority": 2,
+    "q13_customer_order_distribution": 2, "q14_promo_share": 2,
+    "q18_large_volume_orders": 2, "q19_disjunctive_filter": 2,
+    "q22_idle_rich_customers": 2, "q4_priority_returns": 2,
+    "q6_revenue_forecast": 2, "q7_volume_shipping": 2,
+    "q8_market_share": 2, "q9_product_type_profit": 2, "stats_moments": 2,
+    "union_distinct_nations": 2, "window_rank_functions": 2,
+    # --- last green driver row: CORRECTNESS_r03.json ---
+    "asof_last_purchase": 3, "chunk_documents_windows": 3,
+    "cogroup_asof_enrich": 3, "corpus_rarity": 3,
+    "decontaminate_overlap": 3, "dedup_cluster_survivors": 3,
+    "format_roundtrip_csv": 3, "format_roundtrip_json": 3,
+    "grouped_apply_rank": 3, "lateral_topk_per_nation": 3,
+    "mixture_resample_lang": 3, "multimodal_audio_chunks": 3,
+    "multimodal_meta": 3, "outlier_flags_events": 3,
+    "pack_sequences_source": 3, "pandas_udf_normalize": 3,
+    "profile_documents": 3, "q11_important_stock": 3,
+    "q15_top_supplier": 3, "q16_supplier_part_counts": 3,
+    "q17_small_quantity_revenue": 3, "q20_excess_stock_suppliers": 3,
+    "q21_waiting_supplier": 3, "q2_min_cost_supplier": 3,
+    "quality_filter_flags": 3, "range_join_purchase_window": 3,
+    "sample_hash_10pct": 3, "sample_stratified_lang": 3,
+    "sessionize_events": 3, "sessionize_native_window": 3,
+    "sessionize_stateful_evicted": 3, "shard_manifest": 3,
+    "streaming_curation_pipeline": 3, "streaming_window_counts": 3,
+    "text_fingerprint": 3, "text_redact_pii": 3, "text_repetition": 3,
+    "text_token_counts": 3, "time_rollup_multigrain": 3, "upsert_scd1": 3,
+    "window_rolling_7d": 3, "write_roundtrip": 3,
+    # --- last green driver row: CORRECTNESS_r04.json ---
+    "ann_arrow_topk": 4, "ann_ivf_topk": 4, "ann_lsh_topk": 4,
+    "ann_pq_recall_contract": 4, "approx_distinct_contract": 4,
+    "approx_quantiles_contract": 4, "asof_next_purchase": 4,
+    "bm25_topk_search": 4, "cohort_retention": 4, "constraint_audit": 4,
+    "curation_pipeline_batch": 4, "curation_pipeline_tokens": 4,
+    "decontaminate_semantic_embeddings": 4, "dedup_containment": 4,
+    "dedup_simhash": 4, "dedup_window_rewrite": 4, "dedup_window_spans": 4,
+    "dedup_window_spans_shifted": 4, "embedding_cluster_assign": 4,
+    "format_roundtrip_orc": 4, "full_outer_reconcile": 4,
+    "funnel_stages_user": 4, "heavy_hitters_contract": 4,
+    "hilbert_curve_order2": 4, "incremental_lsh_pairs": 4,
+    "incremental_span_dedup": 4, "knn_label_consistency": 4,
+    "multimodal_features": 4, "multimodal_probe": 4, "pack_ids_export": 4,
+    "profile_embeddings": 4, "quality_percentile_prune": 4,
+    "quality_rank_blend": 4, "salted_agg_event_types": 4,
+    "salted_join_hotkey": 4, "scd2_history": 4,
+    "semantic_dedup_survivors": 4, "streaming_interval_join": 4,
+    "token_budget_sample": 4, "tokenize_to_ids": 4,
+    "train_val_test_split": 4, "unpivot_order_metrics": 4,
+    "vocab_oov_rate": 4, "vocab_top_tokens": 4, "winnow_fingerprints": 4,
+    "winnow_overlap_pairs": 4, "zorder_pruning_stats": 4,
+    # --- last green driver row: CORRECTNESS_r05.json ---
+    "agg_cube": 5, "agg_rollup": 5, "anti_join_customers": 5,
+    "append_union": 5, "bigram_lm_quality": 5, "bpe_encode_docs": 5,
+    "corpus_diff_releases": 5, "dedup_cluster_size_histogram": 5,
+    "dedup_clusters_star": 5, "dedup_rate_report_by_source": 5,
+    "distinct_agg_segments": 5, "embedding_quantize_int8": 5,
+    "embedding_standardize": 5, "factor_levels_brand": 5,
+    "format_roundtrip_text": 5, "fuzzy_matchmerge_segments": 5,
+    "hard_negative_mining": 5, "ingest_limit": 5, "leakage_safe_split": 5,
+    "line_boilerplate_docs": 5, "locf_events": 5,
+    "matchmerge_composite_key": 5, "matchmerge_expr_key": 5,
+    "matchmerge_inner": 5, "matchmerge_left": 5, "matchmerge_paste_key": 5,
+    "matchmerge_vector_y": 5, "mixture_temperature_lang": 5,
+    "multimodal_frame_sample": 5, "multimodal_resize": 5,
+    "profile_drift_documents": 5, "q1_pricing_summary": 5,
+    "q3_top_revenue_orders": 5, "q5_nation_revenue": 5,
+    "recode_mktsegment": 5, "rename_project": 5,
+    "scalar_funcs_projection": 5, "semi_join_customers": 5,
+    "set_except": 5, "set_intersect": 5, "source_cap_sample": 5,
+    "streaming_funnel": 5, "text_token_gini": 5,
+    "transfun_derived_date": 5, "triplet_mining_pairs": 5,
+    "user_cadence_stats": 5, "window_multi_horizon": 5,
+    "window_running_spend": 5, "window_topk_per_customer": 5,
+    "winsorize_order_totals": 5,
+}
+
+
+# Queries whose registered form changed this round (new plan, new
+# consumer wiring, or a semantics-relevant operator edit) — they must
+# re-verify in the new form regardless of a prior green row.
+_CHANGED_THIS_ROUND = frozenset({
+    # r6: materialize-once cluster artifact rewires these consumers
+    "dedup_clusters_star", "leakage_safe_split",
+    "dedup_cluster_size_histogram", "dedup_rate_report_by_source",
+    "triplet_mining_pairs",
+    # r6: \\S -> explicit class portability fix in the re-lining regex
+    "line_boilerplate_docs",
+    # r6: tokens_to_ids gained mode=auto/broadcast (literal plan
+    # unchanged for the small vocab, but the operator was edited)
+    "tokenize_to_ids",
 })
 
-
-# After folding r4's 50 green rows into the verified set, the
-# unchecked tier is exactly the 9 never-driver-checked queries
-# (multimodal_frame_sample, multimodal_resize, mixture_temperature_lang,
-# profile_drift_documents, text_token_gini, window_multi_horizon,
-# user_cadence_stats, hard_negative_mining,
-# dedup_cluster_size_histogram). They sort first so the r5 window
-# lands a driver row on each; all 9 pass the local oracle sweep at
-# sf0.001/0.01.
+# Derived view kept for the smoke-test invariant and round tooling: a
+# query counts as "verified in a prior round" only if it has a green
+# row AND its registration didn't change this round.
+_DRIVER_VERIFIED_PRIOR_ROUNDS = frozenset(
+    n for n in _LAST_DRIVER_CHECK if n not in _CHANGED_THIS_ROUND
+)
 
 
 def _ordered_names() -> list[str]:
+    """Never-checked / changed-this-round first (tier 0), then by
+    ascending last-green-driver-round (stalest first); registration
+    order within each tier. The driver's ~50-query window therefore
+    always covers every new or edited query and spends the remainder
+    refreshing the oldest rows."""
     names = list(REGISTRY)
-    unchecked = [n for n in names if n not in _DRIVER_VERIFIED_PRIOR_ROUNDS]
-    checked = [n for n in names if n in _DRIVER_VERIFIED_PRIOR_ROUNDS]
-    return unchecked + checked
+    order = {n: i for i, n in enumerate(names)}
+    return sorted(
+        names,
+        key=lambda n: (
+            0 if n not in _DRIVER_VERIFIED_PRIOR_ROUNDS
+            else _LAST_DRIVER_CHECK[n],
+            order[n],
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

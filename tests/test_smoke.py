@@ -50,6 +50,18 @@ def test_registry_order_prioritizes_unverified():
     # round — its SIZE is expected to be small; the ordering asserts
     # above are the invariant.
     assert list(e.oracle_sql()) == [n for n in names if e.REGISTRY[n][1] is not None]
+    # freshness rotation (r6+): verified queries sort stalest-first by
+    # last green driver round, so the ~50-query window re-verifies the
+    # oldest rows and staleness is bounded across rounds
+    rounds = [
+        e._LAST_DRIVER_CHECK[n] for n in names[n_unchecked:]
+    ]
+    assert rounds == sorted(rounds)
+    # every registered query is either changed-this-round, brand new,
+    # or carries a last-check round — no query can silently drop out of
+    # the rotation
+    for n in names:
+        assert n in e._LAST_DRIVER_CHECK or n not in e._DRIVER_VERIFIED_PRIOR_ROUNDS
 
 
 def test_queries_run_in_foreign_session():
