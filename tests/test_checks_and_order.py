@@ -25,6 +25,38 @@ def test_matchmerge_preserve_order(spark):
     assert got == [(3, "c", "Y3"), (1, "a", "Y1"), (2, "b", "Y2"), (1, "a2", "Y1")]
 
 
+def test_matchmerge_preserve_order_is_partition_local(spark):
+    """The documented contract is PARTITION-LOCAL order, not global:
+    monotonically_increasing_id ranks rows within each input partition
+    (partition id in the high bits), so within-partition x order always
+    survives, while cross-partition interleaving follows partition id —
+    NOT any global property of the data. This pin stops a refactor from
+    silently promoting (or demoting) the promise (VERDICT.md r5 'What's
+    wrong' #4)."""
+    x = (
+        spark.createDataFrame(
+            [(9, "d"), (1, "a"), (5, "c"), (2, "b")], "k int, v string"
+        )
+        .repartitionByRange(2, "k")
+        .sortWithinPartitions(F.desc("k"))  # within-partition order != k asc
+    )
+    y = spark.createDataFrame(
+        [(9, "Y9"), (1, "Y1"), (5, "Y5"), (2, "Y2")], "k int, w string"
+    )
+    # the contract: output order == x.collect() order (partition id,
+    # then within-partition position) — exactly what collect() yields
+    expected = [(r.k, r.v) for r in x.collect()]
+    out = matchmerge(x, y, by_x="k", by_y="k", all_x=True,
+                     preserve_order=True)
+    got = [(r.k, r.v) for r in out.collect()]
+    assert got == expected
+    # and that contract is genuinely partition-local, not global: the
+    # desc sort-within makes the preserved order differ from any
+    # global k ordering
+    ks = [k for k, _ in expected]
+    assert ks != sorted(ks) and ks != sorted(ks, reverse=True)
+
+
 def test_ingest_verbose_prints_rate(star, tmp_path, capsys):
     ingest_to_parquet(star["region"], str(tmp_path / "r"), verbose=True)
     out = capsys.readouterr().out

@@ -89,6 +89,33 @@ def test_ingest_to_parquet_append_mirrors_ffdf_grow(spark, star, tmp_path):
     assert spark.read.parquet(out).count() == 2 * first.count()
 
 
+def test_ingest_verbose_schedules_no_extra_jobs(spark, star, tmp_path, capsys):
+    """verbose=True must report rows/files/bytes from the write job's
+    own metrics (Observation + SQL status store) — ZERO additional
+    Spark jobs vs verbose=False, and in particular no re-scan of the
+    just-written table (VERDICT.md r5 'What's wrong' #2)."""
+
+    def n_jobs():
+        # total jobs this app has run, from the JVM app status store
+        return spark._jsc.sc().statusStore().jobsList(None).size()
+
+    df = star["region"]
+    before = n_jobs()
+    ingest_to_parquet(df, str(tmp_path / "quiet"), mode="overwrite")
+    quiet_jobs = n_jobs() - before
+
+    before = n_jobs()
+    ingest_to_parquet(df, str(tmp_path / "loud"), mode="overwrite",
+                      verbose=True)
+    loud_jobs = n_jobs() - before
+
+    assert loud_jobs == quiet_jobs
+    msg = capsys.readouterr().out
+    assert "rows" in msg and "TOTAL=" in msg
+    # the reported row count comes from the write-time Observation
+    assert f"{df.count()} rows" in msg
+
+
 def test_append_levels_freeze_and_growth(spark, tmp_path):
     """The reference's appendLevels contract (R/ffsql.R:257-266):
     growth is the per-column default; a frozen column rejects appends
