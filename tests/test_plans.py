@@ -403,3 +403,24 @@ def test_histogram_query_runs_off_materialized_clusters(spark, qs):
     assert "Generate" not in plan and "Join" not in plan, plan
     tree = plan.split("\n\n")[0]  # tree block (details repeat the nodes)
     assert tree.count("Scan parquet") == 1, tree
+
+
+def test_plans_md_golden_snapshot_in_sync(spark):
+    """Golden plan snapshots: PLANS.md must match freshly rendered
+    operator trees for every headline query — a plan-shape change
+    without regenerating the file fails here (VERDICT.md r5 'Next
+    round' #7). Fix: python3 tools/gen_plans.py > PLANS.md"""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_plans", os.path.join(root, "tools", "gen_plans.py")
+    )
+    gen_plans = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen_plans)
+    drifted = gen_plans.check(spark, os.path.join(root, "PLANS.md"))
+    assert drifted == [], (
+        f"PLANS.md stale for {drifted}; regenerate with "
+        "'python3 tools/gen_plans.py > PLANS.md'"
+    )

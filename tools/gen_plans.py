@@ -144,15 +144,15 @@ COMMENTARY = {
 }
 
 
-def main() -> None:
+def render(spark) -> str:
+    """The full PLANS.md content for the given session — shared by the
+    generator CLI, `--check`, and the pytest golden-snapshot test."""
     import __spark_entry__ as em
     from etlutils_spark.plans.checks import physical_plan
-    from etlutils_spark.session import get_session
 
-    spark = get_session("plans", **{"spark.driver.memory": "4g"})
     qs = em.queries()
-    print("# PLANS — physical-plan audit of headline queries\n")
-    print(
+    out = ["# PLANS — physical-plan audit of headline queries\n"]
+    out.append(
         "Generated by tools/gen_plans.py at sf0.001 (plans are scale-"
         "independent shapes; AQE may further coalesce/convert at runtime).\n"
     )
@@ -171,9 +171,56 @@ def main() -> None:
             )
         else:
             tree = "\n".join(lines)
-        print(f"## {name}\n\n**Why this plan:** {note}\n")
-        print("```\n" + tree + "\n```\n")
-    spark.stop()
+        out.append(f"## {name}\n\n**Why this plan:** {note}\n")
+        out.append("```\n" + tree + "\n```\n")
+    return "\n".join(out) + "\n"
+
+
+def check(spark, plans_path: str) -> list[str]:
+    """Compare the committed PLANS.md against freshly rendered plans;
+    return the names of queries whose operator-tree section drifted
+    (empty = in sync). Section-level compare so one drifted plan names
+    itself instead of producing a whole-file diff."""
+    with open(plans_path) as fh:
+        committed = fh.read()
+    fresh = render(spark)
+
+    def sections(text: str) -> dict:
+        parts = re.split(r"^## ", text, flags=re.M)[1:]
+        return {p.split("\n", 1)[0].strip(): p for p in parts}
+
+    want, got = sections(fresh), sections(committed)
+    drifted = [n for n in want if got.get(n) != want[n]]
+    drifted += [n for n in got if n not in want]
+    return drifted
+
+
+def main() -> None:
+    import sys as _sys
+
+    from etlutils_spark.session import get_session
+
+    spark = get_session("plans", **{"spark.driver.memory": "4g"})
+    try:
+        if "--check" in _sys.argv:
+            plans_md = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "PLANS.md",
+            )
+            drifted = check(spark, plans_md)
+            if drifted:
+                print(
+                    "PLANS.md is stale — operator-tree shape changed for: "
+                    + ", ".join(drifted)
+                    + "\nregenerate: python3 tools/gen_plans.py > PLANS.md",
+                    file=_sys.stderr,
+                )
+                raise SystemExit(1)
+            print("PLANS.md in sync")
+        else:
+            print(render(spark), end="")
+    finally:
+        spark.stop()
 
 
 if __name__ == "__main__":
