@@ -36,7 +36,11 @@ into the source, the overwrite->append protocol, nrows, and x= append.
 Derby quirk: its parser rejects Spark's ``query``-option schema probe
 (subquery without AS), so with Derby use table mode + Catalyst-pushed
 filters; server backends (Postgres/MySQL/Oracle/Hive) accept the query
-option as documented.
+option as documented. The true ``option("query", ...)`` path is
+live-tested against a second backend — DuckDB's JDBC driver, which
+accepts the subquery probe — in tests/test_jdbc_duckdb.py (query-mode
+aggregates, Catalyst filter pushdown into query mode, batch_bytes
+fetchsize).
 """
 
 from __future__ import annotations
