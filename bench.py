@@ -112,6 +112,8 @@ R4_EXTRAS = [
     "winsorize_order_totals",
     "embedding_standardize",
     "dedup_rate_report_by_source",
+    # round-6 additions
+    "tokenize_to_ids_bigvocab",
 ]
 
 
@@ -190,6 +192,7 @@ def main() -> None:
         extras[name] = round(best, 3)
 
     experiments = {
+        **cluster_artifact_experiment(spark),
         **pq_scan_mode_experiment(spark),
         **minhash_hash_mode_experiment(spark),
         **skew_join_experiment(spark),
@@ -221,6 +224,40 @@ def main() -> None:
     print(json.dumps(full), file=sys.stderr)
     print(json.dumps(compact), flush=True)
     spark.stop()
+
+
+def cluster_artifact_experiment(spark) -> dict:
+    """The honest cost split the registered cluster-consumer queries
+    (dedup_clusters_star, leakage_safe_split, histogram, rate report)
+    amortize away: COLD build of the materialize-once cluster artifact
+    (full minhash->LSH->verify->star-CC pipeline, written to parquet)
+    vs a consumer aggregation reading it back. Their min-of-N timings
+    measure the production read path; this records what the once-per-
+    corpus-snapshot build costs at this SF."""
+    import shutil
+    import tempfile
+
+    from etlutils_spark.operators.dedup import (
+        build_dedup_clusters,
+        cluster_size_histogram,
+    )
+    from etlutils_spark.sources.files import read_table
+
+    docs = read_table(spark, "documents", SF_DIR)
+    path = os.path.join(tempfile.gettempdir(), "bench_cluster_artifact")
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = time.time()
+    labels = build_dedup_clusters(docs, path=path, portable=True,
+                                  algorithm="star")
+    build = time.time() - t0
+    t0 = time.time()
+    cluster_size_histogram(labels).write.format("noop").mode("overwrite").save()
+    consume = time.time() - t0
+    shutil.rmtree(path, ignore_errors=True)
+    return {
+        "cluster_artifact_cold_build_sec": round(build, 3),
+        "cluster_artifact_consumer_sec": round(consume, 3),
+    }
 
 
 def time_min2(df, attempts: int = 3) -> float:

@@ -25,6 +25,7 @@ from etlutils_spark.sources.files import load_star, read_table, read_text_corpus
 from etlutils_spark.sources.merge import merge_upsert, scd2_apply
 from etlutils_spark.operators.curation import curate_documents, curate_to_sequences
 from etlutils_spark.operators.dedup import (
+    build_dedup_clusters,
     cluster_size_histogram,
     dedup_rate_report,
     triplet_mining,
@@ -99,6 +100,7 @@ __all__ = [
     "standardize_embeddings",
     "winsorize",
     "triplet_mining",
+    "build_dedup_clusters",
     "leakage_safe_split",
     "line_boilerplate_removal",
     "pack_ids_export",
