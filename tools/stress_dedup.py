@@ -196,18 +196,36 @@ def run_scale(spark, n: int) -> dict:
     recovered = {
         r.grp: (r.k, r.members) for r in per_grp.collect()
     }
+    # head groups must stay ONE component (k==1 — no splits) holding
+    # >= 97% of members. The residue is the per-DOC isolation mode: a
+    # doc whose 8 minhash slots all land on its own mutated shingles
+    # has no band in common with the rest of its group — p ~= (1 - (1
+    # - 3/28)^2)^4 ~= 0.002 per doc, so a 218-doc group expects ~0.4
+    # isolated members. A SPLIT (k > 1) would be a real pipeline bug.
+    # isolation events are ~Poisson over the DUP POPULATION (p ~=
+    # 0.002/doc), not per-group — a 25-doc group losing 2 docs is
+    # within expectation — so the per-group bound tolerates an
+    # absolute count (2) or 3%, whichever is larger.
     head_bad = [
-        (g, recovered.get(g))
+        (g, s, recovered.get(g))
         for g, s in enumerate(sizes, start=1)
-        if s >= 5 and recovered.get(g) != (1, s)
+        if s >= 5
+        and (
+            recovered.get(g) is None
+            or recovered[g][0] != 1
+            or recovered[g][1] < s - max(2, 0.03 * s)
+        )
     ]
-    assert not head_bad, f"head groups not fully recovered: {head_bad[:5]}"
+    assert not head_bad, f"head groups split/underfilled: {head_bad[:5]}"
     full = sum(
         1
         for g, s in enumerate(sizes, start=1)
         if recovered.get(g) == (1, s)
     )
     out["group_recall"] = round(full / len(sizes), 4) if sizes else 1.0
+    dup_total = sum(sizes)
+    found = sum(m for _, m in recovered.values())
+    out["member_recall"] = round(found / dup_total, 4) if dup_total else 1.0
 
     # stage D: the guard — same corpus, head buckets dropped before the
     # self-join; candidate mass must collapse toward the non-head tail
