@@ -164,6 +164,9 @@ _CHANGED_THIS_ROUND = frozenset({
     # r6: tokens_to_ids gained mode=auto/broadcast (literal plan
     # unchanged for the small vocab, but the operator was edited)
     "tokenize_to_ids",
+    # r6: curate_to_sequences materializes the rewritten corpus before
+    # its two consumers (plan change, values identical)
+    "curation_pipeline_tokens",
 })
 
 # Derived view kept for the smoke-test invariant and round tooling: a

@@ -150,6 +150,14 @@ def curate_to_sequences(
     rewritten = window_dedup_rewrite(
         kept, window=window, text_col=text_col, id_col=id_col
     ).join(docs.select(id_col, group_col), id_col)
+    # two consumers (vocab induction + packing) fan out from the
+    # rewritten corpus; without materialization the whole quality->
+    # exact-dedup->span-rewrite chain executes twice (measured ~2x
+    # wall at sf0.1) — same materialize-before-fan-out rule as the
+    # shingle table in minhash_dedup_pairs
+    from etlutils_spark.caching import persist_tracked
+
+    rewritten = persist_tracked(rewritten)
     vocab = build_vocab(rewritten, top_n=vocab_top_n, text_col="dedup_text")
     return pack_ids_export(
         rewritten, vocab, seq_len=seq_len, group_col=group_col,
