@@ -424,3 +424,15 @@ def test_plans_md_golden_snapshot_in_sync(spark):
         f"PLANS.md stale for {drifted}; regenerate with "
         "'python3 tools/gen_plans.py > PLANS.md'"
     )
+
+
+def test_cluster_artifact_consumers_read_label_table(spark, qs):
+    """The re-registered artifact consumers must READ the materialized
+    cluster table, never re-derive the labeling: no shingle explode
+    (Generate) anywhere, and leakage_safe_split's only join is the
+    broadcast of the dup-mass-bounded component table."""
+    star_q = physical_plan(qs["dedup_clusters_star"](spark, SF))
+    assert "Generate" not in star_q and "Join" not in star_q, star_q
+    split_q = physical_plan(qs["leakage_safe_split"](spark, SF))
+    assert "Generate" not in split_q, split_q
+    assert "BroadcastHashJoin" in split_q and "SortMergeJoin" not in split_q
