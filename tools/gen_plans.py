@@ -127,6 +127,14 @@ COMMENTARY = {
     "dedup_cluster_size_histogram": "verified cluster labels -> two "
     "tiny combinable aggregations (cluster key, then size key); the "
     "pair graph is never re-materialized.",
+    "dedup_clusters_star": "the materialize-once artifact read back: "
+    "one parquet scan of the label table — the minhash->LSH->star-CC "
+    "pipeline ran exactly once at build time (bench: 7.5 s cold build, "
+    "0.1 s consumer at sf0.1).",
+    "leakage_safe_split": "docs scan + BroadcastHashJoin against the "
+    "dup-mass-bounded component table (self-labeled rows dropped "
+    "before broadcast) + stateless digest-threshold projection; the "
+    "pair pipeline never re-runs per split request.",
     "bpe_encode_docs": "the whole tokenizer is ONE stateless Project "
     "over the scan — a 16-deep plain-replace chain in whole-stage "
     "codegen; no Python worker, no shuffle, no join.",
