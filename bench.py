@@ -244,7 +244,12 @@ def cluster_artifact_experiment(spark) -> dict:
     from etlutils_spark.sources.files import read_table
 
     docs = read_table(spark, "documents", SF_DIR)
-    path = os.path.join(tempfile.gettempdir(), "bench_cluster_artifact")
+    # pid-scoped scratch: concurrent bench runs on the shared box (the
+    # variance scenario BASELINE.md documents) must not rmtree each
+    # other's artifact mid-read
+    path = os.path.join(
+        tempfile.gettempdir(), f"bench_cluster_artifact_{os.getpid()}"
+    )
     shutil.rmtree(path, ignore_errors=True)
     t0 = time.time()
     labels = build_dedup_clusters(docs, path=path, portable=True,

@@ -223,22 +223,16 @@ def q_dedup_minhash_clusters(spark, sf_dir):
     """The actionable dedup artifact: every document labeled with its
     near-dup cluster id (min doc_id of its connected component over the
     verified MinHash+LSH pair graph; singletons cluster to themselves).
-    Spark side = iterative min-label propagation (operators.dedup.
-    connected_components); oracle = recursive transitive closure."""
-    from etlutils_spark.operators.dedup import connected_components
+    Spark side = the UNMATERIALIZED build_dedup_clusters pipeline with
+    min-label propagation — keeping the full pipeline and that
+    algorithm live in the driver check, while the dedup_clusters_star
+    twin reads the star-built artifact; oracle = recursive transitive
+    closure."""
+    from etlutils_spark.operators.dedup import build_dedup_clusters
 
-    docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_dedup_pairs(
-        docs, num_hashes=8, bands=4, threshold=0.5, portable=True
-    )
-    comp = connected_components(pairs, "doc_id_1", "doc_id_2")
-    return (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
-        .join(comp, F.col("doc_id") == comp["node"], "left")
-        .select(
-            "doc_id",
-            F.coalesce("cluster_id", F.col("doc_id")).cast("long").alias("cluster_id"),
-        )
+    return build_dedup_clusters(
+        _t(spark, sf_dir, "documents"), num_hashes=8, bands=4,
+        threshold=0.5, portable=True, algorithm="minlabel",
     )
 
 

@@ -394,7 +394,10 @@ def tokens_to_ids(
     (``build_vocab`` output or any ``(token, vocab_rank)`` frame) — the
     final tokenizer step before sequence packing: token -> vocab_rank,
     out-of-vocabulary -> ``oov_id``. Output: ``(id, ids array<bigint>,
-    n_ids)``, order-preserving.
+    n_ids)``, order-preserving; NULL text -> NULL ids (split(NULL) is
+    NULL). ``id_col`` must uniquely key rows — one row per document —
+    in both modes (the broadcast path aggregates on it, so duplicate
+    ids would merge; literal mode is per-row).
 
     Two execution modes, selected by ``mode``:
 
@@ -451,16 +454,20 @@ def tokens_to_ids(
             )
     # broadcast-join path (explicit, or auto overflow)
     tok = with_tokens(df, text_col).select(
-        id_col, F.posexplode_outer(TOKENS_COL).alias("__pos", "token")
+        id_col,
+        F.col(TOKENS_COL).isNull().alias("__null_toks"),
+        F.posexplode_outer(TOKENS_COL).alias("__pos", "token"),
     )
     v = F.broadcast(
         vocab.select(
             "token", F.col("vocab_rank").cast("bigint").alias("__vid")
         )
     )
-    # collect_list skips nulls, so the posexplode_outer row a zero-token
-    # document emits (__pos NULL) re-assembles to an empty ids array —
-    # matching literal mode's transform over the empty token array
+    # collect_list skips nulls, so the single posexplode_outer row a
+    # NULL-token-array document emits (__pos NULL) contributes nothing
+    # to the re-assembly; the __null_toks flag then restores literal
+    # mode's NULL-in -> NULL-out (split(NULL) = NULL, so transform and
+    # size are NULL too — bit-for-bit parity, pinned by tests)
     pair = F.when(
         F.col("__pos").isNotNull(),
         F.struct(
@@ -472,9 +479,16 @@ def tokens_to_ids(
         tok.join(v, "token", "left")
         .groupBy(id_col)
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(pair)), lambda s: s["vid"]
-            ).alias("ids")
+            F.when(
+                F.max("__null_toks"),
+                F.lit(None).cast("array<bigint>"),
+            )
+            .otherwise(
+                F.transform(
+                    F.array_sort(F.collect_list(pair)), lambda s: s["vid"]
+                )
+            )
+            .alias("ids")
         )
         .withColumn("n_ids", F.size("ids").cast("bigint"))
     )

@@ -23,6 +23,7 @@ the Derby module owns the live write path.
 
 import glob
 import os
+import re
 import subprocess
 import sys
 
@@ -36,11 +37,28 @@ _JAR_GLOBS = [
 
 
 def _find_jar() -> str | None:
+    """Prefer the jar matching the installed duckdb wheel's storage
+    version (required: the probe's seed file is written by the wheel);
+    otherwise the highest version found. None if no jar — or no wheel
+    to write the seed with."""
+    try:
+        import duckdb
+    except ImportError:
+        return None
+    hits = []
     for pat in _JAR_GLOBS:
-        hits = sorted(glob.glob(pat, recursive=True))
-        if hits:
-            return hits[0]
-    return None
+        hits.extend(glob.glob(pat, recursive=True))
+    if not hits:
+        return None
+
+    def ver(path: str) -> tuple:
+        m = re.search(r"duckdb_jdbc-([0-9.]+?)\.jar$", os.path.basename(path))
+        return tuple(int(p) for p in m.group(1).split(".")) if m else ()
+
+    wheel = tuple(int(p) for p in duckdb.__version__.split(".")[:3]
+                  if p.isdigit())
+    exact = [h for h in hits if ver(h) == wheel]
+    return (exact or sorted(hits, key=ver, reverse=True))[0]
 
 
 _PROBE = r"""
@@ -97,8 +115,11 @@ print("DUCKDB_JDBC_OK")
 """
 
 
-@pytest.mark.skipif(_find_jar() is None,
-                    reason="no local org.duckdb:duckdb_jdbc jar")
+@pytest.mark.skipif(
+    _find_jar() is None,
+    reason="no local org.duckdb:duckdb_jdbc jar (or no duckdb wheel to "
+    "seed the probe db)",
+)
 def test_query_mode_pushdown_live_duckdb(tmp_path):
     jar = _find_jar()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -57,11 +57,21 @@ def test_registry_order_prioritizes_unverified():
         e._LAST_DRIVER_CHECK[n] for n in names[n_unchecked:]
     ]
     assert rounds == sorted(rounds)
-    # every registered query is either changed-this-round, brand new,
-    # or carries a last-check round — no query can silently drop out of
-    # the rotation
-    for n in names:
-        assert n in e._LAST_DRIVER_CHECK or n not in e._DRIVER_VERIFIED_PRIOR_ROUNDS
+    # ledger hygiene: every ledger entry names a live registered query
+    # (no stale rows for renamed/deleted queries keeping phantom slots
+    # in the rotation) ...
+    assert set(e._LAST_DRIVER_CHECK) <= set(names)
+    assert set(e._CHANGED_THIS_ROUND) <= set(names)
+    # ... and the unchecked prefix holds EXACTLY the brand-new and
+    # changed-this-round queries — a query absent from the ledger for
+    # any other reason (accidental deletion of its row) would surface
+    # here as an unexpected tier-0 member
+    tier0 = set(names[:n_unchecked])
+    expected_tier0 = {
+        n for n in names
+        if n not in e._LAST_DRIVER_CHECK or n in e._CHANGED_THIS_ROUND
+    }
+    assert tier0 == expected_tier0
 
 
 def test_queries_run_in_foreign_session():

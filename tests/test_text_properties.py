@@ -159,7 +159,8 @@ def test_tokens_to_ids_broadcast_matches_literal(spark):
         [(f"w{i}", i + 1) for i in range(50)], "token string, vocab_rank bigint"
     )
     df = spark.createDataFrame(
-        [(0, "w3 w1 unseen w3"), (1, ""), (2, "unseen only here"), (3, "w49")],
+        [(0, "w3 w1 unseen w3"), (1, ""), (2, "unseen only here"), (3, "w49"),
+         (4, None)],  # NULL text: split(NULL)=NULL -> ids NULL, both modes
         "doc_id bigint, text string",
     )
     lit_rows = sorted(

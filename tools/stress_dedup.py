@@ -61,7 +61,11 @@ def make_corpus(spark, n: int):
         start += s
     groups = spark.createDataFrame(
         rows or [(0, 0, 0)], "grp int, start long, size int"
-    )
+    ).filter(F.col("size") > 0)
+    # ^ the empty-corpus sentinel row must not reach the explode:
+    # Spark's sequence(0, -1) is the DESCENDING [0, -1] (the quirk
+    # documented at text.py shingles_from_tokens), which would mint
+    # phantom docs 0 and -1
     tok = lambda seed: F.substring(F.md5(seed), 1, 8)  # noqa: E731
     members = groups.select(
         "grp",
