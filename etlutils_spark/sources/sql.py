@@ -368,6 +368,14 @@ def ingest_to_parquet(
                 f" files={wm.get('number of written files', '?')}"
                 f" written={wm.get('written output', '?')}"
             )
+            # per-PARTITION split (the reference's per-chunk dbi-read/
+            # ffdf-write parity, R/ffsql.R:335-337): each write task
+            # fuses read+transform+write for its partition, and the
+            # task-duration distribution is its wall-clock — min/med/
+            # max across partitions, straight from the task metrics
+            dur = wm.get("duration", "")
+            if "\n" in dur:
+                split += f" task-time={dur.splitlines()[1]}"
         print(
             f"ingest_to_parquet: {n} rows{split} in TOTAL={elapsed:.3f}secs "
             f"({n / elapsed:,.0f} rows/sec)"
