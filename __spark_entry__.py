@@ -159,6 +159,9 @@ _CHANGED_THIS_ROUND = frozenset({
     "dedup_clusters_star", "leakage_safe_split",
     "dedup_cluster_size_histogram", "dedup_rate_report_by_source",
     "triplet_mining_pairs",
+    # r6 review pass: re-registered through build_dedup_clusters
+    # (minlabel, unmaterialized) — same labels, new wiring
+    "dedup_minhash_clusters",
     # r6: \\S -> explicit class portability fix in the re-lining regex
     "line_boilerplate_docs",
     # r6: tokens_to_ids gained mode=auto/broadcast (literal plan

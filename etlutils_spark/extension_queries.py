@@ -2339,10 +2339,22 @@ def _materialized_clusters(spark, sf_dir):
 
         # the artifact build runs the star-CC variant (the scale-safe
         # default); the recursive-closure oracle pins that its labels
-        # equal minlabel's component minimum bit-for-bit
-        return build_dedup_clusters(
-            _t(spark, sf_dir, "documents"), path=scratch,
+        # equal minlabel's component minimum bit-for-bit. Built into a
+        # pid-scoped staging dir then renamed into place: concurrent
+        # processes (driver correctness + bench on the shared box) must
+        # never read a half-written table — whoever renames first wins,
+        # the loser reads the winner's copy (labels are deterministic,
+        # so the copies are identical anyway)
+        staging = f"{scratch}.tmp{os.getpid()}"
+        build_dedup_clusters(
+            _t(spark, sf_dir, "documents"), path=staging,
             num_hashes=8, bands=4, threshold=0.5, portable=True,
             algorithm="star",
         )
+        try:
+            os.rename(staging, scratch)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
     return spark.read.parquet(scratch)
