@@ -165,8 +165,9 @@ _CHANGED_THIS_ROUND = frozenset({
     # r6: \\S -> explicit class portability fix in the re-lining regex
     "line_boilerplate_docs",
     # r6: tokens_to_ids gained mode=auto/broadcast (literal plan
-    # unchanged for the small vocab, but the operator was edited)
-    "tokenize_to_ids",
+    # unchanged for the small vocab, but the operator was edited) —
+    # pack_ids_export consumes the same edited code path
+    "tokenize_to_ids", "pack_ids_export",
     # r6: curate_to_sequences materializes the rewritten corpus before
     # its two consumers (plan change, values identical)
     "curation_pipeline_tokens",

@@ -2356,5 +2356,14 @@ def _materialized_clusters(spark, sf_dir):
         except OSError:
             import shutil
 
-            shutil.rmtree(staging, ignore_errors=True)
+            if os.path.exists(os.path.join(scratch, "_SUCCESS")):
+                # lost the race to a complete copy — identical labels
+                # (the build is deterministic), use the winner's
+                shutil.rmtree(staging, ignore_errors=True)
+            else:
+                # scratch exists but is INCOMPLETE (debris of a crashed
+                # build) — never serve a truncated label table; replace
+                # it with the fresh complete copy
+                shutil.rmtree(scratch, ignore_errors=True)
+                os.rename(staging, scratch)
     return spark.read.parquet(scratch)

@@ -102,10 +102,11 @@ def r_paste_key(df: DataFrame, cols: Sequence[str]) -> Column:
     via Spark's cast-to-string, which matches R for plain-decimal
     magnitudes but switches to ``1.5E-5``-style scientific notation
     where R prints ``1.5e-05`` — keys relying on scientific-notation
-    text equality diverge. Likewise integral magnitudes >= 1e38 exceed
-    decimal(38,0) and render via the plain string cast (``1.0E38`` vs
-    R's ``1e+38``) rather than overflowing to NULL/'NA'. The hypothesis
-    differential pins the plain-decimal range."""
+    text equality diverge. Likewise integral magnitudes >= 2^63 (where
+    ``floor`` saturates, so the integral test is false) render via the
+    plain string cast (``1.0E38`` vs R's ``1e+38``) rather than ever
+    reaching the decimal path. The hypothesis differential pins the
+    plain-decimal range."""
     from pyspark.sql import types as T
 
     parts = []
@@ -118,15 +119,14 @@ def r_paste_key(df: DataFrame, cols: Sequence[str]) -> Column:
                 F.when(F.isnan(d), "NaN")
                 .when(d == float("inf"), "Inf")
                 .when(d == float("-inf"), "-Inf")
-                # decimal(38,0) overflows to NULL at |d| >= 1e38, which
-                # would coalesce to literal 'NA' and collide with real
-                # NA keys — huge integral magnitudes fall back to the
-                # plain string cast (documented parity bound: R prints
-                # '1e+38' there, Spark '1.0E38')
-                .when(
-                    (d == F.floor(d)) & (F.abs(d) < F.lit(1e38)),
-                    col.cast("decimal(38,0)").cast("string"),
-                )
+                # floor(double) returns LONG and saturates at ±2^63, so
+                # this predicate is false for |d| >= ~9.2e18 and huge
+                # integral magnitudes fall to the plain string cast
+                # (documented parity bound: R prints '1e+38', Spark
+                # '1.0E38') — the decimal(38,0) cast therefore never
+                # sees a value it can't hold (ANSI mode would throw,
+                # not NULL). Pinned by the huge-integral test.
+                .when(d == F.floor(d), col.cast("decimal(38,0)").cast("string"))
                 .otherwise(col.cast("string"))
             )
         elif isinstance(dt, T.BooleanType):

@@ -348,7 +348,12 @@ def ingest_to_parquet(
                 _check_frozen_levels(df, existing, append_levels)
     obs = None
     out = df
-    if verbose:
+    # mode="ignore" on an existing path skips the child plan entirely —
+    # the CollectMetrics accumulator would never fire and obs.get would
+    # wait on it forever, so verbose instrumentation only attaches to
+    # modes that execute the write
+    observe = verbose and mode != "ignore"
+    if observe:
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
@@ -358,7 +363,7 @@ def ingest_to_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
-    if verbose:
+    if observe:
         elapsed = time.time() - t0
         n = obs.get["rows"]
         wm = _last_write_metrics(df.sparkSession)
@@ -368,17 +373,25 @@ def ingest_to_parquet(
                 f" files={wm.get('number of written files', '?')}"
                 f" written={wm.get('written output', '?')}"
             )
-            # per-PARTITION split (the reference's per-chunk dbi-read/
-            # ffdf-write parity, R/ffsql.R:335-337): each write task
-            # fuses read+transform+write for its partition, and the
-            # task-duration distribution is its wall-clock — min/med/
-            # max across partitions, straight from the task metrics
-            dur = wm.get("duration", "")
-            if "\n" in dur:
-                split += f" task-time={dur.splitlines()[1]}"
+            # the closest honest write-side split available: per-task
+            # COMMIT time distribution (a BasicWriteJobStatsTracker
+            # metric — unambiguously the write side, unlike the
+            # codegen nodes' name-colliding 'duration' timers). The
+            # read/transform side has no separate number in a fused
+            # plan; that fusion is the documented divergence from the
+            # reference's per-chunk dbi-read/ffdf-write split.
+            commit = wm.get("task commit time", "")
+            if "\n" in commit:
+                split += f" task-commit={commit.splitlines()[1]}"
         print(
             f"ingest_to_parquet: {n} rows{split} in TOTAL={elapsed:.3f}secs "
             f"({n / elapsed:,.0f} rows/sec)"
+        )
+    elif verbose:
+        print(
+            f"ingest_to_parquet: mode=ignore completed in "
+            f"TOTAL={time.time() - t0:.3f}secs (row metrics unavailable: "
+            "an ignored write runs no job)"
         )
 
 

@@ -115,10 +115,13 @@ def test_r_paste_key_coercions(spark):
 
 
 def test_r_paste_key_huge_integral_double_not_na(spark):
-    """decimal(38,0) overflows to NULL at |d| >= 1e38; the guard must
-    fall back to the plain string cast so a huge integral key neither
-    renders as literal 'NA' (colliding with genuine NA keys) nor
-    matches a real-NA row (round-6 advice fix)."""
+    """Huge integral doubles must render via the plain string cast —
+    never as literal 'NA' (colliding with genuine NA keys) and never
+    through the decimal(38,0) cast (which ANSI mode would abort on).
+    The mechanism: floor(double) is a saturating LONG, so the
+    integral-double predicate is false for |d| >= ~9.2e18 and the
+    value falls through; this pins that behavior against regressions
+    (e.g. a floor -> double-returning refactor)."""
     from etlutils_spark.operators.matchmerge import r_paste_key
 
     df = spark.createDataFrame(

@@ -132,6 +132,11 @@ def run_scale(spark, n: int) -> dict:
         "dup_docs": sum(sizes),
     }
 
+    def shuffle_delta(a: int, b: int):
+        """None (omitted from the report) when either endpoint hit the
+        status-store error sentinel — never a garbage negative MB."""
+        return round((b - a) / 1e6, 1) if a >= 0 and b >= 0 else None
+
     # stage A: candidates (shingle -> signatures -> banded self-join)
     s0 = total_shuffle_write(spark)
     t0 = time.time()
@@ -141,7 +146,7 @@ def run_scale(spark, n: int) -> dict:
     out["candidates"] = cand.count()
     out["candidates_sec"] = round(time.time() - t0, 2)
     s1 = total_shuffle_write(spark)
-    out["candidates_shuffle_mb"] = round((s1 - s0) / 1e6, 1)
+    out["candidates_shuffle_mb"] = shuffle_delta(s0, s1)
 
     # stage B: full verified pipeline (the production entry point)
     t0 = time.time()
@@ -150,7 +155,7 @@ def run_scale(spark, n: int) -> dict:
     out["verified_pairs"] = pairs.count()
     out["verify_sec"] = round(time.time() - t0, 2)
     s2 = total_shuffle_write(spark)
-    out["verify_shuffle_mb"] = round((s2 - s1) / 1e6, 1)
+    out["verify_shuffle_mb"] = shuffle_delta(s1, s2)
 
     # stage C: star CC over the verified pairs
     t0 = time.time()
@@ -163,7 +168,7 @@ def run_scale(spark, n: int) -> dict:
     out["cc_rounds"] = stats.get("rounds")
     out["n_components"] = n_clusters
     s3 = total_shuffle_write(spark)
-    out["cc_shuffle_mb"] = round((s3 - s2) / 1e6, 1)
+    out["cc_shuffle_mb"] = shuffle_delta(s2, s3)
 
     # correctness of the stress itself, with honest LSH-recall math:
     # at intra-group jaccard ~0.65, a single pair misses all 4 bands
