@@ -114,6 +114,7 @@ R4_EXTRAS = [
     "dedup_rate_report_by_source",
     # round-6 additions
     "tokenize_to_ids_bigvocab",
+    "dedup_clusters_incremental",
 ]
 
 

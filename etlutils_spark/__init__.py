@@ -26,6 +26,8 @@ from etlutils_spark.sources.merge import merge_upsert, scd2_apply
 from etlutils_spark.operators.curation import curate_documents, curate_to_sequences
 from etlutils_spark.operators.dedup import (
     build_dedup_clusters,
+    build_dedup_index,
+    extend_dedup_index,
     cluster_size_histogram,
     dedup_rate_report,
     triplet_mining,
@@ -101,6 +103,8 @@ __all__ = [
     "winsorize",
     "triplet_mining",
     "build_dedup_clusters",
+    "build_dedup_index",
+    "extend_dedup_index",
     "leakage_safe_split",
     "line_boilerplate_removal",
     "pack_ids_export",

@@ -254,6 +254,42 @@ def q_dedup_clusters_star(spark, sf_dir):
     )
 
 
+@register("dedup_clusters_incremental", _duck_minhash_clusters_sql())
+def q_dedup_clusters_incremental(spark, sf_dir):
+    """The batch-incremental artifact refresh driven end to end: build
+    the extendable dedup index (labels + band/shingle-hash profiles +
+    edge graph) on the FIRST HALF of the corpus (doc_id below the
+    midpoint), then fold the second half in via ``extend_dedup_index``
+    — only the new batch is shingled; the stored half is joined through
+    its profile index. The oracle is the FULL-corpus recursive-closure
+    labeling, so this pins the operator's core contract: incremental
+    refresh is bit-identical to a from-scratch rebuild on the union.
+
+    Scale: the probe is O(batch) (batch bands broadcast against the
+    index), CC re-runs over the edge table only (bounded by dup mass),
+    and the label rewrite touches ids, not text — the per-ingest-batch
+    cost profile a 100 TB pipeline needs."""
+    import shutil
+
+    from etlutils_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+    from etlutils_spark.pipeline_queries import _rt_path
+
+    docs = _t(spark, sf_dir, "documents")
+    mid = docs.agg(
+        F.floor((F.min("doc_id") + F.max("doc_id")) / 2).alias("m")
+    ).collect()[0]["m"]
+    root = _rt_path(spark, "inc_index")
+    # rebuild from empty every invocation: edges/profiles are
+    # append-mode sinks, so a stale run's state would double them
+    shutil.rmtree(root, ignore_errors=True)
+    build_dedup_index(docs.filter(F.col("doc_id") <= mid), root)
+    out = extend_dedup_index(root, docs.filter(F.col("doc_id") > mid))
+    return out.select("doc_id", "cluster_id")
+
+
 def _duck_triplets_sql() -> str:
     from etlutils_spark.operators.sampling import rate_threshold_hex
 

@@ -775,6 +775,156 @@ def build_dedup_clusters(
     return docs.sparkSession.read.parquet(path)
 
 
+def build_dedup_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The EXTENDABLE form of the cluster artifact: like
+    :func:`build_dedup_clusters` but persisting, alongside the label
+    table, everything a future ingest batch needs to join the corpus
+    without re-shingling it —
+
+    - ``path/labels``   (doc_id, cluster_id)
+    - ``path/profiles`` one row per doc: band signatures + the 64-bit
+      shingle-hash set (the verify payload; ~1-2% of corpus bytes —
+      the same index design as streaming/incremental_lsh.py)
+    - ``path/edges``    the verified near-dup pair graph (id_1, id_2)
+
+    Verification here is exact Jaccard over the stored xxhash64
+    shingle sets (identical to exact shingle Jaccard absent ~2^-64
+    in-pair collisions — the contract the r1-green incremental LSH
+    oracle already pins). Returns the labels DataFrame
+    (parquet-backed).
+
+    Scale: one corpus pass builds the profiles; candidates are the
+    banded self-join; CC is star (O(log n) rounds). At 100 TB each of
+    the three tables is a warehouse table; ``extend_dedup_index`` then
+    makes every subsequent ingest batch O(batch), never O(corpus)."""
+    from etlutils_spark.streaming.incremental_lsh import (
+        _explode_bands,
+        _verified_pairs,
+        batch_profiles,
+    )
+
+    spark = docs.sparkSession
+    prof = batch_profiles(docs, text_col, id_col, n, num_hashes, bands)
+    a = _explode_bands(prof, "id_1")
+    b = _explode_bands(prof, "id_2")
+    cand = (
+        a.join(b, ["band_idx", "band_sig"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    edges = _verified_pairs(cand, prof, prof, threshold).select("id_1", "id_2")
+    prof.write.mode("overwrite").parquet(f"{path}/profiles")
+    edges.write.mode("overwrite").parquet(f"{path}/edges")
+    stored_edges = spark.read.parquet(f"{path}/edges")
+    comp = connected_components(stored_edges, "id_1", "id_2", algorithm="star")
+    labels = (
+        docs.select(F.col(id_col).cast("long").alias(id_col))
+        .join(comp, F.col(id_col) == comp["node"], "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).cast("long").alias("cluster_id"),
+        )
+    )
+    labels.write.mode("overwrite").parquet(f"{path}/labels")
+    return spark.read.parquet(f"{path}/labels")
+
+
+def extend_dedup_index(
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fold an ingest BATCH into an existing ``build_dedup_index``
+    artifact and return the refreshed label table — the batch twin of
+    the streaming incremental LSH index, and the operation a 100 TB
+    pipeline runs per ingest: the stored corpus is never re-shingled.
+
+    Per batch: shingle/sign only the new docs (O(batch)); candidates =
+    the batch's bands probed against the stored profile index (the
+    batch side is tiny, so Catalyst broadcasts it) plus the batch's
+    self-join; verify via stored shingle-hash sets; append the new
+    profiles and the newly discovered edges; re-run star CC over the
+    edge table (bounded by dup mass, not corpus) and rewrite labels.
+
+    The refreshed labels are BIT-IDENTICAL to rebuilding from scratch
+    on the union corpus: every cross-batch pair is discovered by the
+    probe (same bands), every intra-batch pair by the self-join, and
+    connected components is order-independent — pinned end to end by
+    the ``dedup_clusters_incremental`` oracle query."""
+    from etlutils_spark.streaming.incremental_lsh import (
+        _explode_bands,
+        _verified_pairs,
+        batch_profiles,
+    )
+
+    spark = new_docs.sparkSession
+    old_prof = spark.read.parquet(f"{path}/profiles")
+    new_prof = batch_profiles(new_docs, text_col, id_col, n, num_hashes, bands)
+    nb = _explode_bands(new_prof, "id_1")
+    # new-vs-index probe: the batch side is the small build side
+    cand_cross = (
+        F.broadcast(nb)
+        .join(_explode_bands(old_prof, "id_2"), ["band_idx", "band_sig"])
+        .filter(F.col("id_1") != F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    cross_edges = _verified_pairs(cand_cross, new_prof, old_prof, threshold)
+    # intra-batch pairs
+    cand_self = (
+        nb.join(_explode_bands(new_prof, "id_2"), ["band_idx", "band_sig"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    self_edges = _verified_pairs(cand_self, new_prof, new_prof, threshold)
+    new_edges = (
+        cross_edges.select(
+            F.least("id_1", "id_2").alias("id_1"),
+            F.greatest("id_1", "id_2").alias("id_2"),
+        )
+        .unionByName(self_edges.select("id_1", "id_2"))
+        .distinct()
+    )
+    new_edges.write.mode("append").parquet(f"{path}/edges")
+    new_prof.write.mode("append").parquet(f"{path}/profiles")
+    all_ids = (
+        spark.read.parquet(f"{path}/profiles")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .distinct()
+    )
+    comp = connected_components(
+        spark.read.parquet(f"{path}/edges"), "id_1", "id_2", algorithm="star"
+    )
+    labels = (
+        all_ids.join(comp, all_ids["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).cast("long").alias("cluster_id"),
+        )
+    )
+    # labels derive from the just-appended parquet tables (not the
+    # in-flight frames), so the overwrite below cannot invalidate its
+    # own inputs
+    labels.write.mode("overwrite").parquet(f"{path}/labels")
+    return spark.read.parquet(f"{path}/labels")
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

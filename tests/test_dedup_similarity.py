@@ -323,6 +323,41 @@ def test_build_dedup_clusters_artifact(spark, tmp_path):
     assert acc.value == before
 
 
+def test_extend_dedup_index_matches_full_rebuild(spark, tmp_path):
+    """Folding batches into the extendable index must label identically
+    to a from-scratch build on the union — across TWO successive
+    extends (cross-batch pairs discovered via the stored profile
+    probe), including a pair whose members arrive in different
+    batches."""
+    from etlutils_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, base + " one"),
+        (2, base + " two"),          # near-dup of 1 (same batch)
+        (3, "completely different text about columnar storage engines"),
+        (4, base + " three"),        # near-dup of 1/2, arrives batch 2
+        (5, "another unrelated note concerning shuffle partitions"),
+        (6, base + " four"),         # near-dup, arrives batch 3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    inc_path = str(tmp_path / "inc")
+    full_path = str(tmp_path / "full")
+    build_dedup_index(docs.filter("doc_id <= 3"), inc_path)
+    extend_dedup_index(inc_path, docs.filter("doc_id in (4, 5)"))
+    got = extend_dedup_index(inc_path, docs.filter("doc_id = 6"))
+    want = build_dedup_index(docs, full_path)
+    got_rows = sorted(tuple(r) for r in got.collect())
+    assert got_rows == sorted(tuple(r) for r in want.collect())
+    # the dup family clustered to its minimum; singletons to themselves
+    labels = dict(got_rows)
+    assert labels[1] == labels[2] == labels[4] == labels[6] == 1
+    assert labels[3] == 3 and labels[5] == 5
+
+
 def test_cc_star_keeps_self_loop_only_nodes(spark):
     # a node whose ONLY pairs are self-pairs must still appear in the
     # output, labeled to itself, in BOTH algorithms (round-6 advice fix:
