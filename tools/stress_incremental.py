@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Incremental-refresh scaling probe: extend_dedup_index's per-batch
+cost must be O(batch) — FLAT in stored-corpus size — because the batch
+is the only thing shingled and the probe joins its bands against the
+stored profile index.
+
+    python3 tools/stress_incremental.py [corpus sizes ...]   # default 5000 50000
+
+For each corpus size N: build the extendable index on N synthetic docs
+(the stress_dedup Zipf corpus), then fold in a FIXED 500-doc batch
+(every batch doc a near-dup of a stored doc, so the probe actually
+finds cross-batch pairs) and time the extend. The pass rubric lives in
+BASELINE.md: extend wall at 10x the stored corpus must stay ~flat
+(probe side is the broadcast batch; CC re-runs over the edge table,
+which grows with dup mass, not corpus).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tools.stress_dedup import make_corpus  # noqa: E402
+
+BATCH = 500
+
+
+def run(spark, n: int) -> dict:
+    from etlutils_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+
+    docs, sizes = make_corpus(spark, n)
+    docs = docs.persist()
+    docs.count()
+    path = os.path.join(tempfile.gettempdir(), f"inc_probe_{os.getpid()}_{n}")
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = time.time()
+    build_dedup_index(docs, path)
+    build_sec = round(time.time() - t0, 2)
+    # fixed-size batch: one near-dup of each of the first BATCH stored
+    # docs (new doc_id = stored + 10*n, one token appended -> jaccard
+    # high), so every batch doc exercises the cross-batch probe
+    batch = (
+        docs.filter(F.col("doc_id") < BATCH)
+        .select(
+            (F.col("doc_id") + F.lit(10 * n)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extradup")).alias("text"),
+        )
+        .persist()
+    )
+    n_batch = batch.count()
+    t0 = time.time()
+    labels = extend_dedup_index(path, batch)
+    n_labeled = labels.count()
+    extend_sec = round(time.time() - t0, 2)
+    docs.unpersist()
+    batch.unpersist()
+    shutil.rmtree(path, ignore_errors=True)
+    return {
+        "corpus": n,
+        "batch": n_batch,
+        "build_sec": build_sec,
+        "extend_sec": extend_sec,
+        "labeled_total": n_labeled,
+    }
+
+
+def main() -> None:
+    from etlutils_spark.session import get_session
+
+    scales = [int(a) for a in sys.argv[1:]] or [5000, 50000]
+    spark = get_session(
+        "stress_incremental",
+        **{"spark.driver.memory": "8g", "spark.sql.shuffle.partitions": "32"},
+    )
+    report = [run(spark, n) for n in scales]
+    print(json.dumps(report, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
