@@ -358,6 +358,30 @@ def test_extend_dedup_index_matches_full_rebuild(spark, tmp_path):
     assert labels[3] == 3 and labels[5] == 5
 
 
+def test_extend_dedup_index_replay_is_idempotent(spark, tmp_path):
+    """At-least-once ingest: re-folding the SAME batch (a failure
+    replay) must leave the labels unchanged — duplicate profile rows
+    collapse in the distinct id set and duplicate edges in the CC's
+    canonical edge distinct, the same tolerance the streaming index
+    documents."""
+    from etlutils_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+
+    base = "shared boilerplate sentence repeated across documents here"
+    docs = spark.createDataFrame(
+        [(1, base + " a"), (2, base + " b"), (3, "unrelated text entirely")],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "idem")
+    build_dedup_index(docs.filter("doc_id < 3"), path)
+    batch = docs.filter("doc_id = 3")
+    first = sorted(tuple(r) for r in extend_dedup_index(path, batch).collect())
+    replay = sorted(tuple(r) for r in extend_dedup_index(path, batch).collect())
+    assert replay == first
+
+
 def test_cc_star_keeps_self_loop_only_nodes(spark):
     # a node whose ONLY pairs are self-pairs must still appear in the
     # output, labeled to itself, in BOTH algorithms (round-6 advice fix:
