@@ -115,6 +115,7 @@ R4_EXTRAS = [
     # round-6 additions
     "tokenize_to_ids_bigvocab",
     "dedup_clusters_incremental",
+    "gopher_quality_docs",
 ]
 
 

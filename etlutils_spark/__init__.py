@@ -64,7 +64,12 @@ from etlutils_spark.operators.text import (
     token_gini_stats,
     tokens_to_ids,
 )
-from etlutils_spark.operators.quality import percentile_prune, rank_blend, winsorize
+from etlutils_spark.operators.quality import (
+    gopher_quality_flags,
+    percentile_prune,
+    rank_blend,
+    winsorize,
+)
 from etlutils_spark.plans.checks import check_constraints
 
 __all__ = [
@@ -101,6 +106,7 @@ __all__ = [
     "read_text_corpus",
     "standardize_embeddings",
     "winsorize",
+    "gopher_quality_flags",
     "triplet_mining",
     "build_dedup_clusters",
     "build_dedup_index",

@@ -132,6 +132,85 @@ def quality_filter(
     )
 
 
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.80,
+    min_required_stopwords: int = 2,
+) -> DataFrame:
+    """The published Gopher document-quality rule set (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", App. A1.1) as per-rule flags
+    plus the conjunction — the industry-standard pre-training filter,
+    complementing :func:`quality_filter` (generic thresholds) with the
+    paper's exact rules:
+
+    - word count in [50, 100k]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio (``#`` or ``...``) <= 0.1
+    - >= 80% of words contain at least one alphabetic character
+    - >= 2 of the paper's required stop words (the/be/to/of/and/that/
+      have/with) appear
+
+    The paper's line-based rules (bullet-start / ellipsis-end line
+    fractions) belong to the line tier (``line_boilerplate_removal``;
+    this corpus ships no newlines) and are intentionally not replicated
+    here. Everything is one codegen projection over the token array —
+    counts via length/replace algebra and array folds, no explode, no
+    shuffle, no Python."""
+    base = with_tokens(df, text_col)
+    toks = F.col(TOKENS_COL)
+    n_words = F.size(toks).cast("bigint")
+    safe_n = F.greatest(n_words, F.lit(1)).cast("double")
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    mean_word_len = total_chars.cast("double") / safe_n
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    # non-overlapping occurrence counts via length/replace (portable:
+    # identical semantics in DuckDB's replace)
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / safe_n
+    alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))
+    ).cast("bigint")
+    alpha_frac = alpha_words.cast("double") / safe_n
+    required = F.array(
+        *[F.lit(w) for w in ("the", "be", "to", "of", "and", "that", "have", "with")]
+    )
+    n_required = F.size(F.filter(toks, lambda t: F.array_contains(required, t)))
+
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_mwl = (mean_word_len >= min_mean_word_len) & (
+        mean_word_len <= max_mean_word_len
+    )
+    r_sym = symbol_ratio <= max_symbol_ratio
+    r_alpha = alpha_frac >= min_alpha_word_frac
+    r_stop = n_required >= min_required_stopwords
+    return base.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_required.cast("bigint").alias("n_required_stopwords"),
+        r_words.alias("pass_word_count"),
+        r_mwl.alias("pass_mean_word_len"),
+        r_sym.alias("pass_symbol_ratio"),
+        r_alpha.alias("pass_alpha_words"),
+        r_stop.alias("pass_required_stopwords"),
+        (r_words & r_mwl & r_sym & r_alpha & r_stop).alias("passes"),
+    )
+
+
 def redact_pii(
     df: DataFrame,
     text_col: str = "text",

@@ -161,6 +161,62 @@ def q_quality_filter(spark, sf_dir):
 
 
 @register(
+    "gopher_quality_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             greatest(len(w), 1) AS safe_n,
+             list_sum(list_transform(w, t -> len(t))) AS sum_len,
+             len(text) - len(replace(text, '#', '')) AS n_hash,
+             (len(text) - len(replace(text, '...', ''))) / 3 AS n_ell,
+             len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]')))
+               AS alpha_words,
+             len(list_filter(w, t -> list_contains(
+               ['the','be','to','of','and','that','have','with'], t)))
+               AS n_req
+      FROM toks),
+    f AS (
+      SELECT doc_id, n_words,
+             CAST(sum_len AS DOUBLE) / safe_n AS mean_word_len,
+             CAST(n_hash + n_ell AS DOUBLE) / safe_n AS symbol_ratio,
+             CAST(alpha_words AS DOUBLE) / safe_n AS alpha_word_frac,
+             n_req
+      FROM m)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           mean_word_len,
+           symbol_ratio,
+           alpha_word_frac,
+           CAST(n_req AS BIGINT) AS n_required_stopwords,
+           n_words >= 50 AND n_words <= 100000 AS pass_word_count,
+           mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AS pass_mean_word_len,
+           symbol_ratio <= 0.1 AS pass_symbol_ratio,
+           alpha_word_frac >= 0.80 AS pass_alpha_words,
+           n_req >= 2 AS pass_required_stopwords,
+           (n_words >= 50 AND n_words <= 100000)
+             AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+             AND symbol_ratio <= 0.1
+             AND alpha_word_frac >= 0.80
+             AND n_req >= 2 AS passes
+    FROM f
+    """,
+)
+def q_gopher_quality(spark, sf_dir):
+    """The published Gopher rule set (Rae et al. 2021, App. A1.1) as
+    per-rule flags + conjunction over the corpus — word-count band,
+    mean-word-length band, symbol-to-word ratio, alpha-word fraction,
+    required stop words. One codegen projection; the oracle mirrors
+    the operand order so every double is bit-identical."""
+    from etlutils_spark.operators.quality import gopher_quality_flags
+
+    return gopher_quality_flags(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "text_repetition",
     """
     WITH toks AS (

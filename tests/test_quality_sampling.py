@@ -522,6 +522,34 @@ def test_leakage_safe_split_components_cohere(spark):
     assert set(split.values()) <= {"train", "val", "test"}
 
 
+def test_gopher_quality_flags_planted_violations(spark):
+    """Each Gopher rule (Rae et al. 2021 App. A1.1) must fire on a doc
+    planted to violate exactly it, and a clean doc passes all."""
+    from etlutils_spark.operators.quality import gopher_quality_flags
+
+    clean = ("the data pipeline reads records and that process have "
+             "finished with success " * 5).strip()
+    rows = [
+        (0, clean),
+        (1, "the of and that short"),                 # < 50 words
+        (2, ("to be of an it is so we do " * 8).strip()),  # mean word len < 3
+        (3, clean + " " + "#" * 1 + " #### ## # " + "# " * 20),  # symbols
+        (4, ("123 456 789 0 " * 15).strip() + " the of"),  # alpha frac low
+        (5, ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             * 6).strip()),                            # no required stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert out[0].passes, out[0]
+    assert not out[1].pass_word_count
+    assert not out[2].pass_mean_word_len and not out[2].passes
+    assert not out[3].pass_symbol_ratio
+    assert not out[4].pass_alpha_words
+    assert not out[5].pass_required_stopwords
+    # stats sanity on the clean doc
+    assert out[0].n_words == 60 and out[0].n_required_stopwords >= 10
+
+
 def test_leakage_safe_split_precomputed_components_match_pairs(spark):
     """components= (the build_dedup_clusters artifact shape) must yield
     the identical assignment as the pairs path, and passing both or
