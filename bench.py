@@ -116,6 +116,7 @@ R4_EXTRAS = [
     "tokenize_to_ids_bigvocab",
     "dedup_clusters_incremental",
     "gopher_quality_docs",
+    "c4_quality_docs",
 ]
 
 

@@ -65,6 +65,7 @@ from etlutils_spark.operators.text import (
     tokens_to_ids,
 )
 from etlutils_spark.operators.quality import (
+    c4_quality_flags,
     gopher_quality_flags,
     percentile_prune,
     rank_blend,
@@ -107,6 +108,7 @@ __all__ = [
     "standardize_embeddings",
     "winsorize",
     "gopher_quality_flags",
+    "c4_quality_flags",
     "triplet_mining",
     "build_dedup_clusters",
     "build_dedup_index",

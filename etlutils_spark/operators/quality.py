@@ -21,6 +21,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -208,6 +210,60 @@ def gopher_quality_flags(
         r_alpha.alias("pass_alpha_words"),
         r_stop.alias("pass_required_stopwords"),
         (r_words & r_mwl & r_sym & r_alpha & r_stop).alias("passes"),
+    )
+
+
+def c4_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_sentences: int = 3,
+    blocklist: Sequence[str] = (),
+) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020, §2.2 — the
+    "Colossal Clean Crawled Corpus" rules) as per-rule flags plus the
+    conjunction, the companion to :func:`gopher_quality_flags` that
+    real curation stacks (RefinedWeb/FineWeb lineage) run side by side:
+
+    - text ends with terminal punctuation (``.`` ``!`` ``?`` ``"``)
+    - at least ``min_sentences`` sentences (words ending ``.!?`` — the
+      single-line analog of C4's 3-sentence page rule)
+    - no blocklisted word (``blocklist`` param; C4 uses a public
+      "bad words" list — empty default auto-passes)
+    - no ``lorem ipsum``, no ``{`` (code marker), no ``javascript``
+      (C4 drops pages with these markers)
+
+    C4's line-level rules (per-line terminal punctuation, 3+ word
+    lines) belong to the line tier; its three-sentence-span dedup is
+    ``window_dedup_stats/rewrite``. One codegen projection — no
+    explode, no shuffle, no Python."""
+    base = with_tokens(df, text_col)
+    toks = F.col(TOKENS_COL)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lower = F.lower(text)
+    n_sentences = F.size(
+        F.filter(toks, lambda t: t.rlike("[.!?]$"))
+    ).cast("bigint")
+
+    r_punct = text.rlike('[.!?"]$')
+    r_sent = n_sentences >= min_sentences
+    r_block = F.lit(True)
+    for w in blocklist:
+        r_block = r_block & ~lower.contains(w.lower())
+    r_lorem = ~lower.contains("lorem ipsum")
+    r_brace = ~text.contains("{")
+    r_js = ~lower.contains("javascript")
+    passes = r_punct & r_sent & r_block & r_lorem & r_brace & r_js
+    return base.select(
+        F.col(id_col),
+        n_sentences.alias("n_sentences"),
+        r_punct.alias("pass_terminal_punct"),
+        r_sent.alias("pass_min_sentences"),
+        r_block.alias("pass_blocklist"),
+        r_lorem.alias("pass_no_lorem"),
+        r_brace.alias("pass_no_brace"),
+        r_js.alias("pass_no_javascript"),
+        passes.alias("passes"),
     )
 
 

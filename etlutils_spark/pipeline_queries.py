@@ -217,6 +217,49 @@ def q_gopher_quality(spark, sf_dir):
 
 
 @register(
+    "c4_quality_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, text, lower(text) AS lt,
+             string_split(text, ' ') AS w
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(list_filter(w, t -> regexp_matches(t, '[.!?]$')))
+               AS n_sentences,
+             regexp_matches(text, '[.!?"]$') AS r_punct,
+             NOT contains(lt, 'lorem ipsum') AS r_lorem,
+             NOT contains(text, '{') AS r_brace,
+             NOT contains(lt, 'javascript') AS r_js,
+             NOT contains(lt, 'spam') AND NOT contains(lt, 'casino')
+               AS r_block
+      FROM toks)
+    SELECT doc_id,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           r_punct AS pass_terminal_punct,
+           n_sentences >= 3 AS pass_min_sentences,
+           r_block AS pass_blocklist,
+           r_lorem AS pass_no_lorem,
+           r_brace AS pass_no_brace,
+           r_js AS pass_no_javascript,
+           r_punct AND n_sentences >= 3 AND r_block AND r_lorem
+             AND r_brace AND r_js AS passes
+    FROM m
+    """,
+)
+def q_c4_quality(spark, sf_dir):
+    """The C4 cleaning heuristics (Raffel et al. 2020 §2.2) over the
+    corpus, with a two-term demo blocklist exercising the blocklist
+    rule (C4 ships a public bad-words list; the rule shape is what is
+    under test). Stateless scan-speed predicates end to end."""
+    from etlutils_spark.operators.quality import c4_quality_flags
+
+    return c4_quality_flags(
+        _t(spark, sf_dir, "documents"), blocklist=("spam", "casino")
+    )
+
+
+@register(
     "text_repetition",
     """
     WITH toks AS (

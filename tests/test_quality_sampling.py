@@ -550,6 +550,35 @@ def test_gopher_quality_flags_planted_violations(spark):
     assert out[0].n_words == 60 and out[0].n_required_stopwords >= 10
 
 
+def test_c4_quality_flags_planted_violations(spark):
+    """Each C4 rule (Raffel et al. 2020 §2.2) fires on its planted
+    violator; a clean doc passes all."""
+    from etlutils_spark.operators.quality import c4_quality_flags
+
+    clean = "First sentence is here. Second one follows! Third ends now?"
+    rows = [
+        (0, clean),
+        (1, "no terminal punctuation on this document at all"),
+        (2, "Only one sentence here."),
+        (3, clean + " buy cheap SPAM today."),
+        (4, clean + " lorem ipsum dolor sit."),
+        (5, clean + " var x = { a: 1 }."),
+        (6, clean + " enable JavaScript to continue."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in
+           c4_quality_flags(df, blocklist=("spam",)).collect()}
+    assert out[0].passes and out[0].n_sentences == 3
+    assert not out[1].pass_terminal_punct and not out[1].pass_min_sentences
+    assert not out[2].pass_min_sentences
+    assert not out[3].pass_blocklist        # case-insensitive match
+    assert not out[4].pass_no_lorem
+    assert not out[5].pass_no_brace
+    assert not out[6].pass_no_javascript
+    for d in (1, 2, 3, 4, 5, 6):
+        assert not out[d].passes
+
+
 def test_leakage_safe_split_precomputed_components_match_pairs(spark):
     """components= (the build_dedup_clusters artifact shape) must yield
     the identical assignment as the pairs path, and passing both or
