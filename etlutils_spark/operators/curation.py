@@ -45,6 +45,8 @@ def curate_documents(
     boilerplate_max_doc_frac: float | None = None,
     source_cap: int | None = None,
     source_col: str = "source",
+    gopher_rules: bool = False,
+    c4_rules: bool = False,
 ) -> DataFrame:
     """Run the full curation chain over ``docs`` and return the
     surviving rows (original columns) plus their ``shard`` assignment.
@@ -60,7 +62,11 @@ def curate_documents(
     FIRST (cross-document duplicate lines poison exact dedup and
     quality stats downstream, so it precedes them); ``source_cap``
     caps docs per ``source_col`` after dedup (domains shouldn't earn
-    quota from duplicates) via the skew-immune approx mode.
+    quota from duplicates) via the skew-immune approx mode;
+    ``gopher_rules`` / ``c4_rules`` additionally require the published
+    Gopher (Rae et al. 2021) / C4 (Raffel et al. 2020) rule sets to
+    pass alongside the threshold filter — all three are stateless
+    predicates, so Catalyst fuses them into the same scan stage.
     """
     if boilerplate_max_doc_frac is not None:
         from etlutils_spark.operators.text import line_boilerplate_removal
@@ -81,6 +87,20 @@ def curate_documents(
         max_avg_token_len=max_avg_token_len,
         keep_only=True,
     )
+    if gopher_rules:
+        from etlutils_spark.operators.quality import gopher_quality_flags
+
+        ok = gopher_quality_flags(kept, text_col, id_col).filter(
+            "passes"
+        ).select(id_col)
+        kept = kept.join(ok, id_col, "left_semi")
+    if c4_rules:
+        from etlutils_spark.operators.quality import c4_quality_flags
+
+        ok = c4_quality_flags(kept, text_col, id_col).filter(
+            "passes"
+        ).select(id_col)
+        kept = kept.join(ok, id_col, "left_semi")
     kept = drop_exact_duplicates(kept, text_col, id_col)
     if source_cap is not None:
         from etlutils_spark.operators.sampling import cap_per_group

@@ -877,6 +877,24 @@ def test_curate_documents_optional_stages(spark):
                .collect()}
     assert all(n <= 12 for n in per_src.values())  # approx mode: near cap
     assert capped.count() < 40
+    # published-rule stages: C4 kills every doc here (no terminal
+    # punctuation), and adding a period end + clauses revives them
+    c4 = curate_documents(docs, bench, min_tokens=5,
+                          min_stopword_ratio=0.0, c4_rules=True)
+    assert c4.count() == 0
+    punct = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" It ends. Properly now. Yes indeed.")).alias("text"),
+        "source",
+    )
+    c4b = curate_documents(punct, bench, min_tokens=5,
+                           min_stopword_ratio=0.0, c4_rules=True)
+    assert c4b.count() == 40
+    # gopher stage: these 40-ish-word docs fail the 50-word floor
+    gop = curate_documents(docs, bench, min_tokens=5,
+                           min_stopword_ratio=0.0, gopher_rules=True)
+    assert gop.count() == 0
 
 
 def test_winsorize_semantics(spark):
