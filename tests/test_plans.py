@@ -158,9 +158,17 @@ def test_curation_tier_is_jvm_only(spark, qs):
     for name in [
         "quality_filter_flags", "text_repetition", "text_redact_pii",
         "shard_manifest", "sample_stratified_lang",
+        "gopher_quality_docs", "c4_quality_docs",
     ]:
         plan = physical_plan(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    # the published rule sets are single stateless projections: no
+    # join, and the only Exchange is with_tokens' deliberate spread()
+    # repartition (parallelizing tokenization of a single-file scan)
+    for name in ("gopher_quality_docs", "c4_quality_docs"):
+        plan = physical_plan(qs[name](spark, SF))
+        assert "Join" not in plan, name
+        assert plan.split("\n\n")[0].count("Exchange") <= 1, name
 
 
 # ---- round-2 continuation: TPC-H pack 2 -----------------------------------
