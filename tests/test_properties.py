@@ -278,3 +278,90 @@ def test_containment_matches_reference(spark, texts):
         for r in jaccard_pairs(shingle_rows(df), containment_threshold=0.5).collect()
     }
     assert got == ref_containment(docs)
+
+
+def _ref_gopher(text):
+    """Pure-Python reference of gopher_quality_flags' stats (Rae et al.
+    2021 App. A1.1), mirroring Spark's split-on-single-space semantics
+    (empty tokens from doubled spaces count as words of length 0)."""
+    import re
+
+    w = (text or "").split(" ")
+    n = len(w)
+    safe = max(n, 1)
+    mean_len = sum(len(t) for t in w) / safe
+    t = text or ""
+    n_hash = len(t) - len(t.replace("#", ""))
+    n_ell = (len(t) - len(t.replace("...", ""))) / 3
+    sym = (n_hash + n_ell) / safe
+    alpha = sum(1 for x in w if re.search("[a-zA-Z]", x)) / safe
+    req = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    n_req = sum(1 for x in w if x in req)
+    return (n, mean_len, sym, alpha, n_req)
+
+
+@SET
+@given(
+    st.lists(
+        st.text(alphabet="ab #.{!?x3 ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_gopher_flags_match_python_reference(spark, texts):
+    """Random text incl. doubled spaces, '#', '...', digits: every stat
+    column must equal the pure-Python reference bit-for-bit (single
+    IEEE divisions over exact integer counts)."""
+    from etlutils_spark.operators.quality import gopher_quality_flags
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.mean_word_len, r.symbol_ratio,
+                   r.alpha_word_frac, r.n_required_stopwords)
+        for r in gopher_quality_flags(df).collect()
+    }
+    for i, txt in enumerate(texts):
+        assert got[i] == _ref_gopher(txt), (txt, got[i], _ref_gopher(txt))
+
+
+def _ref_c4(text, blocklist=("spam",)):
+    import re
+
+    t = text or ""
+    w = t.split(" ")
+    n_sent = sum(1 for x in w if re.search(r"[.!?]$", x))
+    lower = t.lower()
+    return (
+        n_sent,
+        bool(re.search(r'[.!?"]$', t)),
+        all(b not in lower for b in blocklist),
+        "lorem ipsum" not in lower,
+        "{" not in t,
+        "javascript" not in lower,
+    )
+
+
+@SET
+@given(
+    st.lists(
+        st.text(alphabet='ab .!?"{javascript lorem ipsum', min_size=0,
+                max_size=50),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_c4_flags_match_python_reference(spark, texts):
+    from etlutils_spark.operators.quality import c4_quality_flags
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.n_sentences, r.pass_terminal_punct, r.pass_blocklist,
+                   r.pass_no_lorem, r.pass_no_brace, r.pass_no_javascript)
+        for r in c4_quality_flags(df, blocklist=("spam",)).collect()
+    }
+    for i, txt in enumerate(texts):
+        assert got[i] == _ref_c4(txt), (txt, got[i], _ref_c4(txt))
