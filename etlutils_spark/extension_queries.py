@@ -2387,19 +2387,24 @@ def _materialized_clusters(spark, sf_dir):
             num_hashes=8, bands=4, threshold=0.5, portable=True,
             algorithm="star",
         )
-        try:
-            os.rename(staging, scratch)
-        except OSError:
-            import shutil
+        import shutil
 
-            if os.path.exists(os.path.join(scratch, "_SUCCESS")):
-                # lost the race to a complete copy — identical labels
-                # (the build is deterministic), use the winner's
-                shutil.rmtree(staging, ignore_errors=True)
-            else:
-                # scratch exists but is INCOMPLETE (debris of a crashed
-                # build) — never serve a truncated label table; replace
-                # it with the fresh complete copy
-                shutil.rmtree(scratch, ignore_errors=True)
+        # rename-with-retry: a complete copy (_SUCCESS present) always
+        # wins — labels are deterministic, so all copies are identical;
+        # incomplete crash debris is replaced. Two retries cover the
+        # concurrent-loser interleavings (both see debris, both rmtree,
+        # one rename succeeds, the other finds a complete copy on its
+        # re-check); a failure after that is a real filesystem problem
+        # and must raise rather than serve a truncated table.
+        for attempt in range(3):
+            try:
                 os.rename(staging, scratch)
+                break
+            except OSError:
+                if os.path.exists(os.path.join(scratch, "_SUCCESS")):
+                    shutil.rmtree(staging, ignore_errors=True)
+                    break
+                if attempt == 2:
+                    raise
+                shutil.rmtree(scratch, ignore_errors=True)
     return spark.read.parquet(scratch)

@@ -90,17 +90,11 @@ def curate_documents(
     if gopher_rules:
         from etlutils_spark.operators.quality import gopher_quality_flags
 
-        ok = gopher_quality_flags(kept, text_col, id_col).filter(
-            "passes"
-        ).select(id_col)
-        kept = kept.join(ok, id_col, "left_semi")
+        kept = gopher_quality_flags(kept, text_col, id_col, keep_only=True)
     if c4_rules:
         from etlutils_spark.operators.quality import c4_quality_flags
 
-        ok = c4_quality_flags(kept, text_col, id_col).filter(
-            "passes"
-        ).select(id_col)
-        kept = kept.join(ok, id_col, "left_semi")
+        kept = c4_quality_flags(kept, text_col, id_col, keep_only=True)
     kept = drop_exact_duplicates(kept, text_col, id_col)
     if source_cap is not None:
         from etlutils_spark.operators.sampling import cap_per_group

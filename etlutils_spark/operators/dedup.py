@@ -903,10 +903,20 @@ def extend_dedup_index(
     )
     new_edges.write.mode("append").parquet(f"{path}/edges")
     new_prof.write.mode("append").parquet(f"{path}/profiles")
+    # id universe = stored LABELS ∪ the batch — NOT the profile table:
+    # a doc too short to shingle (under n tokens, or NULL text) has no
+    # profile row but must still carry a label, exactly as a
+    # from-scratch build labels it (review fix). Eagerly checkpointed
+    # because the result is both derived from path/labels and about to
+    # overwrite it.
     all_ids = (
-        spark.read.parquet(f"{path}/profiles")
+        spark.read.parquet(f"{path}/labels")
         .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .unionByName(
+            new_docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     comp = connected_components(
         spark.read.parquet(f"{path}/edges"), "id_1", "id_2", algorithm="star"

@@ -102,11 +102,13 @@ def r_paste_key(df: DataFrame, cols: Sequence[str]) -> Column:
     via Spark's cast-to-string, which matches R for plain-decimal
     magnitudes but switches to ``1.5E-5``-style scientific notation
     where R prints ``1.5e-05`` — keys relying on scientific-notation
-    text equality diverge. Likewise integral magnitudes >= 2^63 (where
-    ``floor`` saturates, so the integral test is false) render via the
-    plain string cast (``1.0E38`` vs R's ``1e+38``) rather than ever
-    reaching the decimal path. The hypothesis differential pins the
-    plain-decimal range."""
+    text equality diverge. Likewise integral magnitudes strictly above
+    2^63 (where ``floor`` saturates, so the integral test is false)
+    render via the plain string cast (``1.0E38`` vs R's ``1e+38``);
+    exactly ±2^63 still takes the decimal path (the saturated long
+    rounds back to the same double) and prints all digits where R
+    would print ``9.223372036854776e+18``. The hypothesis differential
+    pins the plain-decimal range."""
     from pyspark.sql import types as T
 
     parts = []
@@ -120,12 +122,15 @@ def r_paste_key(df: DataFrame, cols: Sequence[str]) -> Column:
                 .when(d == float("inf"), "Inf")
                 .when(d == float("-inf"), "-Inf")
                 # floor(double) returns LONG and saturates at ±2^63, so
-                # this predicate is false for |d| >= ~9.2e18 and huge
-                # integral magnitudes fall to the plain string cast
-                # (documented parity bound: R prints '1e+38', Spark
-                # '1.0E38') — the decimal(38,0) cast therefore never
-                # sees a value it can't hold (ANSI mode would throw,
-                # not NULL). Pinned by the huge-integral test.
+                # this predicate is false for |d| STRICTLY greater than
+                # 2^63 (at exactly ±2^63 the saturated long rounds back
+                # to the same double, equality holds, and the decimal
+                # path still renders it — no overflow: 2^63 << 1e38);
+                # beyond that, huge integral magnitudes fall to the
+                # plain string cast (documented parity bound: R prints
+                # '1e+38', Spark '1.0E38'). ANSI decimal cast would
+                # throw, not NULL — and can never be reached with an
+                # out-of-range value. Pinned by the huge-integral test.
                 .when(d == F.floor(d), col.cast("decimal(38,0)").cast("string"))
                 .otherwise(col.cast("string"))
             )

@@ -145,6 +145,7 @@ def gopher_quality_flags(
     max_symbol_ratio: float = 0.1,
     min_alpha_word_frac: float = 0.80,
     min_required_stopwords: int = 2,
+    keep_only: bool = False,
 ) -> DataFrame:
     """The published Gopher document-quality rule set (Rae et al. 2021,
     "Scaling Language Models: ... Gopher", App. A1.1) as per-rule flags
@@ -154,10 +155,16 @@ def gopher_quality_flags(
 
     - word count in [50, 100k]
     - mean word length in [3, 10]
-    - symbol-to-word ratio (``#`` or ``...``) <= 0.1
+    - symbol-to-word ratio <= 0.1 for EACH of ``#`` and ``...``
+      (two independent tests, as the paper specifies)
     - >= 80% of words contain at least one alphabetic character
     - >= 2 of the paper's required stop words (the/be/to/of/and/that/
       have/with) appear
+
+    ``keep_only=True`` returns just the surviving input rows (original
+    columns) — the composition mode ``curate_documents`` uses: the
+    rules stay plain Column predicates, so the filter fuses into the
+    caller's scan stage with no join and no second pass.
 
     The paper's line-based rules (bullet-start / ellipsis-end line
     fractions) belong to the line tier (``line_boilerplate_removal``;
@@ -180,7 +187,8 @@ def gopher_quality_flags(
     n_ellipsis = (
         F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
     ) / F.lit(3)
-    symbol_ratio = (n_hash + n_ellipsis).cast("double") / safe_n
+    hash_ratio = n_hash.cast("double") / safe_n
+    ellipsis_ratio = n_ellipsis.cast("double") / safe_n
     alpha_words = F.size(
         F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))
     ).cast("bigint")
@@ -194,14 +202,22 @@ def gopher_quality_flags(
     r_mwl = (mean_word_len >= min_mean_word_len) & (
         mean_word_len <= max_mean_word_len
     )
-    r_sym = symbol_ratio <= max_symbol_ratio
+    # the paper tests hash and ellipsis ratios INDEPENDENTLY (each
+    # <= 0.1), not their sum
+    r_sym = (hash_ratio <= max_symbol_ratio) & (
+        ellipsis_ratio <= max_symbol_ratio
+    )
     r_alpha = alpha_frac >= min_alpha_word_frac
     r_stop = n_required >= min_required_stopwords
+    passes = r_words & r_mwl & r_sym & r_alpha & r_stop
+    if keep_only:
+        return base.filter(passes).drop(TOKENS_COL)
     return base.select(
         F.col(id_col),
         n_words.alias("n_words"),
         mean_word_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
+        hash_ratio.alias("hash_word_ratio"),
+        ellipsis_ratio.alias("ellipsis_word_ratio"),
         alpha_frac.alias("alpha_word_frac"),
         n_required.cast("bigint").alias("n_required_stopwords"),
         r_words.alias("pass_word_count"),
@@ -209,7 +225,7 @@ def gopher_quality_flags(
         r_sym.alias("pass_symbol_ratio"),
         r_alpha.alias("pass_alpha_words"),
         r_stop.alias("pass_required_stopwords"),
-        (r_words & r_mwl & r_sym & r_alpha & r_stop).alias("passes"),
+        passes.alias("passes"),
     )
 
 
@@ -219,6 +235,7 @@ def c4_quality_flags(
     id_col: str = "doc_id",
     min_sentences: int = 3,
     blocklist: Sequence[str] = (),
+    keep_only: bool = False,
 ) -> DataFrame:
     """The C4 cleaning heuristics (Raffel et al. 2020, §2.2 — the
     "Colossal Clean Crawled Corpus" rules) as per-rule flags plus the
@@ -254,6 +271,9 @@ def c4_quality_flags(
     r_brace = ~text.contains("{")
     r_js = ~lower.contains("javascript")
     passes = r_punct & r_sent & r_block & r_lorem & r_brace & r_js
+    if keep_only:
+        # composition mode: the predicates fuse into the caller's scan
+        return base.filter(passes).drop(TOKENS_COL)
     return base.select(
         F.col(id_col),
         n_sentences.alias("n_sentences"),

@@ -181,25 +181,28 @@ def q_quality_filter(spark, sf_dir):
     f AS (
       SELECT doc_id, n_words,
              CAST(sum_len AS DOUBLE) / safe_n AS mean_word_len,
-             CAST(n_hash + n_ell AS DOUBLE) / safe_n AS symbol_ratio,
+             CAST(n_hash AS DOUBLE) / safe_n AS hash_word_ratio,
+             CAST(n_ell AS DOUBLE) / safe_n AS ellipsis_word_ratio,
              CAST(alpha_words AS DOUBLE) / safe_n AS alpha_word_frac,
              n_req
       FROM m)
     SELECT doc_id,
            CAST(n_words AS BIGINT) AS n_words,
            mean_word_len,
-           symbol_ratio,
+           hash_word_ratio,
+           ellipsis_word_ratio,
            alpha_word_frac,
            CAST(n_req AS BIGINT) AS n_required_stopwords,
            n_words >= 50 AND n_words <= 100000 AS pass_word_count,
            mean_word_len >= 3.0 AND mean_word_len <= 10.0
              AS pass_mean_word_len,
-           symbol_ratio <= 0.1 AS pass_symbol_ratio,
+           hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1
+             AS pass_symbol_ratio,
            alpha_word_frac >= 0.80 AS pass_alpha_words,
            n_req >= 2 AS pass_required_stopwords,
            (n_words >= 50 AND n_words <= 100000)
              AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-             AND symbol_ratio <= 0.1
+             AND (hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1)
              AND alpha_word_frac >= 0.80
              AND n_req >= 2 AS passes
     FROM f

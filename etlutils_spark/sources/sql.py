@@ -348,11 +348,18 @@ def ingest_to_parquet(
                 _check_frozen_levels(df, existing, append_levels)
     obs = None
     out = df
-    # mode="ignore" on an existing path skips the child plan entirely —
-    # the CollectMetrics accumulator would never fire and obs.get would
-    # wait on it forever, so verbose instrumentation only attaches to
-    # modes that execute the write
-    observe = verbose and mode != "ignore"
+    # mode="ignore" on an EXISTING destination skips the child plan
+    # entirely — the CollectMetrics accumulator would never fire and
+    # obs.get would wait on it forever. A first ignore-write (target
+    # absent) does execute, so it keeps its metrics; non-local URIs
+    # (existence not cheaply checkable from the driver) conservatively
+    # skip observation rather than risk the hang.
+    import os as _os
+
+    ignore_may_skip = mode == "ignore" and (
+        "://" in path or _os.path.exists(path)
+    )
+    observe = verbose and not ignore_may_skip
     if observe:
         from pyspark.sql import Observation
         from pyspark.sql import functions as F

@@ -342,12 +342,14 @@ def test_extend_dedup_index_matches_full_rebuild(spark, tmp_path):
         (4, base + " three"),        # near-dup of 1/2, arrives batch 2
         (5, "another unrelated note concerning shuffle partitions"),
         (6, base + " four"),         # near-dup, arrives batch 3
+        (7, "hi"),                   # too short to shingle — stored half
+        (8, "ok"),                   # too short to shingle — arrives batch 2
     ]
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
     inc_path = str(tmp_path / "inc")
     full_path = str(tmp_path / "full")
-    build_dedup_index(docs.filter("doc_id <= 3"), inc_path)
-    extend_dedup_index(inc_path, docs.filter("doc_id in (4, 5)"))
+    build_dedup_index(docs.filter("doc_id in (1, 2, 3, 7)"), inc_path)
+    extend_dedup_index(inc_path, docs.filter("doc_id in (4, 5, 8)"))
     got = extend_dedup_index(inc_path, docs.filter("doc_id = 6"))
     want = build_dedup_index(docs, full_path)
     got_rows = sorted(tuple(r) for r in got.collect())
@@ -356,6 +358,9 @@ def test_extend_dedup_index_matches_full_rebuild(spark, tmp_path):
     labels = dict(got_rows)
     assert labels[1] == labels[2] == labels[4] == labels[6] == 1
     assert labels[3] == 3 and labels[5] == 5
+    # shingle-less docs (no profile row) keep their labels across
+    # extends — the id universe is labels ∪ batch, not profiles
+    assert labels[7] == 7 and labels[8] == 8
 
 
 def test_extend_dedup_index_replay_is_idempotent(spark, tmp_path):

@@ -293,11 +293,12 @@ def _ref_gopher(text):
     t = text or ""
     n_hash = len(t) - len(t.replace("#", ""))
     n_ell = (len(t) - len(t.replace("...", ""))) / 3
-    sym = (n_hash + n_ell) / safe
+    hr = n_hash / safe
+    er = n_ell / safe
     alpha = sum(1 for x in w if re.search("[a-zA-Z]", x)) / safe
     req = {"the", "be", "to", "of", "and", "that", "have", "with"}
     n_req = sum(1 for x in w if x in req)
-    return (n, mean_len, sym, alpha, n_req)
+    return (n, mean_len, hr, er, alpha, n_req)
 
 
 @SET
@@ -318,8 +319,9 @@ def test_gopher_flags_match_python_reference(spark, texts):
         list(enumerate(texts)), "doc_id bigint, text string"
     )
     got = {
-        r.doc_id: (r.n_words, r.mean_word_len, r.symbol_ratio,
-                   r.alpha_word_frac, r.n_required_stopwords)
+        r.doc_id: (r.n_words, r.mean_word_len, r.hash_word_ratio,
+                   r.ellipsis_word_ratio, r.alpha_word_frac,
+                   r.n_required_stopwords)
         for r in gopher_quality_flags(df).collect()
     }
     for i, txt in enumerate(texts):

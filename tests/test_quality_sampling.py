@@ -548,6 +548,18 @@ def test_gopher_quality_flags_planted_violations(spark):
     assert not out[5].pass_required_stopwords
     # stats sanity on the clean doc
     assert out[0].n_words == 60 and out[0].n_required_stopwords >= 10
+    # the paper's symbol rule is PER SYMBOL: a doc whose hash ratio and
+    # ellipsis ratio are each 0.06 (sum 0.12) must PASS — a summed-
+    # ratio implementation would wrongly reject it
+    from etlutils_spark.operators.quality import gopher_quality_flags as gq
+    body = ("the data rows and that have with of be to " * 6).strip()  # 60 words
+    mixed = body + " # # # # # # ... ... ... ... ... ..."
+    m = gq(spark.createDataFrame([(9, mixed)], "doc_id bigint, text string")
+           ).collect()[0]
+    assert 0.05 < m.hash_word_ratio <= 0.1
+    assert 0.05 < m.ellipsis_word_ratio <= 0.1
+    assert m.hash_word_ratio + m.ellipsis_word_ratio > 0.1
+    assert m.pass_symbol_ratio
 
 
 def test_c4_quality_flags_planted_violations(spark):
