@@ -865,7 +865,16 @@ def extend_dedup_index(
     on the union corpus: every cross-batch pair is discovered by the
     probe (same bands), every intra-batch pair by the self-join, and
     connected components is order-independent — pinned end to end by
-    the ``dedup_clusters_incremental`` oracle query."""
+    the ``dedup_clusters_incremental`` oracle query.
+
+    Failure/recovery contract: the profile/edge appends land before
+    the label rewrite, so a crash mid-refresh leaves labels stale but
+    never wrong-and-complete-looking; recovery is simply REPLAYING the
+    batch — duplicate profile rows collapse in the distinct id set and
+    duplicate edges in CC's canonical distinct, so a replay converges
+    to the same labels (pinned by the replay-idempotency test). At
+    warehouse scale, wrap the three writes in the table format's
+    transaction if one is available; the math does not require it."""
     from etlutils_spark.streaming.incremental_lsh import (
         _explode_bands,
         _verified_pairs,
