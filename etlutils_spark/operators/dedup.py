@@ -745,6 +745,11 @@ def build_dedup_clusters(
     reads the materialized table instead of re-running the pipeline);
     diagnose many. At 100 TB this is a warehouse table keyed by corpus
     snapshot, refreshed per ingest batch — never recomputed per query.
+    Sibling: :func:`build_dedup_index` trades this function's
+    exact-shingle verify (the DuckDB-oracle-exact domain) for a stored
+    band/shingle-hash profile index that makes the artifact
+    batch-extendable (:func:`extend_dedup_index`) without re-shingling
+    the corpus — choose it when the corpus grows in place.
 
     ``algorithm="star"`` (default) labels components in O(log n)
     alternating large/small-star rounds (Kiveris et al. 2014) — the
@@ -805,7 +810,10 @@ def build_dedup_index(
     Scale: one corpus pass builds the profiles; candidates are the
     banded self-join; CC is star (O(log n) rounds). At 100 TB each of
     the three tables is a warehouse table; ``extend_dedup_index`` then
-    makes every subsequent ingest batch O(batch), never O(corpus)."""
+    makes every subsequent ingest batch O(batch), never O(corpus).
+    Sibling: :func:`build_dedup_clusters` is the fixed-snapshot form —
+    exact-shingle verify, labels only, no stored probe state — for
+    corpora rebuilt per snapshot rather than grown in place."""
     from etlutils_spark.streaming.incremental_lsh import (
         _explode_bands,
         _verified_pairs,
