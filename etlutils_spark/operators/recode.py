@@ -72,8 +72,14 @@ def factorise(df: DataFrame, logicals: bool = False) -> DataFrame:
     """
     if not logicals:
         return df
+    # R renders logical factor levels as TRUE/FALSE (not Spark's
+    # lowercase cast) — same coercion table as r_paste_key; NULL
+    # falls through the outer when to stay NULL
     casts = {
-        f.name: F.col(f.name).cast("string")
+        f.name: F.when(
+            F.col(f.name).isNotNull(),
+            F.when(F.col(f.name), "TRUE").otherwise("FALSE"),
+        )
         for f in df.schema.fields
         if isinstance(f.dataType, T.BooleanType)
     }

@@ -231,6 +231,12 @@ def test_factorise(spark):
     out = factorise(df, logicals=True)
     assert dict(out.dtypes)["b"] == "string"
     assert dict(out.dtypes)["x"] == "int"  # untouched
+    # R factor-from-logical renders TRUE/FALSE (not Spark's lowercase
+    # cast); NULL stays NULL (r6 parity fix, same table as r_paste_key)
+    vals = {r.x: r.b for r in out.collect()}
+    assert vals == {1: "TRUE", 2: None}
+    df3 = spark.createDataFrame([(False,)], "b boolean")
+    assert factorise(df3, logicals=True).collect()[0].b == "FALSE"
     levels = [r.y for r in factor_levels(df, "y").collect()]
     assert levels == ["A", "B"]
 
