@@ -2389,22 +2389,28 @@ def _materialized_clusters(spark, sf_dir):
         )
         import shutil
 
-        # rename-with-retry: a complete copy (_SUCCESS present) always
-        # wins — labels are deterministic, so all copies are identical;
-        # incomplete crash debris is replaced. Two retries cover the
-        # concurrent-loser interleavings (both see debris, both rmtree,
-        # one rename succeeds, the other finds a complete copy on its
-        # re-check); a failure after that is a real filesystem problem
-        # and must raise rather than serve a truncated table.
-        for attempt in range(3):
-            try:
-                os.rename(staging, scratch)
-                break
-            except OSError:
-                if os.path.exists(os.path.join(scratch, "_SUCCESS")):
-                    shutil.rmtree(staging, ignore_errors=True)
-                    break
-                if attempt == 2:
-                    raise
-                shutil.rmtree(scratch, ignore_errors=True)
+        # Publish protocol: a complete copy (_SUCCESS) always wins —
+        # labels are deterministic, so all copies are identical. If the
+        # rename fails against crash DEBRIS (no _SUCCESS), exactly one
+        # process — the atomic mkdir-lock holder — may replace it; any
+        # other process serves its own complete staging copy rather
+        # than ever deleting a directory someone else might be reading.
+        try:
+            os.rename(staging, scratch)
+        except OSError:
+            if os.path.exists(os.path.join(scratch, "_SUCCESS")):
+                shutil.rmtree(staging, ignore_errors=True)
+            else:
+                lock = scratch + ".lock"
+                try:
+                    os.mkdir(lock)
+                except OSError:
+                    # another process is repairing — our staging copy
+                    # is complete and private; read from it
+                    return spark.read.parquet(staging)
+                try:
+                    shutil.rmtree(scratch, ignore_errors=True)
+                    os.rename(staging, scratch)
+                finally:
+                    os.rmdir(lock)
     return spark.read.parquet(scratch)

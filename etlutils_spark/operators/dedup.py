@@ -920,15 +920,23 @@ def extend_dedup_index(
     )
     new_edges.write.mode("append").parquet(f"{path}/edges")
     new_prof.write.mode("append").parquet(f"{path}/profiles")
-    # id universe = stored LABELS ∪ the batch — NOT the profile table:
-    # a doc too short to shingle (under n tokens, or NULL text) has no
-    # profile row but must still carry a label, exactly as a
-    # from-scratch build labels it (review fix). Eagerly checkpointed
-    # because the result is both derived from path/labels and about to
-    # overwrite it.
+    # id universe = stored LABELS ∪ PROFILES ∪ the batch: labels carry
+    # docs too short to shingle (no profile row — they must keep their
+    # labels, as a from-scratch build would assign them); profiles
+    # additionally carry the SHINGLEABLE docs of a batch whose refresh
+    # crashed after the appends but before the label rewrite, so a
+    # subsequent extend of a different batch self-heals them (a crashed
+    # batch's shingle-less docs return only via the documented replay).
+    # Labels' id column carries the builder's id_col name — take it
+    # positionally. Eagerly checkpointed because the result is both
+    # derived from path/labels and about to overwrite it.
+    lbl = spark.read.parquet(f"{path}/labels")
     all_ids = (
-        spark.read.parquet(f"{path}/labels")
-        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        lbl.select(F.col(lbl.columns[0]).cast("long").alias("doc_id"))
+        .unionByName(
+            spark.read.parquet(f"{path}/profiles")
+            .select(F.col("doc_id").cast("long").alias("doc_id"))
+        )
         .unionByName(
             new_docs.select(F.col(id_col).cast("long").alias("doc_id"))
         )
@@ -941,7 +949,8 @@ def extend_dedup_index(
     labels = (
         all_ids.join(comp, all_ids["doc_id"] == comp["node"], "left")
         .select(
-            "doc_id",
+            # preserve the builder's id column name across refreshes
+            F.col("doc_id").alias(lbl.columns[0]),
             F.coalesce("cluster_id", F.col("doc_id")).cast("long").alias("cluster_id"),
         )
     )

@@ -348,18 +348,14 @@ def ingest_to_parquet(
                 _check_frozen_levels(df, existing, append_levels)
     obs = None
     out = df
-    # mode="ignore" on an EXISTING destination skips the child plan
-    # entirely — the CollectMetrics accumulator would never fire and
-    # obs.get would wait on it forever. A first ignore-write (target
-    # absent) does execute, so it keeps its metrics; non-local URIs
-    # (existence not cheaply checkable from the driver) conservatively
-    # skip observation rather than risk the hang.
-    import os as _os
-
-    ignore_may_skip = mode == "ignore" and (
-        "://" in path or _os.path.exists(path)
-    )
-    observe = verbose and not ignore_may_skip
+    # mode="ignore" NEVER attaches an Observation: whether the write
+    # will run depends on destination existence AT EXECUTION TIME on
+    # the destination filesystem — any driver-side pre-check (local
+    # os.path, scheme sniffing) is a TOCTOU guess, and guessing wrong
+    # means CollectMetrics never fires and obs.get blocks forever.
+    # Losing row metrics for a mode whose whole point is "maybe do
+    # nothing" is the safe trade.
+    observe = verbose and mode != "ignore"
     if observe:
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
@@ -397,8 +393,9 @@ def ingest_to_parquet(
     elif verbose:
         print(
             f"ingest_to_parquet: mode=ignore completed in "
-            f"TOTAL={time.time() - t0:.3f}secs (row metrics unavailable: "
-            "an ignored write runs no job)"
+            f"TOTAL={time.time() - t0:.3f}secs (metrics not collected: "
+            "an ignore-mode write may be skipped at execution time, so "
+            "no Observation is attached)"
         )
 
 

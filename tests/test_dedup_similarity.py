@@ -363,6 +363,28 @@ def test_extend_dedup_index_matches_full_rebuild(spark, tmp_path):
     assert labels[7] == 7 and labels[8] == 8
 
 
+def test_extend_dedup_index_custom_id_col(spark, tmp_path):
+    """A non-default id_col must survive build -> extend: the labels
+    table keeps the caller's column name and the extend's id-universe
+    read takes it positionally (review regression pin)."""
+    from etlutils_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the bank"
+    docs = spark.createDataFrame(
+        [(1, base + " x"), (2, base + " y"), (3, "short")],
+        "my_id bigint, text string",
+    )
+    path = str(tmp_path / "cid")
+    build_dedup_index(docs.filter("my_id < 3"), path, id_col="my_id")
+    out = extend_dedup_index(path, docs.filter("my_id = 3"), id_col="my_id")
+    assert out.columns == ["my_id", "cluster_id"]
+    labels = {r.my_id: r.cluster_id for r in out.collect()}
+    assert labels == {1: 1, 2: 1, 3: 3}
+
+
 def test_extend_dedup_index_replay_is_idempotent(spark, tmp_path):
     """At-least-once ingest: re-folding the SAME batch (a failure
     replay) must leave the labels unchanged — duplicate profile rows
