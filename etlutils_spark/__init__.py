@@ -28,6 +28,8 @@ from etlutils_spark.operators.dedup import (
     build_dedup_clusters,
     build_dedup_index,
     extend_dedup_index,
+    lsh_candidate_probability,
+    pick_lsh_bands,
     cluster_size_histogram,
     dedup_rate_report,
     triplet_mining,
@@ -113,6 +115,8 @@ __all__ = [
     "build_dedup_clusters",
     "build_dedup_index",
     "extend_dedup_index",
+    "lsh_candidate_probability",
+    "pick_lsh_bands",
     "leakage_safe_split",
     "line_boilerplate_removal",
     "pack_ids_export",

@@ -196,6 +196,41 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
+def lsh_candidate_probability(
+    jaccard: float, bands: int, rows_per_band: int
+) -> float:
+    """P(a pair at the given Jaccard becomes an LSH candidate) — the
+    S-curve ``1 - (1 - j^r)^b`` (Leskovec/Rajaraman/Ullman, *Mining of
+    Massive Datasets* §3.4). Driver-side math for capacity planning and
+    recall accounting (the stress harness's recall numbers are this
+    formula evaluated at the corpus's intra-group similarity)."""
+    return 1.0 - (1.0 - jaccard ** rows_per_band) ** bands
+
+
+def pick_lsh_bands(num_hashes: int, threshold: float) -> int:
+    """Choose the band count whose S-curve midpoint ``(1/b)^(1/r)``
+    best matches the target Jaccard threshold, given a signature of
+    ``num_hashes`` values (MMDS §3.4.3: the threshold where candidate
+    probability crosses ~0.5 is approximately ``(1/b)^(1/r)``).
+    Returns a divisor of ``num_hashes``; ties break toward MORE bands
+    (higher recall at the threshold, more candidates — the safer
+    default for dedup, where misses are silent and candidates are
+    merely verified)."""
+    if not 0 < threshold < 1:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    divisors = [b for b in range(1, num_hashes + 1) if num_hashes % b == 0]
+    best, best_err = None, None
+    for b in divisors:
+        r = num_hashes // b
+        mid = (1.0 / b) ** (1.0 / r)
+        err = abs(mid - threshold)
+        # strict < keeps the earlier (larger-bands) winner on ties:
+        # divisors scan ascending, so compare with <= toward later b
+        if best is None or err <= best_err:
+            best, best_err = b, err
+    return best
+
+
 def band_sig_array(num_hashes: int = 8, bands: int = 4, portable: bool = True) -> Column:
     """Array of LSH band signatures (index = band number) computed from
     mh0..mhK signature columns; band signature = digest of the band's

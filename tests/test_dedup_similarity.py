@@ -287,6 +287,40 @@ def test_connected_components_chain_and_islands(spark):
         connected_components(pairs, algorithm="bogus")
 
 
+def test_lsh_parameter_helpers():
+    """S-curve math (MMDS §3.4): probability formula vs brute-force
+    expectation, and band selection hits the known sweet spots."""
+    import random
+
+    from etlutils_spark.operators.dedup import (
+        lsh_candidate_probability,
+        pick_lsh_bands,
+    )
+
+    # Monte-Carlo check of the closed form: signature agreement per
+    # hash is Bernoulli(j); candidate iff some band fully agrees
+    rng = random.Random(7)
+    j, b, r = 0.6, 4, 2
+    hits = 0
+    trials = 20000
+    for _ in range(trials):
+        if any(
+            all(rng.random() < j for _ in range(r)) for _ in range(b)
+        ):
+            hits += 1
+    assert abs(hits / trials - lsh_candidate_probability(j, b, r)) < 0.02
+    # the repo's default (8 hashes, threshold 0.5) selects 4 bands x 2
+    # rows — midpoint (1/4)^(1/2) = 0.5 exactly
+    assert pick_lsh_bands(8, 0.5) == 4
+    # high threshold -> fewer bands / longer bands; low -> more bands
+    assert pick_lsh_bands(8, 0.9) < 4
+    assert pick_lsh_bands(8, 0.2) == 8
+    import pytest
+
+    with pytest.raises(ValueError):
+        pick_lsh_bands(8, 1.5)
+
+
 def test_build_dedup_clusters_artifact(spark, tmp_path):
     """The materialize-once artifact: labels every doc (singletons to
     themselves), round-trips through parquet, and the expensive pair
