@@ -196,6 +196,7 @@ def main() -> None:
 
     experiments = {
         **cluster_artifact_experiment(spark),
+        **tokens_mode_experiment(spark),
         **pq_scan_mode_experiment(spark),
         **minhash_hash_mode_experiment(spark),
         **skew_join_experiment(spark),
@@ -266,6 +267,46 @@ def cluster_artifact_experiment(spark) -> dict:
         "cluster_artifact_cold_build_sec": round(build, 3),
         "cluster_artifact_consumer_sec": round(consume, 3),
     }
+
+
+def tokens_mode_experiment(spark) -> dict:
+    """The tokens_to_ids plan-budget story, measured per round: the
+    literal map is fastest while it fits the plan budget; at BPE scale
+    (32k synthetic vocab here) the literal plan is a compile-time
+    cliff (measured ~58 s at r4 — not re-paid every round), while the
+    broadcast join stays flat. Reported: literal and broadcast at 8k,
+    broadcast at 32k."""
+    from pyspark.sql import functions as F
+
+    from etlutils_spark.operators.text import build_vocab, tokens_to_ids
+    from etlutils_spark.sources.files import read_table
+
+    docs = read_table(spark, "documents", SF_DIR)
+    v8k = build_vocab(docs, top_n=8192)
+    # synthetic 32k vocab: real top tokens + deterministic fillers (the
+    # filler ids are never hit; size is what stresses the plan/build)
+    filler = spark.range(32768).select(
+        F.concat(F.lit("tok_"), F.col("id")).alias("token"),
+        (F.col("id") + 100000).alias("vocab_rank"),
+    )
+    v32k = (
+        v8k.select("token", "vocab_rank")
+        .unionByName(filler)
+        .limit(32768)
+    )
+    out = {}
+    for key, vocab, mode in (
+        ("tokens_literal_8k_sec", v8k, "literal"),
+        ("tokens_broadcast_8k_sec", v8k, "broadcast"),
+        ("tokens_broadcast_32k_sec", v32k, "broadcast"),
+    ):
+        out[key] = time_min2(
+            tokens_to_ids(docs, vocab, mode=mode).select(
+                "doc_id", F.size("ids").alias("n")
+            ),
+            attempts=2,
+        )
+    return out
 
 
 def time_min2(df, attempts: int = 3) -> float:
