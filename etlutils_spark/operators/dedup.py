@@ -224,8 +224,8 @@ def pick_lsh_bands(num_hashes: int, threshold: float) -> int:
         r = num_hashes // b
         mid = (1.0 / b) ** (1.0 / r)
         err = abs(mid - threshold)
-        # strict < keeps the earlier (larger-bands) winner on ties:
-        # divisors scan ascending, so compare with <= toward later b
+        # divisors scan ascending, so <= lets a later (larger-b, i.e.
+        # more-bands) candidate take equal-error ties
         if best is None or err <= best_err:
             best, best_err = b, err
     return best
