@@ -397,6 +397,66 @@ def test_extend_dedup_index_matches_full_rebuild(spark, tmp_path):
     assert labels[7] == 7 and labels[8] == 8
 
 
+def test_extend_dedup_index_affected_scope_matches_full(spark, tmp_path):
+    """cc_scope='affected' must label bit-identically to 'full' (and to
+    a from-scratch rebuild), including the hard cases: a batch doc
+    MERGING two pre-existing clusters, an untouched cluster passing
+    through verbatim, and shingle-less docs."""
+    import pytest
+
+    from etlutils_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    b = "one two three four five six seven eight nine ten eleven twelve"
+    c = "spark parquet arrow pandas hive derby duck goose swan crane dove"
+    rows = [
+        (1, a + " x"), (2, a + " y"),        # cluster A
+        (3, b + " x"), (4, b + " y"),        # cluster B
+        (5, c + " x"), (6, c + " y"),        # cluster C (never touched)
+        (7, "hi"),                            # shingle-less
+        # batch: 8 bridges A and B (shares a long span with both), 9 solo
+        (8, a + " x " + b + " y"),
+        (9, "totally distinct content that matches nothing else at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    base = docs.filter("doc_id <= 7")
+    batch = docs.filter("doc_id >= 8")
+
+    p_aff = str(tmp_path / "aff")
+    p_full = str(tmp_path / "full")
+    p_rebuild = str(tmp_path / "rebuild")
+    # bands=8 x 1 row: candidate probability ~0.99 at the bridge's
+    # jaccard ~0.43 (4x2 banding is a coin flip there — this test needs
+    # the bridge deterministically found, not a recall experiment)
+    build_dedup_index(base, p_aff, threshold=0.3, bands=8)
+    build_dedup_index(base, p_full, threshold=0.3, bands=8)
+    # threshold 0.3: a doc concatenating two clusters' texts overlaps
+    # each at jaccard ~0.45 — enough to BRIDGE them, which the default
+    # 0.5 cannot (a disjoint-cluster bridge tops out below 0.5)
+    got_aff = sorted(tuple(r) for r in
+                     extend_dedup_index(p_aff, batch, threshold=0.3,
+                                        bands=8,
+                                        cc_scope="affected").collect())
+    got_full = sorted(tuple(r) for r in
+                      extend_dedup_index(p_full, batch, bands=8,
+                                         threshold=0.3).collect())
+    want = sorted(tuple(r) for r in
+                  build_dedup_index(docs, p_rebuild, bands=8,
+                                    threshold=0.3).collect())
+    assert got_aff == got_full == want
+    labels = dict(got_aff)
+    # the bridge doc merged clusters A and B into one component
+    assert labels[1] == labels[2] == labels[3] == labels[4] == labels[8] == 1
+    # untouched cluster and shingle-less/solo docs intact
+    assert labels[5] == labels[6] == 5
+    assert labels[7] == 7 and labels[9] == 9
+    with pytest.raises(ValueError, match="cc_scope"):
+        extend_dedup_index(p_aff, batch, cc_scope="bogus")
+
+
 def test_extend_dedup_index_custom_id_col(spark, tmp_path):
     """A non-default id_col must survive build -> extend: the labels
     table keeps the caller's column name and the extend's id-universe

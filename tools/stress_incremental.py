@@ -63,6 +63,14 @@ def run(spark, n: int) -> dict:
     labels = extend_dedup_index(path, batch)
     n_labeled = labels.count()
     extend_sec = round(time.time() - t0, 2)
+    # same batch again under affected-scope CC (replay is label-
+    # idempotent, so the artifact state is valid): relabels only the
+    # components the batch touches instead of the whole edge table
+    t0 = time.time()
+    labels2 = extend_dedup_index(path, batch, cc_scope="affected")
+    n2 = labels2.count()
+    extend_affected_sec = round(time.time() - t0, 2)
+    assert n2 == n_labeled, (n2, n_labeled)
     docs.unpersist()
     batch.unpersist()
     shutil.rmtree(path, ignore_errors=True)
@@ -71,6 +79,7 @@ def run(spark, n: int) -> dict:
         "batch": n_batch,
         "build_sec": build_sec,
         "extend_sec": extend_sec,
+        "extend_affected_sec": extend_affected_sec,
         "labeled_total": n_labeled,
     }
 
