@@ -63,35 +63,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # green rows.
 
 _LAST_DRIVER_CHECK = {
-    # --- last green driver row: CORRECTNESS_r01.json ---
-    "ann_cosine_topk": 1, "dedup_embedding_cosine": 1, "dedup_exact": 1,
-    "dedup_exact_survivors": 1, "dedup_minhash_clusters": 1,
-    "dedup_minhash_lsh": 1, "dedup_ngram_jaccard": 1, "text_lang_id": 1,
-    "text_stats": 1,
-    # --- last green driver row: CORRECTNESS_r02.json ---
-    "collect_sorted_sizes": 2, "correlated_subquery": 2,
-    "delegated_sql": 2, "explode_token_freq": 2, "grouping_sets_sql": 2,
-    "having_filter": 2, "histogram_price_buckets": 2,
-    "json_extract_props": 2, "json_map_explode": 2,
-    "percentile_quantity": 2, "pivot_status_counts": 2,
-    "q10_returned_items": 2, "q12_late_shipment_priority": 2,
-    "q13_customer_order_distribution": 2, "q14_promo_share": 2,
-    "q18_large_volume_orders": 2, "q19_disjunctive_filter": 2,
-    "q22_idle_rich_customers": 2, "q4_priority_returns": 2,
-    "q6_revenue_forecast": 2, "q7_volume_shipping": 2,
-    "q8_market_share": 2, "q9_product_type_profit": 2, "stats_moments": 2,
-    "union_distinct_nations": 2, "window_rank_functions": 2,
     # --- last green driver row: CORRECTNESS_r03.json ---
     "asof_last_purchase": 3, "chunk_documents_windows": 3,
     "cogroup_asof_enrich": 3, "corpus_rarity": 3,
     "decontaminate_overlap": 3, "dedup_cluster_survivors": 3,
     "format_roundtrip_csv": 3, "format_roundtrip_json": 3,
-    "grouped_apply_rank": 3, "lateral_topk_per_nation": 3,
-    "mixture_resample_lang": 3, "multimodal_audio_chunks": 3,
-    "multimodal_meta": 3, "outlier_flags_events": 3,
-    "pack_sequences_source": 3, "pandas_udf_normalize": 3,
-    "profile_documents": 3, "q11_important_stock": 3,
-    "q15_top_supplier": 3, "q16_supplier_part_counts": 3,
+    "grouped_apply_rank": 3, "mixture_resample_lang": 3,
+    "multimodal_audio_chunks": 3, "multimodal_meta": 3,
+    "outlier_flags_events": 3, "pack_sequences_source": 3,
+    "pandas_udf_normalize": 3, "profile_documents": 3,
+    "q11_important_stock": 3, "q16_supplier_part_counts": 3,
     "q17_small_quantity_revenue": 3, "q20_excess_stock_suppliers": 3,
     "q21_waiting_supplier": 3, "q2_min_cost_supplier": 3,
     "quality_filter_flags": 3, "range_join_purchase_window": 3,
@@ -107,70 +88,79 @@ _LAST_DRIVER_CHECK = {
     "ann_pq_recall_contract": 4, "approx_distinct_contract": 4,
     "approx_quantiles_contract": 4, "asof_next_purchase": 4,
     "bm25_topk_search": 4, "cohort_retention": 4, "constraint_audit": 4,
-    "curation_pipeline_batch": 4, "curation_pipeline_tokens": 4,
-    "decontaminate_semantic_embeddings": 4, "dedup_containment": 4,
-    "dedup_simhash": 4, "dedup_window_rewrite": 4, "dedup_window_spans": 4,
-    "dedup_window_spans_shifted": 4, "embedding_cluster_assign": 4,
-    "format_roundtrip_orc": 4, "full_outer_reconcile": 4,
-    "funnel_stages_user": 4, "heavy_hitters_contract": 4,
-    "hilbert_curve_order2": 4, "incremental_lsh_pairs": 4,
-    "incremental_span_dedup": 4, "knn_label_consistency": 4,
-    "multimodal_features": 4, "multimodal_probe": 4, "pack_ids_export": 4,
-    "profile_embeddings": 4, "quality_percentile_prune": 4,
-    "quality_rank_blend": 4, "salted_agg_event_types": 4,
-    "salted_join_hotkey": 4, "scd2_history": 4,
+    "curation_pipeline_batch": 4, "decontaminate_semantic_embeddings": 4,
+    "dedup_containment": 4, "dedup_simhash": 4, "dedup_window_rewrite": 4,
+    "dedup_window_spans": 4, "dedup_window_spans_shifted": 4,
+    "embedding_cluster_assign": 4, "format_roundtrip_orc": 4,
+    "full_outer_reconcile": 4, "funnel_stages_user": 4,
+    "heavy_hitters_contract": 4, "hilbert_curve_order2": 4,
+    "incremental_lsh_pairs": 4, "incremental_span_dedup": 4,
+    "knn_label_consistency": 4, "multimodal_features": 4,
+    "multimodal_probe": 4, "profile_embeddings": 4,
+    "quality_percentile_prune": 4, "quality_rank_blend": 4,
+    "salted_agg_event_types": 4, "salted_join_hotkey": 4, "scd2_history": 4,
     "semantic_dedup_survivors": 4, "streaming_interval_join": 4,
-    "token_budget_sample": 4, "tokenize_to_ids": 4,
-    "train_val_test_split": 4, "unpivot_order_metrics": 4,
-    "vocab_oov_rate": 4, "vocab_top_tokens": 4, "winnow_fingerprints": 4,
-    "winnow_overlap_pairs": 4, "zorder_pruning_stats": 4,
+    "token_budget_sample": 4, "train_val_test_split": 4,
+    "unpivot_order_metrics": 4, "vocab_oov_rate": 4, "vocab_top_tokens": 4,
+    "winnow_fingerprints": 4, "winnow_overlap_pairs": 4,
+    "zorder_pruning_stats": 4,
     # --- last green driver row: CORRECTNESS_r05.json ---
     "agg_cube": 5, "agg_rollup": 5, "anti_join_customers": 5,
     "append_union": 5, "bigram_lm_quality": 5, "bpe_encode_docs": 5,
-    "corpus_diff_releases": 5, "dedup_cluster_size_histogram": 5,
-    "dedup_clusters_star": 5, "dedup_rate_report_by_source": 5,
-    "distinct_agg_segments": 5, "embedding_quantize_int8": 5,
-    "embedding_standardize": 5, "factor_levels_brand": 5,
-    "format_roundtrip_text": 5, "fuzzy_matchmerge_segments": 5,
-    "hard_negative_mining": 5, "ingest_limit": 5, "leakage_safe_split": 5,
-    "line_boilerplate_docs": 5, "locf_events": 5,
-    "matchmerge_composite_key": 5, "matchmerge_expr_key": 5,
-    "matchmerge_inner": 5, "matchmerge_left": 5, "matchmerge_paste_key": 5,
-    "matchmerge_vector_y": 5, "mixture_temperature_lang": 5,
-    "multimodal_frame_sample": 5, "multimodal_resize": 5,
-    "profile_drift_documents": 5, "q1_pricing_summary": 5,
-    "q3_top_revenue_orders": 5, "q5_nation_revenue": 5,
-    "recode_mktsegment": 5, "rename_project": 5,
-    "scalar_funcs_projection": 5, "semi_join_customers": 5,
-    "set_except": 5, "set_intersect": 5, "source_cap_sample": 5,
-    "streaming_funnel": 5, "text_token_gini": 5,
-    "transfun_derived_date": 5, "triplet_mining_pairs": 5,
+    "corpus_diff_releases": 5, "distinct_agg_segments": 5,
+    "embedding_quantize_int8": 5, "embedding_standardize": 5,
+    "factor_levels_brand": 5, "format_roundtrip_text": 5,
+    "fuzzy_matchmerge_segments": 5, "hard_negative_mining": 5,
+    "ingest_limit": 5, "locf_events": 5, "matchmerge_composite_key": 5,
+    "matchmerge_expr_key": 5, "matchmerge_inner": 5, "matchmerge_left": 5,
+    "matchmerge_paste_key": 5, "matchmerge_vector_y": 5,
+    "mixture_temperature_lang": 5, "multimodal_frame_sample": 5,
+    "multimodal_resize": 5, "profile_drift_documents": 5,
+    "q1_pricing_summary": 5, "q3_top_revenue_orders": 5,
+    "q5_nation_revenue": 5, "recode_mktsegment": 5, "rename_project": 5,
+    "scalar_funcs_projection": 5, "semi_join_customers": 5, "set_except": 5,
+    "set_intersect": 5, "source_cap_sample": 5, "streaming_funnel": 5,
+    "text_token_gini": 5, "transfun_derived_date": 5,
     "user_cadence_stats": 5, "window_multi_horizon": 5,
     "window_running_spend": 5, "window_topk_per_customer": 5,
     "winsorize_order_totals": 5,
+    # --- last green driver row: CORRECTNESS_r06.json ---
+    "ann_cosine_topk": 6, "c4_quality_docs": 6, "collect_sorted_sizes": 6,
+    "correlated_subquery": 6, "curation_pipeline_tokens": 6,
+    "dedup_cluster_size_histogram": 6, "dedup_clusters_incremental": 6,
+    "dedup_clusters_star": 6, "dedup_embedding_cosine": 6, "dedup_exact": 6,
+    "dedup_exact_survivors": 6, "dedup_minhash_clusters": 6,
+    "dedup_minhash_lsh": 6, "dedup_ngram_jaccard": 6,
+    "dedup_rate_report_by_source": 6, "delegated_sql": 6,
+    "explode_token_freq": 6, "gopher_quality_docs": 6,
+    "grouping_sets_sql": 6, "having_filter": 6,
+    "histogram_price_buckets": 6, "json_extract_props": 6,
+    "json_map_explode": 6, "lateral_topk_per_nation": 6,
+    "leakage_safe_split": 6, "line_boilerplate_docs": 6,
+    "pack_ids_export": 6, "percentile_quantity": 6,
+    "pivot_status_counts": 6, "q10_returned_items": 6,
+    "q12_late_shipment_priority": 6, "q13_customer_order_distribution": 6,
+    "q14_promo_share": 6, "q15_top_supplier": 6,
+    "q18_large_volume_orders": 6, "q19_disjunctive_filter": 6,
+    "q22_idle_rich_customers": 6, "q4_priority_returns": 6,
+    "q6_revenue_forecast": 6, "q7_volume_shipping": 6, "q8_market_share": 6,
+    "q9_product_type_profit": 6, "stats_moments": 6, "text_lang_id": 6,
+    "text_stats": 6, "tokenize_to_ids": 6, "tokenize_to_ids_bigvocab": 6,
+    "triplet_mining_pairs": 6, "union_distinct_nations": 6,
+    "window_rank_functions": 6,
 }
 
 
 # Queries whose registered form changed this round (new plan, new
 # consumer wiring, or a semantics-relevant operator edit) — they must
 # re-verify in the new form regardless of a prior green row.
-_CHANGED_THIS_ROUND = frozenset({
-    # r6: materialize-once cluster artifact rewires these consumers
-    "dedup_clusters_star", "leakage_safe_split",
-    "dedup_cluster_size_histogram", "dedup_rate_report_by_source",
-    "triplet_mining_pairs",
-    # r6 review pass: re-registered through build_dedup_clusters
-    # (minlabel, unmaterialized) — same labels, new wiring
-    "dedup_minhash_clusters",
-    # r6: \\S -> explicit class portability fix in the re-lining regex
-    "line_boilerplate_docs",
-    # r6: tokens_to_ids gained mode=auto/broadcast (literal plan
-    # unchanged for the small vocab, but the operator was edited) —
-    # pack_ids_export consumes the same edited code path
-    "tokenize_to_ids", "pack_ids_export",
-    # r6: curate_to_sequences materializes the rewritten corpus before
-    # its two consumers (plan change, values identical)
-    "curation_pipeline_tokens",
+_CHANGED_THIS_ROUND: frozenset[str] = frozenset({
+    # r7: c4_quality_flags terminal-punctuation anchor $ -> \z
+    # (Java-vs-RE2 portability; oracle mirrored)
+    "c4_quality_docs",
+    # r7: edge-table compaction in extend_dedup_index (post-CC star-edge
+    # rewrite); registered incremental query exercises the new path
+    "dedup_clusters_incremental",
 })
 
 # Derived view kept for the smoke-test invariant and round tooling: a

@@ -74,6 +74,23 @@ def test_registry_order_prioritizes_unverified():
     assert tier0 == expected_tier0
 
 
+def test_ledger_matches_committed_correctness_files():
+    """The freshness ledger must be regenerated each round from the
+    committed CORRECTNESS_r0*.json files (VERDICT.md r6 'Next round'
+    #2): each entry is the max round with a fully-green driver row for
+    that query. A stale ledger silently mis-prioritizes the driver's
+    ~50-query verification window."""
+    import sys
+
+    sys.path.insert(0, ROOT)
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    import __spark_entry__ as e
+    from gen_ledger import green_rows
+
+    derived = {n: r for n, r in green_rows().items() if n in e.REGISTRY}
+    assert e._LAST_DRIVER_CHECK == derived
+
+
 def test_queries_run_in_foreign_session():
     """Driver-contract robustness: Python-UDF queries must work in a
     session the package did NOT build (the grading driver constructs

@@ -1,0 +1,60 @@
+"""Regenerate __spark_entry__._LAST_DRIVER_CHECK from CORRECTNESS_r0*.json.
+
+The ledger maps each registered query to the latest round whose committed
+CORRECTNESS_r0N.json holds a fully-green row (rows+schema+hash all true).
+Run after each round, paste the output block into __spark_entry__.py, and
+clear _CHANGED_THIS_ROUND. tests/test_entry_contract.py pins that the
+committed ledger matches this derivation exactly.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def green_rows() -> dict[str, int]:
+    """name -> max round with a fully-green committed driver row."""
+    ledger: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                ledger[name] = max(ledger.get(name, 0), rnd)
+    return ledger
+
+
+def render(ledger: dict[str, int]) -> str:
+    by_round: dict[int, list[str]] = {}
+    for name, rnd in ledger.items():
+        by_round.setdefault(rnd, []).append(name)
+    out = ["_LAST_DRIVER_CHECK = {"]
+    for rnd in sorted(by_round):
+        out.append(f"    # --- last green driver row: CORRECTNESS_r{rnd:02d}.json ---")
+        line = "   "
+        for name in sorted(by_round[rnd]):
+            frag = f' "{name}": {rnd},'
+            if len(line) + len(frag) > 76:
+                out.append(line)
+                line = "   "
+            line += frag
+        if line.strip():
+            out.append(line)
+    out.append("}")
+    return "\n".join(out)
+
+
+if __name__ == "__main__":
+    print(render(green_rows()))
