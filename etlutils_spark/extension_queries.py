@@ -2393,24 +2393,51 @@ def _materialized_clusters(spark, sf_dir):
         # labels are deterministic, so all copies are identical. If the
         # rename fails against crash DEBRIS (no _SUCCESS), exactly one
         # process — the atomic mkdir-lock holder — may replace it; any
-        # other process serves its own complete staging copy rather
-        # than ever deleting a directory someone else might be reading.
+        # other process serves its own complete staging copy (reaped at
+        # exit — it is never published) rather than ever deleting a
+        # directory someone else might be reading. A holder killed
+        # between its mkdir and rmdir would otherwise wedge repair
+        # forever (every later process routed into building a private
+        # copy), so a lock untouched for >5 min — repair is an rmtree +
+        # rename, seconds at most — is itself debris: steal it with an
+        # atomic rename (one winner) and retry the mkdir (r6 advice).
         try:
             os.rename(staging, scratch)
         except OSError:
             if os.path.exists(os.path.join(scratch, "_SUCCESS")):
                 shutil.rmtree(staging, ignore_errors=True)
             else:
+                import atexit
+                import contextlib
+                import time
+
                 lock = scratch + ".lock"
-                try:
-                    os.mkdir(lock)
-                except OSError:
-                    # another process is repairing — our staging copy
-                    # is complete and private; read from it
-                    return spark.read.parquet(staging)
+                while True:
+                    try:
+                        os.mkdir(lock)
+                        break
+                    except OSError:
+                        try:
+                            age = time.time() - os.stat(lock).st_mtime
+                        except OSError:
+                            continue  # lock vanished under us — retry mkdir
+                        if age <= 300:
+                            # live repair in progress — serve our own
+                            # complete, private staging copy
+                            atexit.register(
+                                shutil.rmtree, staging, ignore_errors=True
+                            )
+                            return spark.read.parquet(staging)
+                        steal = f"{lock}.stale{os.getpid()}"
+                        try:
+                            os.rename(lock, steal)
+                        except OSError:
+                            continue  # lost the steal race — retry mkdir
+                        shutil.rmtree(steal, ignore_errors=True)
                 try:
                     shutil.rmtree(scratch, ignore_errors=True)
                     os.rename(staging, scratch)
                 finally:
-                    os.rmdir(lock)
+                    with contextlib.suppress(OSError):
+                        os.rmdir(lock)
     return spark.read.parquet(scratch)

@@ -28,7 +28,7 @@ in Manku et al. (WWW 2007).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -834,7 +834,17 @@ def build_dedup_index(
     - ``path/profiles`` one row per doc: band signatures + the 64-bit
       shingle-hash set (the verify payload; ~1-2% of corpus bytes —
       the same index design as streaming/incremental_lsh.py)
-    - ``path/edges``    the verified near-dup pair graph (id_1, id_2)
+    - ``path/edges``    a COMPACTED spanning star of the verified
+      near-dup pair graph — one ``(cluster_id, member)`` row per
+      non-singleton doc, |V_dup| rows instead of |E|. Same components
+      as the raw pair graph (each component's star to its minimum is a
+      spanning subgraph), so every later CC over it yields identical
+      labels, while the table stops growing with accumulated batch
+      EDGES and tracks dup-doc count instead (the r6 verdict's
+      measured growing term).
+    - ``path/params``   one-row parquet pinning (n, num_hashes, bands,
+      threshold) so :func:`extend_dedup_index` probes with the same
+      signature scheme the index was built with.
 
     Verification here is exact Jaccard over the stored xxhash64
     shingle sets (identical to exact shingle Jaccard absent ~2^-64
@@ -879,7 +889,68 @@ def build_dedup_index(
         )
     )
     labels.write.mode("overwrite").parquet(f"{path}/labels")
-    return spark.read.parquet(f"{path}/labels")
+    out = spark.read.parquet(f"{path}/labels")
+    _compact_edges_from_labels(out, f"{path}/edges")
+    spark.createDataFrame(
+        [(int(n), int(num_hashes), int(bands), float(threshold))],
+        "n int, num_hashes int, bands int, threshold double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    return out
+
+
+def _compact_edges_from_labels(labels: DataFrame, edges_path: str) -> None:
+    """Overwrite the index's edge table with the spanning star implied
+    by a freshly written LABEL table: one ``(cluster_id, member)`` row
+    per non-singleton doc. cluster_id is the component minimum, so the
+    star preserves each component's exact node set and connectivity —
+    CC over it reproduces the same labels — at |V_dup| rows instead of
+    the accumulated |E| (the r6 verdict's growing term). ``labels``
+    must already be parquet-backed (read from ``path/labels``) so this
+    overwrite cannot invalidate its own input."""
+    id_name, cl_name = labels.columns[0], "cluster_id"
+    star = labels.filter(F.col(cl_name) != F.col(id_name)).select(
+        F.col(cl_name).cast("long").alias("id_1"),
+        F.col(id_name).cast("long").alias("id_2"),
+    )
+    star.write.mode("overwrite").parquet(edges_path)
+
+
+def _read_index_params(
+    spark: SparkSession,
+    path: str,
+    n: int | None,
+    num_hashes: int | None,
+    bands: int | None,
+    threshold: float | None,
+) -> tuple[int, int, int, float]:
+    """Resolve (n, num_hashes, bands, threshold) for an extend against
+    the build-time sidecar. ``None`` means "use what the index was
+    built with"; an explicit value is VALIDATED against the sidecar —
+    a silent mismatch (e.g. bands=8 at build, 4 at extend) would make
+    the band probe compare incompatible signatures and drop every
+    cross-batch duplicate without any error. Pre-sidecar artifacts
+    (no ``path/params``) fall back to explicit values / the build
+    defaults, preserving old indexes."""
+    from pyspark.errors import AnalysisException
+
+    defaults = (3, 8, 4, 0.5)
+    given = (n, num_hashes, bands, threshold)
+    names = ("n", "num_hashes", "bands", "threshold")
+    try:
+        row = spark.read.parquet(f"{path}/params").first()
+    except AnalysisException:  # pre-sidecar artifact: no params table
+        return tuple(
+            d if g is None else g for g, d in zip(given, defaults)
+        )  # type: ignore[return-value]
+    stored = (row["n"], row["num_hashes"], row["bands"], row["threshold"])
+    for name, g, s in zip(names, given, stored):
+        if g is not None and g != s:
+            raise ValueError(
+                f"extend_dedup_index {name}={g!r} does not match the "
+                f"index's build-time {name}={s!r} (from {path}/params); "
+                "pass None to inherit the stored value"
+            )
+    return stored  # type: ignore[return-value]
 
 
 def extend_dedup_index(
@@ -887,39 +958,54 @@ def extend_dedup_index(
     new_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n: int = 3,
-    num_hashes: int = 8,
-    bands: int = 4,
-    threshold: float = 0.5,
-    cc_scope: str = "full",
+    n: int | None = None,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    threshold: float | None = None,
+    cc_scope: str = "affected",
 ) -> DataFrame:
     """Fold an ingest BATCH into an existing ``build_dedup_index``
     artifact and return the refreshed label table — the batch twin of
     the streaming incremental LSH index, and the operation a 100 TB
     pipeline runs per ingest: the stored corpus is never re-shingled.
 
+    ``n``/``num_hashes``/``bands``/``threshold`` default to ``None`` =
+    inherit the index's build-time values from the ``path/params``
+    sidecar; an explicit value must MATCH the sidecar or this raises
+    (a silent bands mismatch would probe with incompatible signatures
+    and drop every cross-batch duplicate without any error).
+
     ``cc_scope`` picks the connected-components recomputation scope:
 
-    - ``"full"`` (default): star CC over the whole stored edge table —
-      simplest, always correct, cost O(total dup mass) per refresh.
-    - ``"affected"``: only components actually TOUCHED by the batch's
-      new edges are relabeled. Untouched components cannot change
-      (connectivity is monotone — edges are only added), so their old
-      label rows pass through verbatim; the touched ones are relabeled
-      over a COMPRESSED graph — each touched component contributes its
-      (member, old_label) star edges (old labels are component minima,
-      so every member id is present and the new minimum is exact) plus
-      the new edges. Cost per refresh drops from O(total dup mass) to
-      O(touched-component mass), the difference measured at 19.7 s vs
-      probe-bound on the 500k-doc stress artifact (BASELINE.md).
-      Labels are bit-identical to "full" (pinned by tests).
+    - ``"affected"`` (default): only components actually TOUCHED by
+      the batch's new edges are relabeled. Untouched components cannot
+      change (connectivity is monotone — edges are only added), so
+      their old label rows pass through verbatim; the touched ones are
+      relabeled over a COMPRESSED graph — each touched component
+      contributes its (member, old_label) star edges (old labels are
+      component minima, so every member id is present and the new
+      minimum is exact) plus the new edges. Cost per refresh is
+      O(touched-component mass). Labels are bit-identical to "full"
+      (pinned by tests). Requires labels to be in sync with profiles;
+      an out-of-sync artifact (a prior refresh crashed between its
+      appends and its label rewrite) is DETECTED per refresh — profile
+      ids absent from labels — and that refresh falls back to full CC,
+      which re-derives every label from the stored edge table and
+      self-heals the crashed batch's shingleable docs.
+    - ``"full"``: star CC over the whole stored edge table — always
+      correct with no sync precondition. With post-refresh edge
+      compaction the stored edge table is the |V_dup|-row spanning
+      star, so even "full" no longer grows with accumulated batches;
+      "affected" still wins by not re-deriving untouched components.
 
     Per batch: shingle/sign only the new docs (O(batch)); candidates =
     the batch's bands probed against the stored profile index (the
     batch side is tiny, so Catalyst broadcasts it) plus the batch's
     self-join; verify via stored shingle-hash sets; append the new
-    profiles and the newly discovered edges; re-run star CC over the
-    edge table (bounded by dup mass, not corpus) and rewrite labels.
+    profiles and the newly discovered edges; relabel; then COMPACT the
+    edge table to the spanning star implied by the fresh labels
+    (|V_dup| rows — the edge table tracks dup-doc count, not
+    accumulated batch edges; the r6 verdict's measured growing term).
 
     The refreshed labels are BIT-IDENTICAL to rebuilding from scratch
     on the union corpus: every cross-batch pair is discovered by the
@@ -929,12 +1015,18 @@ def extend_dedup_index(
 
     Failure/recovery contract: the profile/edge appends land before
     the label rewrite, so a crash mid-refresh leaves labels stale but
-    never wrong-and-complete-looking; recovery is simply REPLAYING the
-    batch — duplicate profile rows collapse in the distinct id set and
+    never wrong-and-complete-looking; recovery is REPLAYING the batch
+    — duplicate profile rows collapse in the distinct id set and
     duplicate edges in CC's canonical distinct, so a replay converges
-    to the same labels (pinned by the replay-idempotency test). At
-    warehouse scale, wrap the three writes in the table format's
-    transaction if one is available; the math does not require it."""
+    to the same labels (pinned by the replay-idempotency test). A
+    crash that lands the appends but not the rewrite is additionally
+    self-healing for the batch's SHINGLEABLE docs on any later extend
+    (the drift fallback above); its shingle-less docs return only via
+    the replay. Edge compaction runs strictly AFTER the label rewrite,
+    so a crash before it merely leaves the star + this batch's raw
+    edges — a supergraph with identical components. At warehouse
+    scale, wrap the writes in the table format's transaction if one is
+    available; the math does not require it."""
     from etlutils_spark.streaming.incremental_lsh import (
         _explode_bands,
         _verified_pairs,
@@ -942,7 +1034,38 @@ def extend_dedup_index(
     )
 
     spark = new_docs.sparkSession
+    if cc_scope not in ("full", "affected"):
+        raise ValueError(f"cc_scope must be full|affected, got {cc_scope!r}")
+    n, num_hashes, bands, threshold = _read_index_params(
+        spark, path, n, num_hashes, bands, threshold
+    )
     old_prof = spark.read.parquet(f"{path}/profiles")
+    lbl = spark.read.parquet(f"{path}/labels")
+    effective_scope = cc_scope
+    if cc_scope == "affected":
+        # Drift check (MUST run before this batch's appends): a prior
+        # refresh that crashed between its appends and its label
+        # rewrite leaves profile ids with edges in path/edges but no
+        # label row. The affected-scope compressed graph only sees
+        # THIS batch's new edges plus touched-component stars, so it
+        # would label those docs to themselves — wrong and complete-
+        # looking. Detect (profiles ⊄ labels) and fall back to full CC
+        # for this refresh, which re-derives every label from the
+        # stored edge table and self-heals the crashed batch's
+        # shingleable docs. One anti-join over two long columns.
+        drift = not (
+            old_prof.select(F.col("doc_id").cast("long").alias("doc_id"))
+            .join(
+                lbl.select(
+                    F.col(lbl.columns[0]).cast("long").alias("doc_id")
+                ),
+                "doc_id",
+                "left_anti",
+            )
+            .isEmpty()
+        )
+        if drift:
+            effective_scope = "full"
     new_prof = batch_profiles(new_docs, text_col, id_col, n, num_hashes, bands)
     nb = _explode_bands(new_prof, "id_1")
     # new-vs-index probe: the batch side is the small build side
@@ -962,8 +1085,6 @@ def extend_dedup_index(
         .distinct()
     )
     self_edges = _verified_pairs(cand_self, new_prof, new_prof, threshold)
-    if cc_scope not in ("full", "affected"):
-        raise ValueError(f"cc_scope must be full|affected, got {cc_scope!r}")
     new_edges = (
         cross_edges.select(
             F.least("id_1", "id_2").alias("id_1"),
@@ -972,7 +1093,7 @@ def extend_dedup_index(
         .unionByName(self_edges.select("id_1", "id_2"))
         .distinct()
     )
-    if cc_scope == "affected":
+    if effective_scope == "affected":
         # materialize once: consumed by the append AND the compressed-
         # graph CC below
         new_edges = new_edges.localCheckpoint(eager=True)
@@ -988,7 +1109,6 @@ def extend_dedup_index(
     # Labels' id column carries the builder's id_col name — take it
     # positionally. Eagerly checkpointed because the result is both
     # derived from path/labels and about to overwrite it.
-    lbl = spark.read.parquet(f"{path}/labels")
     all_ids = (
         lbl.select(F.col(lbl.columns[0]).cast("long").alias("doc_id"))
         .unionByName(
@@ -1001,7 +1121,7 @@ def extend_dedup_index(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if cc_scope == "full":
+    if effective_scope == "full":
         comp = connected_components(
             spark.read.parquet(f"{path}/edges"), "id_1", "id_2",
             algorithm="star",
@@ -1069,7 +1189,13 @@ def extend_dedup_index(
     # in-flight frames), so the overwrite below cannot invalidate its
     # own inputs
     labels.write.mode("overwrite").parquet(f"{path}/labels")
-    return spark.read.parquet(f"{path}/labels")
+    out = spark.read.parquet(f"{path}/labels")
+    # post-refresh compaction: replace the accumulated edge rows with
+    # the spanning star implied by the labels just written (identical
+    # components, |V_dup| rows) — runs AFTER the label rewrite so a
+    # crash anywhere earlier leaves a supergraph, never a subgraph
+    _compact_edges_from_labels(out, f"{path}/edges")
+    return out
 
 
 def decontaminate(

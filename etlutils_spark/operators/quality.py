@@ -258,11 +258,16 @@ def c4_quality_flags(
     toks = F.col(TOKENS_COL)
     text = F.coalesce(F.col(text_col), F.lit(""))
     lower = F.lower(text)
+    # \z (end-of-TEXT, supported by both Java regex and RE2), not $:
+    # Java's $ also matches before a trailing newline while RE2's does
+    # not, so '$' silently diverges from the DuckDB oracle on any
+    # corpus where text/tokens can end in '\n' (same portability class
+    # as the \S vs [^ \t\n\r\f] fix — see PLANS.md regex rules).
     n_sentences = F.size(
-        F.filter(toks, lambda t: t.rlike("[.!?]$"))
+        F.filter(toks, lambda t: t.rlike("[.!?]\\z"))
     ).cast("bigint")
 
-    r_punct = text.rlike('[.!?"]$')
+    r_punct = text.rlike('[.!?"]\\z')
     r_sent = n_sentences >= min_sentences
     r_block = F.lit(True)
     for w in blocklist:

@@ -228,9 +228,9 @@ def q_gopher_quality(spark, sf_dir):
       FROM documents),
     m AS (
       SELECT doc_id,
-             len(list_filter(w, t -> regexp_matches(t, '[.!?]$')))
+             len(list_filter(w, t -> regexp_matches(t, '[.!?]\z')))
                AS n_sentences,
-             regexp_matches(text, '[.!?"]$') AS r_punct,
+             regexp_matches(text, '[.!?"]\z') AS r_punct,
              NOT contains(lt, 'lorem ipsum') AS r_lorem,
              NOT contains(text, '{') AS r_brace,
              NOT contains(lt, 'javascript') AS r_js,

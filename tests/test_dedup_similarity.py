@@ -503,6 +503,113 @@ def test_extend_dedup_index_replay_is_idempotent(spark, tmp_path):
     assert replay == first
 
 
+def test_extend_dedup_index_params_sidecar(spark, tmp_path):
+    """build writes a (n, num_hashes, bands, threshold) sidecar; extend
+    inherits it when params are omitted and RAISES on an explicit
+    mismatch — a silent bands mismatch would probe with incompatible
+    band signatures and drop every cross-batch duplicate (r6 advice)."""
+    import pytest
+
+    from etlutils_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    docs = spark.createDataFrame(
+        [(1, a + " x"), (2, a + " y"), (3, "unrelated words entirely here")],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "sidecar")
+    build_dedup_index(docs.filter("doc_id != 2"), path,
+                      bands=8, threshold=0.3)
+    # no params passed: the extend must inherit bands=8/threshold=0.3
+    # from the sidecar and find the cross-batch near-dup pair
+    out = extend_dedup_index(path, docs.filter("doc_id = 2"))
+    labels = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert labels == {1: 1, 2: 1, 3: 3}
+    for bad in (dict(bands=4), dict(threshold=0.5), dict(num_hashes=16),
+                dict(n=5)):
+        with pytest.raises(ValueError, match="does not match"):
+            extend_dedup_index(path, docs.filter("doc_id = 2"), **bad)
+
+
+def test_extend_dedup_index_affected_drift_fallback(spark, tmp_path):
+    """A refresh that crashed AFTER its profile/edge appends but BEFORE
+    its label rewrite leaves profile ids with no label row. A later
+    cc_scope='affected' extend must detect that drift and fall back to
+    full CC for the refresh, self-healing the crashed batch's
+    shingleable docs (r6 advice: the compressed graph alone would
+    label them to themselves — wrong and complete-looking)."""
+    from etlutils_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+    from etlutils_spark.streaming.incremental_lsh import batch_profiles
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    b = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (1, a + " x"), (2, a + " y"),   # stored cluster A
+        (3, b + " x"),                   # stored singleton (so far)
+        (4, b + " y"),                   # crashed batch: near-dup of 3
+        (5, "completely different content about columnar engines"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    path = str(tmp_path / "drift")
+    build_dedup_index(docs.filter("doc_id <= 3"), path,
+                      bands=8, threshold=0.3)
+
+    # simulate the crash: land doc 4's profile + its (3,4) edge exactly
+    # as extend_dedup_index would, but skip the label rewrite
+    crashed = batch_profiles(docs.filter("doc_id = 4"), "text", "doc_id",
+                             3, 8, 8)
+    crashed.write.mode("append").parquet(f"{path}/profiles")
+    spark.createDataFrame([(3, 4)], "id_1 long, id_2 long").write.mode(
+        "append"
+    ).parquet(f"{path}/edges")
+    stale = {r.doc_id for r in spark.read.parquet(f"{path}/labels").collect()}
+    assert 4 not in stale  # the artifact really is out of sync
+
+    out = extend_dedup_index(path, docs.filter("doc_id = 5"),
+                             cc_scope="affected")
+    labels = {r.doc_id: r.cluster_id for r in out.collect()}
+    # drift fallback re-derived doc 4's label from the stored edge
+    # table; without it, 4 would label to itself
+    assert labels == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
+
+
+def test_dedup_index_edges_stay_compacted(spark, tmp_path):
+    """After every build/extend the stored edge table is the spanning
+    star implied by the labels — |V_dup| rows keyed to each component's
+    minimum — so it tracks dup-doc count instead of accumulated batch
+    edges (r6 verdict #1: the edge table was the measured growing
+    term)."""
+    from etlutils_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    rows = [(i, a + f" v{i}") for i in range(1, 6)] + [
+        (9, "unrelated text about something else entirely ok")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    path = str(tmp_path / "compact")
+    build_dedup_index(docs.filter("doc_id <= 3"), path)
+    extend_dedup_index(path, docs.filter("doc_id = 4"))
+    extend_dedup_index(path, docs.filter("doc_id = 5 or doc_id = 9"))
+    labels = {r.doc_id: r.cluster_id
+              for r in spark.read.parquet(f"{path}/labels").collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 9: 9}
+    edges = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/edges").collect()
+    )
+    # exactly one (min, member) row per non-singleton doc — NOT the
+    # accumulated pair graph (5 near-dup docs produce up to 10 pairs)
+    assert edges == [(1, 2), (1, 3), (1, 4), (1, 5)]
+
+
 def test_cc_star_keeps_self_loop_only_nodes(spark):
     # a node whose ONLY pairs are self-pairs must still appear in the
     # output, labeled to itself, in BOTH algorithms (round-6 advice fix:

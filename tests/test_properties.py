@@ -333,11 +333,13 @@ def _ref_c4(text, blocklist=("spam",)):
 
     t = text or ""
     w = t.split(" ")
-    n_sent = sum(1 for x in w if re.search(r"[.!?]$", x))
+    # \Z = Python's end-of-string (the analog of Java/RE2 \z); $ would
+    # also match before a trailing newline, diverging from the operator
+    n_sent = sum(1 for x in w if re.search(r"[.!?]\Z", x))
     lower = t.lower()
     return (
         n_sent,
-        bool(re.search(r'[.!?"]$', t)),
+        bool(re.search(r'[.!?"]\Z', t)),
         all(b not in lower for b in blocklist),
         "lorem ipsum" not in lower,
         "{" not in t,
@@ -348,7 +350,7 @@ def _ref_c4(text, blocklist=("spam",)):
 @SET
 @given(
     st.lists(
-        st.text(alphabet='ab .!?"{javascript lorem ipsum', min_size=0,
+        st.text(alphabet='ab .!?"{javascript lorem ipsum\n', min_size=0,
                 max_size=50),
         min_size=1,
         max_size=6,
