@@ -222,8 +222,22 @@ def main() -> None:
     # EXACTLY ONE compact line (~1 KB) so it always survives the tail
     # window; the full report (extras + experiments) goes to stderr and
     # a sidecar file for humans/the judge.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_full.json"), "w") as fh:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "bench_full.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    # round-stamped copy (r6 verdict "Next round" #6): the driver's
+    # BENCH_r{N}.json keeps only a 2000-char stdout tail, which loses
+    # the extras/experiments object; BENCH_full_r{N}.json is committed
+    # alongside it so round-over-round extras comparison parses out of
+    # the repo alone. Round = 1 + the newest committed driver bench.
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(repo)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    this_round = (max(rounds) + 1) if rounds else 1
+    with open(os.path.join(repo, f"BENCH_full_r{this_round:02d}.json"),
+              "w") as fh:
         json.dump(full, fh, indent=1)
     print(json.dumps(full), file=sys.stderr)
     print(json.dumps(compact), flush=True)

@@ -38,7 +38,10 @@ from etlutils_spark.operators.dedup import (
     winnow_overlap_pairs,
 )
 from etlutils_spark.operators.similarity import (
+    ann_index_topk,
+    build_ann_index,
     centroid_assign,
+    extend_ann_index,
     decontaminate_semantic,
     hard_negative_mining,
     knn_label_consistency,
@@ -132,6 +135,9 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_topk",
+    "build_ann_index",
+    "extend_ann_index",
+    "ann_index_topk",
     "temperature_resample",
     "bm25_topk",
     "bigram_lm_scores",

@@ -2070,6 +2070,76 @@ def q_ann_pq_recall_contract(spark, sf_dir):
 
 
 @register(
+    "ann_index_topk",
+    REGISTRY["ann_cosine_topk"][1].replace(
+        "SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank",
+        "SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank, "
+        "TRUE AS pruned_recall_ok",
+    ),
+)
+def q_ann_index_topk(spark, sf_dir):
+    """The materialize-once ANN ARTIFACT (r6 verdict #3) driven end to
+    end: ``build_ann_index`` persists IVF centroids + PQ codebooks +
+    the per-vector codes table once, then ``ann_index_topk`` serves
+    queries from the artifact with no training, encoding, or centroid
+    recompute. Registered with exhaustive nprobe (=num_clusters), so
+    the served top-10 equals brute force BY CONSTRUCTION and gets the
+    same decimal-exact value oracle as ann_cosine_topk — a hash-level
+    pin on the whole artifact path (build -> codes scan -> ADC
+    shortlist -> exact re-rank). The production pruned setting rides
+    along as a CONTRACT column: recall@10 of nprobe=12/16 against the
+    exhaustive result must be >= 0.5 per query (measured >= 0.8 at
+    sf0.01 and ~0.8 at sf0.1 with well-trained centroids; the floor
+    keeps margin for the cheap k-means budget this self-contained
+    registration uses, while still failing on any real quantizer or
+    probe-ranking regression). Rebuilt from empty per invocation for
+    replay safety — the once-per-snapshot build economics are measured
+    separately (BASELINE.md 'ANN artifact')."""
+    import shutil
+
+    from etlutils_spark.operators.similarity import (
+        ann_index_topk,
+        build_ann_index,
+    )
+    from etlutils_spark.pipeline_queries import _rt_path
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = _rt_path(spark, "ann_index")
+    shutil.rmtree(root, ignore_errors=True)
+    # exhaustive-nprobe results are centroid-invariant, so the k-means
+    # budget is minimal (same economics note as ann_ivf_topk); the
+    # pruned contract column keeps a wide floor for that budget
+    build_ann_index(emb, root, init_mode="random", max_iter=5)
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = ann_index_topk(emb, root, q, k=10, nprobe=16, shortlist=256)
+    pruned = ann_index_topk(emb, root, q, k=10, nprobe=12, shortlist=256)
+    hits = (
+        exact.select("query_id", "vec_id")
+        .join(pruned.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__h"))
+    )
+    flags = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("__h"), F.lit(0)).cast("double")
+                / F.col("__n").cast("double")
+                >= 0.5
+            ).alias("pruned_recall_ok"),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.col("rank").cast("bigint"))
+        .join(flags, "query_id")
+        .select("query_id", "vec_id", "cosine", "rank", "pruned_recall_ok")
+    )
+
+
+@register(
     "multimodal_frame_sample",
     """
     WITH c AS (

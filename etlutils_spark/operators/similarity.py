@@ -885,6 +885,291 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(wf)).filter(F.col("rank") <= k)
 
 
+def build_ann_index(
+    corpus: DataFrame,
+    path: str,
+    num_clusters: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    init_mode: str = "k-means||",
+    sample_limit: int = 65_536,
+) -> DataFrame:
+    """The materialize-once ANN ARTIFACT (the `build_dedup_clusters` /
+    `build_dedup_index` pattern applied to similarity search): train
+    the IVF coarse quantizer and the PQ codebooks ONCE per corpus
+    snapshot and persist everything a query needs except the raw
+    vectors —
+
+    - ``path/codes``     (id, cluster_id, codes array<int>) — each
+      vector's IVF cell + PQ code; the only per-vector state, dim*4/m
+      smaller than the float rows (the table the scan stage reads)
+    - ``path/centroids`` (cluster_id, centroid) — num_clusters rows
+    - ``path/codebooks`` (subspace, code, center) — m*ksub rows
+    - ``path/params``    one-row sidecar (num_clusters, m, ksub, dim,
+      seed) validated by :func:`extend_ann_index`
+
+    The bench proved pre-encoded codes are the steady-state mode
+    (``ann_pq_precoded`` flat at 10x corpus) and that recomputing IVF
+    centroids per query is the wasted work (r6 verdict #3) — this
+    makes both one-time costs. Queries go through
+    :func:`ann_index_topk` (IVF-pruned ADC scan + exact re-rank);
+    ingest batches through :func:`extend_ann_index` (assign + encode
+    against the FROZEN quantizers, O(batch), never O(corpus)).
+    Quantizer drift under distribution shift is handled by periodic
+    rebuild, exactly like re-snapshotting the dedup cluster artifact.
+
+    Returns the codes table (parquet-backed)."""
+    spark = corpus.sparkSession
+    assigned, centroids = ivf_index(
+        corpus, num_clusters, id_col, vec_col, seed,
+        max_iter=max_iter, init_mode=init_mode,
+    )
+    books = pq_train(corpus, m, ksub, vec_col, id_col, sample_limit, seed)
+    dim = books.shape[0] * books.shape[2]
+    codes = pq_encode(corpus, books, id_col, vec_col)
+    (
+        assigned.select(id_col, "cluster_id")
+        .join(codes, id_col)
+        .write.mode("overwrite").parquet(f"{path}/codes")
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in books[s, c]])
+            for s in range(books.shape[0])
+            for c in range(books.shape[1])
+        ],
+        "subspace int, code int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(int(num_clusters), int(m), int(ksub), int(dim), int(seed))],
+        "num_clusters int, m int, ksub int, dim int, seed int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    return spark.read.parquet(f"{path}/codes")
+
+
+def _read_ann_index(spark, path: str):
+    """(params row, centroid matrix (C, dim), codebooks (m, ksub, dsub))
+    from a ``build_ann_index`` artifact. Both collects are bounded by
+    construction: num_clusters and m*ksub rows."""
+    params = spark.read.parquet(f"{path}/params").first()
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.empty((params["num_clusters"], params["dim"]), dtype=np.float64)
+    for r in cent_rows:
+        cents[r["cluster_id"]] = r["centroid"]
+    books = np.empty(
+        (params["m"], params["ksub"], params["dim"] // params["m"]),
+        dtype=np.float64,
+    )
+    for r in spark.read.parquet(f"{path}/codebooks").collect():
+        books[r["subspace"], r["code"]] = r["center"]
+    return params, cents, books
+
+
+def extend_ann_index(
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fold an ingest batch into a ``build_ann_index`` artifact:
+    assign each new vector to its nearest FROZEN centroid (broadcast
+    argmin — the same squared-L2-on-raw-vectors rule Spark ML's
+    k-means predict applies at build time), PQ-encode it with the
+    FROZEN codebooks (identical math to the build's ``pq_encode``),
+    and append to ``path/codes``. Strictly O(batch): the stored corpus
+    is never re-read, re-assigned, or re-encoded — the ANN twin of
+    ``extend_dedup_index``'s probe-the-stored-profile contract.
+
+    Replay-idempotent: ids already present in the codes table are
+    dropped before the append (one columnar scan of the stored id
+    column against the broadcast batch), so an at-least-once ingest
+    cannot double-score a vector at query time. Returns the refreshed
+    codes table."""
+    import pandas as pd
+
+    from etlutils_spark.sources.files import spread
+
+    spark = new_vectors.sparkSession
+    params, cents, books = _read_ann_index(spark, path)
+    m, dsub = books.shape[0], books.shape[2]
+    cent_sq = (cents ** 2).sum(-1)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # IVF cell: argmin ||x - c||^2 = argmin ||c||^2 - 2<x, c>
+            # over RAW vectors (k-means trains unnormalized)
+            cell = (cent_sq[None, :] - 2.0 * (X @ cents.T)).argmin(1)
+            # PQ code: per-subspace argmin on the NORMALIZED vector
+            # (pq_train/pq_encode normalize)
+            Xn = X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-300
+            )
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Xs = Xn[:, s * dsub:(s + 1) * dsub]
+                d2 = (books[s] ** 2).sum(-1)[None, :] - 2.0 * (Xs @ books[s].T)
+                codes[:, s] = d2.argmin(1)
+            yield pd.DataFrame({
+                id_col: ids,
+                "cluster_id": cell.astype(np.int32),
+                "codes": list(codes),
+            })
+
+    batch_codes = spread(new_vectors.select(id_col, vec_col)).mapInPandas(
+        run, schema=f"{id_col} long, cluster_id int, codes array<int>"
+    )
+    stored_ids = spark.read.parquet(f"{path}/codes").select(id_col)
+    fresh = batch_codes.join(stored_ids, id_col, "left_anti")
+    fresh.write.mode("append").parquet(f"{path}/codes")
+    return spark.read.parquet(f"{path}/codes")
+
+
+def ann_index_topk(
+    corpus: DataFrame,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    max_query_rows: int = 100_000,
+) -> DataFrame:
+    """Approximate top-k served from a ``build_ann_index`` artifact —
+    the steady-state production query path: NO training, NO encoding,
+    NO centroid recompute at query time. Per query: rank the stored
+    centroids by cosine and keep ``nprobe`` cells (IVF partition
+    pruning); ADC-score ONLY the probed cells' code rows (one LUT
+    lookup per subspace — the scan touches m bytes per vector); keep a
+    per-query ``shortlist`` (default 8*k); exact decimal cosine
+    re-rank of shortlisted ids against the corpus vectors. Output
+    contract matches ``cosine_topk`` — (query_id, vec_id, cosine,
+    rank) with bit-identical cosines for every true hit, so recall is
+    directly measurable.
+
+    Scale: cost per query is |corpus| * nprobe/num_clusters code rows
+    (not vectors), shuffles carry shortlist rows only, and the scan
+    combines per Arrow batch before the shortlist window. The corpus
+    frame is touched exactly once, for the shortlist re-rank."""
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    shortlist = shortlist or 8 * k
+    params, cents, books = _read_ann_index(spark, path)
+    m, dsub = books.shape[0], books.shape[2]
+
+    q_rows = (
+        queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"queries has more than max_query_rows={max_query_rows} rows; "
+            "the ADC lookup tables are built per query and shipped to "
+            "every task (use cosine_topk for corpus-sized query sets)"
+        )
+    if not q_rows:
+        return spark.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, cosine double, rank int"
+        )
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    lut = np.einsum("jsd,scd->jsc", Q.reshape(len(Q), m, dsub), books)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+
+    # per-query probe set: cosine rank of the stored centroids,
+    # deterministic ties by cluster_id (same rule as ivf_topk)
+    cn = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-300
+    )
+    sims = Q @ cn.T                                   # (nq, C)
+    order = np.lexsort(
+        (np.broadcast_to(np.arange(cents.shape[0])[None, :], sims.shape),
+         -sims), axis=1,
+    )[:, : min(nprobe, cents.shape[0])]
+    probes = spark.createDataFrame(
+        [
+            (int(qids[j]), int(c))
+            for j in range(len(qids))
+            for c in order[j]
+        ],
+        f"{query_id_col} long, cluster_id int",
+    )
+
+    cand = spark.read.parquet(f"{path}/codes").join(
+        F.broadcast(probes), "cluster_id"
+    ).select(query_id_col, id_col, "codes")
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qi = pdf[query_id_col].map(qpos).to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            code_mat = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            s = lut[qi[:, None], np.arange(m)[None, :], code_mat].sum(1)
+            s[ids == qids[qi]] = -np.inf
+            out = pd.DataFrame({
+                query_id_col: pdf[query_id_col].to_numpy(),
+                id_col: ids,
+                "__adc": s,
+            })
+            # batch-level combine: at most `shortlist` rows per query
+            # leave each Arrow batch for the global shortlist window
+            out = out.sort_values(
+                [query_id_col, "__adc", id_col],
+                ascending=[True, False, True],
+            )
+            yield out.groupby(query_id_col, sort=False).head(shortlist)
+
+    partial = cand.mapInPandas(
+        scan, schema=f"{query_id_col} long, {id_col} long, __adc double"
+    ).filter(F.col("__adc") > float("-inf"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__adc"), F.col(id_col)
+    )
+    short = (
+        partial.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= shortlist)
+        .select(query_id_col, id_col)
+    )
+    qdf = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    cand_vecs = corpus.select(id_col, vec_col).join(
+        F.broadcast(short.select(id_col).distinct()), id_col
+    )
+    scored = (
+        F.broadcast(short)
+        .join(cand_vecs, id_col)
+        .join(F.broadcast(qdf), query_id_col)
+        .select(
+            query_id_col, id_col,
+            cosine_exact("__qv", vec_col).alias("cosine"),
+        )
+    )
+    wf = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def knn_label_consistency(
     neighbors: DataFrame,
     labels: DataFrame,

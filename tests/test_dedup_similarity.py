@@ -610,6 +610,70 @@ def test_dedup_index_edges_stay_compacted(spark, tmp_path):
     assert edges == [(1, 2), (1, 3), (1, 4), (1, 5)]
 
 
+def _clustered_vectors(spark, n_per=6, dim=16):
+    """Deterministic well-separated clusters: 4 axis-aligned anchors,
+    members perturbed by a small rational offset — IVF with decent
+    centroids must recover them exactly."""
+    rows = []
+    for c in range(4):
+        for j in range(n_per):
+            v = [0.0] * dim
+            v[c * 4] = 10.0
+            v[c * 4 + 1] = 1.0 + j * 0.125
+            v[(c * 4 + 2) % dim] += 0.25 * j
+            rows.append((c * 100 + j, v))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_ann_index_build_query_extend(spark, tmp_path):
+    """The materialize-once ANN artifact end to end (r6 verdict #3):
+    build persists centroids/codebooks/codes/params; exhaustive-probe
+    queries equal brute force; PRUNED probes on well-separated data
+    recover the true neighbors; extend folds a batch O(batch) and the
+    extended index serves it; replay is idempotent."""
+    from etlutils_spark.operators.similarity import (
+        ann_index_topk,
+        build_ann_index,
+        cosine_topk,
+        extend_ann_index,
+    )
+
+    vecs = _clustered_vectors(spark)
+    base = vecs.filter("vec_id % 100 < 4")      # 4 per cluster
+    rest = vecs.filter("vec_id % 100 >= 4")     # 2 per cluster, batch
+    path = str(tmp_path / "annidx")
+    codes = build_ann_index(base, path, num_clusters=4, m=4, ksub=8)
+    assert codes.count() == base.count()
+    q = vecs.filter("vec_id in (0, 100, 200)")
+
+    def pairs(df):
+        return sorted((r.query_id, r.vec_id, r.rank) for r in df.collect())
+
+    # exhaustive probe == brute force (value contract incl. rank order)
+    got = ann_index_topk(base, path, q, k=3, nprobe=4, shortlist=64)
+    assert pairs(got) == pairs(cosine_topk(base, q, k=3))
+    # pruned single-cell probe still recovers same-cluster neighbors
+    # (clusters are separated by construction)
+    got1 = ann_index_topk(base, path, q, k=3, nprobe=1, shortlist=64)
+    assert pairs(got1) == pairs(cosine_topk(base, q, k=3))
+
+    # extend: O(batch) append against FROZEN quantizers
+    ext = extend_ann_index(path, rest)
+    assert ext.count() == vecs.count()
+    assert extend_ann_index(path, rest).count() == vecs.count()  # replay
+    got_all = ann_index_topk(vecs, path, q, k=3, nprobe=4, shortlist=64)
+    assert pairs(got_all) == pairs(cosine_topk(vecs, q, k=3))
+    # batch rows landed in the right IVF cells: a batch member's top
+    # neighbors under a single-cell probe include its cluster's new doc
+    got1_all = ann_index_topk(vecs, path, q, k=5, nprobe=1, shortlist=64)
+    assert pairs(got1_all) == pairs(cosine_topk(vecs, q, k=5))
+
+    # empty query set: stable empty schema
+    empty = ann_index_topk(vecs, path, vecs.filter("vec_id < 0"), k=3)
+    assert empty.columns == ["query_id", "vec_id", "cosine", "rank"]
+    assert empty.count() == 0
+
+
 def test_cc_star_keeps_self_loop_only_nodes(spark):
     # a node whose ONLY pairs are self-pairs must still appear in the
     # output, labeled to itself, in BOTH algorithms (round-6 advice fix:

@@ -84,15 +84,76 @@ def run(spark, n: int) -> dict:
     }
 
 
+def run_accumulated(spark, n: int, n_batches: int = 12) -> dict:
+    """The r6 verdict's missing stress axis: extend cost as BATCHES
+    ACCUMULATE (not just as the stored corpus grows). Build on n docs,
+    then fold n_batches successive distinct 500-doc near-dup batches
+    and time every extend. With post-refresh star compaction the edge
+    table holds |V_dup| rows regardless of how many batches landed, so
+    the per-extend wall must stay ~flat across the sequence (pre-
+    compaction it grew with the accumulated pair count)."""
+    from etlutils_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+
+    docs, _sizes = make_corpus(spark, n)
+    docs = docs.persist()
+    docs.count()
+    path = os.path.join(tempfile.gettempdir(), f"inc_acc_{os.getpid()}_{n}")
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = time.time()
+    build_dedup_index(docs, path)
+    build_sec = round(time.time() - t0, 2)
+    extend_secs = []
+    edge_rows = []
+    for k in range(n_batches):
+        # batch k: near-dups of stored docs, ids disjoint per batch so
+        # every extend adds fresh members to existing components
+        batch = (
+            docs.filter(F.col("doc_id") < BATCH)
+            .select(
+                (F.col("doc_id") + F.lit((10 + k) * max(n, BATCH)))
+                .alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" dup{k}")).alias("text"),
+            )
+            .persist()
+        )
+        batch.count()
+        t0 = time.time()
+        extend_dedup_index(path, batch)
+        extend_secs.append(round(time.time() - t0, 2))
+        edge_rows.append(
+            spark.read.parquet(os.path.join(path, "edges")).count()
+        )
+        batch.unpersist()
+    docs.unpersist()
+    shutil.rmtree(path, ignore_errors=True)
+    return {
+        "corpus": n,
+        "batch": BATCH,
+        "n_batches": n_batches,
+        "build_sec": build_sec,
+        "extend_secs": extend_secs,
+        "edge_rows_after_each": edge_rows,
+    }
+
+
 def main() -> None:
     from etlutils_spark.session import get_session
 
-    scales = [int(a) for a in sys.argv[1:]] or [5000, 50000]
+    args = sys.argv[1:]
     spark = get_session(
         "stress_incremental",
         **{"spark.driver.memory": "8g", "spark.sql.shuffle.partitions": "32"},
     )
-    report = [run(spark, n) for n in scales]
+    if args and args[0] == "accumulate":
+        n = int(args[1]) if len(args) > 1 else 5000
+        n_batches = int(args[2]) if len(args) > 2 else 12
+        report = run_accumulated(spark, n, n_batches)
+    else:
+        scales = [int(a) for a in args] or [5000, 50000]
+        report = [run(spark, n) for n in scales]
     print(json.dumps(report, indent=1))
     spark.stop()
 
