@@ -290,6 +290,85 @@ def q_dedup_clusters_incremental(spark, sf_dir):
     return out.select("doc_id", "cluster_id")
 
 
+def _sliced_stream(spark, df, root, n_slices=4, id_col="doc_id"):
+    """Write ``df`` as ``n_slices`` single-file parquet slices (by
+    contiguous ``id_col`` range, ascending mtimes so maxFilesPerTrigger
+    replays them in order) and return a file-source stream over them —
+    the deterministic micro-batch harness the incremental streaming
+    registrations share."""
+    import os
+    import shutil
+    import time
+
+    n_rows = df.count()
+    per = max(1, (n_rows + n_slices - 1) // n_slices)
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    staging = os.path.join(root, "staging")
+    (
+        df.withColumn(
+            "__slice",
+            F.least(F.lit(n_slices - 1), (F.col(id_col) / per).cast("int")),
+        )
+        .repartition(n_slices, "__slice")
+        .write.mode("overwrite")
+        .partitionBy("__slice")
+        .parquet(staging)
+    )
+    t0 = time.time() - 1000
+    for i in range(n_slices):
+        slice_dir = os.path.join(staging, f"__slice={i}")
+        part = next(
+            f for f in sorted(os.listdir(slice_dir)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"slice{i}.parquet")
+        os.replace(os.path.join(slice_dir, part), dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    shutil.rmtree(staging)
+    schema = spark.read.parquet(src).schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+
+
+@register("dedup_clusters_streaming", _duck_minhash_clusters_sql())
+def q_dedup_clusters_streaming(spark, sf_dir):
+    """Streaming ingest into the SAME batch-incremental dedup index
+    (r6 verdict #4): the corpus replays as 3 ordered micro-batches
+    through ``streaming_dedup_index``, whose foreachBatch body is
+    literally ``extend_dedup_index`` (batch 0 bootstraps via
+    ``build_dedup_index``) — probe, verify, CC scope, drift fallback,
+    and edge compaction are one shared code path, not a streaming
+    re-implementation. The oracle is the FULL-corpus recursive-closure
+    labeling, so stream == batch == from-scratch rebuild is pinned at
+    the value level."""
+    import os
+    import shutil
+
+    from etlutils_spark.pipeline_queries import _rt_path
+    from etlutils_spark.streaming.incremental_lsh import (
+        streaming_dedup_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = _rt_path(spark, "stream_dedup_idx")
+    # rebuild from empty every invocation: the index is stateful
+    # (append-mode profiles), so a stale run's state would double it
+    shutil.rmtree(root, ignore_errors=True)
+    stream = _sliced_stream(spark, docs, root, n_slices=3)
+    q = streaming_dedup_index(
+        stream,
+        path=os.path.join(root, "index"),
+        checkpoint=os.path.join(root, "ckpt"),
+    )
+    q.awaitTermination()
+    labels = spark.read.parquet(os.path.join(root, "index", "labels"))
+    return labels.select("doc_id", "cluster_id")
+
+
 def _duck_triplets_sql() -> str:
     from etlutils_spark.operators.sampling import rate_threshold_hex
 

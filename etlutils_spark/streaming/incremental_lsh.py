@@ -109,6 +109,70 @@ def _explode_bands(profiles: DataFrame, id_alias: str) -> DataFrame:
     )
 
 
+def streaming_dedup_index(
+    docs: DataFrame,
+    path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    cc_scope: str = "affected",
+):
+    """Streaming ingest into the batch-incremental dedup index: ONE
+    code path for both modes (r6 verdict #4). Each micro-batch is
+    folded by ``operators.dedup.extend_dedup_index`` — the foreachBatch
+    body IS the batch operator, so probe math, verification, CC scope,
+    drift fallback, edge compaction, and the replay contract are all
+    literally shared rather than re-implemented (this module's
+    ``incremental_minhash_dedup`` is the pair-stream form of the same
+    index; this is the label-table form).
+
+    Cold start: the first non-empty batch bootstraps the artifact with
+    ``build_dedup_index``. Existence is judged by ``path/params`` —
+    the LAST table the build writes — so a build that crashed mid-way
+    is simply rebuilt (all build writes are overwrite-mode).
+    At-least-once replays of an extend batch converge to the same
+    labels (the extend replay-idempotency pin); after the stream
+    drains, ``path/labels`` is bit-identical to a from-scratch batch
+    build on everything ingested (pinned by the
+    ``dedup_clusters_streaming`` oracle).
+
+    Returns the StreamingQuery."""
+    from etlutils_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            spark.read.parquet(f"{path}/params")
+            bootstrapped = True
+        except AnalysisException:
+            bootstrapped = False
+        if bootstrapped:
+            extend_dedup_index(
+                path, batch_df, text_col, id_col, cc_scope=cc_scope
+            )
+        else:
+            build_dedup_index(
+                batch_df, path, text_col, id_col, n, num_hashes, bands,
+                threshold,
+            )
+
+    return (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def incremental_minhash_dedup(
     docs: DataFrame,
     index_dir: str,

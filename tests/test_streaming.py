@@ -93,3 +93,59 @@ def test_foreach_batch_exactly_once_replay(spark, sf_dir, star):
     q3 = foreach_batch_exactly_once(stream_events_file(spark, sf_dir), out, f"{base}/ckpt2")
     q3.awaitTermination()
     assert spark.read.parquet(out).count() == n_expect
+
+
+def test_streaming_dedup_index_equals_batch(spark, tmp_path):
+    """streaming_dedup_index must produce labels bit-identical to a
+    from-scratch build_dedup_index on everything ingested — the one-
+    code-path contract (the foreachBatch body IS extend_dedup_index;
+    batch 0 bootstraps via build_dedup_index)."""
+    import os
+
+    from etlutils_spark.operators.dedup import build_dedup_index
+    from etlutils_spark.streaming.incremental_lsh import (
+        streaming_dedup_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (1, base + " one"), (2, base + " two"),
+        (3, "completely different text about columnar storage engines"),
+        (4, base + " three"), (5, "another note concerning partitions"),
+        (6, base + " four"), (7, "hi"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # 3 ordered single-file slices -> 3 micro-batches
+    for i, lo in enumerate((1, 4, 6)):
+        hi = {1: 3, 4: 5, 6: 7}[lo]
+        docs.filter(f"doc_id between {lo} and {hi}").coalesce(1).write.parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        part = next(
+            f for f in sorted(os.listdir(tmp_path / f"stage{i}"))
+            if f.endswith(".parquet")
+        )
+        os.replace(tmp_path / f"stage{i}" / part, f"{src}/slice{i}.parquet")
+        os.utime(f"{src}/slice{i}.parquet", (1_000_000 + i * 10,) * 2)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .format("parquet").option("maxFilesPerTrigger", 1).load(src)
+    )
+    q = streaming_dedup_index(
+        stream, path=str(tmp_path / "idx"), checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "idx" / "labels")).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in build_dedup_index(docs, str(tmp_path / "full")).collect()
+    )
+    assert got == want
+    labels = dict(got)
+    assert labels[1] == labels[2] == labels[4] == labels[6] == 1
+    assert labels[3] == 3 and labels[5] == 5 and labels[7] == 7
