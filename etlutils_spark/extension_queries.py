@@ -1008,6 +1008,84 @@ def q_bpe_encode_docs(spark, sf_dir):
 
 
 @register(
+    "bpe_encode_docs_bigvocab",
+    """
+    SELECT doc_id, TRUE AS reconstruct_ok, TRUE AS modes_match_128,
+           TRUE AS monotone_ok
+    FROM documents
+    """,
+)
+def q_bpe_encode_docs_bigvocab(spark, sf_dir):
+    """BPE at production merge-table scale (r6 verdict #8): a >= 1k
+    ORDERED merge table trained (indexed incremental trainer, bounded
+    deterministic sample) on a hash-derived corpus — four md5 words
+    per doc; the hex char distribution sustains thousands of merges,
+    which the small-vocabulary synthetic corpus cannot — then applied
+    with the constant-plan-size pandas encode. The replace-chain mode
+    is measured to StackOverflow Catalyst's expression converter at
+    512 nested replaces (fine at 256; BASELINE.md 'BPE encode mode
+    crossover'), so mode='auto' switches to the memoized mapInPandas
+    encoder past 128 merges.
+
+    Contract columns (the sketch-tier pattern — engine invariants the
+    oracle pins TRUE, since DuckDB cannot replay a thousand nested
+    replaces either):
+    - reconstruct_ok: stripping the piece sentinels from the 1k-merge
+      encoding reproduces the input text byte-for-byte (merges only
+      ever concatenate adjacent pieces)
+    - modes_match_128: chain and pandas encodes agree byte-for-byte on
+      the shared 128-merge prefix (the cross-mode differential, run
+      in-engine)
+    - monotone_ok: applying the full ordered table never yields more
+      pieces than its 128-merge prefix."""
+    from etlutils_spark.operators.text import BPE_FS, BPE_GS, bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.md5("text"),
+            F.md5(F.concat(F.col("text"), F.lit("a"))),
+            F.md5(F.concat(F.col("text"), F.lit("b"))),
+            F.md5(F.concat(F.col("text"), F.lit("c"))),
+        ).alias("text"),
+    )
+    merges = bpe_train(hashed, num_merges=1024, sample_limit=2000)
+    big = bpe_encode(hashed, merges, mode="auto").select(
+        "doc_id",
+        F.col("n_pieces").alias("__np_big"),
+        F.col("encoded").alias("__enc_big"),
+    )
+    chain = bpe_encode(hashed, merges[:128], mode="chain").select(
+        "doc_id",
+        F.col("n_pieces").alias("__np_128"),
+        F.col("encoded").alias("__enc_chain"),
+    )
+    p128 = bpe_encode(hashed, merges[:128], mode="pandas").select(
+        "doc_id", F.col("encoded").alias("__enc_p128")
+    )
+    stripped = F.replace(
+        F.replace(F.col("__enc_big"), F.lit(BPE_FS), F.lit("")),
+        F.lit(BPE_GS),
+        F.lit(""),
+    )
+    return (
+        hashed.join(big, "doc_id")
+        .join(chain, "doc_id")
+        .join(p128, "doc_id")
+        .select(
+            "doc_id",
+            (stripped == F.col("text")).alias("reconstruct_ok"),
+            (F.col("__enc_chain") == F.col("__enc_p128")).alias(
+                "modes_match_128"
+            ),
+            (F.col("__np_big") <= F.col("__np_128")).alias("monotone_ok"),
+        )
+    )
+
+
+@register(
     "line_boilerplate_docs",
     r"""
     WITH pl AS (

@@ -275,6 +275,136 @@ def test_bpe_encode_matches_python_reference(spark, star):
         assert out[r.doc_id].n_pieces == len(ref)
 
 
+def _naive_bpe_train(texts, num_merges):
+    """The pre-r7 quadratic trainer (full pair recount per merge) —
+    kept as the differential reference for the indexed incremental
+    trainer, which must produce bit-identical merge lists."""
+    import re
+    from collections import Counter
+
+    word_freq = Counter()
+    for t in texts:
+        for w in re.split(r"[ \t\n\r\f]+", t or ""):
+            if w:
+                word_freq[tuple(w)] += 1
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for word, f in word_freq.items():
+            for i in range(len(word) - 1):
+                pairs[(word[i], word[i + 1])] += f
+        if not pairs:
+            break
+        top = max(pairs.values())
+        a, b = min(p for p, c in pairs.items() if c == top)
+        merges.append((a, b))
+        ab = a + b
+        nf = Counter()
+        for word, f in word_freq.items():
+            out, i = [], 0
+            while i < len(word):
+                if i + 1 < len(word) and word[i] == a and word[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            nf[tuple(out)] += f
+        word_freq = nf
+    return merges
+
+
+def test_bpe_train_indexed_matches_naive(spark, star):
+    """The indexed incremental trainer (r6 verdict #8: what makes 1k+
+    merges practical) must emit the SAME ordered merge list as the
+    naive full-recount loop — same max-count selection, same
+    lexicographic tie-break — on real corpus text AND on a hash
+    corpus that exercises deep merge chains (merged symbols merging
+    again)."""
+    from pyspark.sql import functions as F
+
+    from etlutils_spark.operators.text import bpe_train
+
+    docs = star["documents"]
+    texts = [
+        r.text
+        for r in docs.select("text")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(10_000)
+        .collect()
+    ]
+    assert bpe_train(docs, num_merges=200) == _naive_bpe_train(texts, 200)
+    hashed = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.md5("text"), F.md5(F.concat("text", F.lit("a"))))
+        .alias("text"),
+    )
+    h_texts = [
+        r.text
+        for r in hashed.select("text")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .limit(10_000)
+        .collect()
+    ]
+    assert (
+        bpe_train(hashed, num_merges=300) == _naive_bpe_train(h_texts, 300)
+    )
+
+
+def test_bpe_encode_modes_agree(spark, star):
+    """chain and pandas encode modes must agree byte-for-byte (and
+    match the per-word Python reference) on a deep merge table — the
+    cross-mode contract the bigvocab registration pins in-engine."""
+    from pyspark.sql import functions as F
+
+    from etlutils_spark.operators.text import (
+        BPE_FS,
+        bpe_encode,
+        bpe_encode_reference,
+        bpe_train,
+    )
+
+    hashed = star["documents"].select(
+        "doc_id",
+        F.concat_ws(" ", F.md5("text"), F.md5(F.concat("text", F.lit("a"))))
+        .alias("text"),
+    )
+    merges = bpe_train(hashed, num_merges=200, sample_limit=300)
+    assert len(merges) == 200
+    sample = hashed.limit(40)
+    chain = {r.doc_id: (r.n_pieces, r.encoded)
+             for r in bpe_encode(sample, merges, mode="chain").collect()}
+    pandas_ = {r.doc_id: (r.n_pieces, r.encoded)
+               for r in bpe_encode(sample, merges, mode="pandas").collect()}
+    assert chain == pandas_
+    for r in sample.collect():
+        ref = bpe_encode_reference(r.text, merges)
+        got = [p[:-1] for p in
+               chain[r.doc_id][1].replace(" ", "").split(BPE_FS) if p]
+        assert got == ref and chain[r.doc_id][0] == len(ref)
+
+
+def test_bpe_encode_auto_mode_switches(spark, star):
+    """auto = chain (pure codegen, no Python) within the plan budget;
+    pandas (constant plan size) beyond it — the replace-chain is
+    measured to StackOverflow Catalyst at 512 nested replaces."""
+    import pytest
+
+    from etlutils_spark.operators.text import bpe_encode, bpe_train
+    from etlutils_spark.plans.checks import physical_plan
+
+    docs = star["documents"]
+    merges = bpe_train(docs, num_merges=4, sample_limit=100)
+    fake_big = merges * 64  # 256 entries: repeats are no-ops, mode only
+    small_plan = physical_plan(bpe_encode(docs, merges, mode="auto"))
+    assert "Python" not in small_plan and "MapInPandas" not in small_plan
+    assert "MapInPandas" in physical_plan(
+        bpe_encode(docs, fake_big, mode="auto")
+    )
+    with pytest.raises(ValueError, match="mode"):
+        bpe_encode(docs, merges, mode="bogus")
+
+
 def test_bpe_encode_stays_jvm_side(spark, star):
     from etlutils_spark.operators.text import bpe_encode, bpe_train
     from etlutils_spark.plans.checks import physical_plan
