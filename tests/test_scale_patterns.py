@@ -116,3 +116,31 @@ def test_results_partition_count_invariant(spark, sf_dir):
             assert a == b, f"{name} differs across partition counts"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_salted_join_shuffles_on_salted_key(spark):
+    """The salted join's exchanges must hash on (key, __salt) — the
+    plan property that keeps a hot key's rows spread across reducers
+    WITHOUT relying on AQE's post-shuffle stats (r6 verdict #5: the
+    salted path stays Exchange-balanced by construction)."""
+    from pyspark.sql import functions as F
+
+    from etlutils_spark.plans.checks import physical_plan
+
+    big = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(0, 5_000).select(F.col("id").alias("k"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = physical_plan(salted_join(big, small, on="k", salt=8))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    join_keys = [p for p in parts if "k#" in p]
+    assert join_keys, plan
+    assert all("__salt" in p for p in join_keys), join_keys
