@@ -891,10 +891,14 @@ def build_dedup_index(
     labels.write.mode("overwrite").parquet(f"{path}/labels")
     out = spark.read.parquet(f"{path}/labels")
     _compact_edges_from_labels(out, f"{path}/edges")
+    # NOTE: no .coalesce(1) on these tiny local-relation writes — a
+    # coalesced createDataFrame-from-list write measures ~5 s/call on
+    # this environment (scheduler locality wait on the single task) vs
+    # ~0.3 s plain; BASELINE.md "Tiny local-relation writes"
     spark.createDataFrame(
         [(int(n), int(num_hashes), int(bands), float(threshold))],
         "n int, num_hashes int, bands int, threshold double",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    ).write.mode("overwrite").parquet(f"{path}/params")
     return out
 
 

@@ -939,7 +939,7 @@ def build_ann_index(
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cluster_id int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
     spark.createDataFrame(
         [
             (s, c, [float(x) for x in books[s, c]])
@@ -947,11 +947,11 @@ def build_ann_index(
             for c in range(books.shape[1])
         ],
         "subspace int, code int, center array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
     spark.createDataFrame(
         [(int(num_clusters), int(m), int(ksub), int(dim), int(seed))],
         "num_clusters int, m int, ksub int, dim int, seed int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    ).write.mode("overwrite").parquet(f"{path}/params")
     return spark.read.parquet(f"{path}/codes")
 
 
