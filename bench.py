@@ -117,6 +117,12 @@ R4_EXTRAS = [
     "dedup_clusters_incremental",
     "gopher_quality_docs",
     "c4_quality_docs",
+    # round-7 additions: ANN artifact query (build+serve per invocation
+    # by design), streaming twin of the incremental dedup index, BPE at
+    # a >=1k-merge table (driver-side training included — honest cost)
+    "ann_index_topk",
+    "dedup_clusters_streaming",
+    "bpe_encode_docs_bigvocab",
 ]
 
 
