@@ -158,9 +158,14 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     # r7: c4_quality_flags terminal-punctuation anchor $ -> \z
     # (Java-vs-RE2 portability; oracle mirrored)
     "c4_quality_docs",
-    # r7: edge-table compaction in extend_dedup_index (post-CC star-edge
-    # rewrite); registered incremental query exercises the new path
+    # r7: edge-table compaction + epoch-marker drift check in
+    # extend_dedup_index; registered incremental query exercises both
     "dedup_clusters_incremental",
+    # r7 review: re-registered through the shared _sliced_stream
+    # harness (rank-range slices + mtime-ordered replay; lsh was
+    # doc_id%4 with unspecified file order before — same pair-set
+    # union, different batch composition)
+    "incremental_lsh_pairs", "incremental_span_dedup",
 })
 
 # Derived view kept for the smoke-test invariant and round tooling: a

@@ -291,24 +291,29 @@ def q_dedup_clusters_incremental(spark, sf_dir):
 
 
 def _sliced_stream(spark, df, root, n_slices=4, id_col="doc_id"):
-    """Write ``df`` as ``n_slices`` single-file parquet slices (by
-    contiguous ``id_col`` range, ascending mtimes so maxFilesPerTrigger
+    """Write ``df`` as ``n_slices`` single-file parquet slices (equal
+    RANK ranges of ``id_col``, ascending mtimes so maxFilesPerTrigger
     replays them in order) and return a file-source stream over them —
     the deterministic micro-batch harness the incremental streaming
-    registrations share."""
+    registrations share. ntile over the id ORDER, not id arithmetic:
+    value-based slicing assumed dense 0-based ids and silently dropped
+    or crashed on sparse/offset/negative ids (review catch); for dense
+    0..n-1 ids the two are identical. The single-partition ntile window
+    is fine at harness scale (hundreds-to-thousands of rows) — this is
+    a test-replay fixture, not a production operator."""
     import os
     import shutil
     import time
 
-    n_rows = df.count()
-    per = max(1, (n_rows + n_slices - 1) // n_slices)
+    from pyspark.sql import Window
+
     src = os.path.join(root, "src")
     os.makedirs(src)
     staging = os.path.join(root, "staging")
     (
         df.withColumn(
             "__slice",
-            F.least(F.lit(n_slices - 1), (F.col(id_col) / per).cast("int")),
+            F.ntile(n_slices).over(Window.orderBy(id_col)) - 1,
         )
         .repartition(n_slices, "__slice")
         .write.mode("overwrite")
@@ -318,6 +323,8 @@ def _sliced_stream(spark, df, root, n_slices=4, id_col="doc_id"):
     t0 = time.time() - 1000
     for i in range(n_slices):
         slice_dir = os.path.join(staging, f"__slice={i}")
+        if not os.path.isdir(slice_dir):  # fewer rows than slices
+            continue
         part = next(
             f for f in sorted(os.listdir(slice_dir)) if f.endswith(".parquet")
         )
@@ -437,36 +444,16 @@ def q_incremental_lsh_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     root = _rt_path(spark, "inc_lsh")
     # rebuild from empty every invocation: the index/pairs sinks are
-    # append-only, so a stale run's state would double the output
+    # append-only, so a stale run's state would double the output.
+    # Shared _sliced_stream harness (r7 review: this protocol existed
+    # in three near-identical copies; this one additionally relied on
+    # unspecified file-listing order for batch sequence — the helper
+    # staggers mtimes). Slices are rank ranges instead of doc_id % 4 —
+    # different batch COMPOSITION, identical pair-set union (every pair
+    # is still discovered exactly once, in the batch that completes
+    # it), so the oracle is unchanged.
     shutil.rmtree(root, ignore_errors=True)
-    src = os.path.join(root, "src")
-    os.makedirs(src)
-    # one corpus scan writes all 4 slices (dynamic partitioning), vs a
-    # filtered scan per slice; each slice dir holds one file thanks to
-    # the repartition on the slice key
-    staging = os.path.join(root, "staging")
-    (
-        docs.withColumn("__slice", F.col("doc_id") % 4)
-        .repartition(4, "__slice")
-        .write.mode("overwrite")
-        .partitionBy("__slice")
-        .parquet(staging)
-    )
-    for i in range(4):
-        slice_dir = os.path.join(staging, f"__slice={i}")
-        part = next(
-            f for f in sorted(os.listdir(slice_dir)) if f.endswith(".parquet")
-        )
-        os.replace(os.path.join(slice_dir, part), os.path.join(src, f"slice{i}.parquet"))
-    shutil.rmtree(staging)
-
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(src)
-    )
+    stream = _sliced_stream(spark, docs, root, n_slices=4)
     q = incremental_minhash_dedup(
         stream,
         index_dir=os.path.join(root, "index"),
@@ -2024,46 +2011,18 @@ def q_incremental_span_dedup(spark, sf_dir):
     byte-identical stats (see module docstring)."""
     import os
     import shutil
-    import time
 
     from etlutils_spark.pipeline_queries import _rt_path
     from etlutils_spark.streaming.incremental_spans import incremental_span_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
-    per = max(1, (n_docs + 3) // 4)
     root = _rt_path(spark, "inc_spans")
     shutil.rmtree(root, ignore_errors=True)
-    src = os.path.join(root, "src")
-    os.makedirs(src)
-    staging = os.path.join(root, "staging")
-    (
-        docs.withColumn(
-            "__slice", F.least(F.lit(3), (F.col("doc_id") / per).cast("int"))
-        )
-        .repartition(4, "__slice")
-        .write.mode("overwrite")
-        .partitionBy("__slice")
-        .parquet(staging)
-    )
-    t0 = time.time() - 1000
-    for i in range(4):
-        slice_dir = os.path.join(staging, f"__slice={i}")
-        part = next(
-            f for f in sorted(os.listdir(slice_dir)) if f.endswith(".parquet")
-        )
-        dst = os.path.join(src, f"slice{i}.parquet")
-        os.replace(os.path.join(slice_dir, part), dst)
-        os.utime(dst, (t0 + i * 10, t0 + i * 10))  # ascending replay order
-    shutil.rmtree(staging)
-
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(src)
-    )
+    # shared _sliced_stream harness (r7 review dedup); rank ranges ==
+    # the old contiguous doc_id ranges for the dense 0-based corpus,
+    # and span stats are order-deterministic regardless (first
+    # occurrence by ordinal, module docstring)
+    stream = _sliced_stream(spark, docs, root, n_slices=4)
     q = incremental_span_dedup(
         stream,
         index_dir=os.path.join(root, "index"),
@@ -2268,8 +2227,20 @@ def q_ann_index_topk(spark, sf_dir):
     # pruned contract column keeps a wide floor for that budget
     build_ann_index(emb, root, init_mode="random", max_iter=5)
     q = emb.filter(F.col("vec_id") < 5)
-    exact = ann_index_topk(emb, root, q, k=10, nprobe=16, shortlist=256)
-    pruned = ann_index_topk(emb, root, q, k=10, nprobe=12, shortlist=256)
+    # the ORACLE-pinned arm must be exact end to end: exhaustive nprobe
+    # makes the IVF stage lossless, and an unbounded shortlist makes
+    # the ADC stage lossless too (review catch: shortlist=256 at
+    # sf0.1's 2000 vectors deterministically dropped a true rank-4
+    # neighbor whose ADC estimate ranked 256+). The production lossy
+    # setting is the CONTRACT arm below. Both are eagerly checkpointed:
+    # each feeds 2-3 plan subtrees, and the ADC scan is the expensive
+    # stage (the codebase's multi-consumer persist convention).
+    exact = ann_index_topk(
+        emb, root, q, k=10, nprobe=16, shortlist=2**31 - 1
+    ).localCheckpoint(eager=True)
+    pruned = ann_index_topk(
+        emb, root, q, k=10, nprobe=12, shortlist=256
+    ).localCheckpoint(eager=True)
     hits = (
         exact.select("query_id", "vec_id")
         .join(pruned.select("query_id", "vec_id"), ["query_id", "vec_id"])
@@ -2642,6 +2613,11 @@ def _materialized_clusters(spark, sf_dir):
                 while True:
                     try:
                         os.mkdir(lock)
+                        # ownership token: if we stall >5 min mid-repair
+                        # and someone steals + re-creates the lock, our
+                        # release below must NOT delete THEIR lock —
+                        # compare inodes before rmdir (review catch)
+                        lock_ino = os.stat(lock).st_ino
                         break
                     except OSError:
                         try:
@@ -2666,5 +2642,6 @@ def _materialized_clusters(spark, sf_dir):
                     os.rename(staging, scratch)
                 finally:
                     with contextlib.suppress(OSError):
-                        os.rmdir(lock)
+                        if os.stat(lock).st_ino == lock_ino:
+                            os.rmdir(lock)
     return spark.read.parquet(scratch)

@@ -899,7 +899,25 @@ def build_dedup_index(
         [(int(n), int(num_hashes), int(bands), float(threshold))],
         "n int, num_hashes int, bands int, threshold double",
     ).write.mode("overwrite").parquet(f"{path}/params")
+    _write_sync_epoch(spark, path, "profiles", 0)
+    _write_sync_epoch(spark, path, "labels", 0)
     return out
+
+
+def _write_sync_epoch(spark, path: str, side: str, epoch: int) -> None:
+    spark.createDataFrame(
+        [(int(epoch),)], "epoch long"
+    ).write.mode("overwrite").parquet(f"{path}/sync_{side}")
+
+
+def _read_sync_epoch(spark, path: str, side: str) -> int | None:
+    from pyspark.errors import AnalysisException
+
+    try:
+        row = spark.read.parquet(f"{path}/sync_{side}").first()
+    except AnalysisException:
+        return None
+    return None if row is None else int(row["epoch"])
 
 
 def _compact_edges_from_labels(labels: DataFrame, edges_path: str) -> None:
@@ -992,10 +1010,15 @@ def extend_dedup_index(
       O(touched-component mass). Labels are bit-identical to "full"
       (pinned by tests). Requires labels to be in sync with profiles;
       an out-of-sync artifact (a prior refresh crashed between its
-      appends and its label rewrite) is DETECTED per refresh — profile
-      ids absent from labels — and that refresh falls back to full CC,
-      which re-derives every label from the stored edge table and
-      self-heals the crashed batch's shingleable docs.
+      appends and its label rewrite) is DETECTED per refresh in O(1)
+      via a pair of epoch markers (profiles-side bumped before the
+      appends, labels-side after the rewrite — unequal == crashed),
+      and that refresh falls back to full CC, which re-derives every
+      label from the stored edge table and self-heals the crashed
+      batch's shingleable docs. Pre-marker artifacts pay a one-time
+      profile-vs-label anti-join as the migration check. Single
+      writer assumed (one refresh at a time), as everywhere in the
+      artifact tier.
     - ``"full"``: star CC over the whole stored edge table — always
       correct with no sync precondition. With post-refresh edge
       compaction the stored edge table is the |V_dup|-row spanning
@@ -1046,17 +1069,25 @@ def extend_dedup_index(
     old_prof = spark.read.parquet(f"{path}/profiles")
     lbl = spark.read.parquet(f"{path}/labels")
     effective_scope = cc_scope
-    if cc_scope == "affected":
-        # Drift check (MUST run before this batch's appends): a prior
-        # refresh that crashed between its appends and its label
-        # rewrite leaves profile ids with edges in path/edges but no
-        # label row. The affected-scope compressed graph only sees
-        # THIS batch's new edges plus touched-component stars, so it
-        # would label those docs to themselves — wrong and complete-
-        # looking. Detect (profiles ⊄ labels) and fall back to full CC
-        # for this refresh, which re-derives every label from the
-        # stored edge table and self-heals the crashed batch's
-        # shingleable docs. One anti-join over two long columns.
+    # Drift check (MUST run before this batch's appends): a prior
+    # refresh that crashed between its appends and its label rewrite
+    # leaves profile ids with edges in path/edges but no label row.
+    # The affected-scope compressed graph only sees THIS batch's new
+    # edges plus touched-component stars, so it would label those docs
+    # to themselves — wrong and complete-looking. Detection is O(1):
+    # every refresh bumps a profiles-side epoch marker BEFORE its
+    # appends and a labels-side marker only AFTER its label rewrite,
+    # so unequal markers == crashed refresh (the r7 review retired the
+    # original full-profile anti-join, which silently re-introduced an
+    # O(corpus) scan into the O(batch) path). On drift, fall back to
+    # full CC for this refresh — it re-derives every label from the
+    # stored edge table and self-heals the crashed batch's shingleable
+    # docs. Pre-marker artifacts (built before r7) pay the anti-join
+    # ONCE as the migration path; a successful refresh then writes
+    # both markers.
+    p_epoch = _read_sync_epoch(spark, path, "profiles")
+    l_epoch = _read_sync_epoch(spark, path, "labels")
+    if p_epoch is None or l_epoch is None:
         drift = not (
             old_prof.select(F.col("doc_id").cast("long").alias("doc_id"))
             .join(
@@ -1068,8 +1099,12 @@ def extend_dedup_index(
             )
             .isEmpty()
         )
-        if drift:
-            effective_scope = "full"
+        epoch = 1
+    else:
+        drift = p_epoch != l_epoch
+        epoch = max(p_epoch, l_epoch) + 1
+    if drift and cc_scope == "affected":
+        effective_scope = "full"
     new_prof = batch_profiles(new_docs, text_col, id_col, n, num_hashes, bands)
     nb = _explode_bands(new_prof, "id_1")
     # new-vs-index probe: the batch side is the small build side
@@ -1101,6 +1136,10 @@ def extend_dedup_index(
         # materialize once: consumed by the append AND the compressed-
         # graph CC below
         new_edges = new_edges.localCheckpoint(eager=True)
+    # intent marker BEFORE the appends: if this refresh dies anywhere
+    # between here and the labels-side marker below, the epochs stay
+    # unequal and the next refresh takes the full-CC drift fallback
+    _write_sync_epoch(spark, path, "profiles", epoch)
     new_edges.write.mode("append").parquet(f"{path}/edges")
     new_prof.write.mode("append").parquet(f"{path}/profiles")
     # id universe = stored LABELS ∪ PROFILES ∪ the batch: labels carry
@@ -1193,6 +1232,10 @@ def extend_dedup_index(
     # in-flight frames), so the overwrite below cannot invalidate its
     # own inputs
     labels.write.mode("overwrite").parquet(f"{path}/labels")
+    # labels are consistent with the appended profiles from here on —
+    # equalize the epochs (a crash during the compaction below leaves
+    # equal markers AND a correct supergraph edge table: fine)
+    _write_sync_epoch(spark, path, "labels", epoch)
     out = spark.read.parquet(f"{path}/labels")
     # post-refresh compaction: replace the accumulated edge rows with
     # the spanning star implied by the labels just written (identical

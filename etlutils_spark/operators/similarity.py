@@ -1000,6 +1000,7 @@ def extend_ann_index(
     spark = new_vectors.sparkSession
     params, cents, books = _read_ann_index(spark, path)
     m, dsub = books.shape[0], books.shape[2]
+    dim = int(params["dim"])
     cent_sq = (cents ** 2).sum(-1)
 
     def run(batches):
@@ -1008,6 +1009,12 @@ def extend_ann_index(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if X.shape[1] != dim:
+                raise ValueError(
+                    f"extend_ann_index: batch vectors have dim "
+                    f"{X.shape[1]} but the index was built at dim {dim} "
+                    f"(from {path}/params)"
+                )
             # IVF cell: argmin ||x - c||^2 = argmin ||c||^2 - 2<x, c>
             # over RAW vectors (k-means trains unnormalized)
             cell = (cent_sq[None, :] - 2.0 * (X @ cents.T)).argmin(1)
@@ -1086,6 +1093,12 @@ def ann_index_topk(
         )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    if Q.shape[1] != int(params["dim"]):
+        raise ValueError(
+            f"ann_index_topk: query vectors have dim {Q.shape[1]} but "
+            f"the index was built at dim {params['dim']} (from "
+            f"{path}/params)"
+        )
     Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
     lut = np.einsum("jsd,scd->jsc", Q.reshape(len(Q), m, dsub), books)
     qpos = {int(q): i for i, q in enumerate(qids)}

@@ -560,8 +560,19 @@ def test_extend_dedup_index_affected_drift_fallback(spark, tmp_path):
     build_dedup_index(docs.filter("doc_id <= 3"), path,
                       bands=8, threshold=0.3)
 
-    # simulate the crash: land doc 4's profile + its (3,4) edge exactly
-    # as extend_dedup_index would, but skip the label rewrite
+    # simulate the crash: bump the profiles-side epoch, land doc 4's
+    # profile + its (3,4) edge exactly as extend_dedup_index would,
+    # then die before the label rewrite (so the labels-side epoch
+    # stays behind — the O(1) drift signal)
+    from etlutils_spark.operators.dedup import (
+        _read_sync_epoch,
+        _write_sync_epoch,
+    )
+
+    _write_sync_epoch(
+        spark, path, "profiles",
+        _read_sync_epoch(spark, path, "labels") + 1,
+    )
     crashed = batch_profiles(docs.filter("doc_id = 4"), "text", "doc_id",
                              3, 8, 8)
     crashed.write.mode("append").parquet(f"{path}/profiles")
@@ -577,6 +588,30 @@ def test_extend_dedup_index_affected_drift_fallback(spark, tmp_path):
     # drift fallback re-derived doc 4's label from the stored edge
     # table; without it, 4 would label to itself
     assert labels == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
+    # the successful fallback refresh re-equalized the epochs
+    assert _read_sync_epoch(spark, path, "profiles") == _read_sync_epoch(
+        spark, path, "labels"
+    )
+
+    # migration path: a pre-r7 artifact has NO sync markers — the same
+    # crash must be caught by the one-time profile-vs-label anti-join
+    import shutil
+
+    path2 = str(tmp_path / "drift_premarker")
+    build_dedup_index(docs.filter("doc_id <= 3"), path2,
+                      bands=8, threshold=0.3)
+    shutil.rmtree(f"{path2}/sync_profiles")
+    shutil.rmtree(f"{path2}/sync_labels")
+    crashed2 = batch_profiles(docs.filter("doc_id = 4"), "text", "doc_id",
+                              3, 8, 8)
+    crashed2.write.mode("append").parquet(f"{path2}/profiles")
+    spark.createDataFrame([(3, 4)], "id_1 long, id_2 long").write.mode(
+        "append"
+    ).parquet(f"{path2}/edges")
+    out2 = extend_dedup_index(path2, docs.filter("doc_id = 5"),
+                              cc_scope="affected")
+    labels2 = {r.doc_id: r.cluster_id for r in out2.collect()}
+    assert labels2 == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
 
 
 def test_dedup_index_edges_stay_compacted(spark, tmp_path):
@@ -1169,3 +1204,27 @@ def test_dedup_rate_report_semantics(spark):
     overall = dedup_rate_report(docs, clusters).collect()[0]
     assert overall.segment == "__all__" and overall.n_docs == 4
     assert overall.n_exact_dup_docs == 1 and overall.n_near_dup_docs == 2
+
+
+def test_ann_index_dim_mismatch_raises(spark, tmp_path):
+    """Vectors of the wrong dimensionality must fail LOUDLY against
+    the index's build-time dim (params sidecar), not with an opaque
+    numpy shape error mid-UDF."""
+    import pytest
+
+    from etlutils_spark.operators.similarity import (
+        ann_index_topk,
+        build_ann_index,
+        extend_ann_index,
+    )
+
+    vecs = _clustered_vectors(spark, dim=16)
+    path = str(tmp_path / "dimidx")
+    build_ann_index(vecs, path, num_clusters=4, m=4, ksub=8)
+    bad = spark.createDataFrame(
+        [(999, [1.0] * 8)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="dim"):
+        extend_ann_index(path, bad).count()
+    with pytest.raises(ValueError, match="dim"):
+        ann_index_topk(vecs, path, bad, k=3)

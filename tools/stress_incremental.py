@@ -59,8 +59,11 @@ def run(spark, n: int) -> dict:
         .persist()
     )
     n_batch = batch.count()
+    # explicit full scope: extend's DEFAULT became "affected" in r7, so
+    # an unqualified call here would time affected against itself below
+    # (review catch) — this row is the full-vs-affected comparison
     t0 = time.time()
-    labels = extend_dedup_index(path, batch)
+    labels = extend_dedup_index(path, batch, cc_scope="full")
     n_labeled = labels.count()
     extend_sec = round(time.time() - t0, 2)
     # same batch again under affected-scope CC (replay is label-
