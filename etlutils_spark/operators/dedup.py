@@ -1088,7 +1088,9 @@ def extend_dedup_index(
     p_epoch = _read_sync_epoch(spark, path, "profiles")
     l_epoch = _read_sync_epoch(spark, path, "labels")
     if p_epoch is None or l_epoch is None:
-        drift = not (
+        # migration path; the anti-join only matters under "affected"
+        # ("full" re-derives everything regardless — skip the scan)
+        drift = cc_scope == "affected" and not (
             old_prof.select(F.col("doc_id").cast("long").alias("doc_id"))
             .join(
                 lbl.select(
