@@ -149,3 +149,71 @@ def test_streaming_dedup_index_equals_batch(spark, tmp_path):
     labels = dict(got)
     assert labels[1] == labels[2] == labels[4] == labels[6] == 1
     assert labels[3] == 3 and labels[5] == 5 and labels[7] == 7
+
+
+def test_streaming_dedup_index_resumes_from_checkpoint(spark, tmp_path):
+    """Restarting the ingest stream with the same checkpoint must pick
+    up only NEW slices and fold them through the same index — the
+    resume path a production ingest actually exercises (availableNow
+    drains what exists, the next start continues from the checkpoint).
+    Labels after the second run must equal a from-scratch build on
+    everything ingested."""
+    import os
+
+    from etlutils_spark.operators.dedup import build_dedup_index
+    from etlutils_spark.streaming.incremental_lsh import (
+        streaming_dedup_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (1, base + " one"), (2, base + " two"),
+        (3, "completely different text about columnar storage engines"),
+        (4, base + " three"),
+        (5, "late-arriving unrelated note concerning shuffle partitions"),
+        (6, base + " four"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def land_slice(name, lo, hi, mtime):
+        stage = tmp_path / f"stage_{name}"
+        docs.filter(f"doc_id between {lo} and {hi}").coalesce(1)\
+            .write.parquet(str(stage))
+        part = next(f for f in sorted(os.listdir(stage))
+                    if f.endswith(".parquet"))
+        os.replace(stage / part, f"{src}/{name}.parquet")
+        os.utime(f"{src}/{name}.parquet", (mtime, mtime))
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .format("parquet").option("maxFilesPerTrigger", 1).load(src)
+        )
+        q = streaming_dedup_index(
+            stream, path=str(tmp_path / "idx"),
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+
+    land_slice("s0", 1, 3, 1_000_000)
+    land_slice("s1", 4, 4, 1_000_010)
+    run_stream()  # drains s0 (bootstrap) + s1 (extend), then stops
+    first = {
+        r.doc_id: r.cluster_id
+        for r in spark.read.parquet(str(tmp_path / "idx" / "labels")).collect()
+    }
+    assert first == {1: 1, 2: 1, 3: 3, 4: 1}
+
+    land_slice("s2", 5, 6, 1_000_020)  # new data arrives after the stop
+    run_stream()  # same checkpoint: must process ONLY s2
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "idx" / "labels")).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in build_dedup_index(docs, str(tmp_path / "full")).collect()
+    )
+    assert got == want
