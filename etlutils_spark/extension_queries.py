@@ -2018,10 +2018,13 @@ def q_incremental_span_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     root = _rt_path(spark, "inc_spans")
     shutil.rmtree(root, ignore_errors=True)
-    # shared _sliced_stream harness (r7 review dedup); rank ranges ==
-    # the old contiguous doc_id ranges for the dense 0-based corpus,
-    # and span stats are order-deterministic regardless (first
-    # occurrence by ordinal, module docstring)
+    # shared _sliced_stream harness (r7 review dedup). Same
+    # concatenated replay ORDER as the old contiguous doc_id slicing;
+    # batch BOUNDARIES can differ when the row count is not divisible
+    # by n_slices (ntile evens the tail: 10 rows -> 3,3,2,2 vs the old
+    # 3,3,3,1) — immaterial here because span stats are
+    # order-deterministic (first occurrence by global ordinal, module
+    # docstring), which is the actual invariant.
     stream = _sliced_stream(spark, docs, root, n_slices=4)
     q = incremental_span_dedup(
         stream,
@@ -2609,15 +2612,22 @@ def _materialized_clusters(spark, sf_dir):
                 import contextlib
                 import time
 
+                import uuid
+
                 lock = scratch + ".lock"
                 while True:
                     try:
                         os.mkdir(lock)
                         # ownership token: if we stall >5 min mid-repair
                         # and someone steals + re-creates the lock, our
-                        # release below must NOT delete THEIR lock —
-                        # compare inodes before rmdir (review catch)
-                        lock_ino = os.stat(lock).st_ino
+                        # release below must NOT delete THEIR lock. A
+                        # uuid owner file, not an inode compare — inode
+                        # numbers are reused after the steal's rmtree,
+                        # so a same-inode fresh lock could be deleted
+                        # by its previous owner (review catch)
+                        lock_token = uuid.uuid4().hex
+                        with open(os.path.join(lock, "owner"), "w") as fh:
+                            fh.write(lock_token)
                         break
                     except OSError:
                         try:
@@ -2642,6 +2652,8 @@ def _materialized_clusters(spark, sf_dir):
                     os.rename(staging, scratch)
                 finally:
                     with contextlib.suppress(OSError):
-                        if os.stat(lock).st_ino == lock_ino:
-                            os.rmdir(lock)
+                        with open(os.path.join(lock, "owner")) as fh:
+                            still_mine = fh.read() == lock_token
+                        if still_mine:
+                            shutil.rmtree(lock, ignore_errors=True)
     return spark.read.parquet(scratch)

@@ -894,13 +894,17 @@ def build_dedup_index(
     # NOTE: no .coalesce(1) on these tiny local-relation writes — a
     # coalesced createDataFrame-from-list write measures ~5 s/call on
     # this environment (scheduler locality wait on the single task) vs
-    # ~0.3 s plain; BASELINE.md "Tiny local-relation writes"
+    # ~0.3 s plain; BASELINE.md "Tiny local-relation writes".
+    # Write order is load-bearing: params is the build's COMMIT MARKER
+    # (the very last write — streaming_dedup_index's bootstrap and the
+    # docstring's "a crashed build is simply rebuilt" both key off it),
+    # so the sync epochs land before it.
+    _write_sync_epoch(spark, path, "profiles", 0)
+    _write_sync_epoch(spark, path, "labels", 0)
     spark.createDataFrame(
         [(int(n), int(num_hashes), int(bands), float(threshold))],
         "n int, num_hashes int, bands int, threshold double",
     ).write.mode("overwrite").parquet(f"{path}/params")
-    _write_sync_epoch(spark, path, "profiles", 0)
-    _write_sync_epoch(spark, path, "labels", 0)
     return out
 
 
@@ -1049,11 +1053,19 @@ def extend_dedup_index(
     crash that lands the appends but not the rewrite is additionally
     self-healing for the batch's SHINGLEABLE docs on any later extend
     (the drift fallback above); its shingle-less docs return only via
-    the replay. Edge compaction runs strictly AFTER the label rewrite,
-    so a crash before it merely leaves the star + this batch's raw
-    edges — a supergraph with identical components. At warehouse
-    scale, wrap the writes in the table format's transaction if one is
-    available; the math does not require it."""
+    the replay. Edge compaction runs strictly AFTER the label rewrite
+    and the labels-side epoch lands strictly after the COMPACTION, so
+    every crash window leaves unequal epochs, and the drift recovery
+    re-derives connectivity from edges ∪ star(labels) — correct
+    whether the crash left the edge table a supergraph (died before
+    the rewrite) or truncated it mid-overwrite (died inside the
+    compaction). The epoch protocol assumes every writer is
+    epoch-aware (this code, r7+): a pre-epoch writer crashing against
+    a marker-carrying artifact would leave equal markers over real
+    drift — don't mix writer versions, the same way you wouldn't mix
+    schema versions. At warehouse scale, wrap the writes in the table
+    format's transaction if one is available; the math does not
+    require it."""
     from etlutils_spark.streaming.incremental_lsh import (
         _explode_bands,
         _verified_pairs,
@@ -1167,10 +1179,27 @@ def extend_dedup_index(
         .localCheckpoint(eager=True)
     )
     if effective_scope == "full":
-        comp = connected_components(
-            spark.read.parquet(f"{path}/edges"), "id_1", "id_2",
-            algorithm="star",
-        )
+        cc_input = spark.read.parquet(f"{path}/edges")
+        if drift:
+            # Recovery must not trust the edge table ALONE: the two
+            # drift cases leave opposite halves fresh. A crash before
+            # the label rewrite leaves edges complete (old star + the
+            # crashed batch's raw edges) and labels stale; a crash
+            # DURING edge compaction (non-atomic parquet overwrite)
+            # leaves labels complete and edges truncated. The union
+            # edges ∪ star(labels) is correct in BOTH: every row in
+            # either table is a true near-dup relation, and at least
+            # one of the two has full coverage of the true components.
+            lbl_star = lbl.filter(
+                F.col("cluster_id").cast("long")
+                != F.col(lbl.columns[0]).cast("long")
+            ).select(
+                F.col("cluster_id").cast("long").alias("id_1"),
+                F.col(lbl.columns[0]).cast("long").alias("id_2"),
+            )
+            cc_input = cc_input.unionByName(lbl_star)
+        comp = connected_components(cc_input, "id_1", "id_2",
+                                    algorithm="star")
         labels = (
             all_ids.join(comp, all_ids["doc_id"] == comp["node"], "left")
             .select(
@@ -1234,16 +1263,19 @@ def extend_dedup_index(
     # in-flight frames), so the overwrite below cannot invalidate its
     # own inputs
     labels.write.mode("overwrite").parquet(f"{path}/labels")
-    # labels are consistent with the appended profiles from here on —
-    # equalize the epochs (a crash during the compaction below leaves
-    # equal markers AND a correct supergraph edge table: fine)
-    _write_sync_epoch(spark, path, "labels", epoch)
     out = spark.read.parquet(f"{path}/labels")
     # post-refresh compaction: replace the accumulated edge rows with
     # the spanning star implied by the labels just written (identical
-    # components, |V_dup| rows) — runs AFTER the label rewrite so a
-    # crash anywhere earlier leaves a supergraph, never a subgraph
+    # components, |V_dup| rows). The labels-side epoch is written only
+    # AFTER the compaction lands: the compaction itself is a
+    # non-atomic parquet overwrite (old files deleted before new ones
+    # commit), so a crash inside it must leave the epochs UNEQUAL —
+    # the next refresh's drift recovery then re-derives connectivity
+    # from edges ∪ star(labels), which tolerates a truncated edge
+    # table (r7 review #2 catch: the previous order silently trusted
+    # a half-written compaction).
     _compact_edges_from_labels(out, f"{path}/edges")
+    _write_sync_epoch(spark, path, "labels", epoch)
     return out
 
 

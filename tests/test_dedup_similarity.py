@@ -1228,3 +1228,60 @@ def test_ann_index_dim_mismatch_raises(spark, tmp_path):
         extend_ann_index(path, bad).count()
     with pytest.raises(ValueError, match="dim"):
         ann_index_topk(vecs, path, bad, k=3)
+
+
+def test_extend_dedup_index_recovers_truncated_compaction(spark, tmp_path):
+    """A crash INSIDE the post-refresh edge compaction (non-atomic
+    parquet overwrite: old files deleted, new star not committed)
+    leaves fresh labels, a truncated — here fully emptied — edge
+    table, and unequal epochs. The next refresh's drift recovery must
+    re-derive connectivity from edges ∪ star(labels), so no cluster
+    splits (r7 review: recovery previously trusted the edge table
+    alone)."""
+    from etlutils_spark.operators.dedup import (
+        _read_sync_epoch,
+        _write_sync_epoch,
+        build_dedup_index,
+        extend_dedup_index,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    rows = [
+        (1, a + " x"), (2, a + " y"),
+        (3, "completely different content about columnar engines"),
+        (4, a + " z"),
+        (5, "another unrelated note concerning shuffle partitions"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    path = str(tmp_path / "trunc")
+    build_dedup_index(docs.filter("doc_id <= 3"), path,
+                      bands=8, threshold=0.3)
+    extend_dedup_index(path, docs.filter("doc_id = 4"))
+    labels = {r.doc_id: r.cluster_id
+              for r in spark.read.parquet(f"{path}/labels").collect()}
+    assert labels == {1: 1, 2: 1, 3: 3, 4: 1}
+
+    # simulate the mid-compaction crash of that refresh: labels and
+    # profiles-side epoch landed, edge overwrite died after deleting
+    # the old files (worst case: nothing committed), labels-side epoch
+    # never written
+    spark.createDataFrame([], "id_1 long, id_2 long").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/edges")
+    _write_sync_epoch(
+        spark, path, "labels",
+        _read_sync_epoch(spark, path, "labels") - 1,
+    )
+
+    out = extend_dedup_index(path, docs.filter("doc_id = 5"))
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+    # cluster {1,2,4} survived the emptied edge table via star(labels)
+    assert got == {1: 1, 2: 1, 3: 3, 4: 1, 5: 5}
+    # recovery re-equalized the epochs and recompacted the star
+    assert _read_sync_epoch(spark, path, "profiles") == _read_sync_epoch(
+        spark, path, "labels"
+    )
+    edges = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/edges").collect()
+    )
+    assert edges == [(1, 2), (1, 4)]
