@@ -36,6 +36,12 @@ from etlutils_spark.caching import persist_tracked as _persist_tracked
 from etlutils_spark.functions.vectors import cosine_exact, cosine_fast
 from etlutils_spark.operators.text import TOKENS_COL, shingles_from_tokens, with_tokens
 from etlutils_spark.sources.files import spread
+from etlutils_spark.sources.sidecar import (
+    read_sidecar_json,
+    read_sidecar_text,
+    write_sidecar_json,
+    write_sidecar_text,
+)
 
 
 def dedup_exact(
@@ -842,9 +848,10 @@ def build_dedup_index(
       labels, while the table stops growing with accumulated batch
       EDGES and tracks dup-doc count instead (the r6 verdict's
       measured growing term).
-    - ``path/params``   one-row parquet pinning (n, num_hashes, bands,
-      threshold) so :func:`extend_dedup_index` probes with the same
-      signature scheme the index was built with.
+    - ``path/params``   JSON sidecar file pinning (n, num_hashes,
+      bands, threshold) so :func:`extend_dedup_index` probes with the
+      same signature scheme the index was built with; written last as
+      the build's commit marker (sources.sidecar).
 
     Verification here is exact Jaccard over the stored xxhash64
     shingle sets (identical to exact shingle Jaccard absent ~2^-64
@@ -891,37 +898,48 @@ def build_dedup_index(
     labels.write.mode("overwrite").parquet(f"{path}/labels")
     out = spark.read.parquet(f"{path}/labels")
     _compact_edges_from_labels(out, f"{path}/edges")
-    # NOTE: no .coalesce(1) on these tiny local-relation writes — a
-    # coalesced createDataFrame-from-list write measures ~5 s/call on
-    # this environment (scheduler locality wait on the single task) vs
-    # ~0.3 s plain; BASELINE.md "Tiny local-relation writes".
+    # Sidecars (epochs, params) are single FS-API files, not Spark
+    # writes — see sources.sidecar for the cost/atomicity argument.
     # Write order is load-bearing: params is the build's COMMIT MARKER
     # (the very last write — streaming_dedup_index's bootstrap and the
     # docstring's "a crashed build is simply rebuilt" both key off it),
     # so the sync epochs land before it.
     _write_sync_epoch(spark, path, "profiles", 0)
     _write_sync_epoch(spark, path, "labels", 0)
-    spark.createDataFrame(
-        [(int(n), int(num_hashes), int(bands), float(threshold))],
-        "n int, num_hashes int, bands int, threshold double",
-    ).write.mode("overwrite").parquet(f"{path}/params")
+    write_sidecar_json(
+        spark,
+        f"{path}/params",
+        {
+            "n": int(n),
+            "num_hashes": int(num_hashes),
+            "bands": int(bands),
+            "threshold": float(threshold),
+        },
+    )
     return out
 
 
 def _write_sync_epoch(spark, path: str, side: str, epoch: int) -> None:
-    spark.createDataFrame(
-        [(int(epoch),)], "epoch long"
-    ).write.mode("overwrite").parquet(f"{path}/sync_{side}")
+    """Commit an epoch marker as ONE tiny text file through the Hadoop
+    FileSystem API (sources.sidecar) — no Spark job. A Spark-side
+    local-relation parquet write costs ~0.3-5 s of pure scheduling per
+    marker (BASELINE.md "Tiny local-relation writes"); this is ~70 ms.
+    A torn marker on a rename-weak object store parses as drift, which
+    the protocol already treats as "recover conservatively"."""
+    write_sidecar_text(spark, f"{path}/sync_{side}", str(int(epoch)))
 
 
 def _read_sync_epoch(spark, path: str, side: str) -> int | None:
-    from pyspark.errors import AnalysisException
-
-    try:
-        row = spark.read.parquet(f"{path}/sync_{side}").first()
-    except AnalysisException:
+    """None == no readable marker: absent (pre-marker artifact), the
+    earlier parquet-directory form, or torn — every case takes the
+    conservative migration/drift path in extend_dedup_index."""
+    txt = read_sidecar_text(spark, f"{path}/sync_{side}")
+    if txt is None:
         return None
-    return None if row is None else int(row["epoch"])
+    try:
+        return int(txt.strip())
+    except ValueError:
+        return None
 
 
 def _compact_edges_from_labels(labels: DataFrame, edges_path: str) -> None:
@@ -962,12 +980,16 @@ def _read_index_params(
     defaults = (3, 8, 4, 0.5)
     given = (n, num_hashes, bands, threshold)
     names = ("n", "num_hashes", "bands", "threshold")
-    try:
-        row = spark.read.parquet(f"{path}/params").first()
-    except AnalysisException:  # pre-sidecar artifact: no params table
-        return tuple(
-            d if g is None else g for g, d in zip(given, defaults)
-        )  # type: ignore[return-value]
+    row = read_sidecar_json(spark, f"{path}/params")
+    if row is None:
+        # the r7.0 parquet-DIRECTORY sidecar form, else a pre-sidecar
+        # artifact: no params at all
+        try:
+            row = spark.read.parquet(f"{path}/params").first()
+        except AnalysisException:
+            return tuple(
+                d if g is None else g for g, d in zip(given, defaults)
+            )  # type: ignore[return-value]
     stored = (row["n"], row["num_hashes"], row["bands"], row["threshold"])
     for name, g, s in zip(names, given, stored):
         if g is not None and g != s:

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etlutils_spark.functions.vectors import cosine_exact, cosine_fast
+from etlutils_spark.sources.sidecar import read_sidecar_json, write_sidecar_json
 
 
 def cosine_topk(
@@ -909,8 +910,9 @@ def build_ann_index(
       smaller than the float rows (the table the scan stage reads)
     - ``path/centroids`` (cluster_id, centroid) — num_clusters rows
     - ``path/codebooks`` (subspace, code, center) — m*ksub rows
-    - ``path/params``    one-row sidecar (num_clusters, m, ksub, dim,
-      seed) validated by :func:`extend_ann_index`
+    - ``path/params``    JSON sidecar file (num_clusters, m, ksub,
+      dim, seed) validated by :func:`extend_ann_index`; written last
+      as the build's commit marker (sources.sidecar)
 
     The bench proved pre-encoded codes are the steady-state mode
     (``ann_pq_precoded`` flat at 10x corpus) and that recomputing IVF
@@ -948,10 +950,19 @@ def build_ann_index(
         ],
         "subspace int, code int, center array<double>",
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
-    spark.createDataFrame(
-        [(int(num_clusters), int(m), int(ksub), int(dim), int(seed))],
-        "num_clusters int, m int, ksub int, dim int, seed int",
-    ).write.mode("overwrite").parquet(f"{path}/params")
+    # params is the build's commit marker (last write) — one FS-API
+    # JSON file, no Spark job (see sources.sidecar)
+    write_sidecar_json(
+        spark,
+        f"{path}/params",
+        {
+            "num_clusters": int(num_clusters),
+            "m": int(m),
+            "ksub": int(ksub),
+            "dim": int(dim),
+            "seed": int(seed),
+        },
+    )
     return spark.read.parquet(f"{path}/codes")
 
 
@@ -959,7 +970,10 @@ def _read_ann_index(spark, path: str):
     """(params row, centroid matrix (C, dim), codebooks (m, ksub, dsub))
     from a ``build_ann_index`` artifact. Both collects are bounded by
     construction: num_clusters and m*ksub rows."""
-    params = spark.read.parquet(f"{path}/params").first()
+    params = read_sidecar_json(spark, f"{path}/params")
+    if params is None:
+        # legacy parquet-directory sidecar from earlier r7 builds
+        params = spark.read.parquet(f"{path}/params").first()
     cent_rows = spark.read.parquet(f"{path}/centroids").collect()
     cents = np.empty((params["num_clusters"], params["dim"]), dtype=np.float64)
     for r in cent_rows:

@@ -1,0 +1,94 @@
+"""Tiny driver-side artifact sidecars through the Hadoop FileSystem API.
+
+Index artifacts (``build_dedup_index``, ``build_ann_index``) carry a few
+bytes of driver-consumed state next to their data tables: build
+parameters, sync-epoch markers. Writing those as Spark local-relation
+parquet costs a full scheduled job per marker (~0.3-5 s of pure
+overhead, BASELINE.md "Tiny local-relation writes") and reading them
+back costs another. This module writes them as single files through the
+JVM's Hadoop ``FileSystem`` — the exact mechanism Structured
+Streaming's ``HDFSMetadataLog`` uses for its offset/commit log — so
+they cost ~70 ms, run no job, and still work on any Hadoop-compatible
+store (HDFS, S3A, local).
+
+Commit discipline: write-to-temp + rename. Atomic on HDFS and local
+filesystems; copy-rename on object stores, where a torn read parses as
+``None`` — every caller treats ``None`` as "recover conservatively"
+(migration path / drift fallback / rebuild), so weaker stores degrade
+to correctness, not corruption.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+
+def _fs_path(spark, url: str):
+    """(jvm, FileSystem, Path) for a Hadoop-FS url/path string."""
+    jvm = spark._jvm
+    target = jvm.org.apache.hadoop.fs.Path(url)
+    fs = target.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return jvm, fs, target
+
+
+def sidecar_exists(spark, url: str) -> bool:
+    """True if ``url`` exists as a file OR directory — callers using a
+    sidecar as a build's commit marker only need presence, and the
+    legacy parquet-directory form must keep counting."""
+    _, fs, target = _fs_path(spark, url)
+    return bool(fs.exists(target))
+
+
+def write_sidecar_text(spark, url: str, text: str) -> None:
+    """Commit ``text`` at ``url`` as one file via temp + rename. A
+    recursive delete first retires any legacy parquet DIRECTORY at the
+    same path (readers see that form as None -> migration path, so
+    mixed-generation artifacts self-upgrade on their next write)."""
+    jvm, fs, target = _fs_path(spark, url)
+    parent, name = url.rsplit("/", 1)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{parent}/.{name}.tmp")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+    fs.delete(target, True)
+    if not fs.rename(tmp, target):
+        raise IOError(f"could not commit sidecar {url}")
+
+
+def read_sidecar_text(spark, url: str) -> str | None:
+    """File contents, or None when unreadable as a sidecar FILE:
+    absent, a legacy parquet directory, or an IO error. Callers route
+    None through their conservative path."""
+    from py4j.protocol import Py4JJavaError
+
+    jvm, fs, target = _fs_path(spark, url)
+    try:
+        if not fs.exists(target) or fs.getFileStatus(target).isDirectory():
+            return None
+        stream = fs.open(target)
+        try:
+            return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+    except Py4JJavaError:
+        return None
+
+
+def write_sidecar_json(spark, url: str, obj: dict[str, Any]) -> None:
+    write_sidecar_text(spark, url, json.dumps(obj, sort_keys=True))
+
+
+def read_sidecar_json(spark, url: str) -> dict[str, Any] | None:
+    """Parsed JSON object, or None for absent / legacy-directory /
+    torn content (same conservative-path contract as the text form)."""
+    txt = read_sidecar_text(spark, url)
+    if txt is None:
+        return None
+    try:
+        obj = json.loads(txt)
+    except ValueError:
+        return None
+    return obj if isinstance(obj, dict) else None

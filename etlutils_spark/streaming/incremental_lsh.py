@@ -150,11 +150,12 @@ def streaming_dedup_index(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        try:
-            spark.read.parquet(f"{path}/params")
-            bootstrapped = True
-        except AnalysisException:
-            bootstrapped = False
+        # presence probe only (file OR the legacy parquet-dir form) —
+        # no Spark read, and no FileStreamSink "assume no metadata"
+        # WARN stack per micro-batch
+        from etlutils_spark.sources.sidecar import sidecar_exists
+
+        bootstrapped = sidecar_exists(spark, f"{path}/params")
         if bootstrapped:
             extend_dedup_index(
                 path, batch_df, text_col, id_col, cc_scope=cc_scope

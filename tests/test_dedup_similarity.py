@@ -2,6 +2,8 @@
 covers the engine-specific (rows-only) paths the DuckDB oracle can't:
 simhash, LSH recall, and the multimodal stub."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -595,13 +597,11 @@ def test_extend_dedup_index_affected_drift_fallback(spark, tmp_path):
 
     # migration path: a pre-r7 artifact has NO sync markers — the same
     # crash must be caught by the one-time profile-vs-label anti-join
-    import shutil
-
     path2 = str(tmp_path / "drift_premarker")
     build_dedup_index(docs.filter("doc_id <= 3"), path2,
                       bands=8, threshold=0.3)
-    shutil.rmtree(f"{path2}/sync_profiles")
-    shutil.rmtree(f"{path2}/sync_labels")
+    os.remove(f"{path2}/sync_profiles")
+    os.remove(f"{path2}/sync_labels")
     crashed2 = batch_profiles(docs.filter("doc_id = 4"), "text", "doc_id",
                               3, 8, 8)
     crashed2.write.mode("append").parquet(f"{path2}/profiles")
@@ -1228,6 +1228,40 @@ def test_ann_index_dim_mismatch_raises(spark, tmp_path):
         extend_ann_index(path, bad).count()
     with pytest.raises(ValueError, match="dim"):
         ann_index_topk(vecs, path, bad, k=3)
+
+
+def test_sync_epoch_marker_formats(spark, tmp_path):
+    """Epoch markers are single text files written through the Hadoop
+    FileSystem API (no Spark job — the HDFSMetadataLog pattern).
+    Unreadable forms — absent, the earlier parquet-DIRECTORY marker,
+    or a torn write — all read as None, which routes the next extend
+    through the conservative migration/drift path."""
+    from etlutils_spark.operators.dedup import (
+        _read_sync_epoch,
+        _write_sync_epoch,
+    )
+
+    root = str(tmp_path / "markers")
+    os.makedirs(root)
+    _write_sync_epoch(spark, root, "profiles", 7)
+    assert os.path.isfile(f"{root}/sync_profiles")
+    assert _read_sync_epoch(spark, root, "profiles") == 7
+    # overwrite in place (the per-refresh bump)
+    _write_sync_epoch(spark, root, "profiles", 8)
+    assert _read_sync_epoch(spark, root, "profiles") == 8
+    # absent
+    assert _read_sync_epoch(spark, root, "labels") is None
+    # earlier parquet-directory form -> migration path, and a writer
+    # retires it in place
+    os.makedirs(f"{root}/sync_labels")
+    assert _read_sync_epoch(spark, root, "labels") is None
+    _write_sync_epoch(spark, root, "labels", 3)
+    assert os.path.isfile(f"{root}/sync_labels")
+    assert _read_sync_epoch(spark, root, "labels") == 3
+    # torn write (garbage bytes) -> None, not a crash
+    with open(f"{root}/sync_labels", "w") as fh:
+        fh.write("not-an-int")
+    assert _read_sync_epoch(spark, root, "labels") is None
 
 
 def test_extend_dedup_index_recovers_truncated_compaction(spark, tmp_path):
