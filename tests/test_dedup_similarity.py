@@ -536,6 +536,42 @@ def test_extend_dedup_index_params_sidecar(spark, tmp_path):
             extend_dedup_index(path, docs.filter("doc_id = 2"), **bad)
 
 
+def test_params_sidecar_legacy_parquet_fallback(spark, tmp_path):
+    """Artifacts written before the FS-API sidecar carry ``params`` as
+    a one-row parquet DIRECTORY. Readers must keep honoring that form:
+    extend still inherits + validates against it, and the next build
+    write retires it in place (sources.sidecar self-upgrade)."""
+    from etlutils_spark.operators.dedup import (
+        _read_index_params,
+        build_dedup_index,
+        extend_dedup_index,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    docs = spark.createDataFrame(
+        [(1, a + " x"), (2, a + " y"), (3, "unrelated words entirely here")],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "legacy")
+    build_dedup_index(docs.filter("doc_id != 2"), path,
+                      bands=8, threshold=0.3)
+    # rewrite the params sidecar in the legacy parquet-directory form
+    os.remove(f"{path}/params")
+    spark.createDataFrame(
+        [(3, 8, 8, 0.3)],
+        "n int, num_hashes int, bands int, threshold double",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+    assert os.path.isdir(f"{path}/params")
+    assert _read_index_params(spark, path, None, None, None, None) == (
+        3, 8, 8, 0.3,
+    )
+    out = extend_dedup_index(path, docs.filter("doc_id = 2"))
+    labels = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert labels == {1: 1, 2: 1, 3: 3}
+    with pytest.raises(ValueError, match="does not match"):
+        extend_dedup_index(path, docs.filter("doc_id = 2"), bands=4)
+
+
 def test_extend_dedup_index_affected_drift_fallback(spark, tmp_path):
     """A refresh that crashed AFTER its profile/edge appends but BEFORE
     its label rewrite leaves profile ids with no label row. A later
@@ -1226,6 +1262,34 @@ def test_ann_index_dim_mismatch_raises(spark, tmp_path):
     )
     with pytest.raises(Exception, match="dim"):
         extend_ann_index(path, bad).count()
+    with pytest.raises(ValueError, match="dim"):
+        ann_index_topk(vecs, path, bad, k=3)
+
+
+def test_ann_index_legacy_parquet_params_fallback(spark, tmp_path):
+    """An ANN artifact whose ``params`` sidecar is still the legacy
+    one-row parquet DIRECTORY must keep serving queries and validating
+    dims (same contract as the dedup index's legacy fallback)."""
+    from etlutils_spark.operators.similarity import (
+        ann_index_topk,
+        build_ann_index,
+    )
+
+    vecs = _clustered_vectors(spark, dim=16)
+    path = str(tmp_path / "legacyann")
+    build_ann_index(vecs, path, num_clusters=4, m=4, ksub=8)
+    os.remove(f"{path}/params")
+    spark.createDataFrame(
+        [(4, 4, 8, 16, 0)],
+        "num_clusters int, m int, ksub int, dim int, seed int",
+    ).write.mode("overwrite").parquet(f"{path}/params")
+    assert os.path.isdir(f"{path}/params")
+    queries = vecs.limit(2)
+    got = ann_index_topk(vecs, path, queries, k=3)
+    assert got.count() == 6
+    bad = spark.createDataFrame(
+        [(999, [1.0] * 8)], "vec_id bigint, embedding array<float>"
+    )
     with pytest.raises(ValueError, match="dim"):
         ann_index_topk(vecs, path, bad, k=3)
 
