@@ -388,8 +388,9 @@ def test_extend_dedup_index_matches_full_rebuild(spark, tmp_path):
     extend_dedup_index(inc_path, docs.filter("doc_id in (4, 5, 8)"))
     got = extend_dedup_index(inc_path, docs.filter("doc_id = 6"))
     want = build_dedup_index(docs, full_path)
-    got_rows = sorted(tuple(r) for r in got.collect())
-    assert got_rows == sorted(tuple(r) for r in want.collect())
+    pick = ["doc_id", "cluster_id"]
+    got_rows = sorted(tuple(r) for r in got.select(pick).collect())
+    assert got_rows == sorted(tuple(r) for r in want.select(pick).collect())
     # the dup family clustered to its minimum; singletons to themselves
     labels = dict(got_rows)
     assert labels[1] == labels[2] == labels[4] == labels[6] == 1
@@ -433,21 +434,29 @@ def test_extend_dedup_index_affected_scope_matches_full(spark, tmp_path):
     # bands=8 x 1 row: candidate probability ~0.99 at the bridge's
     # jaccard ~0.43 (4x2 banding is a coin flip there — this test needs
     # the bridge deterministically found, not a recall experiment)
-    build_dedup_index(base, p_aff, threshold=0.3, bands=8)
+    # the affected side runs on the BUCKETED layout (explicit B — the
+    # auto default keeps toy corpora unbucketed), the full side on the
+    # legacy layout: the equality below is therefore also a cross-
+    # layout equivalence pin for the partial-rewrite branch
+    build_dedup_index(base, p_aff, threshold=0.3, bands=8,
+                      label_buckets=8)
     build_dedup_index(base, p_full, threshold=0.3, bands=8)
     # threshold 0.3: a doc concatenating two clusters' texts overlaps
     # each at jaccard ~0.45 — enough to BRIDGE them, which the default
     # 0.5 cannot (a disjoint-cluster bridge tops out below 0.5)
+    pick = ["doc_id", "cluster_id"]
     got_aff = sorted(tuple(r) for r in
                      extend_dedup_index(p_aff, batch, threshold=0.3,
-                                        bands=8,
-                                        cc_scope="affected").collect())
+                                        bands=8, cc_scope="affected")
+                     .select(pick).collect())
     got_full = sorted(tuple(r) for r in
                       extend_dedup_index(p_full, batch, bands=8,
-                                         threshold=0.3).collect())
+                                         threshold=0.3)
+                      .select(pick).collect())
     want = sorted(tuple(r) for r in
                   build_dedup_index(docs, p_rebuild, bands=8,
-                                    threshold=0.3).collect())
+                                    threshold=0.3)
+                  .select(pick).collect())
     assert got_aff == got_full == want
     labels = dict(got_aff)
     # the bridge doc merged clusters A and B into one component
@@ -1292,6 +1301,81 @@ def test_ann_index_legacy_parquet_params_fallback(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="dim"):
         ann_index_topk(vecs, path, bad, k=3)
+
+
+def test_affected_extend_rewrites_only_touched_buckets(spark, tmp_path):
+    """The labels table is partitioned by pmod(xxhash64(doc_id), B);
+    an affected-scope extend must rewrite ONLY the partitions holding
+    changed labels (dynamic partition overwrite) — the r6 verdict's
+    'label rewrite touches the whole corpus per refresh' growing term.
+    Untouched bucket directories stay byte-identical (same files, same
+    mtimes)."""
+    from etlutils_spark.operators.dedup import (
+        _label_bucket,
+        build_dedup_index,
+        extend_dedup_index,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    stored = [(i, f"unique document number {i} with its own words {i}")
+              for i in range(1, 21)]
+    stored += [(100, a + " x"), (101, a + " y")]
+    docs = spark.createDataFrame(stored, "doc_id bigint, text string")
+    path = str(tmp_path / "buckets")
+    build_dedup_index(docs, path, bands=8, threshold=0.3,
+                      label_buckets=8)
+
+    def _snapshot():
+        snap = {}
+        root = f"{path}/labels"
+        for d in os.listdir(root):
+            if not d.startswith("label_bucket="):
+                continue
+            full = os.path.join(root, d)
+            snap[d] = sorted(
+                (f, os.path.getmtime(os.path.join(full, f)))
+                for f in os.listdir(full)
+                if not f.startswith(".")
+            )
+        return snap
+
+    before = _snapshot()
+    assert len(before) > 1  # the point needs >1 partition to make
+    batch = spark.createDataFrame([(102, a + " z")],
+                                  "doc_id bigint, text string")
+    out = extend_dedup_index(path, batch, cc_scope="affected")
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert got[100] == got[101] == got[102] == 100
+    assert got[5] == 5 and len(got) == 23
+    after = _snapshot()
+    # buckets of the changed docs (the near-dup family + the batch doc)
+    changed = spark.createDataFrame(
+        [(100,), (101,), (102,)], "doc_id bigint"
+    ).select(_label_bucket("doc_id", 8).alias("b")).distinct().collect()
+    touched = {f"label_bucket={r.b}" for r in changed}
+    for d in before:
+        if d in touched:
+            assert after[d] != before[d], f"{d} should have been rewritten"
+        else:
+            assert after[d] == before[d], f"{d} was rewritten needlessly"
+    # the bucketed branch recompacts edges WITHOUT a label scan (kept
+    # star + new components) — the result must still be the exact
+    # spanning star a full-label compaction would produce
+    edges = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/edges").collect()
+    )
+    assert edges == [(100, 101), (100, 102)]
+    # and a SECOND extend against the recompacted star keeps labeling
+    # correctly (the star is the next refresh's membership source)
+    batch2 = spark.createDataFrame([(103, a + " w")],
+                                   "doc_id bigint, text string")
+    out2 = extend_dedup_index(path, batch2, cc_scope="affected")
+    got2 = {r.doc_id: r.cluster_id for r in out2.collect()}
+    assert got2[100] == got2[101] == got2[102] == got2[103] == 100
+    edges2 = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/edges").collect()
+    )
+    assert edges2 == [(100, 101), (100, 102), (100, 103)]
 
 
 def test_sync_epoch_marker_formats(spark, tmp_path):

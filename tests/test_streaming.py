@@ -137,13 +137,16 @@ def test_streaming_dedup_index_equals_batch(spark, tmp_path):
         stream, path=str(tmp_path / "idx"), checkpoint=str(tmp_path / "ckpt")
     )
     q.awaitTermination()
+    pick = ["doc_id", "cluster_id"]
     got = sorted(
         tuple(r)
-        for r in spark.read.parquet(str(tmp_path / "idx" / "labels")).collect()
+        for r in spark.read.parquet(str(tmp_path / "idx" / "labels"))
+        .select(pick).collect()
     )
     want = sorted(
         tuple(r)
-        for r in build_dedup_index(docs, str(tmp_path / "full")).collect()
+        for r in build_dedup_index(docs, str(tmp_path / "full"))
+        .select(pick).collect()
     )
     assert got == want
     labels = dict(got)

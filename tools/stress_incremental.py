@@ -142,6 +142,77 @@ def run_accumulated(spark, n: int, n_batches: int = 12) -> dict:
     }
 
 
+def run_bucketed(spark, n: int, buckets: int, n_refreshes: int = 3) -> dict:
+    """The bucketed-label-layout probe (r7): with
+    ``build_dedup_index(label_buckets=B)`` an affected-scope extend
+    must rewrite only the label PARTITIONS holding changed docs
+    (dynamic partition overwrite). Reports wall time AND the fraction
+    of label-table bytes rewritten per refresh — the scale-relevant
+    metric, since at toy corpus sizes the whole table is a few MB and
+    directory/listing overhead dominates wall clock (which is exactly
+    why the auto default keeps small corpora unbucketed). The batch
+    near-dups TAIL docs (singletons), the focused-refresh case the
+    layout is for; a fat-head batch legitimately touches most buckets."""
+    from etlutils_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+
+    docs, _sizes = make_corpus(spark, n)
+    docs = docs.persist()
+    docs.count()
+    path = os.path.join(
+        tempfile.gettempdir(), f"inc_bkt_{os.getpid()}_{n}_{buckets}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = time.time()
+    build_dedup_index(docs, path, label_buckets=buckets)
+    build_sec = round(time.time() - t0, 2)
+
+    def _files():
+        out = set()
+        for dp, _dn, fn in os.walk(f"{path}/labels"):
+            out.update(
+                os.path.join(dp, f)
+                for f in fn
+                if not f.startswith((".", "_"))
+            )
+        return out
+
+    batch = (
+        docs.filter(F.col("doc_id") >= n - 10)
+        .select(
+            (F.col("doc_id") + F.lit(10 * n)).alias("doc_id"),
+            F.concat("text", F.lit(" extradup")).alias("text"),
+        )
+        .persist()
+    )
+    batch.count()
+    extend_secs, rewrite_fracs = [], []
+    for k in range(n_refreshes):
+        b2 = batch.select(
+            (F.col("doc_id") + F.lit(k * 1000)).alias("doc_id"), "text"
+        )
+        before = _files()
+        t0 = time.time()
+        extend_dedup_index(path, b2, cc_scope="affected")
+        extend_secs.append(round(time.time() - t0, 2))
+        after = _files()
+        new_b = sum(os.path.getsize(p) for p in after - before)
+        tot_b = sum(os.path.getsize(p) for p in after)
+        rewrite_fracs.append(round(new_b / tot_b, 3))
+    docs.unpersist()
+    batch.unpersist()
+    shutil.rmtree(path, ignore_errors=True)
+    return {
+        "corpus": n,
+        "label_buckets": buckets,
+        "build_sec": build_sec,
+        "extend_secs": extend_secs,
+        "label_bytes_rewritten_frac": rewrite_fracs,
+    }
+
+
 def main() -> None:
     from etlutils_spark.session import get_session
 
@@ -154,6 +225,10 @@ def main() -> None:
         n = int(args[1]) if len(args) > 1 else 5000
         n_batches = int(args[2]) if len(args) > 2 else 12
         report = run_accumulated(spark, n, n_batches)
+    elif args and args[0] == "buckets":
+        n = int(args[1]) if len(args) > 1 else 50000
+        bs = [int(a) for a in args[2:]] or [32, 1]
+        report = [run_bucketed(spark, n, b) for b in bs]
     else:
         scales = [int(a) for a in args] or [5000, 50000]
         report = [run(spark, n) for n in scales]
