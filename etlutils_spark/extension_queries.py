@@ -2626,8 +2626,18 @@ def _materialized_clusters(spark, sf_dir):
                         # so a same-inode fresh lock could be deleted
                         # by its previous owner (review catch)
                         lock_token = uuid.uuid4().hex
-                        with open(os.path.join(lock, "owner"), "w") as fh:
-                            fh.write(lock_token)
+                        try:
+                            with open(os.path.join(lock, "owner"), "w") as fh:
+                                fh.write(lock_token)
+                        except OSError:
+                            # ENOSPC/EIO after a successful mkdir: an
+                            # ownerless lock would wedge repair for
+                            # every process until the staleness steal
+                            # fires — release what we just created and
+                            # surface the real error (review catch)
+                            with contextlib.suppress(OSError):
+                                os.rmdir(lock)
+                            raise
                         break
                     except OSError:
                         try:

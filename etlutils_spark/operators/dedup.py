@@ -39,6 +39,7 @@ from etlutils_spark.sources.files import spread
 from etlutils_spark.sources.sidecar import (
     read_sidecar_json,
     read_sidecar_text,
+    sidecar_kind,
     write_sidecar_json,
     write_sidecar_text,
 )
@@ -915,8 +916,16 @@ def build_dedup_index(
     if label_buckets == "auto":
         # ~250k docs per bucket, capped: buckets must stay file-sized
         # for the partial rewrite to beat its directory overhead (the
-        # docstring's measurement), and tiny corpora stay unbucketed
-        label_buckets = min(4096, docs.count() // 250_000)
+        # docstring's measurement), and tiny corpora stay unbucketed.
+        # Sized from the just-written profiles table — a parquet
+        # metadata count — rather than docs.count(), which would
+        # re-execute the caller's whole upstream lineage; profiles
+        # undercount by the shingle-less docs, which only nudges a
+        # sizing heuristic (review catch)
+        label_buckets = min(
+            4096,
+            spark.read.parquet(f"{path}/profiles").count() // 250_000,
+        )
     label_buckets = int(label_buckets)
     if label_buckets >= 2:
         labels.withColumn(
@@ -1003,6 +1012,27 @@ def _compact_edges_from_labels(labels: DataFrame, edges_path: str) -> None:
     star.write.mode("overwrite").parquet(edges_path)
 
 
+def _index_committed(spark, path: str) -> bool:
+    """True iff ``path/params`` is present AND readable — the build's
+    commit marker actually committed. Presence alone is not enough: a
+    build that crashed mid-params-write can leave an unreadable stub
+    (e.g. a parquet directory holding only _temporary debris), and a
+    bootstrap that mistakes that for "committed" would extend a
+    half-built index with default params instead of rebuilding it."""
+    from pyspark.errors import AnalysisException
+
+    kind = sidecar_kind(spark, f"{path}/params")
+    if kind == "file":
+        return read_sidecar_json(spark, f"{path}/params") is not None
+    if kind == "dir":  # legacy parquet form
+        try:
+            spark.read.parquet(f"{path}/params").first()
+            return True
+        except AnalysisException:
+            return False
+    return False
+
+
 def _read_index_params(
     spark: SparkSession,
     path: str,
@@ -1010,30 +1040,58 @@ def _read_index_params(
     num_hashes: int | None,
     bands: int | None,
     threshold: float | None,
-) -> tuple[int, int, int, float]:
-    """Resolve (n, num_hashes, bands, threshold) for an extend against
-    the build-time sidecar. ``None`` means "use what the index was
-    built with"; an explicit value is VALIDATED against the sidecar —
-    a silent mismatch (e.g. bands=8 at build, 4 at extend) would make
-    the band probe compare incompatible signatures and drop every
-    cross-batch duplicate without any error. Pre-sidecar artifacts
-    (no ``path/params``) fall back to explicit values / the build
-    defaults, preserving old indexes."""
+) -> tuple[int, int, int, float, int]:
+    """Resolve (n, num_hashes, bands, threshold, label_buckets) for an
+    extend against the build-time sidecar. ``None`` means "use what
+    the index was built with"; an explicit value is VALIDATED against
+    the sidecar — a silent mismatch (e.g. bands=8 at build, 4 at
+    extend) would make the band probe compare incompatible signatures
+    and drop every cross-batch duplicate without any error.
+
+    Three sidecar states, handled distinctly (review catch — a bare
+    read-returning-None conflated the last two):
+
+    - readable: stored values, validated.
+    - ABSENT (pre-sidecar artifact): explicit values / build defaults.
+    - present but UNREADABLE (torn file, parquet debris from a
+      crashed pre-JSON build): raise — silently probing with defaults
+      against an index built with different params is exactly the
+      quiet-corruption mode the sidecar exists to prevent.
+
+    A successfully read legacy parquet-directory sidecar is upgraded
+    in place to the JSON file form (extend is a writer anyway), so
+    extend-only artifacts stop paying the scheduled Spark read every
+    refresh."""
     from pyspark.errors import AnalysisException
 
     defaults = (3, 8, 4, 0.5)
     given = (n, num_hashes, bands, threshold)
     names = ("n", "num_hashes", "bands", "threshold")
-    row = read_sidecar_json(spark, f"{path}/params")
-    if row is None:
-        # the r7.0 parquet-DIRECTORY sidecar form, else a pre-sidecar
-        # artifact: no params at all
+    kind = sidecar_kind(spark, f"{path}/params")
+    upgrade_legacy = False
+    if kind is None:
+        resolved = tuple(d if g is None else g for g, d in zip(given, defaults))
+        return (*resolved, 0)  # type: ignore[return-value]
+    if kind == "file":
+        row = read_sidecar_json(spark, f"{path}/params")
+        if row is None:
+            raise ValueError(
+                f"{path}/params exists but is not a readable params "
+                "sidecar (torn write?); rebuild the index rather than "
+                "extending it with guessed parameters"
+            )
+    else:  # legacy parquet-directory sidecar
         try:
             row = spark.read.parquet(f"{path}/params").first()
         except AnalysisException:
-            return tuple(
-                d if g is None else g for g, d in zip(given, defaults)
-            )  # type: ignore[return-value]
+            row = None
+        if row is None:
+            raise ValueError(
+                f"{path}/params exists but is not a readable params "
+                "sidecar (crashed build?); rebuild the index rather "
+                "than extending it with guessed parameters"
+            )
+        upgrade_legacy = True
     stored = (row["n"], row["num_hashes"], row["bands"], row["threshold"])
     for name, g, s in zip(names, given, stored):
         if g is not None and g != s:
@@ -1042,7 +1100,22 @@ def _read_index_params(
                 f"index's build-time {name}={s!r} (from {path}/params); "
                 "pass None to inherit the stored value"
             )
-    return stored  # type: ignore[return-value]
+    label_buckets = 0
+    if kind == "file":
+        label_buckets = int(row.get("label_buckets") or 0)
+    if upgrade_legacy:
+        write_sidecar_json(
+            spark,
+            f"{path}/params",
+            {
+                "n": int(stored[0]),
+                "num_hashes": int(stored[1]),
+                "bands": int(stored[2]),
+                "threshold": float(stored[3]),
+                "label_buckets": 0,  # legacy layouts are unbucketed
+            },
+        )
+    return (*stored, label_buckets)  # type: ignore[return-value]
 
 
 def extend_dedup_index(
@@ -1153,7 +1226,7 @@ def extend_dedup_index(
     spark = new_docs.sparkSession
     if cc_scope not in ("full", "affected"):
         raise ValueError(f"cc_scope must be full|affected, got {cc_scope!r}")
-    n, num_hashes, bands, threshold = _read_index_params(
+    n, num_hashes, bands, threshold, label_buckets = _read_index_params(
         spark, path, n, num_hashes, bands, threshold
     )
     old_prof = spark.read.parquet(f"{path}/profiles")
@@ -1161,16 +1234,19 @@ def extend_dedup_index(
     effective_scope = cc_scope
     id_name = lbl.columns[0]  # builder's id column, positionally
     bucketed = "label_bucket" in lbl.columns
-    pobj = read_sidecar_json(spark, f"{path}/params") or {}
-    label_buckets = int(pobj.get("label_buckets") or 0)
     if bucketed and label_buckets < 2:
-        # bucketed layout with no recorded modulus (hand-assembled /
-        # corrupted sidecar): a doc's bucket cannot be recomputed, so
-        # partial overwrite is unsafe — flatten back to the unbucketed
-        # layout with a full-scope rewrite; later extends then stay on
-        # the legacy path.
-        bucketed = False
-        effective_scope = "full"
+        # our writers always record the modulus alongside a bucketed
+        # layout, so this is a corrupted or hand-assembled artifact; a
+        # doc's bucket cannot be recomputed, so ANY label write here
+        # (partial or full) risks duplicate rows across partitions —
+        # be loud instead of silently restructuring the table (review
+        # catch: the earlier silent flatten discarded the layout in
+        # response to what may be a transient sidecar read failure)
+        raise ValueError(
+            f"{path}/labels is bucket-partitioned but {path}/params "
+            "records no label_buckets; rebuild the index (or restore "
+            "the params sidecar) before extending"
+        )
     # Drift check (MUST run before this batch's appends): a prior
     # refresh that crashed between its appends and its label rewrite
     # leaves profile ids with edges in path/edges but no label row.

@@ -40,6 +40,18 @@ def sidecar_exists(spark, url: str) -> bool:
     return bool(fs.exists(target))
 
 
+def sidecar_kind(spark, url: str) -> str | None:
+    """``"file"`` (the FS-API sidecar form), ``"dir"`` (the legacy
+    parquet-directory form), or ``None`` (absent). Lets callers
+    distinguish "present but unreadable" (corruption — be loud) from
+    "absent" (pre-sidecar artifact — take the documented fallback),
+    which a bare read-returning-None cannot."""
+    _, fs, target = _fs_path(spark, url)
+    if not fs.exists(target):
+        return None
+    return "dir" if fs.getFileStatus(target).isDirectory() else "file"
+
+
 def write_sidecar_text(spark, url: str, text: str) -> None:
     """Commit ``text`` at ``url`` as one file via temp + rename. A
     recursive delete first retires any legacy parquet DIRECTORY at the

@@ -150,12 +150,16 @@ def streaming_dedup_index(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        # presence probe only (file OR the legacy parquet-dir form) —
-        # no Spark read, and no FileStreamSink "assume no metadata"
-        # WARN stack per micro-batch
-        from etlutils_spark.sources.sidecar import sidecar_exists
+        # committed == params present AND readable: a build that
+        # crashed mid-params-write leaves an unreadable stub, and
+        # extending past it would probe a half-built index with
+        # guessed params (review catch: a bare presence probe flipped
+        # that case from "rebuild" to silent extend). Cheap path is
+        # one fs.exists + one tiny file read — still no Spark job and
+        # no FileStreamSink WARN stack per micro-batch.
+        from etlutils_spark.operators.dedup import _index_committed
 
-        bootstrapped = sidecar_exists(spark, f"{path}/params")
+        bootstrapped = _index_committed(spark, path)
         if bootstrapped:
             extend_dedup_index(
                 path, batch_df, text_col, id_col, cc_scope=cc_scope

@@ -572,13 +572,89 @@ def test_params_sidecar_legacy_parquet_fallback(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{path}/params")
     assert os.path.isdir(f"{path}/params")
     assert _read_index_params(spark, path, None, None, None, None) == (
-        3, 8, 8, 0.3,
+        3, 8, 8, 0.3, 0,
     )
+    # ... and the successful legacy read upgraded the sidecar in place
+    # to the JSON file form, so later extends skip the Spark read
+    assert os.path.isfile(f"{path}/params")
     out = extend_dedup_index(path, docs.filter("doc_id = 2"))
     labels = {r.doc_id: r.cluster_id for r in out.collect()}
     assert labels == {1: 1, 2: 1, 3: 3}
     with pytest.raises(ValueError, match="does not match"):
         extend_dedup_index(path, docs.filter("doc_id = 2"), bands=4)
+
+
+def test_unreadable_params_sidecar_is_loud(spark, tmp_path):
+    """'Present but unreadable' params must RAISE, not silently fall
+    back to build defaults: probing a bands=8 index with default
+    bands=4 signatures drops every cross-batch duplicate without any
+    error — exactly the quiet corruption the sidecar exists to prevent
+    (review catch: the None-returning reader conflated torn-file with
+    pre-sidecar-absent). A crashed pre-JSON build's parquet debris
+    must likewise read as NOT committed, so the streaming bootstrap
+    rebuilds instead of extending."""
+    from etlutils_spark.operators.dedup import (
+        _index_committed,
+        build_dedup_index,
+        extend_dedup_index,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    docs = spark.createDataFrame(
+        [(1, a + " x"), (2, a + " y")], "doc_id bigint, text string"
+    )
+    path = str(tmp_path / "torn")
+    build_dedup_index(docs.filter("doc_id = 1"), path,
+                      bands=8, threshold=0.3)
+    assert _index_committed(spark, path)
+    # torn JSON file
+    with open(f"{path}/params", "w") as fh:
+        fh.write("{not json")
+    assert not _index_committed(spark, path)
+    with pytest.raises(ValueError, match="not a readable params"):
+        extend_dedup_index(path, docs.filter("doc_id = 2"))
+    # parquet-directory debris from a crashed pre-JSON build
+    os.remove(f"{path}/params")
+    os.makedirs(f"{path}/params/_temporary")
+    assert not _index_committed(spark, path)
+    with pytest.raises(ValueError, match="not a readable params"):
+        extend_dedup_index(path, docs.filter("doc_id = 2"))
+    # absent entirely == pre-sidecar artifact: the documented defaults
+    # fallback still applies (build used non-defaults, so the probe
+    # misses — but it must not raise)
+    import shutil
+
+    shutil.rmtree(f"{path}/params")
+    assert not _index_committed(spark, path)
+    extend_dedup_index(path, docs.filter("doc_id = 2")).count()
+
+
+def test_bucketed_layout_without_modulus_is_loud(spark, tmp_path):
+    """A bucket-partitioned label table whose params records no
+    label_buckets cannot have doc buckets recomputed — any label write
+    risks duplicate rows across partitions, so extend must raise
+    rather than silently restructure the table."""
+    from etlutils_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+    from etlutils_spark.sources.sidecar import (
+        read_sidecar_json,
+        write_sidecar_json,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    docs = spark.createDataFrame(
+        [(1, a + " x"), (2, a + " y")], "doc_id bigint, text string"
+    )
+    path = str(tmp_path / "nomod")
+    build_dedup_index(docs.filter("doc_id = 1"), path,
+                      bands=8, threshold=0.3, label_buckets=4)
+    params = read_sidecar_json(spark, f"{path}/params")
+    del params["label_buckets"]
+    write_sidecar_json(spark, f"{path}/params", params)
+    with pytest.raises(ValueError, match="label_buckets"):
+        extend_dedup_index(path, docs.filter("doc_id = 2"))
 
 
 def test_extend_dedup_index_affected_drift_fallback(spark, tmp_path):
