@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etlutils_spark.functions.vectors import cosine_exact, cosine_fast
-from etlutils_spark.sources.sidecar import read_sidecar_json, write_sidecar_json
+from etlutils_spark.sources.sidecar import (
+    read_sidecar_json,
+    sidecar_kind,
+    write_sidecar_json,
+)
 
 
 def cosine_topk(
@@ -970,10 +974,27 @@ def _read_ann_index(spark, path: str):
     """(params row, centroid matrix (C, dim), codebooks (m, ksub, dsub))
     from a ``build_ann_index`` artifact. Both collects are bounded by
     construction: num_clusters and m*ksub rows."""
-    params = read_sidecar_json(spark, f"{path}/params")
-    if params is None:
+    kind = sidecar_kind(spark, f"{path}/params")
+    if kind == "file":
+        params = read_sidecar_json(spark, f"{path}/params")
+        if params is None:
+            raise ValueError(
+                f"{path}/params exists but is not a readable params "
+                "sidecar (torn write?); rebuild the ANN index"
+            )
+    elif kind == "dir":
         # legacy parquet-directory sidecar from earlier r7 builds
         params = spark.read.parquet(f"{path}/params").first()
+        if params is None:
+            raise ValueError(
+                f"{path}/params exists but holds no params row "
+                "(crashed build?); rebuild the ANN index"
+            )
+    else:
+        raise ValueError(
+            f"{path} is not a committed build_ann_index artifact "
+            "(no params sidecar — the build's final write)"
+        )
     cent_rows = spark.read.parquet(f"{path}/centroids").collect()
     cents = np.empty((params["num_clusters"], params["dim"]), dtype=np.float64)
     for r in cent_rows:
