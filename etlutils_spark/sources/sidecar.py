@@ -13,9 +13,14 @@ store (HDFS, S3A, local).
 
 Commit discipline: write-to-temp + rename. Atomic on HDFS and local
 filesystems; copy-rename on object stores, where a torn read parses as
-``None`` — every caller treats ``None`` as "recover conservatively"
-(migration path / drift fallback / rebuild), so weaker stores degrade
-to correctness, not corruption.
+``None``. Callers decide what ``None`` means by pairing the read with
+:func:`sidecar_kind`: for EPOCH MARKERS it is the conservative path
+(drift fallback / migration — weaker stores degrade to correctness,
+not corruption), while for PARAMS sidecars "present but unreadable" is
+corruption and must RAISE, because extending an index with guessed
+parameters fails silently (see ``dedup._read_index_params``).
+Absent-vs-torn is a real distinction — don't collapse it back into a
+bare read.
 """
 
 from __future__ import annotations
