@@ -2271,6 +2271,88 @@ def q_ann_index_topk(spark, sf_dir):
 
 
 @register(
+    "ann_index_streaming",
+    REGISTRY["ann_cosine_topk"][1].replace(
+        "SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank",
+        "SELECT query_id, vec_id, cosine, CAST(rn AS BIGINT) AS rank, "
+        "TRUE AS stream_equals_batch_ok",
+    ),
+)
+def q_ann_index_streaming(spark, sf_dir):
+    """Streaming ingest into the SAME materialize-once ANN artifact
+    (the r6 verdict #4 one-code-path pattern applied to the similarity
+    tier): the embeddings replay as 3 ordered micro-batches through
+    ``streaming_ann_index``, whose foreachBatch body is literally
+    ``extend_ann_index`` (batch 0 bootstraps and freezes the
+    quantizers via ``build_ann_index``, judged committed by the params
+    sidecar). Served with exhaustive nprobe + unbounded shortlist, so
+    the top-10 equals brute force by construction and shares
+    ``ann_cosine_topk``'s decimal-exact value oracle regardless of
+    what the bootstrap batch trained — a hash-level pin on the whole
+    streamed artifact path. The stream==batch identity rides along as
+    a CONTRACT column: the streamed codes table must be bit-identical
+    to bootstrapping on the same first slice and batch-extending the
+    remaining two slices in ONE call (extend is per-vector stateless
+    against the frozen quantizers, so batching granularity cannot
+    matter). Rebuilt from empty per invocation for replay safety."""
+    import os
+    import shutil
+
+    from etlutils_spark.operators.similarity import (
+        ann_index_topk,
+        build_ann_index,
+        extend_ann_index,
+    )
+    from etlutils_spark.pipeline_queries import _rt_path
+    from etlutils_spark.streaming.incremental_ann import streaming_ann_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = _rt_path(spark, "stream_ann_idx")
+    shutil.rmtree(root, ignore_errors=True)
+    stream = _sliced_stream(spark, emb, root, n_slices=3, id_col="vec_id")
+    idx = os.path.join(root, "index")
+    q = streaming_ann_index(
+        stream,
+        path=idx,
+        checkpoint=os.path.join(root, "ckpt"),
+        # exhaustive-nprobe serving is centroid-invariant, so the
+        # k-means budget is minimal (same economics as ann_index_topk)
+        init_mode="random",
+        max_iter=5,
+    )
+    q.awaitTermination()
+    # batch twin: SAME bootstrap slice (the stream's slice0 file),
+    # remainder extended in one call — codes must be bit-identical
+    twin = os.path.join(root, "twin")
+    src = os.path.join(root, "src")
+    slice0 = spark.read.parquet(os.path.join(src, "slice0.parquet"))
+    rest = spark.read.parquet(
+        os.path.join(src, "slice1.parquet"),
+        os.path.join(src, "slice2.parquet"),
+    )
+    build_ann_index(slice0, twin, init_mode="random", max_iter=5)
+    extend_ann_index(twin, rest)
+    a = spark.read.parquet(f"{idx}/codes").withColumn(
+        "__c", F.col("codes").cast("string")
+    ).drop("codes")
+    b = spark.read.parquet(f"{twin}/codes").withColumn(
+        "__c", F.col("codes").cast("string")
+    ).drop("codes")
+    same = a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = ann_index_topk(
+        emb, idx, queries, k=10, nprobe=16, shortlist=2**31 - 1
+    )
+    return exact.select(
+        "query_id",
+        "vec_id",
+        "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.lit(bool(same)).alias("stream_equals_batch_ok"),
+    )
+
+
+@register(
     "multimodal_frame_sample",
     """
     WITH c AS (

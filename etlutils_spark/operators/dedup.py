@@ -37,6 +37,7 @@ from etlutils_spark.functions.vectors import cosine_exact, cosine_fast
 from etlutils_spark.operators.text import TOKENS_COL, shingles_from_tokens, with_tokens
 from etlutils_spark.sources.files import spread
 from etlutils_spark.sources.sidecar import (
+    params_committed,
     read_sidecar_json,
     read_sidecar_text,
     sidecar_kind,
@@ -1014,23 +1015,10 @@ def _compact_edges_from_labels(labels: DataFrame, edges_path: str) -> None:
 
 def _index_committed(spark, path: str) -> bool:
     """True iff ``path/params`` is present AND readable — the build's
-    commit marker actually committed. Presence alone is not enough: a
-    build that crashed mid-params-write can leave an unreadable stub
-    (e.g. a parquet directory holding only _temporary debris), and a
-    bootstrap that mistakes that for "committed" would extend a
-    half-built index with default params instead of rebuilding it."""
-    from pyspark.errors import AnalysisException
-
-    kind = sidecar_kind(spark, f"{path}/params")
-    if kind == "file":
-        return read_sidecar_json(spark, f"{path}/params") is not None
-    if kind == "dir":  # legacy parquet form
-        try:
-            spark.read.parquet(f"{path}/params").first()
-            return True
-        except AnalysisException:
-            return False
-    return False
+    commit marker actually committed (sources.sidecar.params_committed
+    has the rationale; shared with the ANN artifact's streaming
+    bootstrap)."""
+    return params_committed(spark, f"{path}/params")
 
 
 def _read_index_params(

@@ -57,6 +57,28 @@ def sidecar_kind(spark, url: str) -> str | None:
     return "dir" if fs.getFileStatus(target).isDirectory() else "file"
 
 
+def params_committed(spark, url: str) -> bool:
+    """True iff a params sidecar at ``url`` is present AND readable —
+    i.e. the artifact build whose COMMIT MARKER it is actually
+    committed. Presence alone is not enough: a build that crashed
+    mid-params-write can leave an unreadable stub (a torn file, or a
+    parquet directory holding only _temporary debris), and a bootstrap
+    that mistakes that for "committed" would extend a half-built
+    artifact with guessed params instead of rebuilding it."""
+    from pyspark.errors import AnalysisException
+
+    kind = sidecar_kind(spark, url)
+    if kind == "file":
+        return read_sidecar_json(spark, url) is not None
+    if kind == "dir":  # legacy parquet form
+        try:
+            spark.read.parquet(url).first()
+            return True
+        except AnalysisException:
+            return False
+    return False
+
+
 def write_sidecar_text(spark, url: str, text: str) -> None:
     """Commit ``text`` at ``url`` as one file via temp + rename. A
     recursive delete first retires any legacy parquet DIRECTORY at the

@@ -1,0 +1,94 @@
+"""Streaming ingest into the materialize-once ANN index artifact.
+
+The ANN twin of ``streaming/incremental_lsh.py::streaming_dedup_index``
+(the r6 verdict #4 pattern applied to the similarity tier): the
+foreachBatch body IS ``operators.similarity.extend_ann_index``, so
+IVF-cell assignment, PQ encoding against the frozen quantizers,
+dim validation, and replay idempotency (already-present ids dropped
+before the append) are literally shared with the batch operator rather
+than re-implemented.
+
+Reference parity note: the R reference (ETLUtils) has no similarity or
+streaming tier at all — this module is part of the LLM-data-pipeline
+extension surface, built on Structured Streaming + the artifact layout
+documented at ``operators/similarity.py::build_ann_index``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def streaming_ann_index(
+    vectors: DataFrame,
+    path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_clusters: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+    init_mode: str = "k-means||",
+    sample_limit: int = 65_536,
+):
+    """Fold a vector STREAM into a ``build_ann_index`` artifact.
+
+    Cold start: the first non-empty micro-batch bootstraps the
+    artifact with ``build_ann_index`` — the IVF centroids and PQ
+    codebooks are therefore trained on THAT batch and frozen, exactly
+    the batch artifact's contract (quantizer drift under distribution
+    shift is handled by periodic rebuild, not by retraining mid-
+    stream, which would silently re-encode nothing and mix code
+    spaces). Size the first batch accordingly: it must carry at least
+    ``num_clusters`` vectors, and a representative sample of the
+    distribution it can manage.
+
+    Committed-ness is judged by ``path/params`` being present AND
+    readable (``sources.sidecar.params_committed``) — the build's last
+    write — so a bootstrap that crashed mid-build is simply rebuilt by
+    the replayed batch, and parquet debris is never mistaken for a
+    live artifact. Later batches run ``extend_ann_index``: O(batch),
+    the stored corpus is never re-read or re-encoded, and at-least-
+    once replays are idempotent (the extend drops ids already in the
+    codes table). After the stream drains, the codes table is
+    bit-identical to bootstrapping on the same first batch and batch-
+    extending the remainder in any batching — pinned by the
+    ``ann_index_streaming`` oracle registration and the
+    stream==batch test.
+
+    Returns the StreamingQuery."""
+    from etlutils_spark.operators.similarity import (
+        build_ann_index,
+        extend_ann_index,
+    )
+    from etlutils_spark.sources.sidecar import params_committed
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if params_committed(spark, f"{path}/params"):
+            extend_ann_index(path, batch_df, id_col=id_col, vec_col=vec_col)
+        else:
+            build_ann_index(
+                batch_df,
+                path,
+                num_clusters=num_clusters,
+                m=m,
+                ksub=ksub,
+                id_col=id_col,
+                vec_col=vec_col,
+                seed=seed,
+                max_iter=max_iter,
+                init_mode=init_mode,
+                sample_limit=sample_limit,
+            )
+
+    return (
+        vectors.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -220,3 +220,78 @@ def test_streaming_dedup_index_resumes_from_checkpoint(spark, tmp_path):
         for r in build_dedup_index(docs, str(tmp_path / "full")).collect()
     )
     assert got == want
+
+
+def test_streaming_ann_index_equals_batch(spark, tmp_path):
+    """streaming_ann_index must leave a codes table bit-identical to
+    bootstrapping build_ann_index on the same first slice and batch-
+    extending the rest in one call — the one-code-path contract for
+    the ANN artifact (the foreachBatch body IS extend_ann_index, and
+    extend is per-vector stateless against the frozen quantizers, so
+    batching granularity cannot matter). The streamed artifact must
+    also serve exact queries."""
+    import os
+
+    from etlutils_spark.operators.similarity import (
+        ann_index_topk,
+        build_ann_index,
+        extend_ann_index,
+    )
+    from etlutils_spark.streaming.incremental_ann import streaming_ann_index
+    from tests.test_dedup_similarity import _clustered_vectors
+
+    vecs = _clustered_vectors(spark, n_per=8, dim=16)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # slice 0 carries members of all 4 anchors (j < 4 of each cluster)
+    # so the bootstrap trains representative centroids; slice 1 is the
+    # extend batch
+    slices = [vecs.filter("vec_id % 100 < 4"), vecs.filter("vec_id % 100 >= 4")]
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(str(tmp_path / f"stage{i}"))
+        part = next(
+            f for f in sorted(os.listdir(tmp_path / f"stage{i}"))
+            if f.endswith(".parquet")
+        )
+        os.replace(tmp_path / f"stage{i}" / part, f"{src}/slice{i}.parquet")
+        os.utime(f"{src}/slice{i}.parquet", (1_000_000 + i * 10,) * 2)
+    stream = (
+        spark.readStream.schema(vecs.schema)
+        .format("parquet").option("maxFilesPerTrigger", 1).load(src)
+    )
+    q = streaming_ann_index(
+        stream, path=str(tmp_path / "idx"),
+        checkpoint=str(tmp_path / "ckpt"),
+        num_clusters=4, m=4, ksub=8,
+    )
+    q.awaitTermination()
+
+    # the twin bootstraps from the WRITTEN slice file, not the
+    # in-memory frame: k-means|| init samples depend on input
+    # partitioning, so "same first batch" means the same file read
+    # the stream performed
+    twin = str(tmp_path / "twin")
+    build_ann_index(
+        spark.read.parquet(f"{src}/slice0.parquet"), twin,
+        num_clusters=4, m=4, ksub=8,
+    )
+    extend_ann_index(twin, spark.read.parquet(f"{src}/slice1.parquet"))
+
+    def canon(path):
+        return sorted(
+            (r.vec_id, r.cluster_id, tuple(r.codes))
+            for r in spark.read.parquet(f"{path}/codes").collect()
+        )
+
+    got, want = canon(str(tmp_path / "idx")), canon(twin)
+    assert got == want and len(got) == 32
+    # the streamed artifact serves: self-matches are excluded (the
+    # ann_cosine_topk oracle convention), so exhaustive-probe top-1 is
+    # each query's nearest same-anchor neighbour
+    queries = vecs.filter("vec_id in (0, 100)")
+    top = ann_index_topk(
+        vecs, str(tmp_path / "idx"), queries, k=3, nprobe=4,
+        shortlist=2**31 - 1,
+    )
+    top1 = {r.query_id: r.vec_id for r in top.collect() if r.rank == 1}
+    assert top1 == {0: 1, 100: 101}
