@@ -123,6 +123,10 @@ R4_EXTRAS = [
     "ann_index_topk",
     "dedup_clusters_streaming",
     "bpe_encode_docs_bigvocab",
+    # late r7: streaming twin of the ANN artifact (stream ingest +
+    # batch-twin equality check + exhaustive-probe serving, rebuilt
+    # per invocation by design — same family as dedup_clusters_streaming)
+    "ann_index_streaming",
 ]
 
 
