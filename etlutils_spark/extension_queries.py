@@ -2711,15 +2711,24 @@ def _materialized_clusters(spark, sf_dir):
                         try:
                             with open(os.path.join(lock, "owner"), "w") as fh:
                                 fh.write(lock_token)
-                        except OSError:
+                        except OSError as exc:
                             # ENOSPC/EIO after a successful mkdir: an
                             # ownerless lock would wedge repair for
                             # every process until the staleness steal
                             # fires — release what we just created and
-                            # surface the real error (review catch)
+                            # surface the real error. Re-raised as a
+                            # NON-OSError: a bare raise here lands in
+                            # the enclosing `except OSError` below,
+                            # whose stat-of-the-removed-lock `continue`
+                            # turns a persistent write failure into an
+                            # infinite mkdir/fail/rmdir loop (review
+                            # catch, confirmed by simulation)
                             with contextlib.suppress(OSError):
                                 os.rmdir(lock)
-                            raise
+                            raise RuntimeError(
+                                f"could not write lock owner token at "
+                                f"{lock}"
+                            ) from exc
                         break
                     except OSError:
                         try:

@@ -890,6 +890,72 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(wf)).filter(F.col("rank") <= k)
 
 
+def _lloyd_kmeans(
+    X: "np.ndarray", k: int, seed: int, iters: int
+) -> "np.ndarray":
+    """Seeded driver-side Lloyd over a bounded sample (the pq_train
+    inner loop, factored for the IVF coarse quantizer): deterministic
+    for a given (sample, k, seed, iters) regardless of where the
+    sample's rows were scanned from. Empty clusters keep their
+    previous centroid; a sample smaller than k pads with repeats
+    (degenerate tiny corpora)."""
+    rng = np.random.default_rng(seed)
+    kk = min(k, len(X))
+    # k-means++ (D^2) seeding, Arthur & Vassilvitskii 2007: a plain
+    # random init at this budget converges to split/merged clusters on
+    # well-separated data (observed: nprobe=1 recall loss on the
+    # 4-anchor fixture); D^2 recovers separated modes reliably and is
+    # deterministic for a given (sample, seed)
+    C = np.empty((kk, X.shape[1]), dtype=np.float64)
+    C[0] = X[rng.integers(len(X))]
+    d2min = ((X - C[0]) ** 2).sum(-1)
+    for j in range(1, kk):
+        p = d2min / max(d2min.sum(), 1e-300)
+        C[j] = X[rng.choice(len(X), p=p)]
+        d2min = np.minimum(d2min, ((X - C[j]) ** 2).sum(-1))
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        for j in range(kk):
+            pts = X[a == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+    if kk < k:
+        C = np.vstack([C, C[np.zeros(k - kk, dtype=int)]])
+    return C
+
+
+def _assign_ivf_cells(
+    corpus: DataFrame, cents: "np.ndarray", id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid cell for every corpus vector under the SAME
+    rule ``extend_ann_index`` applies to ingest batches — argmin
+    ||x - c||^2 = argmin ||c||^2 - 2<x, c> over RAW vectors, ties to
+    the lowest cluster id (numpy argmin) — so build-assigned and
+    extend-assigned cells can never diverge. One Arrow-batched corpus
+    scan; the centroid matrix rides the closure (K x dim, tiny)."""
+    import pandas as pd
+
+    cent_sq = (cents ** 2).sum(-1)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cell = (cent_sq[None, :] - 2.0 * (X @ cents.T)).argmin(1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cluster_id": cell.astype(np.int32),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        run, f"{id_col} long, cluster_id int"
+    )
+
+
 def build_ann_index(
     corpus: DataFrame,
     path: str,
@@ -928,12 +994,35 @@ def build_ann_index(
     Quantizer drift under distribution shift is handled by periodic
     rebuild, exactly like re-snapshotting the dedup cluster artifact.
 
-    Returns the codes table (parquet-backed)."""
+    Returns the codes table (parquet-backed).
+
+    Determinism: BOTH quantizers train driver-side on the
+    ``orderBy(id).limit(sample_limit)`` sample with seeded Lloyd — so
+    the artifact is bit-identical under ANY input partitioning or scan
+    path. Spark ML's KMeans (still used by :func:`ivf_index` for the
+    per-query operators) samples its init per-partition, which made
+    "same data, different scan" produce differently-numbered or
+    different centroids — unacceptable for an artifact whose
+    stream-built and batch-built forms are pinned bit-identical
+    (``ann_index_streaming``). ``init_mode`` is accepted for API
+    stability but ignored: init is always the seeded deterministic
+    sample draw."""
+    del init_mode  # always seeded deterministic init (see docstring)
     spark = corpus.sparkSession
-    assigned, centroids = ivf_index(
-        corpus, num_clusters, id_col, vec_col, seed,
-        max_iter=max_iter, init_mode=init_mode,
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_limit)
+        .collect()
     )
+    if not rows:
+        raise ValueError("build_ann_index: corpus is empty")
+    # RAW vectors: the IVF coarse quantizer trains unnormalized (the
+    # same squared-L2 rule extend_ann_index assigns with)
+    sample = np.asarray([r[1] for r in rows], dtype=np.float64)
+    cents = _lloyd_kmeans(sample, num_clusters, seed, max_iter)
+    assigned = _assign_ivf_cells(corpus, cents, id_col, vec_col)
+    centroids = [list(map(float, c)) for c in cents]
     books = pq_train(corpus, m, ksub, vec_col, id_col, sample_limit, seed)
     dim = books.shape[0] * books.shape[2]
     codes = pq_encode(corpus, books, id_col, vec_col)
@@ -983,12 +1072,20 @@ def _read_ann_index(spark, path: str):
                 "sidecar (torn write?); rebuild the ANN index"
             )
     elif kind == "dir":
-        # legacy parquet-directory sidecar from earlier r7 builds
-        params = spark.read.parquet(f"{path}/params").first()
+        # legacy parquet-directory sidecar from earlier r7 builds;
+        # _temporary debris from a crashed build raises
+        # AnalysisException before .first() — same ValueError either
+        # way (review catch)
+        from pyspark.errors import AnalysisException
+
+        try:
+            params = spark.read.parquet(f"{path}/params").first()
+        except AnalysisException:
+            params = None
         if params is None:
             raise ValueError(
-                f"{path}/params exists but holds no params row "
-                "(crashed build?); rebuild the ANN index"
+                f"{path}/params exists but holds no readable params "
+                "row (crashed build?); rebuild the ANN index"
             )
     else:
         raise ValueError(

@@ -37,14 +37,6 @@ def _fs_path(spark, url: str):
     return jvm, fs, target
 
 
-def sidecar_exists(spark, url: str) -> bool:
-    """True if ``url`` exists as a file OR directory — callers using a
-    sidecar as a build's commit marker only need presence, and the
-    legacy parquet-directory form must keep counting."""
-    _, fs, target = _fs_path(spark, url)
-    return bool(fs.exists(target))
-
-
 def sidecar_kind(spark, url: str) -> str | None:
     """``"file"`` (the FS-API sidecar form), ``"dir"`` (the legacy
     parquet-directory form), or ``None`` (absent). Lets callers
@@ -72,11 +64,40 @@ def params_committed(spark, url: str) -> bool:
         return read_sidecar_json(spark, url) is not None
     if kind == "dir":  # legacy parquet form
         try:
-            spark.read.parquet(url).first()
-            return True
+            # readable AND non-empty: a schema-only directory whose
+            # data file was lost would route callers to an extend that
+            # then raises on row=None (review catch)
+            return spark.read.parquet(url).first() is not None
         except AnalysisException:
             return False
     return False
+
+
+def bootstrap_action(spark, url: str) -> str:
+    """What a streaming ingest's cold-start probe should do, given the
+    state of the build's params commit marker at ``url``:
+
+    - ``"extend"``  — committed (readable file or readable legacy
+      parquet directory): fold the batch into the existing artifact.
+    - ``"build"``   — ABSENT, or unreadable legacy-DIRECTORY debris
+      (a crashed pre-JSON build; both writers emit params as the
+      build's last write, so these states can only mean "no committed
+      artifact"): bootstrap from this batch.
+    - raises        — a torn params FILE. The JSON writer commits via
+      temp+rename, so a torn file essentially only happens to an
+      already-committed artifact on a rename-weak store; rebuilding
+      from one micro-batch would silently DESTROY the stored corpus
+      (review catch — "absent" and "damaged" must not share the
+      rebuild path)."""
+    kind = sidecar_kind(spark, url)
+    if kind == "file" and read_sidecar_json(spark, url) is None:
+        raise ValueError(
+            f"{url} exists but is not readable (torn write?): this "
+            "looks like a DAMAGED committed artifact, not a fresh "
+            "path — refusing to bootstrap over it; restore the params "
+            "sidecar or rebuild explicitly"
+        )
+    return "extend" if params_committed(spark, url) else "build"
 
 
 def write_sidecar_text(spark, url: str, text: str) -> None:

@@ -45,11 +45,13 @@ def streaming_ann_index(
     ``num_clusters`` vectors, and a representative sample of the
     distribution it can manage.
 
-    Committed-ness is judged by ``path/params`` being present AND
-    readable (``sources.sidecar.params_committed``) — the build's last
-    write — so a bootstrap that crashed mid-build is simply rebuilt by
-    the replayed batch, and parquet debris is never mistaken for a
-    live artifact. Later batches run ``extend_ann_index``: O(batch),
+    The cold-start probe (``sources.sidecar.bootstrap_action``, on
+    ``path/params`` — the build's last write) distinguishes three
+    states: committed -> extend; absent or crashed-build debris ->
+    rebuild from the replayed batch; a torn params FILE -> raise,
+    because that means a DAMAGED committed artifact and rebuilding
+    from one micro-batch would destroy the stored corpus. Later
+    batches run ``extend_ann_index``: O(batch),
     the stored corpus is never re-read or re-encoded, and at-least-
     once replays are idempotent (the extend drops ids already in the
     codes table). After the stream drains, the codes table is
@@ -63,13 +65,16 @@ def streaming_ann_index(
         build_ann_index,
         extend_ann_index,
     )
-    from etlutils_spark.sources.sidecar import params_committed
+    from etlutils_spark.sources.sidecar import bootstrap_action
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if params_committed(spark, f"{path}/params"):
+        # committed -> extend; absent/debris -> build; torn params
+        # FILE -> raise (a damaged committed artifact — rebuilding
+        # from one micro-batch would destroy the stored corpus)
+        if bootstrap_action(spark, f"{path}/params") == "extend":
             extend_ann_index(path, batch_df, id_col=id_col, vec_col=vec_col)
         else:
             build_ann_index(

@@ -150,17 +150,16 @@ def streaming_dedup_index(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        # committed == params present AND readable: a build that
-        # crashed mid-params-write leaves an unreadable stub, and
-        # extending past it would probe a half-built index with
-        # guessed params (review catch: a bare presence probe flipped
-        # that case from "rebuild" to silent extend). Cheap path is
-        # one fs.exists + one tiny file read — still no Spark job and
-        # no FileStreamSink WARN stack per micro-batch.
-        from etlutils_spark.operators.dedup import _index_committed
+        # cold-start probe with three distinguished states (review
+        # catches, sources.sidecar.bootstrap_action): committed ->
+        # extend; absent / crashed-pre-JSON-build debris -> rebuild;
+        # torn params FILE -> raise, because that state means a
+        # DAMAGED committed index and rebuilding from one micro-batch
+        # would silently destroy the stored corpus. Still no Spark job
+        # and no FileStreamSink WARN stack per micro-batch.
+        from etlutils_spark.sources.sidecar import bootstrap_action
 
-        bootstrapped = _index_committed(spark, path)
-        if bootstrapped:
+        if bootstrap_action(spark, f"{path}/params") == "extend":
             extend_dedup_index(
                 path, batch_df, text_col, id_col, cc_scope=cc_scope
             )

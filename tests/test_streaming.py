@@ -266,16 +266,15 @@ def test_streaming_ann_index_equals_batch(spark, tmp_path):
     )
     q.awaitTermination()
 
-    # the twin bootstraps from the WRITTEN slice file, not the
-    # in-memory frame: k-means|| init samples depend on input
-    # partitioning, so "same first batch" means the same file read
-    # the stream performed
+    # the twin deliberately bootstraps from the IN-MEMORY frame (a
+    # different lineage/partitioning than the stream's file read):
+    # build_ann_index trains driver-side on the orderBy(id) sample, so
+    # the artifact is pinned partition-INDEPENDENT — Spark ML KMeans
+    # here failed exactly this comparison (per-partition init
+    # sampling numbered the centroids differently per scan path)
     twin = str(tmp_path / "twin")
-    build_ann_index(
-        spark.read.parquet(f"{src}/slice0.parquet"), twin,
-        num_clusters=4, m=4, ksub=8,
-    )
-    extend_ann_index(twin, spark.read.parquet(f"{src}/slice1.parquet"))
+    build_ann_index(slices[0], twin, num_clusters=4, m=4, ksub=8)
+    extend_ann_index(twin, slices[1])
 
     def canon(path):
         return sorted(
