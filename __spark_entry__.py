@@ -63,26 +63,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # green rows.
 
 _LAST_DRIVER_CHECK = {
-    # --- last green driver row: CORRECTNESS_r03.json ---
-    "asof_last_purchase": 3, "chunk_documents_windows": 3,
-    "cogroup_asof_enrich": 3, "corpus_rarity": 3,
-    "decontaminate_overlap": 3, "dedup_cluster_survivors": 3,
-    "format_roundtrip_csv": 3, "format_roundtrip_json": 3,
-    "grouped_apply_rank": 3, "mixture_resample_lang": 3,
-    "multimodal_audio_chunks": 3, "multimodal_meta": 3,
-    "outlier_flags_events": 3, "pack_sequences_source": 3,
-    "pandas_udf_normalize": 3, "profile_documents": 3,
-    "q11_important_stock": 3, "q16_supplier_part_counts": 3,
-    "q17_small_quantity_revenue": 3, "q20_excess_stock_suppliers": 3,
-    "q21_waiting_supplier": 3, "q2_min_cost_supplier": 3,
-    "quality_filter_flags": 3, "range_join_purchase_window": 3,
-    "sample_hash_10pct": 3, "sample_stratified_lang": 3,
-    "sessionize_events": 3, "sessionize_native_window": 3,
-    "sessionize_stateful_evicted": 3, "shard_manifest": 3,
-    "streaming_curation_pipeline": 3, "streaming_window_counts": 3,
-    "text_fingerprint": 3, "text_redact_pii": 3, "text_repetition": 3,
-    "text_token_counts": 3, "time_rollup_multigrain": 3, "upsert_scd1": 3,
-    "window_rolling_7d": 3, "write_roundtrip": 3,
     # --- last green driver row: CORRECTNESS_r04.json ---
     "ann_arrow_topk": 4, "ann_ivf_topk": 4, "ann_lsh_topk": 4,
     "ann_pq_recall_contract": 4, "approx_distinct_contract": 4,
@@ -92,18 +72,16 @@ _LAST_DRIVER_CHECK = {
     "dedup_containment": 4, "dedup_simhash": 4, "dedup_window_rewrite": 4,
     "dedup_window_spans": 4, "dedup_window_spans_shifted": 4,
     "embedding_cluster_assign": 4, "format_roundtrip_orc": 4,
-    "full_outer_reconcile": 4, "funnel_stages_user": 4,
-    "heavy_hitters_contract": 4, "hilbert_curve_order2": 4,
-    "incremental_lsh_pairs": 4, "incremental_span_dedup": 4,
-    "knn_label_consistency": 4, "multimodal_features": 4,
-    "multimodal_probe": 4, "profile_embeddings": 4,
-    "quality_percentile_prune": 4, "quality_rank_blend": 4,
-    "salted_agg_event_types": 4, "salted_join_hotkey": 4, "scd2_history": 4,
+    "funnel_stages_user": 4, "heavy_hitters_contract": 4,
+    "hilbert_curve_order2": 4, "knn_label_consistency": 4,
+    "multimodal_features": 4, "multimodal_probe": 4,
+    "profile_embeddings": 4, "quality_percentile_prune": 4,
+    "quality_rank_blend": 4, "salted_agg_event_types": 4,
+    "salted_join_hotkey": 4, "scd2_history": 4,
     "semantic_dedup_survivors": 4, "streaming_interval_join": 4,
     "token_budget_sample": 4, "train_val_test_split": 4,
-    "unpivot_order_metrics": 4, "vocab_oov_rate": 4, "vocab_top_tokens": 4,
-    "winnow_fingerprints": 4, "winnow_overlap_pairs": 4,
-    "zorder_pruning_stats": 4,
+    "vocab_oov_rate": 4, "vocab_top_tokens": 4, "winnow_fingerprints": 4,
+    "winnow_overlap_pairs": 4, "zorder_pruning_stats": 4,
     # --- last green driver row: CORRECTNESS_r05.json ---
     "agg_cube": 5, "agg_rollup": 5, "anti_join_customers": 5,
     "append_union": 5, "bigram_lm_quality": 5, "bpe_encode_docs": 5,
@@ -125,10 +103,10 @@ _LAST_DRIVER_CHECK = {
     "window_running_spend": 5, "window_topk_per_customer": 5,
     "winsorize_order_totals": 5,
     # --- last green driver row: CORRECTNESS_r06.json ---
-    "ann_cosine_topk": 6, "c4_quality_docs": 6, "collect_sorted_sizes": 6,
+    "ann_cosine_topk": 6, "collect_sorted_sizes": 6,
     "correlated_subquery": 6, "curation_pipeline_tokens": 6,
-    "dedup_cluster_size_histogram": 6, "dedup_clusters_incremental": 6,
-    "dedup_clusters_star": 6, "dedup_embedding_cosine": 6, "dedup_exact": 6,
+    "dedup_cluster_size_histogram": 6, "dedup_clusters_star": 6,
+    "dedup_embedding_cosine": 6, "dedup_exact": 6,
     "dedup_exact_survivors": 6, "dedup_minhash_clusters": 6,
     "dedup_minhash_lsh": 6, "dedup_ngram_jaccard": 6,
     "dedup_rate_report_by_source": 6, "delegated_sql": 6,
@@ -148,25 +126,38 @@ _LAST_DRIVER_CHECK = {
     "text_stats": 6, "tokenize_to_ids": 6, "tokenize_to_ids_bigvocab": 6,
     "triplet_mining_pairs": 6, "union_distinct_nations": 6,
     "window_rank_functions": 6,
+    # --- last green driver row: CORRECTNESS_r07.json ---
+    "ann_index_streaming": 7, "ann_index_topk": 7, "asof_last_purchase": 7,
+    "bpe_encode_docs_bigvocab": 7, "c4_quality_docs": 7,
+    "chunk_documents_windows": 7, "cogroup_asof_enrich": 7,
+    "corpus_rarity": 7, "decontaminate_overlap": 7,
+    "dedup_cluster_survivors": 7, "dedup_clusters_incremental": 7,
+    "dedup_clusters_streaming": 7, "format_roundtrip_csv": 7,
+    "format_roundtrip_json": 7, "full_outer_reconcile": 7,
+    "grouped_apply_rank": 7, "incremental_lsh_pairs": 7,
+    "incremental_span_dedup": 7, "mixture_resample_lang": 7,
+    "multimodal_audio_chunks": 7, "multimodal_meta": 7,
+    "outlier_flags_events": 7, "pack_sequences_source": 7,
+    "pandas_udf_normalize": 7, "profile_documents": 7,
+    "q11_important_stock": 7, "q16_supplier_part_counts": 7,
+    "q17_small_quantity_revenue": 7, "q20_excess_stock_suppliers": 7,
+    "q21_waiting_supplier": 7, "q2_min_cost_supplier": 7,
+    "quality_filter_flags": 7, "range_join_purchase_window": 7,
+    "sample_hash_10pct": 7, "sample_stratified_lang": 7,
+    "sessionize_events": 7, "sessionize_native_window": 7,
+    "sessionize_stateful_evicted": 7, "shard_manifest": 7,
+    "streaming_curation_pipeline": 7, "streaming_window_counts": 7,
+    "text_fingerprint": 7, "text_redact_pii": 7, "text_repetition": 7,
+    "text_token_counts": 7, "time_rollup_multigrain": 7,
+    "unpivot_order_metrics": 7, "upsert_scd1": 7, "window_rolling_7d": 7,
+    "write_roundtrip": 7,
 }
 
 
 # Queries whose registered form changed this round (new plan, new
 # consumer wiring, or a semantics-relevant operator edit) — they must
 # re-verify in the new form regardless of a prior green row.
-_CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # r7: c4_quality_flags terminal-punctuation anchor $ -> \z
-    # (Java-vs-RE2 portability; oracle mirrored)
-    "c4_quality_docs",
-    # r7: edge-table compaction + epoch-marker drift check in
-    # extend_dedup_index; registered incremental query exercises both
-    "dedup_clusters_incremental",
-    # r7 review: re-registered through the shared _sliced_stream
-    # harness (rank-range slices + mtime-ordered replay; lsh was
-    # doc_id%4 with unspecified file order before — same pair-set
-    # union, different batch composition)
-    "incremental_lsh_pairs", "incremental_span_dedup",
-})
+_CHANGED_THIS_ROUND: frozenset[str] = frozenset()
 
 # Derived view kept for the smoke-test invariant and round tooling: a
 # query counts as "verified in a prior round" only if it has a green
