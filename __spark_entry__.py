@@ -157,7 +157,17 @@ _LAST_DRIVER_CHECK = {
 # Queries whose registered form changed this round (new plan, new
 # consumer wiring, or a semantics-relevant operator edit) — they must
 # re-verify in the new form regardless of a prior green row.
-_CHANGED_THIS_ROUND: frozenset[str] = frozenset()
+_CHANGED_THIS_ROUND: frozenset[str] = frozenset({
+    # r8: Lloyd assignment in _lloyd_kmeans/pq_train moved to the
+    # ||c||^2 - 2<x,c> identity (O(n*k) memory) and k-means++ seeding
+    # gained the distinct(X) < k degenerate path — centroid/codebook
+    # float arithmetic changed, so every index/codebook consumer
+    # re-verifies
+    "ann_index_topk", "ann_index_streaming", "ann_pq_recall_contract",
+    # r8: build/extend_dedup_index now project the physical
+    # label_bucket partition key out of the returned frame
+    "dedup_clusters_incremental", "dedup_clusters_streaming",
+})
 
 # Derived view kept for the smoke-test invariant and round tooling: a
 # query counts as "verified in a prior round" only if it has a green

@@ -958,7 +958,11 @@ def build_dedup_index(
             "label_buckets": int(label_buckets),
         },
     )
-    return out
+    # the documented contract is (id, cluster_id) regardless of layout:
+    # label_bucket is a physical partition key of path/labels, not part
+    # of the returned frame (review catch — the schema must not widen
+    # when the corpus crosses the auto-bucketing threshold)
+    return out.select(id_col, "cluster_id")
 
 
 def _label_bucket(id_col, num_buckets: int) -> Column:
@@ -1502,7 +1506,8 @@ def extend_dedup_index(
             f"{path}/edges"
         )
         _write_sync_epoch(spark, path, "labels", epoch)
-        return out
+        # drop the physical partition key: (id, cluster_id) contract
+        return out.select(id_name, "cluster_id")
     else:
         # affected-scope relabeling, legacy unbucketed layout. Old
         # labels are component minima, so each touched component's
@@ -1578,7 +1583,8 @@ def extend_dedup_index(
     # a half-written compaction).
     _compact_edges_from_labels(out, f"{path}/edges")
     _write_sync_epoch(spark, path, "labels", epoch)
-    return out
+    # drop the physical partition key: (id, cluster_id) contract
+    return out.select(id_name, "cluster_id")
 
 
 def decontaminate(

@@ -661,8 +661,11 @@ def pq_train(
         kk = min(ksub, len(Xs))
         C = Xs[rng.choice(len(Xs), size=kk, replace=False)].copy()
         for _ in range(iters):
-            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-            a = d2.argmin(1)
+            # argmin ||c||^2 - 2<x,c>: O(n*ksub) memory, not the
+            # O(n*ksub*dsub) broadcast-difference tensor (same identity
+            # as _lloyd_kmeans / _assign_ivf_cells; ||x||^2 is constant
+            # per row so the argmin is unchanged)
+            a = ((C ** 2).sum(-1)[None, :] - 2.0 * (Xs @ C.T)).argmin(1)
             for j in range(kk):
                 pts = Xs[a == j]
                 if len(pts):
@@ -909,13 +912,29 @@ def _lloyd_kmeans(
     C = np.empty((kk, X.shape[1]), dtype=np.float64)
     C[0] = X[rng.integers(len(X))]
     d2min = ((X - C[0]) ** 2).sum(-1)
+    seeded = 1
     for j in range(1, kk):
-        p = d2min / max(d2min.sum(), 1e-300)
-        C[j] = X[rng.choice(len(X), p=p)]
+        tot = d2min.sum()
+        if tot <= 0.0:
+            # fewer DISTINCT vectors than kk: every remaining point
+            # coincides with a chosen centroid, so the D^2 density is
+            # all-zero and rng.choice would raise. Duplicate-heavy
+            # corpora (the normal case in a dedup framework) hit this
+            # even with len(X) >= k; fall through to the same
+            # pad-with-repeats policy as the len(X) < k branch.
+            break
+        C[j] = X[rng.choice(len(X), p=d2min / tot)]
         d2min = np.minimum(d2min, ((X - C[j]) ** 2).sum(-1))
+        seeded = j + 1
+    if seeded < kk:
+        C[seeded:] = C[0]
+    # Lloyd assignment via argmin ||c||^2 - 2<x,c> (the same identity
+    # _assign_ivf_cells/extend_ann_index use): O(n*k) memory instead of
+    # the O(n*k*dim) broadcast-difference tensor, which at the default
+    # sample_limit=65536 x dim 768 x large k is multi-GB of driver RAM.
+    # ||x||^2 is constant per row so the argmin is unchanged.
     for _ in range(iters):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-        a = d2.argmin(1)
+        a = ((C ** 2).sum(-1)[None, :] - 2.0 * (X @ C.T)).argmin(1)
         for j in range(kk):
             pts = X[a == j]
             if len(pts):

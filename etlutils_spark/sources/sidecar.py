@@ -79,16 +79,21 @@ def bootstrap_action(spark, url: str) -> str:
 
     - ``"extend"``  — committed (readable file or readable legacy
       parquet directory): fold the batch into the existing artifact.
-    - ``"build"``   — ABSENT, or unreadable legacy-DIRECTORY debris
-      (a crashed pre-JSON build; both writers emit params as the
-      build's last write, so these states can only mean "no committed
-      artifact"): bootstrap from this batch.
-    - raises        — a torn params FILE. The JSON writer commits via
-      temp+rename, so a torn file essentially only happens to an
-      already-committed artifact on a rename-weak store; rebuilding
-      from one micro-batch would silently DESTROY the stored corpus
-      (review catch — "absent" and "damaged" must not share the
-      rebuild path)."""
+    - ``"build"``   — ABSENT, or unreadable legacy-DIRECTORY debris on
+      an otherwise-empty artifact path (a crashed pre-JSON build;
+      both writers emit params as the build's last write, so that
+      state can only mean "no committed artifact"): bootstrap from
+      this batch.
+    - raises        — a torn params FILE, or an unreadable legacy
+      params DIRECTORY with sibling artifact tables (labels / edges /
+      codes ...) next to it. The JSON writer commits via temp+rename,
+      so a torn file essentially only happens to an already-committed
+      artifact on a rename-weak store; and a legacy directory that
+      lost its data file post-commit still has the committed artifact
+      tables beside it. Rebuilding from one micro-batch in either
+      state would silently DESTROY the stored corpus (review catches —
+      "absent" and "damaged" must not share the rebuild path, in
+      either sidecar generation)."""
     kind = sidecar_kind(spark, url)
     if kind == "file" and read_sidecar_json(spark, url) is None:
         raise ValueError(
@@ -97,6 +102,30 @@ def bootstrap_action(spark, url: str) -> str:
             "path — refusing to bootstrap over it; restore the params "
             "sidecar or rebuild explicitly"
         )
+    if kind == "dir" and not params_committed(spark, url):
+        # unreadable legacy parquet directory: only a crashed build —
+        # i.e. nothing else on the artifact path — may rebuild; with
+        # committed sibling tables present this is damage, not absence
+        _, fs, target = _fs_path(spark, url)
+        parent = target.getParent()
+        siblings = (
+            [s.getPath().getName() for s in fs.listStatus(parent)]
+            if parent is not None and fs.exists(parent)
+            else []
+        )
+        real = [
+            n for n in siblings
+            if n != target.getName() and not n.startswith((".", "_"))
+        ]
+        if real:
+            raise ValueError(
+                f"{url} is an unreadable legacy params directory but "
+                f"sibling artifact tables exist ({sorted(real)}): this "
+                "looks like a DAMAGED committed artifact, not a fresh "
+                "path — refusing to bootstrap over it; restore the "
+                "params sidecar or rebuild explicitly"
+            )
+        return "build"
     return "extend" if params_committed(spark, url) else "build"
 
 

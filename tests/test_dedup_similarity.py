@@ -1543,3 +1543,111 @@ def test_extend_dedup_index_recovers_truncated_compaction(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(f"{path}/edges").collect()
     )
     assert edges == [(1, 2), (1, 4)]
+
+
+def test_lloyd_kmeans_duplicate_heavy_sample():
+    """k-means++ seeding must not crash when the sample has fewer
+    DISTINCT vectors than k: once every point coincides with a chosen
+    centroid the D^2 density is all-zero and rng.choice would raise
+    'probabilities do not sum to 1'. Duplicate-heavy corpora — the
+    normal case in a dedup framework — hit this even with
+    len(X) >= k; remaining centroids pad with repeats, the same policy
+    as the len(X) < k branch (review catch)."""
+    import numpy as np
+
+    from etlutils_spark.operators.similarity import _lloyd_kmeans
+
+    X = np.vstack(
+        [np.tile([1.0, 0.0], (60, 1)), np.tile([0.0, 1.0], (40, 1))]
+    )
+    C = _lloyd_kmeans(X, 8, seed=42, iters=5)
+    assert C.shape == (8, 2)
+    # both real modes recovered despite the degenerate seeding
+    assert any(np.allclose(c, [1.0, 0.0]) for c in C)
+    assert any(np.allclose(c, [0.0, 1.0]) for c in C)
+    # still deterministic for a given (sample, seed)
+    assert (C == _lloyd_kmeans(X, 8, seed=42, iters=5)).all()
+
+
+def test_build_ann_index_duplicate_heavy_corpus(spark, tmp_path):
+    """End-to-end twin of the seeding fix: an ANN build over a corpus
+    with fewer distinct embeddings than num_clusters (and than ksub,
+    which trains per-subspace codebooks through the same Lloyd path)
+    must succeed and assign every vector a cell and a code."""
+    from etlutils_spark.operators.similarity import build_ann_index
+
+    rows = [(i, ([1.0, 0.0] * 4) if i % 2 else ([0.0, 1.0] * 4))
+            for i in range(1, 41)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    path = str(tmp_path / "dupann")
+    codes = build_ann_index(vecs, path, num_clusters=8, m=4, ksub=8)
+    assert codes.count() == 40
+    assert codes.filter(F.col("cluster_id").isNull()).count() == 0
+
+
+def test_bucketed_index_returns_contract_schema(spark, tmp_path):
+    """build/extend on a BUCKETED label layout must still return the
+    documented (doc_id, cluster_id) frame: label_bucket is a physical
+    partition key of path/labels, and leaking it widens the schema for
+    exactly the large corpora where auto-bucketing engages, breaking
+    positional / select(*) consumers (review catch)."""
+    from etlutils_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    docs = spark.createDataFrame(
+        [(1, a + " x"), (2, a + " y"), (3, a + " z")],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "bucketed")
+    built = build_dedup_index(docs.filter("doc_id < 3"), path,
+                              bands=8, threshold=0.3, label_buckets=4)
+    assert built.columns == ["doc_id", "cluster_id"]
+    extended = extend_dedup_index(path, docs.filter("doc_id = 3"),
+                                  cc_scope="affected")
+    assert extended.columns == ["doc_id", "cluster_id"]
+    extended_full = extend_dedup_index(path, docs.filter("doc_id = 3"),
+                                       cc_scope="full")
+    assert extended_full.columns == ["doc_id", "cluster_id"]
+    # the on-disk table keeps its partition key
+    assert "label_bucket" in spark.read.parquet(f"{path}/labels").columns
+
+
+def test_bootstrap_action_legacy_dir_with_siblings_is_loud(spark, tmp_path):
+    """An unreadable legacy parquet-DIRECTORY params sidecar maps to
+    'build' ONLY on an otherwise-empty artifact path (crashed pre-JSON
+    build debris). With committed sibling tables (labels/edges/...)
+    beside it, the same state means a DAMAGED committed artifact, and
+    rebuilding from one micro-batch would destroy the stored corpus —
+    the exact hazard the torn-FILE case already refuses (review
+    catch: batch extend raises on this state; the streaming bootstrap
+    must not silently diverge)."""
+    import shutil
+
+    from etlutils_spark.operators.dedup import build_dedup_index
+    from etlutils_spark.sources.sidecar import bootstrap_action
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    docs = spark.createDataFrame(
+        [(1, a + " x")], "doc_id bigint, text string"
+    )
+    path = str(tmp_path / "legacy")
+    build_dedup_index(docs, path, bands=8, threshold=0.3)
+    assert bootstrap_action(spark, f"{path}/params") == "extend"
+    # committed artifact whose legacy params DIRECTORY lost its data
+    # file post-commit: siblings exist -> loud
+    os.remove(f"{path}/params")
+    os.makedirs(f"{path}/params/_temporary")
+    with pytest.raises(ValueError, match="sibling artifact tables"):
+        bootstrap_action(spark, f"{path}/params")
+    # same debris on an otherwise-empty path == crashed build -> build
+    fresh = str(tmp_path / "fresh")
+    os.makedirs(f"{fresh}/params/_temporary")
+    assert bootstrap_action(spark, f"{fresh}/params") == "build"
+    # absent entirely -> build
+    shutil.rmtree(f"{fresh}/params")
+    assert bootstrap_action(spark, f"{fresh}/params") == "build"
