@@ -38,6 +38,7 @@ from etlutils_spark.operators.dedup import (
     winnow_overlap_pairs,
 )
 from etlutils_spark.operators.similarity import (
+    ann_index_drift,
     ann_index_topk,
     build_ann_index,
     centroid_assign,
@@ -138,6 +139,7 @@ __all__ = [
     "build_ann_index",
     "extend_ann_index",
     "ann_index_topk",
+    "ann_index_drift",
     "temperature_resample",
     "bm25_topk",
     "bigram_lm_scores",

@@ -1011,7 +1011,12 @@ def build_ann_index(
     ingest batches through :func:`extend_ann_index` (assign + encode
     against the FROZEN quantizers, O(batch), never O(corpus)).
     Quantizer drift under distribution shift is handled by periodic
-    rebuild, exactly like re-snapshotting the dedup cluster artifact.
+    rebuild, exactly like re-snapshotting the dedup cluster artifact —
+    and it is MEASURED, not guessed: the build stores the training
+    sample's quantization-error baseline in ``path/params``, every
+    extend records its batch-vs-baseline ratio in ``path/drift``
+    (:func:`ann_index_drift`), and a ratio past the threshold warns
+    that the rebuild is due.
 
     Returns the codes table (parquet-backed).
 
@@ -1040,6 +1045,17 @@ def build_ann_index(
     # same squared-L2 rule extend_ann_index assigns with)
     sample = np.asarray([r[1] for r in rows], dtype=np.float64)
     cents = _lloyd_kmeans(sample, num_clusters, seed, max_iter)
+    # build-time quantization-error baseline for the drift metric:
+    # mean/p95 squared L2 distance-to-assigned-centroid of the training
+    # sample. extend_ann_index compares each ingest batch against this
+    # and records the ratio in path/drift — the measured trigger for
+    # the documented periodic-rebuild policy (frozen quantizers drift
+    # silently otherwise).
+    qerr = np.maximum(
+        (sample ** 2).sum(1)
+        + ((cents ** 2).sum(-1)[None, :] - 2.0 * (sample @ cents.T)).min(1),
+        0.0,
+    )
     assigned = _assign_ivf_cells(corpus, cents, id_col, vec_col)
     centroids = [list(map(float, c)) for c in cents]
     books = pq_train(corpus, m, ksub, vec_col, id_col, sample_limit, seed)
@@ -1073,6 +1089,9 @@ def build_ann_index(
             "ksub": int(ksub),
             "dim": int(dim),
             "seed": int(seed),
+            "qerr_mean": float(qerr.mean()),
+            "qerr_p95": float(np.quantile(qerr, 0.95)),
+            "qerr_n": int(len(qerr)),
         },
     )
     return spark.read.parquet(f"{path}/codes")
@@ -1129,6 +1148,7 @@ def extend_ann_index(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    drift_ratio_threshold: float = 2.0,
 ) -> DataFrame:
     """Fold an ingest batch into a ``build_ann_index`` artifact:
     assign each new vector to its nearest FROZEN centroid (broadcast
@@ -1143,7 +1163,22 @@ def extend_ann_index(
     dropped before the append (one columnar scan of the stored id
     column against the broadcast batch), so an at-least-once ingest
     cannot double-score a vector at query time. Returns the refreshed
-    codes table."""
+    codes table.
+
+    Drift metric: the frozen quantizers stop fitting when the ingest
+    distribution shifts, and that degradation is silent at query time
+    (recall just erodes). Each extend therefore measures the batch's
+    mean squared distance-to-assigned-centroid and compares it to the
+    build sample's baseline (``qerr_mean`` in ``path/params``),
+    recording the ratio in the ``path/drift`` sidecar — read it with
+    :func:`ann_index_drift`. A ratio above ``drift_ratio_threshold``
+    (default 2.0: the batch quantizes twice as badly as the corpus the
+    quantizers were trained on) flips ``drifted`` and emits a warning;
+    the remedy is the documented periodic rebuild. Observability only:
+    the batch still lands — drifted data is real data — and legacy
+    artifacts without a stored baseline skip the measurement."""
+    import warnings
+
     import pandas as pd
 
     from etlutils_spark.sources.files import spread
@@ -1168,7 +1203,14 @@ def extend_ann_index(
                 )
             # IVF cell: argmin ||x - c||^2 = argmin ||c||^2 - 2<x, c>
             # over RAW vectors (k-means trains unnormalized)
-            cell = (cent_sq[None, :] - 2.0 * (X @ cents.T)).argmin(1)
+            d2cell = cent_sq[None, :] - 2.0 * (X @ cents.T)
+            cell = d2cell.argmin(1)
+            # quantization error of the assignment just made (the
+            # drift statistic): ||x - c||^2 needs the ||x||^2 term the
+            # argmin could drop
+            qerr = np.maximum(
+                d2cell.min(1) + (X ** 2).sum(1), 0.0
+            )
             # PQ code: per-subspace argmin on the NORMALIZED vector
             # (pq_train/pq_encode normalize)
             Xn = X / np.maximum(
@@ -1183,15 +1225,63 @@ def extend_ann_index(
                 id_col: ids,
                 "cluster_id": cell.astype(np.int32),
                 "codes": list(codes),
+                "__qerr": qerr,
             })
 
     batch_codes = spread(new_vectors.select(id_col, vec_col)).mapInPandas(
-        run, schema=f"{id_col} long, cluster_id int, codes array<int>"
-    )
-    stored_ids = spark.read.parquet(f"{path}/codes").select(id_col)
-    fresh = batch_codes.join(stored_ids, id_col, "left_anti")
-    fresh.write.mode("append").parquet(f"{path}/codes")
+        run,
+        schema=f"{id_col} long, cluster_id int, codes array<int>, "
+               "__qerr double",
+    ).persist()  # consumed twice: drift aggregate + the append
+    try:
+        params_d = params.asDict() if hasattr(params, "asDict") else params
+        baseline = params_d.get("qerr_mean")
+        if baseline is not None:
+            stat = batch_codes.agg(
+                F.avg("__qerr").alias("m"), F.count(F.lit(1)).alias("n")
+            ).first()
+            if stat.n:
+                # a 0.0 baseline (degenerate all-duplicate training
+                # sample) makes ANY nonzero batch error infinite drift
+                # — correct: the quantizers know exactly one point
+                ratio = float(stat.m) / max(float(baseline), 1e-300)
+                drifted = bool(ratio > drift_ratio_threshold)
+                write_sidecar_json(
+                    spark,
+                    f"{path}/drift",
+                    {
+                        "batch_qerr_mean": float(stat.m),
+                        "build_qerr_mean": float(baseline),
+                        "ratio": ratio,
+                        "threshold": float(drift_ratio_threshold),
+                        "drifted": drifted,
+                        "batch_rows": int(stat.n),
+                    },
+                )
+                if drifted:
+                    warnings.warn(
+                        f"extend_ann_index: batch quantization error is "
+                        f"{ratio:.2f}x the build baseline (threshold "
+                        f"{drift_ratio_threshold}) — the frozen "
+                        f"quantizers no longer fit the ingest "
+                        f"distribution; schedule a rebuild of {path}",
+                        stacklevel=2,
+                    )
+        stored_ids = spark.read.parquet(f"{path}/codes").select(id_col)
+        fresh = batch_codes.drop("__qerr").join(stored_ids, id_col, "left_anti")
+        fresh.write.mode("append").parquet(f"{path}/codes")
+    finally:
+        batch_codes.unpersist()
     return spark.read.parquet(f"{path}/codes")
+
+
+def ann_index_drift(spark, path: str) -> dict | None:
+    """The last extend's drift record for a ``build_ann_index``
+    artifact (``path/drift``), or None when no extend has measured one
+    (fresh build, or a legacy artifact without a stored baseline).
+    Keys: batch_qerr_mean, build_qerr_mean, ratio, threshold, drifted,
+    batch_rows — see ``extend_ann_index``'s drift contract."""
+    return read_sidecar_json(spark, f"{path}/drift")
 
 
 def ann_index_topk(

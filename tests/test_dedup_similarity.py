@@ -1651,3 +1651,63 @@ def test_bootstrap_action_legacy_dir_with_siblings_is_loud(spark, tmp_path):
     # absent entirely -> build
     shutil.rmtree(f"{fresh}/params")
     assert bootstrap_action(spark, f"{fresh}/params") == "build"
+
+
+def test_ann_index_drift_metric(spark, tmp_path):
+    """The frozen-quantizer drift trigger (review item): every extend
+    measures the batch's mean squared distance-to-assigned-centroid
+    against the build sample's baseline (qerr_mean in path/params) and
+    records the ratio in path/drift. An in-distribution batch must not
+    trip it; a shifted batch must flip `drifted` and warn — the
+    measured signal for the documented periodic-rebuild policy."""
+    import warnings
+
+    import numpy as np
+
+    from etlutils_spark.operators.similarity import (
+        ann_index_drift,
+        build_ann_index,
+        extend_ann_index,
+    )
+    from etlutils_spark.sources.sidecar import read_sidecar_json
+
+    rng = np.random.default_rng(7)
+    anchors = np.eye(4, 8) * 4.0
+    rows = [
+        (i, [float(x) for x in anchors[i % 4] + rng.normal(0, 0.05, 8)])
+        for i in range(1, 81)
+    ]
+    base = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    path = str(tmp_path / "driftidx")
+    build_ann_index(base, path, num_clusters=4, m=4, ksub=8)
+    params = read_sidecar_json(spark, f"{path}/params")
+    assert params["qerr_mean"] > 0 and params["qerr_n"] == 80
+    # no extend yet -> no drift record
+    assert ann_index_drift(spark, path) is None
+    # in-distribution batch: ratio ~1, not drifted, no warning
+    same = spark.createDataFrame(
+        [(i, [float(x) for x in anchors[i % 4] + rng.normal(0, 0.05, 8)])
+         for i in range(101, 141)],
+        "vec_id bigint, embedding array<double>",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        codes = extend_ann_index(path, same)
+    # the drift column stays internal: codes schema is the contract
+    assert codes.columns == ["vec_id", "cluster_id", "codes"]
+    rec = ann_index_drift(spark, path)
+    assert rec is not None and not rec["drifted"]
+    assert rec["ratio"] == pytest.approx(1.0, rel=0.5)
+    assert rec["batch_rows"] == 40
+    # shifted distribution: far from every frozen centroid -> drifted
+    shifted = spark.createDataFrame(
+        [(i, [float(50.0 + rng.normal(0, 0.5)) for _ in range(8)])
+         for i in range(201, 241)],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.warns(UserWarning, match="schedule a rebuild"):
+        extend_ann_index(path, shifted)
+    rec = ann_index_drift(spark, path)
+    assert rec["drifted"] and rec["ratio"] > 2.0
+    # drifted data still landed (observability, not a gate)
+    assert spark.read.parquet(f"{path}/codes").count() == 160

@@ -68,6 +68,26 @@ def run(spark, n: int) -> dict:
     n_codes = codes.count()
     extend_sec = round(time.time() - t0, 2)
     assert n_codes == n + BATCH, (n_codes, n + BATCH)
+    # the in-distribution extend must not trip the drift trigger; a
+    # deliberately shifted batch must (the quantizers were never
+    # trained on vectors at 100x magnitude)
+    from etlutils_spark.operators.similarity import ann_index_drift
+
+    drift_same = ann_index_drift(spark, path)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        extend_ann_index(
+            path,
+            synth_vectors(spark, BATCH, id_offset=20 * n).select(
+                "vec_id",
+                F.transform(
+                    "embedding", lambda x: x * 100.0 + 100.0
+                ).alias("embedding"),
+            ),
+        )
+    drift_shifted = ann_index_drift(spark, path)
     union = corpus.unionByName(batch)
     q = corpus.filter(F.col("vec_id") < 5)
     t0 = time.time()
@@ -83,6 +103,10 @@ def run(spark, n: int) -> dict:
         "extend_sec": extend_sec,
         "query_nprobe4_sec": query_sec,
         "query_hits": hits,
+        "drift_ratio_same_dist": drift_same and round(drift_same["ratio"], 3),
+        "drift_ratio_shifted": drift_shifted
+        and round(drift_shifted["ratio"], 3),
+        "drift_tripped_shifted": drift_shifted and drift_shifted["drifted"],
     }
 
 

@@ -201,6 +201,24 @@ def run_bucketed(spark, n: int, buckets: int, n_refreshes: int = 3) -> dict:
         new_b = sum(os.path.getsize(p) for p in after - before)
         tot_b = sum(os.path.getsize(p) for p in after)
         rewrite_fracs.append(round(new_b / tot_b, 3))
+    # order-independent digest of the final label table: the buckets-
+    # vs-unbucketed runs fold identical batches into identical corpora,
+    # so their labels must be bit-identical regardless of layout (the
+    # cross-layout equality pin, at stress scale instead of toy scale)
+    digest = (
+        spark.read.parquet(f"{path}/labels")
+        .select(
+            F.crc32(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id").cast("string"),
+                    F.col("cluster_id").cast("string"),
+                )
+            ).alias("h")
+        )
+        .agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("c"))
+        .first()
+    )
     docs.unpersist()
     batch.unpersist()
     shutil.rmtree(path, ignore_errors=True)
@@ -210,6 +228,7 @@ def run_bucketed(spark, n: int, buckets: int, n_refreshes: int = 3) -> dict:
         "build_sec": build_sec,
         "extend_secs": extend_secs,
         "label_bytes_rewritten_frac": rewrite_fracs,
+        "labels_digest": [int(digest.s), int(digest.c)],
     }
 
 
@@ -229,6 +248,8 @@ def main() -> None:
         n = int(args[1]) if len(args) > 1 else 50000
         bs = [int(a) for a in args[2:]] or [32, 1]
         report = [run_bucketed(spark, n, b) for b in bs]
+        digests = {tuple(r["labels_digest"]) for r in report}
+        assert len(digests) == 1, f"cross-layout label drift: {report}"
     else:
         scales = [int(a) for a in args] or [5000, 50000]
         report = [run(spark, n) for n in scales]
