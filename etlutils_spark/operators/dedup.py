@@ -37,9 +37,11 @@ from etlutils_spark.functions.vectors import cosine_exact, cosine_fast
 from etlutils_spark.operators.text import TOKENS_COL, shingles_from_tokens, with_tokens
 from etlutils_spark.sources.files import spread
 from etlutils_spark.sources.sidecar import (
+    acquire_writer_lease,
     params_committed,
     read_sidecar_json,
     read_sidecar_text,
+    release_writer_lease,
     sidecar_kind,
     write_sidecar_json,
     write_sidecar_text,
@@ -1120,6 +1122,7 @@ def extend_dedup_index(
     bands: int | None = None,
     threshold: float | None = None,
     cc_scope: str = "affected",
+    writer_lease_stale_sec: float = 600.0,
 ) -> DataFrame:
     """Fold an ingest BATCH into an existing ``build_dedup_index``
     artifact and return the refreshed label table — the batch twin of
@@ -1152,7 +1155,7 @@ def extend_dedup_index(
       label from the stored edge table and self-heals the crashed
       batch's shingleable docs. Pre-marker artifacts pay a one-time
       profile-vs-label anti-join as the migration check. Single
-      writer assumed (one refresh at a time), as everywhere in the
+      writer enforced by the lease below, as everywhere in the
       artifact tier.
     - ``"full"``: star CC over the whole stored edge table — always
       correct with no sync precondition. With post-refresh edge
@@ -1208,19 +1211,56 @@ def extend_dedup_index(
     drift — don't mix writer versions, the same way you wouldn't mix
     schema versions. At warehouse scale, wrap the writes in the table
     format's transaction if one is available; the math does not
-    require it."""
-    from etlutils_spark.streaming.incremental_lsh import (
-        _explode_bands,
-        _verified_pairs,
-        batch_profiles,
-    )
+    require it.
 
+    Single-writer ENFORCED: the refresh runs under a writer lease
+    (``path/.writer_lease``, sources.sidecar) — a second concurrent
+    extend raises loudly instead of interleaving appends and markers
+    into silent double-profiles. A lease left by a killed writer goes
+    stale after ``writer_lease_stale_sec`` and is stolen; until then a
+    replay of the killed batch raises — delete the lease file to
+    recover immediately."""
     spark = new_docs.sparkSession
     if cc_scope not in ("full", "affected"):
         raise ValueError(f"cc_scope must be full|affected, got {cc_scope!r}")
     n, num_hashes, bands, threshold, label_buckets = _read_index_params(
         spark, path, n, num_hashes, bands, threshold
     )
+    lease = acquire_writer_lease(
+        spark, f"{path}/.writer_lease", writer_lease_stale_sec
+    )
+    try:
+        return _extend_dedup_index_locked(
+            spark, path, new_docs, text_col, id_col, cc_scope,
+            n, num_hashes, bands, threshold, label_buckets,
+        )
+    finally:
+        release_writer_lease(spark, f"{path}/.writer_lease", lease)
+
+
+def _extend_dedup_index_locked(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    cc_scope: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    label_buckets: int,
+) -> DataFrame:
+    """Body of :func:`extend_dedup_index`, running under the artifact's
+    writer lease (which also covers the reads: the
+    profiles/labels/edges snapshot this refresh derives from cannot be
+    mutated under it by a concurrent writer)."""
+    from etlutils_spark.streaming.incremental_lsh import (
+        _explode_bands,
+        _verified_pairs,
+        batch_profiles,
+    )
+
     old_prof = spark.read.parquet(f"{path}/profiles")
     lbl = spark.read.parquet(f"{path}/labels")
     effective_scope = cc_scope

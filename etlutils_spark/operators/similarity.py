@@ -23,7 +23,9 @@ from pyspark.sql import functions as F
 
 from etlutils_spark.functions.vectors import cosine_exact, cosine_fast
 from etlutils_spark.sources.sidecar import (
+    acquire_writer_lease,
     read_sidecar_json,
+    release_writer_lease,
     sidecar_kind,
     write_sidecar_json,
 )
@@ -1149,6 +1151,7 @@ def extend_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     drift_ratio_threshold: float = 2.0,
+    writer_lease_stale_sec: float = 600.0,
 ) -> DataFrame:
     """Fold an ingest batch into a ``build_ann_index`` artifact:
     assign each new vector to its nearest FROZEN centroid (broadcast
@@ -1176,7 +1179,12 @@ def extend_ann_index(
     quantizers were trained on) flips ``drifted`` and emits a warning;
     the remedy is the documented periodic rebuild. Observability only:
     the batch still lands — drifted data is real data — and legacy
-    artifacts without a stored baseline skip the measurement."""
+    artifacts without a stored baseline skip the measurement.
+
+    Single-writer ENFORCED via the ``path/.writer_lease`` sidecar
+    (same contract as ``extend_dedup_index``): a concurrent extend
+    raises loudly; a lease abandoned by a killed writer goes stale
+    after ``writer_lease_stale_sec`` and is stolen."""
     import warnings
 
     import pandas as pd
@@ -1233,6 +1241,12 @@ def extend_ann_index(
         schema=f"{id_col} long, cluster_id int, codes array<int>, "
                "__qerr double",
     ).persist()  # consumed twice: drift aggregate + the append
+    # single-writer ENFORCED (the dedup-index contract applied here):
+    # two concurrent extends would race the replay-dedup anti-join and
+    # double-append the same ids — the second writer raises instead
+    lease = acquire_writer_lease(
+        spark, f"{path}/.writer_lease", writer_lease_stale_sec
+    )
     try:
         params_d = params.asDict() if hasattr(params, "asDict") else params
         baseline = params_d.get("qerr_mean")
@@ -1272,6 +1286,7 @@ def extend_ann_index(
         fresh.write.mode("append").parquet(f"{path}/codes")
     finally:
         batch_codes.unpersist()
+        release_writer_lease(spark, f"{path}/.writer_lease", lease)
     return spark.read.parquet(f"{path}/codes")
 
 

@@ -129,6 +129,84 @@ def bootstrap_action(spark, url: str) -> str:
     return "extend" if params_committed(spark, url) else "build"
 
 
+def acquire_writer_lease(
+    spark, url: str, stale_after_sec: float = 600.0
+) -> str:
+    """Take the single-writer lease at ``url`` (a create-fails lock
+    file through the Hadoop FS API) and return its ownership token.
+
+    The index artifacts (``extend_dedup_index``, ``extend_ann_index``)
+    are single-writer by design: two concurrent extends would
+    interleave appends and epoch/params markers into silent
+    double-profiles. This makes the assumption ENFORCED — a second
+    writer raises loudly instead of corrupting. A lease untouched for
+    ``stale_after_sec`` is presumed abandoned (its writer crashed;
+    every mutation it guards is crash-recoverable on its own) and is
+    stolen via rename, which atomically picks ONE winner among
+    concurrent stealers. Release with :func:`release_writer_lease`;
+    the token guarantees a stalled holder can never delete a lease
+    that was stolen and re-acquired by someone else."""
+    import time
+    import uuid
+
+    from py4j.protocol import Py4JJavaError
+
+    jvm, fs, target = _fs_path(spark, url)
+    token = uuid.uuid4().hex
+    for _ in range(4):  # create, steal-retry, vanished-retry, race-retry
+        try:
+            stream = fs.create(target, False)  # overwrite=False
+            try:
+                stream.write(bytearray(token.encode("utf-8")))
+            finally:
+                stream.close()
+            return token
+        except Py4JJavaError:
+            pass  # exists (contended) — fall through to live/stale check
+        try:
+            age = time.time() - fs.getFileStatus(
+                target
+            ).getModificationTime() / 1000.0
+        except Py4JJavaError:
+            continue  # lease vanished under us — retry the create
+        if age <= stale_after_sec:
+            raise ValueError(
+                f"another writer holds the lease at {url} "
+                f"({age:.0f}s old, stale after {stale_after_sec:.0f}s): "
+                "concurrent extends of one index artifact would "
+                "interleave appends into silent corruption — retry "
+                "after the holder finishes, or delete the lease file "
+                "if its writer is known dead"
+            )
+        # stale: rename is the atomic one-winner steal; losers retry
+        # and find either the fresh winner's lease (live -> raise) or
+        # nothing (create succeeds)
+        debris = jvm.org.apache.hadoop.fs.Path(
+            f"{url}.stale{uuid.uuid4().hex[:8]}"
+        )
+        try:
+            if fs.rename(target, debris):
+                fs.delete(debris, False)
+        except Py4JJavaError:
+            pass
+    raise ValueError(f"could not acquire the writer lease at {url}")
+
+
+def release_writer_lease(spark, url: str, token: str) -> None:
+    """Release a lease taken by :func:`acquire_writer_lease` — only if
+    it still holds ``token``: a holder that stalled past the staleness
+    window may have been stolen from, and deleting the NEW owner's
+    lease would let a third writer in beside them."""
+    if read_sidecar_text(spark, url) == token:
+        _, fs, target = _fs_path(spark, url)
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            fs.delete(target, False)
+        except Py4JJavaError:
+            pass  # already gone (stolen between the read and here)
+
+
 def write_sidecar_text(spark, url: str, text: str) -> None:
     """Commit ``text`` at ``url`` as one file via temp + rename. A
     recursive delete first retires any legacy parquet DIRECTORY at the

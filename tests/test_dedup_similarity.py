@@ -1711,3 +1711,82 @@ def test_ann_index_drift_metric(spark, tmp_path):
     assert rec["drifted"] and rec["ratio"] > 2.0
     # drifted data still landed (observability, not a gate)
     assert spark.read.parquet(f"{path}/codes").count() == 160
+
+
+def test_writer_lease_two_concurrent_extends(spark, tmp_path):
+    """The single-writer assumption is ENFORCED (review item): with a
+    live lease on the artifact — writer A mid-extend — a second extend
+    raises loudly instead of interleaving appends/markers into silent
+    double-profiles, and the artifact is untouched by the loser. A
+    lease abandoned by a killed writer goes stale and is stolen; a
+    stalled holder's release must not delete the thief's fresh lease."""
+    import os as _os
+    import time as _time
+
+    from etlutils_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+    from etlutils_spark.operators.similarity import (
+        build_ann_index,
+        extend_ann_index,
+    )
+    from etlutils_spark.sources.sidecar import (
+        acquire_writer_lease,
+        read_sidecar_text,
+        release_writer_lease,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    docs = spark.createDataFrame(
+        [(1, a + " x"), (2, a + " y"), (3, a + " z")],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "leased")
+    build_dedup_index(docs.filter("doc_id = 1"), path,
+                      bands=8, threshold=0.3)
+    state_before = {
+        t: spark.read.parquet(f"{path}/{t}").count()
+        for t in ("profiles", "edges", "labels")
+    }
+    # writer A holds the lease (mid-extend)
+    token_a = acquire_writer_lease(spark, f"{path}/.writer_lease")
+    with pytest.raises(ValueError, match="another writer holds"):
+        extend_dedup_index(path, docs.filter("doc_id = 2"))
+    # the loser mutated nothing
+    for t, n_rows in state_before.items():
+        assert spark.read.parquet(f"{path}/{t}").count() == n_rows
+    # A completes -> the extend goes through and self-releases
+    release_writer_lease(spark, f"{path}/.writer_lease", token_a)
+    out = extend_dedup_index(path, docs.filter("doc_id = 2"))
+    assert {r.doc_id: r.cluster_id for r in out.collect()} == {1: 1, 2: 1}
+    assert not _os.path.exists(f"{path}/.writer_lease")
+    # killed-writer recovery: a stale lease is stolen, extend proceeds
+    acquire_writer_lease(spark, f"{path}/.writer_lease")
+    _os.utime(f"{path}/.writer_lease",
+              (_time.time() - 3600, _time.time() - 3600))
+    out = extend_dedup_index(path, docs.filter("doc_id = 3"))
+    assert out.count() == 3
+    # token-checked release: the stalled holder cannot delete a lease
+    # it no longer owns
+    thief = acquire_writer_lease(spark, f"{path}/.writer_lease")
+    release_writer_lease(spark, f"{path}/.writer_lease", "not-my-token")
+    assert read_sidecar_text(spark, f"{path}/.writer_lease") == thief
+    release_writer_lease(spark, f"{path}/.writer_lease", thief)
+
+    # the ANN artifact shares the contract
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4), float((i + 1) % 4)]) for i in range(1, 21)],
+        "vec_id bigint, embedding array<double>",
+    )
+    apath = str(tmp_path / "leased_ann")
+    build_ann_index(vecs, apath, num_clusters=2, m=2, ksub=4)
+    t = acquire_writer_lease(spark, f"{apath}/.writer_lease")
+    batch = spark.createDataFrame(
+        [(100, [9.0, 9.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="another writer holds"):
+        extend_ann_index(apath, batch)
+    assert spark.read.parquet(f"{apath}/codes").count() == 20
+    release_writer_lease(spark, f"{apath}/.writer_lease", t)
+    assert extend_ann_index(apath, batch).count() == 21
