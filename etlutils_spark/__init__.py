@@ -64,6 +64,7 @@ from etlutils_spark.operators.search import bigram_lm_scores, bm25_topk
 from etlutils_spark.operators.text import (
     bpe_encode,
     bpe_train,
+    bpe_train_corpus,
     build_vocab,
     line_boilerplate_removal,
     oov_stats,
@@ -106,6 +107,7 @@ __all__ = [
     "semantic_dedup",
     "bpe_encode",
     "bpe_train",
+    "bpe_train_corpus",
     "cap_per_group",
     "corpus_diff",
     "dedup_rate_report",

@@ -647,7 +647,14 @@ def bpe_train(
 
     Deterministic: the sample is the ``sample_limit`` lowest
     ``md5(id)`` docs (stable under partitioning/engine), and merge
-    ties break lexicographically. Returns the ordered merge list."""
+    ties break lexicographically. Returns the ordered merge list.
+
+    Scale: the doc sample is this function's 100-TB ceiling — see
+    :func:`bpe_train_corpus` for the corpus-scale form, which counts
+    words in Spark and trains on the (bounded) distinct-word table
+    instead of a doc sample. Both run the same trainer on a word-
+    frequency table, so on identical inputs the merge lists are
+    bit-identical (pinned by a differential test)."""
     from collections import Counter
 
     rows = (
@@ -663,15 +670,85 @@ def bpe_train(
         for w in _re.split(r"[ \t\n\r\f]+", r[0] or ""):
             if w:
                 word_freq[tuple(w)] += 1
-    # indexed incremental trainer (Sennrich's fast variant): pair
-    # counts plus a pair -> {word} inverted index are maintained
-    # incrementally, so each merge touches only the words that CONTAIN
-    # the merged pair instead of re-counting the whole vocabulary —
-    # the difference between O(merges * vocab) and O(merges * hits),
-    # what makes the >= 1k-merge registrations practical (r6 verdict
-    # #8). Selection rule is unchanged: max count, lexicographic min
-    # tie-break — bit-identical merge lists to the naive loop (pinned
-    # by a differential test).
+    return _train_from_word_freq(word_freq, num_merges)
+
+
+def bpe_train_corpus(
+    df: DataFrame,
+    num_merges: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_freq: int = 1,
+    max_word_rows: int = 2_000_000,
+) -> "list[tuple[str, str]]":
+    """Corpus-scale BPE merge induction: the O(corpus) half — word
+    counting — runs in Spark (split / explode / hash-agg, one job, all
+    map-side combinable), and the driver trains on the DISTINCT
+    word-frequency table, which is what actually bounds tokenizer
+    training: natural-language vocabulary grows ~O(corpus^0.5) (Heaps'
+    law), so the word table is KB-to-low-GB at 100 TB while the doc
+    sample :func:`bpe_train` collects caps coverage at
+    ``sample_limit`` docs. One Spark job total — NOT one agg per merge
+    round, which at 8k merges would schedule 8k jobs for a table the
+    driver holds comfortably (the same train-driver-side /
+    apply-distributed split as ``pq_train``).
+
+    ``min_freq`` prunes hapax/noise words BEFORE the collect (the
+    standard tokenizer lever); ``max_word_rows`` is the loud guard —
+    a corpus whose pruned vocabulary still exceeds it raises with the
+    remedy (raise ``min_freq``) instead of silently OOMing the driver.
+
+    Same selection rule as :func:`bpe_train` (max count, lexicographic
+    min tie-break, same indexed incremental trainer), so the merge
+    list for a given word-frequency table is bit-identical — the
+    differential test feeds both paths the same docs and pins equal
+    lists. ``min_freq > 1`` changes the TABLE, not the rule."""
+    words = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.col(text_col), "[ \t\n\r\f]+"),
+                    lambda w: F.length(w) > 0,
+                )
+            ).alias("__w")
+        )
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    if min_freq > 1:
+        words = words.filter(F.col("__f") >= min_freq)
+    rows = words.limit(max_word_rows + 1).collect()
+    if len(rows) > max_word_rows:
+        raise ValueError(
+            f"bpe_train_corpus: distinct vocabulary exceeds "
+            f"max_word_rows={max_word_rows} after min_freq={min_freq} "
+            "pruning — raise min_freq (hapax words never win a merge "
+            "against real vocabulary) or max_word_rows"
+        )
+    from collections import Counter
+
+    word_freq: Counter = Counter()
+    for r in rows:
+        word_freq[tuple(r[0])] = int(r[1])
+    return _train_from_word_freq(word_freq, num_merges)
+
+
+def _train_from_word_freq(
+    word_freq: "dict[tuple[str, ...], int]", num_merges: int
+) -> "list[tuple[str, str]]":
+    """The shared merge-induction loop over a word-frequency table.
+
+    Indexed incremental trainer (Sennrich's fast variant): pair
+    counts plus a pair -> {word} inverted index are maintained
+    incrementally, so each merge touches only the words that CONTAIN
+    the merged pair instead of re-counting the whole vocabulary —
+    the difference between O(merges * vocab) and O(merges * hits),
+    what makes the >= 1k-merge registrations practical (r6 verdict
+    #8). Selection rule: max count, lexicographic min tie-break —
+    bit-identical merge lists to the naive loop (pinned by a
+    differential test)."""
+    from collections import Counter
+
     words: list[tuple[str, ...]] = []
     freqs: list[int] = []
     for word, f in word_freq.items():

@@ -486,3 +486,51 @@ def test_line_boilerplate_matches_python_reference(spark, _doc_text, min_dc):
            for r in line_boilerplate_removal(
                df, max_doc_frac=0.25, min_doc_count=min_dc).collect()}
     assert got == _boilerplate_ref(docs, 0.25, min_dc)
+
+
+def test_bpe_train_corpus_matches_sampled_trainer(spark, star):
+    """bpe_train_corpus (Spark-side word counting, driver-side merge
+    induction over the distinct-word table) must emit the bit-identical
+    merge list as bpe_train when both see the same docs — the
+    correctness gate for moving the trainer off the doc-sample bound
+    (review item). min_freq changes the table, not the rule: pruning
+    hapax words must equal training on a word table with those rows
+    absent."""
+    from collections import Counter
+
+    from etlutils_spark.operators.text import (
+        _train_from_word_freq,
+        bpe_train,
+        bpe_train_corpus,
+    )
+
+    docs = star["documents"]
+    n = docs.count()
+    # full-corpus sample == full corpus: both paths see identical text
+    assert (
+        bpe_train_corpus(docs, num_merges=150)
+        == bpe_train(docs, num_merges=150, sample_limit=n)
+    )
+    # corpus form is sample-order/partitioning independent by
+    # construction: repartitioning must not move a single merge
+    assert (
+        bpe_train_corpus(docs.repartition(7), num_merges=60)
+        == bpe_train_corpus(docs, num_merges=60)
+    )
+    # min_freq pruning == training on the pruned word table
+    import re as _re
+
+    wf: Counter = Counter()
+    for r in docs.select("text").collect():
+        for w in _re.split(r"[ \t\n\r\f]+", r[0] or ""):
+            if w:
+                wf[tuple(w)] += 1
+    pruned = {w: f for w, f in wf.items() if f >= 3}
+    assert (
+        bpe_train_corpus(docs, num_merges=60, min_freq=3)
+        == _train_from_word_freq(pruned, 60)
+    )
+    # the loud guard: a vocab bigger than max_word_rows raises with
+    # the min_freq remedy instead of collecting it
+    with pytest.raises(ValueError, match="min_freq"):
+        bpe_train_corpus(docs, num_merges=4, max_word_rows=10)

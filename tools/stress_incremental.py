@@ -142,7 +142,54 @@ def run_accumulated(spark, n: int, n_batches: int = 12) -> dict:
     }
 
 
-def run_bucketed(spark, n: int, buckets: int, n_refreshes: int = 3) -> dict:
+def singleton_corpus(spark, n: int, dup_groups: int = 100,
+                     group_size: int = 5):
+    """n docs: a fixed small dup mass (dup_groups x group_size) plus
+    singletons to n. The label-rewrite-term corpus: the Zipf corpus's
+    head group grows ~n/100 docs, whose INTRA-GROUP candidate pairs
+    grow quadratically (50k-doc head at n=5M -> ~1.7B verify pairs —
+    a dup-mass stress, measured to exhaust local spill space), while
+    the bucketed-layout question is about LABEL ROWS, which only need
+    doc count."""
+    sizes = [group_size] * dup_groups
+    rows, start = [], 0
+    for g, s in enumerate(sizes, start=1):
+        rows.append((g, start, s))
+        start += s
+    groups = spark.createDataFrame(rows, "grp int, start long, size int")
+    tok = lambda seed: F.substring(F.md5(seed), 1, 8)  # noqa: E731
+    members = groups.select(
+        "grp",
+        F.explode(F.sequence(F.lit(0), F.col("size") - 1)).alias("m"),
+        "start",
+    ).select(
+        (F.col("start") + F.col("m")).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(29)),
+                lambda i: F.when(
+                    i == F.col("m") % 28,
+                    tok(F.concat_ws(":", F.col("grp"), F.col("m"), i)),
+                ).otherwise(tok(F.concat_ws(":", F.col("grp"), i))),
+            ),
+        ).alias("text"),
+    )
+    singles = spark.range(start, n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(29)),
+                lambda i: tok(F.concat_ws(":", F.lit("solo"), F.col("id"), i)),
+            ),
+        ).alias("text"),
+    )
+    return members.unionByName(singles)
+
+
+def run_bucketed(spark, n: int, buckets: int, n_refreshes: int = 3,
+                 corpus_fn=None) -> dict:
     """The bucketed-label-layout probe (r7): with
     ``build_dedup_index(label_buckets=B)`` an affected-scope extend
     must rewrite only the label PARTITIONS holding changed docs
@@ -152,13 +199,19 @@ def run_bucketed(spark, n: int, buckets: int, n_refreshes: int = 3) -> dict:
     directory/listing overhead dominates wall clock (which is exactly
     why the auto default keeps small corpora unbucketed). The batch
     near-dups TAIL docs (singletons), the focused-refresh case the
-    layout is for; a fat-head batch legitimately touches most buckets."""
+    layout is for; a fat-head batch legitimately touches most buckets.
+    ``corpus_fn`` swaps the default Zipf corpus for another
+    (doc_id, text) generator — ``singleton_corpus`` for the
+    label-rewrite-term measurement at multi-million-doc scale."""
     from etlutils_spark.operators.dedup import (
         build_dedup_index,
         extend_dedup_index,
     )
 
-    docs, _sizes = make_corpus(spark, n)
+    if corpus_fn is None:
+        docs, _sizes = make_corpus(spark, n)
+    else:
+        docs = corpus_fn(spark, n)
     docs = docs.persist()
     docs.count()
     path = os.path.join(
