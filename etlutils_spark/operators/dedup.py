@@ -849,15 +849,21 @@ def build_dedup_index(
       instead of the whole table — the r6 verdict's second measured
       growing term. ``label_buckets`` is a pure layout lever:
       per-refresh rewrite cost is O(corpus x touched_buckets / B), so
-      B wants to be large relative to changed-docs-per-refresh while
-      each bucket stays file-sized. ``"auto"`` sizes it at
-      ~250k docs/bucket capped at 4096 and stays UNBUCKETED below the
-      threshold, where directory/listing overhead costs more than the
+      B wants to be LARGE relative to changed-docs-per-refresh — a
+      focused batch touches <= its doc count of buckets, so the
+      rewritten fraction is ~touched/B. ``"auto"`` stays UNBUCKETED
+      below ~250k docs, where directory overhead costs more than the
       full rewrite it saves (measured: at a 50k-doc corpus, B=32 adds
-      ~1-2 s per refresh while the whole table is a few MB — the
-      partial rewrite only pays once buckets are file-sized). Readers
-      see the bucket as a trailing partition column; every consumer
-      projects explicit columns.
+      ~1-2 s per refresh while the whole table is a few MB), then
+      sizes ~10k docs/bucket capped at 4096 (measured at 5M docs:
+      B=512 extends in 13 s rewriting 4-6% of bytes vs 20-21 s
+      rewriting 100% unbucketed; the earlier ~250k-docs/bucket sizing
+      gave B=20 at 5M — a ~72% expected rewrite fraction for a
+      25-doc batch, which surrenders the win the layout exists for).
+      Each bucket is written as ONE file (the write repartitions by
+      bucket), so file count is O(B), never O(B x tasks). Readers see
+      the bucket as a trailing partition column in the stored table
+      only; build/extend RETURN the documented two-column frame.
     - ``path/profiles`` one row per doc: band signatures + the 64-bit
       shingle-hash set (the verify payload; ~1-2% of corpus bytes —
       the same index design as streaming/incremental_lsh.py)
@@ -917,23 +923,33 @@ def build_dedup_index(
         )
     )
     if label_buckets == "auto":
-        # ~250k docs per bucket, capped: buckets must stay file-sized
-        # for the partial rewrite to beat its directory overhead (the
-        # docstring's measurement), and tiny corpora stay unbucketed.
-        # Sized from the just-written profiles table — a parquet
-        # metadata count — rather than docs.count(), which would
-        # re-execute the caller's whole upstream lineage; profiles
-        # undercount by the shingle-less docs, which only nudges a
-        # sizing heuristic (review catch)
-        label_buckets = min(
-            4096,
-            spark.read.parquet(f"{path}/profiles").count() // 250_000,
+        # engage only above ~250k docs (below, directory overhead
+        # costs more than the full rewrite it saves), then ~10k
+        # docs/bucket capped at 4096 — B must be large relative to
+        # changed-docs-per-refresh for the ~touched/B rewrite fraction
+        # to pay (docstring has the 5M-doc measurement). Sized from
+        # the just-written profiles table — a parquet metadata count —
+        # rather than docs.count(), which would re-execute the
+        # caller's whole upstream lineage; profiles undercount by the
+        # shingle-less docs, which only nudges a sizing heuristic
+        # (review catch)
+        n_docs = spark.read.parquet(f"{path}/profiles").count()
+        label_buckets = (
+            0 if n_docs < 250_000 else min(4096, n_docs // 10_000)
         )
     label_buckets = int(label_buckets)
     if label_buckets >= 2:
+        # repartition BY THE BUCKET before the partitioned write: all
+        # of a bucket's rows land in one task, so the table holds ~one
+        # file per bucket instead of tasks x buckets small files —
+        # measured at 5M docs / 512 buckets, the unrepartitioned form
+        # writes ~32k files and every later read/overwrite pays
+        # seconds of listing (the actual wall cost of the layout)
         labels.withColumn(
             "label_bucket", _label_bucket(id_col, label_buckets)
-        ).write.mode("overwrite").partitionBy("label_bucket").parquet(
+        ).repartition(F.col("label_bucket")).write.mode(
+            "overwrite"
+        ).partitionBy("label_bucket").parquet(
             f"{path}/labels"
         )
     else:
@@ -1520,9 +1536,12 @@ def _extend_dedup_index_locked(
                 ).cast("long").alias("cluster_id"),
             )
         )
+        # one file per touched bucket (see the build-site comment)
         labels.withColumn(
             "label_bucket", _label_bucket(id_name, label_buckets)
-        ).write.mode("overwrite").option(
+        ).repartition(F.col("label_bucket")).write.mode(
+            "overwrite"
+        ).option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("label_bucket").parquet(f"{path}/labels")
         out = spark.read.parquet(f"{path}/labels")
@@ -1603,9 +1622,12 @@ def _extend_dedup_index_locked(
     # from the just-appended parquet tables (not the in-flight
     # frames), so the overwrite below cannot invalidate its own inputs
     if bucketed:
+        # one file per bucket (see the build-site comment)
         labels.withColumn(
             "label_bucket", _label_bucket(id_name, label_buckets)
-        ).write.mode("overwrite").partitionBy("label_bucket").parquet(
+        ).repartition(F.col("label_bucket")).write.mode(
+            "overwrite"
+        ).partitionBy("label_bucket").parquet(
             f"{path}/labels"
         )
     else:

@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Decompose extend_dedup_index's per-batch wall (the streaming
+dedup index's per-micro-batch floor, r7 verdict #6): wrap every eager
+action the refresh runs — localCheckpoints, parquet writes, sidecar
+file ops — and report where the seconds go for each of N successive
+batches on an sf0.1-sized corpus.
+
+    python3 tools/profile_extend_batch.py [corpus] [batches]
+    # default 5000 3  (the dedup_clusters_streaming shape)
+
+The UNWRAPPED remainder (total - sum(phases)) is plan
+analysis/scheduling for the lazy stages that feed those actions plus
+driver-side bookkeeping — the irreducible-or-not question the numbers
+answer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.readwriter import DataFrameWriter
+
+PHASES: list[tuple[str, float]] = []
+
+
+def _wrap() -> None:
+    import etlutils_spark.sources.sidecar as sc
+
+    olc = DataFrame.localCheckpoint
+
+    def lc(self, eager=True):
+        t0 = time.time()
+        r = olc(self, eager)
+        PHASES.append(("localCheckpoint", time.time() - t0))
+        return r
+
+    DataFrame.localCheckpoint = lc
+
+    opq = DataFrameWriter.parquet
+
+    def pq(self, path, **kw):
+        t0 = time.time()
+        r = opq(self, path, **kw)
+        PHASES.append((f"write:{path.rsplit('/', 1)[-1]}", time.time() - t0))
+        return r
+
+    DataFrameWriter.parquet = pq
+
+    for name in ("write_sidecar_text", "read_sidecar_text", "sidecar_kind"):
+        orig = getattr(sc, name)
+
+        def timed(*a, __orig=orig, __name=name, **kw):
+            t0 = time.time()
+            r = __orig(*a, **kw)
+            PHASES.append((f"sidecar:{__name}", time.time() - t0))
+            return r
+
+        setattr(sc, name, timed)
+
+
+def main() -> None:
+    from etlutils_spark.session import get_session
+    from tools.stress_dedup import make_corpus
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    spark = get_session(
+        "profile_extend",
+        **{"spark.driver.memory": "8g", "spark.sql.shuffle.partitions": "32"},
+    )
+    from etlutils_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+
+    docs, _ = make_corpus(spark, n)
+    docs = docs.persist()
+    docs.count()
+    path = os.path.join(tempfile.gettempdir(), f"prof_ext_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    build_dedup_index(docs, path)
+    _wrap()  # instrument AFTER the build: profile extends only
+    report = []
+    for k in range(n_batches):
+        batch = docs.filter(F.col("doc_id") < 500).select(
+            (F.col("doc_id") + F.lit((10 + k) * max(n, 500))).alias("doc_id"),
+            F.concat("text", F.lit(f" dup{k}")).alias("text"),
+        ).persist()
+        batch.count()
+        PHASES.clear()
+        t0 = time.time()
+        extend_dedup_index(path, batch)
+        total = time.time() - t0
+        agg: dict[str, float] = {}
+        for name, sec in PHASES:
+            agg[name] = agg.get(name, 0.0) + sec
+        report.append(
+            {
+                "batch": k,
+                "total_sec": round(total, 2),
+                "phases": {p: round(s, 3) for p, s in sorted(
+                    agg.items(), key=lambda kv: -kv[1])},
+                "unattributed_sec": round(total - sum(agg.values()), 2),
+            }
+        )
+        batch.unpersist()
+    docs.unpersist()
+    shutil.rmtree(path, ignore_errors=True)
+    print(json.dumps(report, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
