@@ -165,8 +165,16 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     # re-verifies
     "ann_index_topk", "ann_index_streaming", "ann_pq_recall_contract",
     # r8: build/extend_dedup_index now project the physical
-    # label_bucket partition key out of the returned frame
+    # label_bucket partition key out of the returned frame; index-tier
+    # CC switched to algorithm="auto" (bounded driver union-find on
+    # small graphs, star beyond — labels pinned identical)
     "dedup_clusters_incremental", "dedup_clusters_streaming",
+    # r8: the materialized-clusters scratch artifact builds with
+    # algorithm="auto" — same labels, new plan, so its consumers
+    # re-verify
+    "dedup_clusters_star", "triplet_mining_pairs",
+    "dedup_rate_report_by_source", "leakage_safe_split",
+    "dedup_cluster_size_histogram",
 })
 
 # Derived view kept for the smoke-test invariant and round tooling: a

@@ -2668,7 +2668,7 @@ def _materialized_clusters(spark, sf_dir):
         build_dedup_clusters(
             _t(spark, sf_dir, "documents"), path=staging,
             num_hashes=8, bands=4, threshold=0.5, portable=True,
-            algorithm="star",
+            algorithm="auto",
         )
         import shutil
 

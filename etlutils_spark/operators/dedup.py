@@ -538,6 +538,64 @@ def embedding_neardup_pairs(
     )
 
 
+def _cc_driver_small(
+    pairs: DataFrame,
+    left: str,
+    right: str,
+    stats: dict | None,
+    limit: int,
+) -> "DataFrame | None":
+    """The bounded small-graph fast path behind
+    ``connected_components(algorithm="auto")``: collect at most
+    ``limit`` edges (the probe is a pushed-down ``limit(limit + 1)`` —
+    an over-limit graph costs one truncated scan and returns None for
+    the distributed fallback) and run path-compressed union-find on
+    the driver. Output schema and values match the distributed
+    algorithms exactly: one ``(node, cluster_id)`` row per node
+    appearing in any edge, cluster_id = component minimum."""
+    spark = pairs.sparkSession
+    rows = (
+        pairs.select(
+            F.col(left).cast("long"), F.col(right).cast("long")
+        )
+        .limit(limit + 1)
+        .collect()
+    )
+    if len(rows) > limit:
+        return None
+    if stats is not None:
+        stats["rounds"] = 0
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in rows:
+        a, b = int(a), int(b)
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    return spark.createDataFrame(
+        [(n, comp_min[find(n)]) for n in sorted(parent)],
+        "node long, cluster_id long",
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     left: str = "doc_id_1",
@@ -545,6 +603,7 @@ def connected_components(
     max_iter: int = 25,
     algorithm: str = "minlabel",
     stats: dict | None = None,
+    small_graph_limit: int = 65_536,
 ) -> DataFrame:
     """Union-find over an undirected pair list: (node, cluster_id) where
     cluster_id = the minimum node id in the node's connected component —
@@ -567,15 +626,38 @@ def connected_components(
     near-clique dup graphs min-label is tuned for; see the chain-graph
     test for the round-count separation.
 
+    ``algorithm="auto"``: probe the edge count with a pushed-down
+    ``limit``; at or under ``small_graph_limit`` edges (default 65536,
+    ~2 MB collected) run union-find DRIVER-SIDE — one cheap probe job
+    plus one createDataFrame instead of O(log n) rounds of eager
+    checkpoints, each of which costs ~0.5-1 s of fixed scheduling
+    regardless of data size (measured: the per-round checkpoints were
+    ~6 s of the streaming index's ~10 s per-batch floor, on graphs of
+    a few hundred edges). Past the limit it IS the star algorithm —
+    the probe stops scanning at limit+1 rows, so big graphs pay one
+    truncated scan, never a collect. The labels are identical by
+    construction (component minimum, no ties), pinned by a
+    differential test. This is the affected-scope refresh's CC mode:
+    the compressed touched-component graph is dup-mass-of-touched-
+    components-sized — tiny for focused batches at ANY corpus size —
+    while a corpus-wide merge storm still falls through to star.
+
     ``stats``: optional dict, receives ``{"rounds": n}`` for plan
-    audits and tests.
+    audits and tests (``rounds == 0`` marks the driver fast path).
     """
+    if algorithm == "auto":
+        out = _cc_driver_small(pairs, left, right, stats, small_graph_limit)
+        if out is not None:
+            return out
+        return _cc_star(pairs, left, right, max_iter, stats)
     if algorithm == "star":
         return _cc_star(pairs, left, right, max_iter, stats)
     if algorithm != "minlabel":
         raise ValueError(
             f"algorithm={algorithm!r}: use 'minlabel' (diameter-bounded, "
-            "dup-graph default) or 'star' (log-bounded, general graphs)"
+            "dup-graph default), 'star' (log-bounded, general graphs), "
+            "or 'auto' (driver union-find under a bounded edge count, "
+            "star beyond)"
         )
     e = pairs.select(
         F.col(left).cast("long").alias("a"), F.col(right).cast("long").alias("b")
@@ -913,7 +995,7 @@ def build_dedup_index(
     prof.write.mode("overwrite").parquet(f"{path}/profiles")
     edges.write.mode("overwrite").parquet(f"{path}/edges")
     stored_edges = spark.read.parquet(f"{path}/edges")
-    comp = connected_components(stored_edges, "id_1", "id_2", algorithm="star")
+    comp = connected_components(stored_edges, "id_1", "id_2", algorithm="auto")
     labels = (
         docs.select(F.col(id_col).cast("long").alias(id_col))
         .join(comp, F.col(id_col) == comp["node"], "left")
@@ -1435,7 +1517,7 @@ def _extend_dedup_index_locked(
             )
             cc_input = cc_input.unionByName(lbl_star)
         comp = connected_components(cc_input, "id_1", "id_2",
-                                    algorithm="star")
+                                    algorithm="auto")
         labels = (
             all_ids.join(comp, all_ids["doc_id"] == comp["node"], "left")
             .select(
@@ -1485,7 +1567,7 @@ def _extend_dedup_index_locked(
             new_edges.select("id_1", "id_2")
         )
         comp = connected_components(
-            compressed, "id_1", "id_2", algorithm="star"
+            compressed, "id_1", "id_2", algorithm="auto"
         ).localCheckpoint(eager=True)  # feeds the label write AND the
         # edge rewrite that runs after both overwrites
         # buckets whose labels may change = buckets of every node of
@@ -1601,7 +1683,7 @@ def _extend_dedup_index_locked(
             .unionByName(new_edges.select("id_1", "id_2"))
         )
         comp = connected_components(
-            compressed, "id_1", "id_2", algorithm="star"
+            compressed, "id_1", "id_2", algorithm="auto"
         )
         # pre-overwrite snapshot of (id, old label) — labels is about
         # to replace the table this derives from

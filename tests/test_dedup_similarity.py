@@ -1790,3 +1790,56 @@ def test_writer_lease_two_concurrent_extends(spark, tmp_path):
     assert spark.read.parquet(f"{apath}/codes").count() == 20
     release_writer_lease(spark, f"{apath}/.writer_lease", t)
     assert extend_ann_index(apath, batch).count() == 21
+
+
+def test_cc_auto_matches_distributed_algorithms(spark):
+    """algorithm='auto' (bounded driver union-find under
+    small_graph_limit, star beyond) must label every graph identically
+    to the distributed algorithms — cluster_id is the component
+    minimum either way. Pins the fast path on chains, islands,
+    self-loops, and a random graph; pins the fallback by shrinking the
+    limit below the edge count."""
+    import random
+
+    from etlutils_spark.operators.dedup import connected_components
+
+    cases = [
+        # chain + island + self-loop-only node
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)],
+        # random graph, 200 edges over 80 nodes
+        [
+            (random.Random(42).randint(1, 80),
+             random.Random(i).randint(1, 80))
+            for i in range(200)
+        ],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "doc_id_1 long, doc_id_2 long")
+        stats: dict = {}
+        auto = sorted(
+            tuple(r)
+            for r in connected_components(
+                df, algorithm="auto", stats=stats
+            ).collect()
+        )
+        assert stats["rounds"] == 0  # the driver path actually ran
+        star = sorted(
+            tuple(r)
+            for r in connected_components(df, algorithm="star").collect()
+        )
+        minl = sorted(
+            tuple(r)
+            for r in connected_components(df, algorithm="minlabel").collect()
+        )
+        assert auto == star == minl
+        # limit below the edge count -> the probe overflows and auto
+        # IS the star algorithm (rounds > 0)
+        stats2: dict = {}
+        fallback = sorted(
+            tuple(r)
+            for r in connected_components(
+                df, algorithm="auto", stats=stats2, small_graph_limit=2
+            ).collect()
+        )
+        assert stats2["rounds"] > 0
+        assert fallback == star

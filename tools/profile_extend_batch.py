@@ -34,15 +34,27 @@ PHASES: list[tuple[str, float]] = []
 def _wrap() -> None:
     import etlutils_spark.sources.sidecar as sc
 
-    olc = DataFrame.localCheckpoint
+    # Spark 4: pyspark.sql.DataFrame is a facade; the runtime class is
+    # pyspark.sql.classic.dataframe.DataFrame, whose overrides shadow
+    # a patch on the facade — patch the classic classes directly
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as CDF
+    except ImportError:  # older pyspark
+        CDF = DataFrame
 
-    def lc(self, eager=True):
-        t0 = time.time()
-        r = olc(self, eager)
-        PHASES.append(("localCheckpoint", time.time() - t0))
-        return r
+    def timed_method(cls, name, label=None):
+        orig = getattr(cls, name)
 
-    DataFrame.localCheckpoint = lc
+        def wrapper(self, *a, **kw):
+            t0 = time.time()
+            r = orig(self, *a, **kw)
+            PHASES.append((label or name, time.time() - t0))
+            return r
+
+        setattr(cls, name, wrapper)
+
+    for m in ("localCheckpoint", "collect", "isEmpty", "first", "count"):
+        timed_method(CDF, m)
 
     opq = DataFrameWriter.parquet
 
