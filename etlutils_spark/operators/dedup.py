@@ -563,6 +563,12 @@ def _cc_driver_small(
     )
     if len(rows) > limit:
         return None
+    if any(a is None or b is None for a, b in rows):
+        # null endpoints (e.g. a failed string->long cast): route to
+        # the distributed path so behavior never depends on edge count
+        # (review catch: int(None) raised here while star silently
+        # propagated the nulls)
+        return None
     if stats is not None:
         stats["rounds"] = 0
     parent: dict[int, int] = {}
@@ -641,6 +647,13 @@ def connected_components(
     the compressed touched-component graph is dup-mass-of-touched-
     components-sized — tiny for focused batches at ANY corpus size —
     while a corpus-wide merge storm still falls through to star.
+    Caveat: on overflow the star fallback re-reads the input, so feed
+    "auto" a MATERIALIZED frame (stored parquet, persisted, or
+    checkpointed) when the pair pipeline is expensive — the index
+    forms read stored edge tables, and ``build_dedup_clusters``
+    persists its live chain before calling in. Null endpoints route
+    to the distributed path (the driver probe returns None on any
+    null) so behavior never depends on edge count.
 
     ``stats``: optional dict, receives ``{"rounds": n}`` for plan
     audits and tests (``rounds == 0`` marks the driver fast path).
@@ -890,6 +903,15 @@ def build_dedup_clusters(
         bands=bands, threshold=threshold, portable=portable,
         max_doc_freq=max_doc_freq, max_bucket_size=max_bucket_size,
     )
+    if algorithm == "auto":
+        # "auto" probes the pair count and, on overflow, re-reads the
+        # input in the star fallback — against the LIVE minhash/verify
+        # chain that would re-execute the pipeline's most expensive
+        # stages twice (review catch; the index forms feed auto from
+        # stored parquet, where the re-read is a cheap truncated scan).
+        # Persist so probe and fallback share one materialization; the
+        # label write below is the consuming action.
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     comp = connected_components(
         pairs, f"{id_col}_1", f"{id_col}_2", algorithm=algorithm
     )
@@ -902,8 +924,10 @@ def build_dedup_clusters(
         )
     )
     if path is None:
-        return labels
+        return labels  # lazy: the caller's action consumes the persist
     labels.write.mode(mode).parquet(path)
+    if algorithm == "auto":
+        pairs.unpersist()
     return docs.sparkSession.read.parquet(path)
 
 
@@ -974,7 +998,15 @@ def build_dedup_index(
     makes every subsequent ingest batch O(batch), never O(corpus).
     Sibling: :func:`build_dedup_clusters` is the fixed-snapshot form —
     exact-shingle verify, labels only, no stored probe state — for
-    corpora rebuilt per snapshot rather than grown in place."""
+    corpora rebuilt per snapshot rather than grown in place.
+
+    Runs under the artifact's writer lease, same as the extend: a
+    REBUILD racing a live extend is the concurrency hazard the drift
+    policy actively invites ("schedule a rebuild"), and without the
+    lease the extend would append codes/profiles derived from the OLD
+    artifact into the NEW one (review catch). A crashed build leaves
+    the lease to expire (stale steal) or be deleted per the error
+    message."""
     from etlutils_spark.streaming.incremental_lsh import (
         _explode_bands,
         _verified_pairs,
@@ -982,6 +1014,35 @@ def build_dedup_index(
     )
 
     spark = docs.sparkSession
+    lease = acquire_writer_lease(spark, f"{path}/.writer_lease")
+    try:
+        return _build_dedup_index_locked(
+            spark, docs, path, text_col, id_col, n, num_hashes, bands,
+            threshold, label_buckets,
+        )
+    finally:
+        release_writer_lease(spark, f"{path}/.writer_lease", lease)
+
+
+def _build_dedup_index_locked(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    label_buckets,
+) -> DataFrame:
+    """Body of :func:`build_dedup_index`, under the writer lease."""
+    from etlutils_spark.streaming.incremental_lsh import (
+        _explode_bands,
+        _verified_pairs,
+        batch_profiles,
+    )
+
     prof = batch_profiles(docs, text_col, id_col, n, num_hashes, bands)
     a = _explode_bands(prof, "id_1")
     b = _explode_bands(prof, "id_2")
@@ -1321,13 +1382,16 @@ def extend_dedup_index(
     spark = new_docs.sparkSession
     if cc_scope not in ("full", "affected"):
         raise ValueError(f"cc_scope must be full|affected, got {cc_scope!r}")
-    n, num_hashes, bands, threshold, label_buckets = _read_index_params(
-        spark, path, n, num_hashes, bands, threshold
-    )
+    # the params read happens UNDER the lease too: a rebuild committing
+    # between our read and our writes would otherwise hand us stale
+    # signature parameters (review catch)
     lease = acquire_writer_lease(
         spark, f"{path}/.writer_lease", writer_lease_stale_sec
     )
     try:
+        n, num_hashes, bands, threshold, label_buckets = _read_index_params(
+            spark, path, n, num_hashes, bands, threshold
+        )
         return _extend_dedup_index_locked(
             spark, path, new_docs, text_col, id_col, cc_scope,
             n, num_hashes, bands, threshold, label_buckets,

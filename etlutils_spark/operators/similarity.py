@@ -1032,9 +1032,38 @@ def build_ann_index(
     stream-built and batch-built forms are pinned bit-identical
     (``ann_index_streaming``). ``init_mode`` is accepted for API
     stability but ignored: init is always the seeded deterministic
-    sample draw."""
+    sample draw.
+
+    Runs under the artifact's writer lease: the drift policy tells
+    operators to rebuild, and a rebuild racing a live extend would
+    commit codes encoded against the OLD quantizers into the NEW
+    table (review catch)."""
     del init_mode  # always seeded deterministic init (see docstring)
     spark = corpus.sparkSession
+    lease = acquire_writer_lease(spark, f"{path}/.writer_lease")
+    try:
+        return _build_ann_index_locked(
+            spark, corpus, path, num_clusters, m, ksub, id_col, vec_col,
+            seed, max_iter, sample_limit,
+        )
+    finally:
+        release_writer_lease(spark, f"{path}/.writer_lease", lease)
+
+
+def _build_ann_index_locked(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    num_clusters: int,
+    m: int,
+    ksub: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+    max_iter: int,
+    sample_limit: int,
+) -> DataFrame:
+    """Body of :func:`build_ann_index`, under the writer lease."""
     rows = (
         corpus.select(id_col, vec_col)
         .orderBy(id_col)
@@ -1185,13 +1214,38 @@ def extend_ann_index(
     (same contract as ``extend_dedup_index``): a concurrent extend
     raises loudly; a lease abandoned by a killed writer goes stale
     after ``writer_lease_stale_sec`` and is stolen."""
+    spark = new_vectors.sparkSession
+    # lease FIRST, artifact reads under it: a rebuild committing
+    # between reading the quantizers and appending the codes would
+    # otherwise let this extend encode against the OLD codebooks and
+    # append into the NEW table (review catch)
+    lease = acquire_writer_lease(
+        spark, f"{path}/.writer_lease", writer_lease_stale_sec
+    )
+    try:
+        return _extend_ann_index_locked(
+            spark, path, new_vectors, id_col, vec_col,
+            drift_ratio_threshold,
+        )
+    finally:
+        release_writer_lease(spark, f"{path}/.writer_lease", lease)
+
+
+def _extend_ann_index_locked(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    drift_ratio_threshold: float,
+) -> DataFrame:
+    """Body of :func:`extend_ann_index`, under the writer lease."""
     import warnings
 
     import pandas as pd
 
     from etlutils_spark.sources.files import spread
 
-    spark = new_vectors.sparkSession
     params, cents, books = _read_ann_index(spark, path)
     m, dsub = books.shape[0], books.shape[2]
     dim = int(params["dim"])
@@ -1241,12 +1295,6 @@ def extend_ann_index(
         schema=f"{id_col} long, cluster_id int, codes array<int>, "
                "__qerr double",
     ).persist()  # consumed twice: drift aggregate + the append
-    # single-writer ENFORCED (the dedup-index contract applied here):
-    # two concurrent extends would race the replay-dedup anti-join and
-    # double-append the same ids — the second writer raises instead
-    lease = acquire_writer_lease(
-        spark, f"{path}/.writer_lease", writer_lease_stale_sec
-    )
     try:
         params_d = params.asDict() if hasattr(params, "asDict") else params
         baseline = params_d.get("qerr_mean")
@@ -1286,7 +1334,6 @@ def extend_ann_index(
         fresh.write.mode("append").parquet(f"{path}/codes")
     finally:
         batch_codes.unpersist()
-        release_writer_lease(spark, f"{path}/.writer_lease", lease)
     return spark.read.parquet(f"{path}/codes")
 
 

@@ -102,7 +102,8 @@ def bootstrap_action(spark, url: str) -> str:
             "path — refusing to bootstrap over it; restore the params "
             "sidecar or rebuild explicitly"
         )
-    if kind == "dir" and not params_committed(spark, url):
+    committed = params_committed(spark, url)
+    if kind == "dir" and not committed:
         # unreadable legacy parquet directory: only a crashed build —
         # i.e. nothing else on the artifact path — may rebuild; with
         # committed sibling tables present this is damage, not absence
@@ -126,7 +127,15 @@ def bootstrap_action(spark, url: str) -> str:
                 "params sidecar or rebuild explicitly"
             )
         return "build"
-    return "extend" if params_committed(spark, url) else "build"
+    # one params_committed evaluation serves both the dir-damage check
+    # and the verdict (review catch: the legacy-dir probe is a
+    # scheduled parquet job, and a cold start paid it twice)
+    return "extend" if committed else "build"
+
+
+# live heartbeat threads, keyed by (url, token); the Event stops the
+# beat on release
+_LEASE_BEATS: "dict[tuple[str, str], object]" = {}
 
 
 def acquire_writer_lease(
@@ -135,17 +144,33 @@ def acquire_writer_lease(
     """Take the single-writer lease at ``url`` (a create-fails lock
     file through the Hadoop FS API) and return its ownership token.
 
-    The index artifacts (``extend_dedup_index``, ``extend_ann_index``)
-    are single-writer by design: two concurrent extends would
-    interleave appends and epoch/params markers into silent
-    double-profiles. This makes the assumption ENFORCED — a second
-    writer raises loudly instead of corrupting. A lease untouched for
-    ``stale_after_sec`` is presumed abandoned (its writer crashed;
-    every mutation it guards is crash-recoverable on its own) and is
-    stolen via rename, which atomically picks ONE winner among
-    concurrent stealers. Release with :func:`release_writer_lease`;
-    the token guarantees a stalled holder can never delete a lease
-    that was stolen and re-acquired by someone else."""
+    The index artifacts (``build/extend_dedup_index``,
+    ``build/extend_ann_index``) are single-writer by design: two
+    concurrent writers would interleave appends and epoch/params
+    markers into silent double-profiles, and a REBUILD racing a live
+    extend would commit batch codes encoded against the OLD quantizers
+    into the new artifact. This makes the assumption ENFORCED — a
+    second writer raises loudly instead of corrupting.
+
+    Liveness: a background heartbeat touches the lease's mtime every
+    ``stale_after_sec / 3`` while held, so a HEALTHY long refresh (a
+    full-scope drift recovery, a big rebuild) is never mistaken for a
+    crash; a lease whose mtime is older than ``stale_after_sec`` means
+    the holder died with its heartbeat (every mutation the lease
+    guards is crash-recoverable on its own) and is stolen via rename,
+    which atomically picks ONE winner among concurrent stealers.
+    Release with :func:`release_writer_lease`; the rename-and-inspect
+    release guarantees a stalled holder can never delete a lease that
+    was stolen and re-acquired by someone else.
+
+    Store semantics: mutual exclusion needs atomic exclusive CREATE
+    and atomic RENAME — true on HDFS, local filesystems, and ABFS. On
+    S3A, create(overwrite=false) is check-then-put and rename is
+    copy+delete, so two racers can both "win": there, point the lease
+    at an HDFS/ABFS path, or front it with a real lock service — the
+    data sidecars remain S3-safe (a torn read is handled), it is only
+    this LOCK that needs stronger primitives."""
+    import threading
     import time
     import uuid
 
@@ -153,6 +178,38 @@ def acquire_writer_lease(
 
     jvm, fs, target = _fs_path(spark, url)
     token = uuid.uuid4().hex
+
+    def _start_beat() -> str:
+        stop = threading.Event()
+        _LEASE_BEATS[(url, token)] = stop
+        interval = max(1.0, stale_after_sec / 3.0)
+
+        def beat() -> None:
+            while not stop.wait(interval):
+                try:
+                    # stop beating if the lease no longer holds our
+                    # token (we were stolen while stalled — we are a
+                    # zombie and must not refresh the thief's mtime)
+                    stream = fs.open(target)
+                    try:
+                        current = jvm.org.apache.commons.io.IOUtils.toString(
+                            stream, "UTF-8"
+                        )
+                    finally:
+                        stream.close()
+                    if current != token:
+                        return
+                    fs.setTimes(target, int(time.time() * 1000), -1)
+                except Py4JJavaError:
+                    return  # lease gone or session closed — stop
+                except Exception:
+                    return  # gateway shut down mid-beat
+        t = threading.Thread(
+            target=beat, name=f"lease-beat-{token[:8]}", daemon=True
+        )
+        t.start()
+        return token
+
     for _ in range(4):  # create, steal-retry, vanished-retry, race-retry
         try:
             stream = fs.create(target, False)  # overwrite=False
@@ -160,7 +217,7 @@ def acquire_writer_lease(
                 stream.write(bytearray(token.encode("utf-8")))
             finally:
                 stream.close()
-            return token
+            return _start_beat()
         except Py4JJavaError:
             pass  # exists (contended) — fall through to live/stale check
         try:
@@ -172,8 +229,9 @@ def acquire_writer_lease(
         if age <= stale_after_sec:
             raise ValueError(
                 f"another writer holds the lease at {url} "
-                f"({age:.0f}s old, stale after {stale_after_sec:.0f}s): "
-                "concurrent extends of one index artifact would "
+                f"({age:.0f}s old, stale after {stale_after_sec:.0f}s; "
+                "live holders heartbeat it, so this one is running): "
+                "concurrent writers on one index artifact would "
                 "interleave appends into silent corruption — retry "
                 "after the holder finishes, or delete the lease file "
                 "if its writer is known dead"
@@ -194,17 +252,66 @@ def acquire_writer_lease(
 
 def release_writer_lease(spark, url: str, token: str) -> None:
     """Release a lease taken by :func:`acquire_writer_lease` — only if
-    it still holds ``token``: a holder that stalled past the staleness
-    window may have been stolen from, and deleting the NEW owner's
-    lease would let a third writer in beside them."""
-    if read_sidecar_text(spark, url) == token:
-        _, fs, target = _fs_path(spark, url)
-        from py4j.protocol import Py4JJavaError
+    it still holds ``token``. The check is rename-and-inspect, not
+    check-then-delete: the lease is renamed to a private path first
+    (atomic — nobody else can act on it in between), inspected, and
+    deleted only when it carries our token; a stolen-and-reissued
+    lease is renamed straight back. The one residual window — a third
+    writer creating a fresh lease between our rename and the
+    rename-back — requires the thief's heartbeat to also be dead and
+    is surfaced with a loud warning instead of a silent swallow."""
+    import uuid
+    import warnings
 
+    from py4j.protocol import Py4JJavaError
+
+    stop = _LEASE_BEATS.pop((url, token), None)
+    if stop is not None:
+        stop.set()
+    jvm, fs, target = _fs_path(spark, url)
+    private = jvm.org.apache.hadoop.fs.Path(
+        f"{url}.rel{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        if not fs.rename(target, private):
+            return  # lease already gone
+    except Py4JJavaError:
+        return
+    current = None
+    try:
+        stream = fs.open(private)
         try:
-            fs.delete(target, False)
+            current = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+    except Py4JJavaError:
+        pass
+    if current == token:
+        try:
+            fs.delete(private, False)
         except Py4JJavaError:
-            pass  # already gone (stolen between the read and here)
+            pass
+        return
+    # not ours: we were stolen from while stalled — reinstate the
+    # current owner's lease
+    try:
+        if fs.rename(private, target):
+            return
+    except Py4JJavaError:
+        pass
+    try:
+        fs.delete(private, False)
+    except Py4JJavaError:
+        pass
+    warnings.warn(
+        f"release_writer_lease({url}): found a foreign lease and could "
+        "not reinstate it (a third writer acquired in the gap) — two "
+        "writers may now be live on this artifact; verify it and "
+        "re-run the last refresh if needed",
+        stacklevel=2,
+    )
 
 
 def write_sidecar_text(spark, url: str, text: str) -> None:

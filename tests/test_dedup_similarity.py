@@ -1803,15 +1803,17 @@ def test_cc_auto_matches_distributed_algorithms(spark):
 
     from etlutils_spark.operators.dedup import connected_components
 
+    rng = random.Random(42)
     cases = [
         # chain + island + self-loop-only node
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)],
-        # random graph, 200 edges over 80 nodes
-        [
-            (random.Random(42).randint(1, 80),
-             random.Random(i).randint(1, 80))
-            for i in range(200)
-        ],
+        # random graph, 200 edges over 80 nodes (one shared RNG
+        # instance — a re-seeded-per-edge RNG collapses to a star
+        # graph and never exercises multi-hop merges; review catch)
+        [(rng.randint(1, 80), rng.randint(1, 80)) for _ in range(200)],
+        # long chain: min-label must propagate through 30 hops in the
+        # union-find exactly as the distributed rounds do
+        [(i, i + 1) for i in range(50, 80)],
     ]
     for edges in cases:
         df = spark.createDataFrame(edges, "doc_id_1 long, doc_id_2 long")
@@ -1829,7 +1831,9 @@ def test_cc_auto_matches_distributed_algorithms(spark):
         )
         minl = sorted(
             tuple(r)
-            for r in connected_components(df, algorithm="minlabel").collect()
+            for r in connected_components(
+                df, algorithm="minlabel", max_iter=40  # 30-hop chain
+            ).collect()
         )
         assert auto == star == minl
         # limit below the edge count -> the probe overflows and auto
@@ -1843,3 +1847,38 @@ def test_cc_auto_matches_distributed_algorithms(spark):
         )
         assert stats2["rounds"] > 0
         assert fallback == star
+
+
+def test_writer_lease_heartbeat_and_release_protocol(spark, tmp_path):
+    """A HEALTHY long-running holder must never be stolen: the
+    heartbeat refreshes the lease mtime every stale/3, so a second
+    writer still sees it live long past the staleness window (review
+    catch: the unrenewed lease made any refresh longer than
+    writer_lease_stale_sec silently double-writable). A holder whose
+    heartbeat died (process crash simulated by stopping the beat) is
+    stolen normally; the rename-and-inspect release never deletes a
+    thief's lease."""
+    import time
+
+    from etlutils_spark.sources import sidecar as sc
+
+    url = str(tmp_path / "beat" / ".writer_lease")
+    token = sc.acquire_writer_lease(spark, url, stale_after_sec=3.0)
+    time.sleep(5)  # >> stale window; heartbeat (every 1s) keeps it live
+    with pytest.raises(ValueError, match="another writer holds"):
+        sc.acquire_writer_lease(spark, url, stale_after_sec=3.0)
+    sc.release_writer_lease(spark, url, token)
+    import os as _os
+
+    assert not _os.path.exists(url)
+    # dead-heartbeat holder: stop the beat, let the lease age out, and
+    # a second writer steals it
+    token2 = sc.acquire_writer_lease(spark, url, stale_after_sec=2.0)
+    sc._LEASE_BEATS.pop((url, token2)).set()
+    time.sleep(2.5)
+    token3 = sc.acquire_writer_lease(spark, url, stale_after_sec=2.0)
+    # the zombie's release must leave the thief's lease intact
+    sc.release_writer_lease(spark, url, token2)
+    assert sc.read_sidecar_text(spark, url) == token3
+    sc.release_writer_lease(spark, url, token3)
+    assert not _os.path.exists(url)

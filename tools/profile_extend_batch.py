@@ -66,7 +66,20 @@ def _wrap() -> None:
 
     DataFrameWriter.parquet = pq
 
-    for name in ("write_sidecar_text", "read_sidecar_text", "sidecar_kind"):
+    # dedup.py binds these with `from ... import`, so the wrappers must
+    # land in BOTH namespaces — patching only the sidecar module never
+    # intercepts the calls being profiled (review catch: every
+    # sidecar phase silently fell into unattributed_sec)
+    import etlutils_spark.operators.dedup as dd
+
+    for name in (
+        "write_sidecar_text",
+        "read_sidecar_text",
+        "sidecar_kind",
+        "read_sidecar_json",
+        "acquire_writer_lease",
+        "release_writer_lease",
+    ):
         orig = getattr(sc, name)
 
         def timed(*a, __orig=orig, __name=name, **kw):
@@ -76,6 +89,8 @@ def _wrap() -> None:
             return r
 
         setattr(sc, name, timed)
+        if hasattr(dd, name):
+            setattr(dd, name, timed)
 
 
 def main() -> None:
