@@ -369,3 +369,54 @@ def test_c4_flags_match_python_reference(spark, texts):
     }
     for i, txt in enumerate(texts):
         assert got[i] == _ref_c4(txt), (txt, got[i], _ref_c4(txt))
+
+
+def ref_components(edges):
+    """Pure-Python union-find, cluster_id = component minimum."""
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return sorted((n, comp_min[find(n)]) for n in parent)
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 12), st.integers(1, 12)),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_connected_components_auto_matches_reference(spark, edges):
+    """Every algorithm — the driver union-find fast path ('auto' under
+    the limit), the star rounds, min-label propagation — must produce
+    the reference labeling (component minimum) on arbitrary small
+    graphs, including self-loops, parallel edges, and reversed
+    duplicates that hypothesis generates freely."""
+    from etlutils_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "doc_id_1 long, doc_id_2 long")
+    want = ref_components(edges)
+    for algo in ("auto", "star", "minlabel"):
+        got = sorted(
+            tuple(r)
+            for r in connected_components(
+                df, algorithm=algo, max_iter=40
+            ).collect()
+        )
+        assert got == want, (algo, edges)
