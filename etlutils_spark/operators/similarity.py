@@ -665,7 +665,7 @@ def pq_train(
         for _ in range(iters):
             # argmin ||c||^2 - 2<x,c>: O(n*ksub) memory, not the
             # O(n*ksub*dsub) broadcast-difference tensor (same identity
-            # as _lloyd_kmeans / _assign_ivf_cells; ||x||^2 is constant
+            # as _lloyd_kmeans / _assign_and_encode; ||x||^2 is constant
             # per row so the argmin is unchanged)
             a = ((C ** 2).sum(-1)[None, :] - 2.0 * (Xs @ C.T)).argmin(1)
             for j in range(kk):
@@ -931,7 +931,7 @@ def _lloyd_kmeans(
     if seeded < kk:
         C[seeded:] = C[0]
     # Lloyd assignment via argmin ||c||^2 - 2<x,c> (the same identity
-    # _assign_ivf_cells/extend_ann_index use): O(n*k) memory instead of
+    # _assign_and_encode applies at build AND extend): O(n*k) memory instead of
     # the O(n*k*dim) broadcast-difference tensor, which at the default
     # sample_limit=65536 x dim 768 x large k is multi-GB of driver RAM.
     # ||x||^2 is constant per row so the argmin is unchanged.
@@ -944,37 +944,6 @@ def _lloyd_kmeans(
     if kk < k:
         C = np.vstack([C, C[np.zeros(k - kk, dtype=int)]])
     return C
-
-
-def _assign_ivf_cells(
-    corpus: DataFrame, cents: "np.ndarray", id_col: str, vec_col: str
-) -> DataFrame:
-    """Nearest-centroid cell for every corpus vector under the SAME
-    rule ``extend_ann_index`` applies to ingest batches — argmin
-    ||x - c||^2 = argmin ||c||^2 - 2<x, c> over RAW vectors, ties to
-    the lowest cluster id (numpy argmin) — so build-assigned and
-    extend-assigned cells can never diverge. One Arrow-batched corpus
-    scan; the centroid matrix rides the closure (K x dim, tiny)."""
-    import pandas as pd
-
-    cent_sq = (cents ** 2).sum(-1)
-
-    def run(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            cell = (cent_sq[None, :] - 2.0 * (X @ cents.T)).argmin(1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "cluster_id": cell.astype(np.int32),
-                }
-            )
-
-    return corpus.select(id_col, vec_col).mapInPandas(
-        run, f"{id_col} long, cluster_id int"
-    )
 
 
 def build_ann_index(
@@ -1087,16 +1056,19 @@ def _build_ann_index_locked(
         + ((cents ** 2).sum(-1)[None, :] - 2.0 * (sample @ cents.T)).min(1),
         0.0,
     )
-    assigned = _assign_ivf_cells(corpus, cents, id_col, vec_col)
     centroids = [list(map(float, c)) for c in cents]
     books = pq_train(corpus, m, ksub, vec_col, id_col, sample_limit, seed)
     dim = books.shape[0] * books.shape[2]
-    codes = pq_encode(corpus, books, id_col, vec_col)
-    (
-        assigned.select(id_col, "cluster_id")
-        .join(codes, id_col)
-        .write.mode("overwrite").parquet(f"{path}/codes")
-    )
+    # ONE corpus pass computes cell AND code per vector — the same
+    # Arrow batch body extend_ann_index runs, so build-assigned and
+    # extend-assigned rows can never diverge BY CONSTRUCTION, and the
+    # former two-scans-plus-id-join plan (a corpus-wide shuffle) is
+    # gone (review catch: at 100 TB that join was the build's most
+    # expensive stage)
+    _assign_and_encode(
+        corpus, cents, books, id_col, vec_col, dim, "build_ann_index",
+        with_qerr=False,
+    ).write.mode("overwrite").parquet(f"{path}/codes")
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cluster_id int, centroid array<double>",
@@ -1174,6 +1146,72 @@ def _read_ann_index(spark, path: str):
     return params, cents, books
 
 
+def _assign_and_encode(
+    df: DataFrame,
+    cents: "np.ndarray",
+    books: "np.ndarray",
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    err_prefix: str,
+    with_qerr: bool,
+) -> DataFrame:
+    """One Arrow-batched pass computing each vector's IVF cell AND PQ
+    code (optionally the squared distance-to-assigned-centroid for the
+    drift metric). THE shared encoding body of ``build_ann_index`` and
+    ``extend_ann_index`` — one code path, so build-time and
+    extend-time rows can never diverge; also one corpus scan instead
+    of the former assign-scan + encode-scan + id-join (a corpus-wide
+    shuffle). Cell rule: argmin ||x - c||^2 = argmin ||c||^2 - 2<x,c>
+    over RAW vectors; PQ rule: per-subspace argmin on the NORMALIZED
+    vector (pq_train/pq_encode normalize)."""
+    import pandas as pd
+
+    from etlutils_spark.sources.files import spread
+
+    m, dsub = books.shape[0], books.shape[2]
+    cent_sq = (cents ** 2).sum(-1)
+    book_sq = (books ** 2).sum(-1)  # (m, ksub)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if X.shape[1] != dim:
+                raise ValueError(
+                    f"{err_prefix}: batch vectors have dim "
+                    f"{X.shape[1]} but the index was built at dim {dim}"
+                )
+            d2cell = cent_sq[None, :] - 2.0 * (X @ cents.T)
+            cell = d2cell.argmin(1)
+            Xn = X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-300
+            )
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Xs = Xn[:, s * dsub:(s + 1) * dsub]
+                codes[:, s] = (
+                    book_sq[s][None, :] - 2.0 * (Xs @ books[s].T)
+                ).argmin(1)
+            out = {
+                id_col: ids,
+                "cluster_id": cell.astype(np.int32),
+                "codes": list(codes),
+            }
+            if with_qerr:
+                out["__qerr"] = np.maximum(
+                    d2cell.min(1) + (X ** 2).sum(1), 0.0
+                )
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} long, cluster_id int, codes array<int>"
+    if with_qerr:
+        schema += ", __qerr double"
+    return spread(df.select(id_col, vec_col)).mapInPandas(run, schema)
+
+
 def extend_ann_index(
     path: str,
     new_vectors: DataFrame,
@@ -1242,58 +1280,11 @@ def _extend_ann_index_locked(
     """Body of :func:`extend_ann_index`, under the writer lease."""
     import warnings
 
-    import pandas as pd
-
-    from etlutils_spark.sources.files import spread
-
     params, cents, books = _read_ann_index(spark, path)
-    m, dsub = books.shape[0], books.shape[2]
     dim = int(params["dim"])
-    cent_sq = (cents ** 2).sum(-1)
-
-    def run(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            if X.shape[1] != dim:
-                raise ValueError(
-                    f"extend_ann_index: batch vectors have dim "
-                    f"{X.shape[1]} but the index was built at dim {dim} "
-                    f"(from {path}/params)"
-                )
-            # IVF cell: argmin ||x - c||^2 = argmin ||c||^2 - 2<x, c>
-            # over RAW vectors (k-means trains unnormalized)
-            d2cell = cent_sq[None, :] - 2.0 * (X @ cents.T)
-            cell = d2cell.argmin(1)
-            # quantization error of the assignment just made (the
-            # drift statistic): ||x - c||^2 needs the ||x||^2 term the
-            # argmin could drop
-            qerr = np.maximum(
-                d2cell.min(1) + (X ** 2).sum(1), 0.0
-            )
-            # PQ code: per-subspace argmin on the NORMALIZED vector
-            # (pq_train/pq_encode normalize)
-            Xn = X / np.maximum(
-                np.linalg.norm(X, axis=1, keepdims=True), 1e-300
-            )
-            codes = np.empty((len(X), m), dtype=np.int32)
-            for s in range(m):
-                Xs = Xn[:, s * dsub:(s + 1) * dsub]
-                d2 = (books[s] ** 2).sum(-1)[None, :] - 2.0 * (Xs @ books[s].T)
-                codes[:, s] = d2.argmin(1)
-            yield pd.DataFrame({
-                id_col: ids,
-                "cluster_id": cell.astype(np.int32),
-                "codes": list(codes),
-                "__qerr": qerr,
-            })
-
-    batch_codes = spread(new_vectors.select(id_col, vec_col)).mapInPandas(
-        run,
-        schema=f"{id_col} long, cluster_id int, codes array<int>, "
-               "__qerr double",
+    batch_codes = _assign_and_encode(
+        new_vectors, cents, books, id_col, vec_col, dim,
+        "extend_ann_index", with_qerr=True,
     ).persist()  # consumed twice: drift aggregate + the append
     try:
         params_d = params.asDict() if hasattr(params, "asDict") else params
