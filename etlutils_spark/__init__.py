@@ -39,6 +39,7 @@ from etlutils_spark.operators.dedup import (
 )
 from etlutils_spark.operators.similarity import (
     ann_index_drift,
+    ann_index_stats,
     ann_index_topk,
     build_ann_index,
     centroid_assign,
@@ -142,6 +143,7 @@ __all__ = [
     "extend_ann_index",
     "ann_index_topk",
     "ann_index_drift",
+    "ann_index_stats",
     "temperature_resample",
     "bm25_topk",
     "bigram_lm_scores",

@@ -1328,6 +1328,38 @@ def _extend_ann_index_locked(
     return spark.read.parquet(f"{path}/codes")
 
 
+def ann_index_stats(spark, path: str) -> DataFrame:
+    """Cell-balance report for a ``build_ann_index`` artifact: one row
+    per IVF cell with its code-row count, fraction of the corpus, and
+    imbalance ratio vs the uniform share. The companion diagnostic to
+    :func:`ann_index_drift` — drift says the quantizers stopped
+    FITTING the data, imbalance says they stopped PARTITIONING it:
+    ``ann_index_topk`` scans the probed cells' code rows, so one
+    cell at ratio R makes every query that probes it pay R times the
+    uniform-cost model (|corpus| * nprobe / num_clusters). Both have
+    the same remedy (rebuild); this tells you which queries hurt and
+    by how much. One hash-aggregate over the codes table's cell
+    column, map-side combinable; cells that lost every row (possible
+    after upstream dedup rewrites) simply have no row here."""
+    params, _, _ = _read_ann_index(spark, path)
+    c = int(params["num_clusters"])
+    codes = spark.read.parquet(f"{path}/codes")
+    total = codes.count()
+    return (
+        codes.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "cluster_id",
+            "n_rows",
+            (F.col("n_rows") / F.lit(max(total, 1))).alias("frac"),
+            (F.col("n_rows") * F.lit(c) / F.lit(max(total, 1))).alias(
+                "imbalance"
+            ),
+        )
+        .orderBy(F.desc("n_rows"), "cluster_id")
+    )
+
+
 def ann_index_drift(spark, path: str) -> dict | None:
     """The last extend's drift record for a ``build_ann_index``
     artifact (``path/drift``), or None when no extend has measured one

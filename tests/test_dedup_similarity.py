@@ -1882,3 +1882,34 @@ def test_writer_lease_heartbeat_and_release_protocol(spark, tmp_path):
     assert sc.read_sidecar_text(spark, url) == token3
     sc.release_writer_lease(spark, url, token3)
     assert not _os.path.exists(url)
+
+
+def test_ann_index_stats_cell_balance(spark, tmp_path):
+    """ann_index_stats reports per-cell row counts and the imbalance
+    ratio vs the uniform share — the diagnostic that says WHICH
+    queries pay more than the |corpus| * nprobe / C cost model. A
+    skewed corpus (most vectors in one mode) must surface a hot cell
+    with imbalance >> 1; fractions must sum to 1."""
+    import numpy as np
+
+    from etlutils_spark.operators.similarity import (
+        ann_index_stats,
+        build_ann_index,
+    )
+
+    rng = np.random.default_rng(3)
+    # 4 modes, but 70 of 100 vectors in mode 0
+    rows = []
+    for i in range(1, 101):
+        mode = 0 if i <= 70 else (i % 3) + 1
+        base = np.zeros(8)
+        base[mode * 2] = 5.0
+        rows.append((i, [float(x) for x in base + rng.normal(0, 0.05, 8)]))
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    path = str(tmp_path / "statsidx")
+    build_ann_index(vecs, path, num_clusters=4, m=4, ksub=8)
+    stats = ann_index_stats(spark, path).collect()
+    assert sum(r.n_rows for r in stats) == 100
+    assert abs(sum(r.frac for r in stats) - 1.0) < 1e-9
+    # hot mode concentrated: top cell holds ~70% => imbalance ~2.8x
+    assert stats[0].n_rows >= 60 and stats[0].imbalance > 2.0
