@@ -1913,3 +1913,46 @@ def test_ann_index_stats_cell_balance(spark, tmp_path):
     assert abs(sum(r.frac for r in stats) - 1.0) < 1e-9
     # hot mode concentrated: top cell holds ~70% => imbalance ~2.8x
     assert stats[0].n_rows >= 60 and stats[0].imbalance > 2.0
+
+
+def test_bucketed_labels_one_file_per_bucket(spark, tmp_path):
+    """The bucketed label writes repartition by the bucket column, so
+    each partition directory holds exactly ONE data file regardless of
+    the writing job's task count — without it, partitionBy writes up
+    to tasks x buckets files (~32k at 64x512 measured at 5M docs) and
+    the listing cost eats the partial-rewrite win (review catch)."""
+    import os as _os
+
+    from etlutils_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    docs = spark.createDataFrame(
+        [(i, f"{a} doc{i}") for i in range(1, 33)],
+        "doc_id bigint, text string",
+    ).repartition(8)  # multi-task writing job on purpose
+    path = str(tmp_path / "onefile")
+    build_dedup_index(docs, path, bands=8, threshold=0.3, label_buckets=8)
+
+    def files_per_bucket():
+        out = {}
+        root = f"{path}/labels"
+        for d in _os.listdir(root):
+            if d.startswith("label_bucket="):
+                out[d] = len([
+                    f for f in _os.listdir(_os.path.join(root, d))
+                    if not f.startswith((".", "_"))
+                ])
+        return out
+
+    per = files_per_bucket()
+    assert per and all(n == 1 for n in per.values()), per
+    # the partial rewrite preserves the invariant for touched buckets
+    batch = spark.createDataFrame(
+        [(100, a + " doc1 extradup")], "doc_id bigint, text string"
+    ).repartition(4)
+    extend_dedup_index(path, batch, cc_scope="affected")
+    per = files_per_bucket()
+    assert per and all(n == 1 for n in per.values()), per
