@@ -110,15 +110,61 @@ def run(spark, n: int) -> dict:
     }
 
 
+def run_accumulated(spark, n: int, n_batches: int = 12) -> dict:
+    """Extend cost as BATCHES ACCUMULATE (the dedup index's r7
+    flatness axis, applied to the ANN artifact): build on n vectors,
+    fold n_batches successive 500-vector batches, time every extend.
+    The only stored-side term is the replay-dedup anti-join over the
+    codes table's id column — one columnar scan that grows with the
+    corpus by 500 rows/batch, so the per-extend wall must stay ~flat
+    across the sequence."""
+    from etlutils_spark.operators.similarity import (
+        build_ann_index,
+        extend_ann_index,
+    )
+
+    corpus = synth_vectors(spark, n).persist()
+    corpus.count()
+    path = os.path.join(tempfile.gettempdir(), f"ann_acc_{os.getpid()}_{n}")
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = time.time()
+    build_ann_index(corpus, path, num_clusters=16, m=4, ksub=16,
+                    init_mode="random", max_iter=5)
+    build_sec = round(time.time() - t0, 2)
+    extend_secs, code_rows = [], []
+    for k in range(n_batches):
+        batch = synth_vectors(spark, BATCH, id_offset=(10 + k) * max(n, BATCH))
+        t0 = time.time()
+        codes = extend_ann_index(path, batch)
+        extend_secs.append(round(time.time() - t0, 2))
+        code_rows.append(codes.count())
+    corpus.unpersist()
+    shutil.rmtree(path, ignore_errors=True)
+    return {
+        "corpus": n,
+        "batch": BATCH,
+        "n_batches": n_batches,
+        "build_sec": build_sec,
+        "extend_secs": extend_secs,
+        "code_rows_after_each": code_rows,
+    }
+
+
 def main() -> None:
     from etlutils_spark.session import get_session
 
-    scales = [int(a) for a in sys.argv[1:]] or [5000, 50000]
+    args = sys.argv[1:]
     spark = get_session(
         "stress_ann",
         **{"spark.driver.memory": "8g", "spark.sql.shuffle.partitions": "32"},
     )
-    report = [run(spark, n) for n in scales]
+    if args and args[0] == "accumulate":
+        n = int(args[1]) if len(args) > 1 else 50000
+        n_batches = int(args[2]) if len(args) > 2 else 12
+        report = run_accumulated(spark, n, n_batches)
+    else:
+        scales = [int(a) for a in args] or [5000, 50000]
+        report = [run(spark, n) for n in scales]
     print(json.dumps(report, indent=1))
     spark.stop()
 
