@@ -1389,24 +1389,13 @@ def extend_dedup_index(
         spark, f"{path}/.writer_lease", writer_lease_stale_sec
     )
     try:
-        from etlutils_spark.streaming.incremental_lsh import batch_profiles
-
         n, num_hashes, bands, threshold, label_buckets = _read_index_params(
             spark, path, n, num_hashes, bands, threshold
         )
-        # the batch profile fans out to ~6 plan subtrees (band probe
-        # x2, verify payload joins x3, the append) — persist so the
-        # shingling/minhash runs once per batch, not once per consumer
-        new_prof = batch_profiles(
-            new_docs, text_col, id_col, n, num_hashes, bands
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            return _extend_dedup_index_locked(
-                spark, path, new_docs, new_prof, id_col, cc_scope,
-                n, num_hashes, bands, threshold, label_buckets,
-            )
-        finally:
-            new_prof.unpersist()
+        return _extend_dedup_index_locked(
+            spark, path, new_docs, text_col, id_col, cc_scope,
+            n, num_hashes, bands, threshold, label_buckets,
+        )
     finally:
         release_writer_lease(spark, f"{path}/.writer_lease", lease)
 
@@ -1415,7 +1404,7 @@ def _extend_dedup_index_locked(
     spark: SparkSession,
     path: str,
     new_docs: DataFrame,
-    new_prof: DataFrame,
+    text_col: str,
     id_col: str,
     cc_scope: str,
     n: int,
@@ -1427,12 +1416,11 @@ def _extend_dedup_index_locked(
     """Body of :func:`extend_dedup_index`, running under the artifact's
     writer lease (which also covers the reads: the
     profiles/labels/edges snapshot this refresh derives from cannot be
-    mutated under it by a concurrent writer). ``new_prof`` is the
-    batch's profile frame, persisted by the caller (it fans out to ~6
-    plan subtrees here)."""
+    mutated under it by a concurrent writer)."""
     from etlutils_spark.streaming.incremental_lsh import (
         _explode_bands,
         _verified_pairs,
+        batch_profiles,
     )
 
     old_prof = spark.read.parquet(f"{path}/profiles")
@@ -1491,6 +1479,14 @@ def _extend_dedup_index_locked(
         epoch = max(p_epoch, l_epoch) + 1
     if drift and cc_scope == "affected":
         effective_scope = "full"
+    # batch_profiles eagerly localCheckpoints its output (it fans out
+    # to ~6 plan subtrees here), so the shingling/minhash runs once;
+    # constructed AFTER the artifact-sanity checks above so a corrupt
+    # artifact raises before any batch job runs (review catches: an
+    # added persist double-stored the checkpointed blocks, and hoisting
+    # construction ahead of validation made a doomed extend pay a full
+    # shingle job under the lease first)
+    new_prof = batch_profiles(new_docs, text_col, id_col, n, num_hashes, bands)
     nb = _explode_bands(new_prof, "id_1")
     # new-vs-index probe: the batch side is the small build side
     cand_cross = (

@@ -1066,7 +1066,10 @@ def _build_ann_index_locked(
     # gone (review catch: at 100 TB that join was the build's most
     # expensive stage)
     _assign_and_encode(
-        corpus, cents, books, id_col, vec_col, dim, "build_ann_index",
+        corpus, cents, books, id_col, vec_col, dim,
+        "build_ann_index: corpus vectors have dim {got} but the "
+        "training sample (orderBy(id).limit(sample_limit)) trained the "
+        "quantizers at dim {want} — the corpus mixes vector dims",
         with_qerr=False,
     ).write.mode("overwrite").parquet(f"{path}/codes")
     spark.createDataFrame(
@@ -1153,7 +1156,7 @@ def _assign_and_encode(
     id_col: str,
     vec_col: str,
     dim: int,
-    err_prefix: str,
+    dim_err: str,
     with_qerr: bool,
 ) -> DataFrame:
     """One Arrow-batched pass computing each vector's IVF cell AND PQ
@@ -1180,10 +1183,10 @@ def _assign_and_encode(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             if X.shape[1] != dim:
-                raise ValueError(
-                    f"{err_prefix}: batch vectors have dim "
-                    f"{X.shape[1]} but the index was built at dim {dim}"
-                )
+                # dim_err carries the caller-specific phrasing:
+                # build = inconsistent corpus vs the training sample,
+                # extend = batch vs the committed params sidecar
+                raise ValueError(dim_err.format(got=X.shape[1], want=dim))
             d2cell = cent_sq[None, :] - 2.0 * (X @ cents.T)
             cell = d2cell.argmin(1)
             Xn = X / np.maximum(
@@ -1284,7 +1287,9 @@ def _extend_ann_index_locked(
     dim = int(params["dim"])
     batch_codes = _assign_and_encode(
         new_vectors, cents, books, id_col, vec_col, dim,
-        "extend_ann_index", with_qerr=True,
+        "extend_ann_index: batch vectors have dim {got} but the index "
+        f"was built at dim {{want}} (from {path}/params)",
+        with_qerr=True,
     ).persist()  # consumed twice: drift aggregate + the append
     try:
         params_d = params.asDict() if hasattr(params, "asDict") else params
@@ -1340,23 +1345,26 @@ def ann_index_stats(spark, path: str) -> DataFrame:
     the same remedy (rebuild); this tells you which queries hurt and
     by how much. One hash-aggregate over the codes table's cell
     column, map-side combinable; cells that lost every row (possible
-    after upstream dedup rewrites) simply have no row here."""
+    after upstream dedup rewrites) simply have no row here. ONE scan:
+    the corpus total is derived from the collected per-cell counts
+    (at most num_clusters rows — bounded by construction) instead of
+    a second count job over the same table."""
     params, _, _ = _read_ann_index(spark, path)
     c = int(params["num_clusters"])
-    codes = spark.read.parquet(f"{path}/codes")
-    total = codes.count()
-    return (
-        codes.groupBy("cluster_id")
+    per_cell = (
+        spark.read.parquet(f"{path}/codes")
+        .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_rows"))
-        .select(
-            "cluster_id",
-            "n_rows",
-            (F.col("n_rows") / F.lit(max(total, 1))).alias("frac"),
-            (F.col("n_rows") * F.lit(c) / F.lit(max(total, 1))).alias(
-                "imbalance"
-            ),
-        )
-        .orderBy(F.desc("n_rows"), "cluster_id")
+        .collect()
+    )
+    total = max(sum(r.n_rows for r in per_cell), 1)
+    return spark.createDataFrame(
+        [
+            (int(r.cluster_id), int(r.n_rows), r.n_rows / total,
+             r.n_rows * c / total)
+            for r in sorted(per_cell, key=lambda r: (-r.n_rows, r.cluster_id))
+        ],
+        "cluster_id int, n_rows bigint, frac double, imbalance double",
     )
 
 

@@ -133,11 +133,17 @@ def run_accumulated(spark, n: int, n_batches: int = 12) -> dict:
     build_sec = round(time.time() - t0, 2)
     extend_secs, code_rows = [], []
     for k in range(n_batches):
-        batch = synth_vectors(spark, BATCH, id_offset=(10 + k) * max(n, BATCH))
+        # persist + count BEFORE the timer, mirroring run(): the timed
+        # window must hold extend cost only, not batch synthesis
+        batch = synth_vectors(
+            spark, BATCH, id_offset=(10 + k) * max(n, BATCH)
+        ).persist()
+        batch.count()
         t0 = time.time()
         codes = extend_ann_index(path, batch)
         extend_secs.append(round(time.time() - t0, 2))
         code_rows.append(codes.count())
+        batch.unpersist()
     corpus.unpersist()
     shutil.rmtree(path, ignore_errors=True)
     return {
