@@ -63,25 +63,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # green rows.
 
 _LAST_DRIVER_CHECK = {
-    # --- last green driver row: CORRECTNESS_r04.json ---
-    "ann_arrow_topk": 4, "ann_ivf_topk": 4, "ann_lsh_topk": 4,
-    "ann_pq_recall_contract": 4, "approx_distinct_contract": 4,
-    "approx_quantiles_contract": 4, "asof_next_purchase": 4,
-    "bm25_topk_search": 4, "cohort_retention": 4, "constraint_audit": 4,
-    "curation_pipeline_batch": 4, "decontaminate_semantic_embeddings": 4,
-    "dedup_containment": 4, "dedup_simhash": 4, "dedup_window_rewrite": 4,
-    "dedup_window_spans": 4, "dedup_window_spans_shifted": 4,
-    "embedding_cluster_assign": 4, "format_roundtrip_orc": 4,
-    "funnel_stages_user": 4, "heavy_hitters_contract": 4,
-    "hilbert_curve_order2": 4, "knn_label_consistency": 4,
-    "multimodal_features": 4, "multimodal_probe": 4,
-    "profile_embeddings": 4, "quality_percentile_prune": 4,
-    "quality_rank_blend": 4, "salted_agg_event_types": 4,
-    "salted_join_hotkey": 4, "scd2_history": 4,
-    "semantic_dedup_survivors": 4, "streaming_interval_join": 4,
-    "token_budget_sample": 4, "train_val_test_split": 4,
-    "vocab_oov_rate": 4, "vocab_top_tokens": 4, "winnow_fingerprints": 4,
-    "winnow_overlap_pairs": 4, "zorder_pruning_stats": 4,
     # --- last green driver row: CORRECTNESS_r05.json ---
     "agg_cube": 5, "agg_rollup": 5, "anti_join_customers": 5,
     "append_union": 5, "bigram_lm_quality": 5, "bpe_encode_docs": 5,
@@ -89,7 +70,7 @@ _LAST_DRIVER_CHECK = {
     "embedding_quantize_int8": 5, "embedding_standardize": 5,
     "factor_levels_brand": 5, "format_roundtrip_text": 5,
     "fuzzy_matchmerge_segments": 5, "hard_negative_mining": 5,
-    "ingest_limit": 5, "locf_events": 5, "matchmerge_composite_key": 5,
+    "locf_events": 5, "matchmerge_composite_key": 5,
     "matchmerge_expr_key": 5, "matchmerge_inner": 5, "matchmerge_left": 5,
     "matchmerge_paste_key": 5, "matchmerge_vector_y": 5,
     "mixture_temperature_lang": 5, "multimodal_frame_sample": 5,
@@ -105,52 +86,71 @@ _LAST_DRIVER_CHECK = {
     # --- last green driver row: CORRECTNESS_r06.json ---
     "ann_cosine_topk": 6, "collect_sorted_sizes": 6,
     "correlated_subquery": 6, "curation_pipeline_tokens": 6,
-    "dedup_cluster_size_histogram": 6, "dedup_clusters_star": 6,
     "dedup_embedding_cosine": 6, "dedup_exact": 6,
     "dedup_exact_survivors": 6, "dedup_minhash_clusters": 6,
-    "dedup_minhash_lsh": 6, "dedup_ngram_jaccard": 6,
-    "dedup_rate_report_by_source": 6, "delegated_sql": 6,
+    "dedup_minhash_lsh": 6, "dedup_ngram_jaccard": 6, "delegated_sql": 6,
     "explode_token_freq": 6, "gopher_quality_docs": 6,
     "grouping_sets_sql": 6, "having_filter": 6,
     "histogram_price_buckets": 6, "json_extract_props": 6,
     "json_map_explode": 6, "lateral_topk_per_nation": 6,
-    "leakage_safe_split": 6, "line_boilerplate_docs": 6,
-    "pack_ids_export": 6, "percentile_quantity": 6,
-    "pivot_status_counts": 6, "q10_returned_items": 6,
-    "q12_late_shipment_priority": 6, "q13_customer_order_distribution": 6,
-    "q14_promo_share": 6, "q15_top_supplier": 6,
-    "q18_large_volume_orders": 6, "q19_disjunctive_filter": 6,
-    "q22_idle_rich_customers": 6, "q4_priority_returns": 6,
-    "q6_revenue_forecast": 6, "q7_volume_shipping": 6, "q8_market_share": 6,
+    "line_boilerplate_docs": 6, "pack_ids_export": 6,
+    "percentile_quantity": 6, "pivot_status_counts": 6,
+    "q10_returned_items": 6, "q12_late_shipment_priority": 6,
+    "q13_customer_order_distribution": 6, "q14_promo_share": 6,
+    "q15_top_supplier": 6, "q18_large_volume_orders": 6,
+    "q19_disjunctive_filter": 6, "q22_idle_rich_customers": 6,
+    "q4_priority_returns": 6, "q6_revenue_forecast": 6,
+    "q7_volume_shipping": 6, "q8_market_share": 6,
     "q9_product_type_profit": 6, "stats_moments": 6, "text_lang_id": 6,
     "text_stats": 6, "tokenize_to_ids": 6, "tokenize_to_ids_bigvocab": 6,
-    "triplet_mining_pairs": 6, "union_distinct_nations": 6,
-    "window_rank_functions": 6,
+    "union_distinct_nations": 6, "window_rank_functions": 6,
     # --- last green driver row: CORRECTNESS_r07.json ---
-    "ann_index_streaming": 7, "ann_index_topk": 7, "asof_last_purchase": 7,
-    "bpe_encode_docs_bigvocab": 7, "c4_quality_docs": 7,
-    "chunk_documents_windows": 7, "cogroup_asof_enrich": 7,
-    "corpus_rarity": 7, "decontaminate_overlap": 7,
-    "dedup_cluster_survivors": 7, "dedup_clusters_incremental": 7,
-    "dedup_clusters_streaming": 7, "format_roundtrip_csv": 7,
-    "format_roundtrip_json": 7, "full_outer_reconcile": 7,
-    "grouped_apply_rank": 7, "incremental_lsh_pairs": 7,
-    "incremental_span_dedup": 7, "mixture_resample_lang": 7,
-    "multimodal_audio_chunks": 7, "multimodal_meta": 7,
-    "outlier_flags_events": 7, "pack_sequences_source": 7,
-    "pandas_udf_normalize": 7, "profile_documents": 7,
-    "q11_important_stock": 7, "q16_supplier_part_counts": 7,
-    "q17_small_quantity_revenue": 7, "q20_excess_stock_suppliers": 7,
-    "q21_waiting_supplier": 7, "q2_min_cost_supplier": 7,
-    "quality_filter_flags": 7, "range_join_purchase_window": 7,
-    "sample_hash_10pct": 7, "sample_stratified_lang": 7,
-    "sessionize_events": 7, "sessionize_native_window": 7,
-    "sessionize_stateful_evicted": 7, "shard_manifest": 7,
-    "streaming_curation_pipeline": 7, "streaming_window_counts": 7,
-    "text_fingerprint": 7, "text_redact_pii": 7, "text_repetition": 7,
-    "text_token_counts": 7, "time_rollup_multigrain": 7,
-    "unpivot_order_metrics": 7, "upsert_scd1": 7, "window_rolling_7d": 7,
-    "write_roundtrip": 7,
+    "asof_last_purchase": 7, "bpe_encode_docs_bigvocab": 7,
+    "c4_quality_docs": 7, "chunk_documents_windows": 7,
+    "cogroup_asof_enrich": 7, "corpus_rarity": 7,
+    "decontaminate_overlap": 7, "dedup_cluster_survivors": 7,
+    "format_roundtrip_csv": 7, "format_roundtrip_json": 7,
+    "full_outer_reconcile": 7, "grouped_apply_rank": 7,
+    "incremental_lsh_pairs": 7, "incremental_span_dedup": 7,
+    "mixture_resample_lang": 7, "multimodal_audio_chunks": 7,
+    "multimodal_meta": 7, "outlier_flags_events": 7,
+    "pack_sequences_source": 7, "pandas_udf_normalize": 7,
+    "profile_documents": 7, "q11_important_stock": 7,
+    "q16_supplier_part_counts": 7, "q17_small_quantity_revenue": 7,
+    "q20_excess_stock_suppliers": 7, "q21_waiting_supplier": 7,
+    "q2_min_cost_supplier": 7, "quality_filter_flags": 7,
+    "range_join_purchase_window": 7, "sample_hash_10pct": 7,
+    "sample_stratified_lang": 7, "sessionize_events": 7,
+    "sessionize_native_window": 7, "sessionize_stateful_evicted": 7,
+    "shard_manifest": 7, "streaming_curation_pipeline": 7,
+    "streaming_window_counts": 7, "text_fingerprint": 7,
+    "text_redact_pii": 7, "text_repetition": 7, "text_token_counts": 7,
+    "time_rollup_multigrain": 7, "unpivot_order_metrics": 7,
+    "upsert_scd1": 7, "window_rolling_7d": 7, "write_roundtrip": 7,
+    # --- last green driver row: CORRECTNESS_r08.json ---
+    "ann_arrow_topk": 8, "ann_index_streaming": 8, "ann_index_topk": 8,
+    "ann_ivf_topk": 8, "ann_lsh_topk": 8, "ann_pq_recall_contract": 8,
+    "approx_distinct_contract": 8, "approx_quantiles_contract": 8,
+    "asof_next_purchase": 8, "bm25_topk_search": 8, "cohort_retention": 8,
+    "constraint_audit": 8, "curation_pipeline_batch": 8,
+    "decontaminate_semantic_embeddings": 8,
+    "dedup_cluster_size_histogram": 8, "dedup_clusters_incremental": 8,
+    "dedup_clusters_star": 8, "dedup_clusters_streaming": 8,
+    "dedup_containment": 8, "dedup_rate_report_by_source": 8,
+    "dedup_simhash": 8, "dedup_window_rewrite": 8, "dedup_window_spans": 8,
+    "dedup_window_spans_shifted": 8, "embedding_cluster_assign": 8,
+    "format_roundtrip_orc": 8, "funnel_stages_user": 8,
+    "heavy_hitters_contract": 8, "hilbert_curve_order2": 8,
+    "ingest_limit": 8, "knn_label_consistency": 8, "leakage_safe_split": 8,
+    "multimodal_features": 8, "multimodal_probe": 8,
+    "profile_embeddings": 8, "quality_percentile_prune": 8,
+    "quality_rank_blend": 8, "salted_agg_event_types": 8,
+    "salted_join_hotkey": 8, "scd2_history": 8,
+    "semantic_dedup_survivors": 8, "streaming_interval_join": 8,
+    "token_budget_sample": 8, "train_val_test_split": 8,
+    "triplet_mining_pairs": 8, "vocab_oov_rate": 8, "vocab_top_tokens": 8,
+    "winnow_fingerprints": 8, "winnow_overlap_pairs": 8,
+    "zorder_pruning_stats": 8,
 }
 
 
@@ -158,23 +158,7 @@ _LAST_DRIVER_CHECK = {
 # consumer wiring, or a semantics-relevant operator edit) — they must
 # re-verify in the new form regardless of a prior green row.
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # r8: Lloyd assignment in _lloyd_kmeans/pq_train moved to the
-    # ||c||^2 - 2<x,c> identity (O(n*k) memory) and k-means++ seeding
-    # gained the distinct(X) < k degenerate path — centroid/codebook
-    # float arithmetic changed, so every index/codebook consumer
-    # re-verifies
-    "ann_index_topk", "ann_index_streaming", "ann_pq_recall_contract",
-    # r8: build/extend_dedup_index now project the physical
-    # label_bucket partition key out of the returned frame; index-tier
-    # CC switched to algorithm="auto" (bounded driver union-find on
-    # small graphs, star beyond — labels pinned identical)
-    "dedup_clusters_incremental", "dedup_clusters_streaming",
-    # r8: the materialized-clusters scratch artifact builds with
-    # algorithm="auto" — same labels, new plan, so its consumers
-    # re-verify
-    "dedup_clusters_star", "triplet_mining_pairs",
-    "dedup_rate_report_by_source", "leakage_safe_split",
-    "dedup_cluster_size_histogram",
+    # r9: repopulated as registered behavior changes this round
 })
 
 # Derived view kept for the smoke-test invariant and round tooling: a
