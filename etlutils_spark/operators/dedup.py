@@ -923,11 +923,20 @@ def build_dedup_clusters(
             F.coalesce("cluster_id", F.col(id_col)).cast("long").alias("cluster_id"),
         )
     )
-    if path is None:
-        return labels  # lazy: the caller's action consumes the persist
-    labels.write.mode(mode).parquet(path)
     if algorithm == "auto":
+        # by the time connected_components(algorithm="auto") returns,
+        # the persist is fully consumed EITHER WAY: the driver fast
+        # path collected its probe and comp is a local relation that
+        # never references pairs, and the star fallback's rounds run
+        # eagerly (per-round convergence counts) into localCheckpoints
+        # that truncate lineage. Holding the cached blocks past this
+        # point is dead weight for the session lifetime (review catch —
+        # the old "caller's action consumes the persist" comment was
+        # wrong on the driver path).
         pairs.unpersist()
+    if path is None:
+        return labels
+    labels.write.mode(mode).parquet(path)
     return docs.sparkSession.read.parquet(path)
 
 

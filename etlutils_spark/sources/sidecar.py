@@ -138,8 +138,22 @@ def bootstrap_action(spark, url: str) -> str:
 _LEASE_BEATS: "dict[tuple[str, str], object]" = {}
 
 
+# Stores whose Hadoop connectors implement create(overwrite=false) as
+# check-then-put and rename as copy+delete: the lease's exclusivity
+# primitives silently don't exclude there (HADOOP-9565 lineage).
+_RENAME_WEAK_SCHEMES = frozenset({"s3", "s3a", "s3n"})
+
+# heartbeat retry tick after a read/touch failure: short enough that a
+# transient hiccup doesn't let the lease age toward staleness, long
+# enough not to hammer a struggling namenode
+_BEAT_RETRY_SEC = 2.0
+
+
 def acquire_writer_lease(
-    spark, url: str, stale_after_sec: float = 600.0
+    spark,
+    url: str,
+    stale_after_sec: float = 600.0,
+    allow_rename_weak_store: bool = False,
 ) -> str:
     """Take the single-writer lease at ``url`` (a create-fails lock
     file through the Hadoop FS API) and return its ownership token.
@@ -165,16 +179,41 @@ def acquire_writer_lease(
 
     Store semantics: mutual exclusion needs atomic exclusive CREATE
     and atomic RENAME — true on HDFS, local filesystems, and ABFS. On
-    S3A, create(overwrite=false) is check-then-put and rename is
-    copy+delete, so two racers can both "win": there, point the lease
-    at an HDFS/ABFS path, or front it with a real lock service — the
-    data sidecars remain S3-safe (a torn read is handled), it is only
-    this LOCK that needs stronger primitives."""
+    S3-family stores, create(overwrite=false) is check-then-put and
+    rename is copy+delete, so two racers can both "win": acquisition
+    there RAISES unless ``allow_rename_weak_store=True`` (an explicit
+    opt-out for users who front the path with a real lock service) —
+    the data sidecars remain S3-safe (a torn read is handled), it is
+    only this LOCK that needs stronger primitives.
+
+    Clock model: staleness compares the driver's wall clock against
+    the filesystem's stored mtime, so skew between the two (or between
+    two drivers) shifts the effective ``stale_after_sec`` by the skew
+    amount. The heartbeat-every-``stale/3`` margin absorbs ordinary
+    NTP-grade skew; a store whose clock runs minutes apart from the
+    drivers needs a proportionally larger ``stale_after_sec``."""
     import threading
     import time
+    import urllib.parse
     import uuid
+    import warnings
 
     from py4j.protocol import Py4JJavaError
+
+    # scheme check BEFORE touching the FS: the whole point is to be
+    # loud even when the store's connector happily accepts the calls
+    scheme = urllib.parse.urlsplit(url).scheme.lower()
+    if scheme in _RENAME_WEAK_SCHEMES and not allow_rename_weak_store:
+        raise ValueError(
+            f"writer lease at {url}: {scheme}:// does not provide the "
+            "atomic exclusive-create/rename this lock is built on "
+            "(create(overwrite=false) is check-then-put, rename is "
+            "copy+delete), so two concurrent writers could both "
+            "acquire it — point the lease at an HDFS/ABFS/local path, "
+            "front it with a real lock service, or pass "
+            "allow_rename_weak_store=True to accept weakened mutual "
+            "exclusion"
+        )
 
     jvm, fs, target = _fs_path(spark, url)
     token = uuid.uuid4().hex
@@ -185,11 +224,25 @@ def acquire_writer_lease(
         interval = max(1.0, stale_after_sec / 3.0)
 
         def beat() -> None:
-            while not stop.wait(interval):
+            # Only a POSITIVE foreign token stops the beat (we were
+            # stolen while stalled — we are a zombie and must not
+            # refresh the thief's mtime). A read/touch failure is NOT
+            # proof of theft: it can be a transient FS hiccup, or the
+            # millisecond window where another process's
+            # release_writer_lease has renamed a lease away for
+            # inspection — exiting there would kill a healthy holder's
+            # heartbeat and let its lease go stale mid-refresh, which
+            # is exactly the two-writer hazard the lease prevents. So
+            # failures retry on a short tick; only after the retries
+            # span a full staleness window do we give up, loudly.
+            max_misses = max(
+                3, int(stale_after_sec / _BEAT_RETRY_SEC) + 1
+            )
+            misses = 0
+            while not stop.wait(
+                interval if misses == 0 else min(interval, _BEAT_RETRY_SEC)
+            ):
                 try:
-                    # stop beating if the lease no longer holds our
-                    # token (we were stolen while stalled — we are a
-                    # zombie and must not refresh the thief's mtime)
                     stream = fs.open(target)
                     try:
                         current = jvm.org.apache.commons.io.IOUtils.toString(
@@ -198,10 +251,23 @@ def acquire_writer_lease(
                     finally:
                         stream.close()
                     if current != token:
-                        return
+                        return  # positively stolen — stop as a zombie
                     fs.setTimes(target, int(time.time() * 1000), -1)
+                    misses = 0
                 except Py4JJavaError:
-                    return  # lease gone or session closed — stop
+                    misses += 1
+                    if misses >= max_misses:
+                        import warnings
+
+                        warnings.warn(
+                            f"writer-lease heartbeat for {url} giving "
+                            f"up after {misses} consecutive failures "
+                            "spanning a full staleness window — the "
+                            "lease may now be stolen; the holder "
+                            "should re-verify ownership before its "
+                            "next artifact mutation"
+                        )
+                        return
                 except Exception:
                     return  # gateway shut down mid-beat
         t = threading.Thread(
@@ -211,14 +277,28 @@ def acquire_writer_lease(
         return token
 
     for _ in range(4):  # create, steal-retry, vanished-retry, race-retry
+        created = False
         try:
             stream = fs.create(target, False)  # overwrite=False
+            created = True
             try:
                 stream.write(bytearray(token.encode("utf-8")))
             finally:
                 stream.close()
             return _start_beat()
         except Py4JJavaError:
+            if created:
+                # the exclusive create WON but the token write failed:
+                # left alone, that fresh token-less orphan (with no
+                # heartbeat) would block every writer — ourselves
+                # included — until stale_after_sec expires. It is ours
+                # (created milliseconds ago, so nobody can have stolen
+                # a non-stale lease): remove it and retry.
+                try:
+                    fs.delete(target, False)
+                except Py4JJavaError:
+                    pass
+                continue
             pass  # exists (contended) — fall through to live/stale check
         try:
             age = time.time() - fs.getFileStatus(

@@ -1884,6 +1884,105 @@ def test_writer_lease_heartbeat_and_release_protocol(spark, tmp_path):
     assert not _os.path.exists(url)
 
 
+def test_lease_rename_weak_scheme_is_loud(spark):
+    """Pointing the writer lease at an S3-family URL must raise BEFORE
+    touching the store: s3a's create(overwrite=false) is check-then-put
+    and its rename is copy+delete, so the lock's exclusivity primitives
+    silently don't exclude there (r8 verdict Next #5 — the failure mode
+    was silent loss of mutual exclusion, the one thing a lock must
+    never lose silently). The opt-out flag exists for users fronting
+    the path with a real lock service."""
+    from etlutils_spark.sources import sidecar as sc
+
+    for scheme in ("s3a", "s3", "s3n", "S3A"):
+        with pytest.raises(ValueError, match="rename"):
+            sc.acquire_writer_lease(
+                spark, f"{scheme}://bucket/idx/.writer_lease"
+            )
+
+
+def test_lease_heartbeat_survives_transient_fs_hiccup(spark, tmp_path):
+    """The heartbeat must only stop on a POSITIVE foreign token, never
+    on a read/touch failure: a transient FS hiccup (or the window where
+    a releaser has renamed a lease away for inspection) used to kill
+    the beat permanently, letting a HEALTHY holder's lease go stale and
+    be stolen mid-refresh — exactly the two-writer corruption the lease
+    prevents (r8 ADVICE, medium). Simulated by renaming the lease away
+    across one beat tick: a beat that died would leave the back-dated
+    mtime stale; the resilient beat refreshes it on the next tick."""
+    import time
+
+    from etlutils_spark.sources import sidecar as sc
+
+    url = str(tmp_path / "hiccup" / ".writer_lease")
+    token = sc.acquire_writer_lease(spark, url, stale_after_sec=3.0)
+    try:
+        os.rename(url, url + ".away")  # beat tick at ~1s fails
+        time.sleep(1.5)
+        os.rename(url + ".away", url)
+        old = time.time() - 10
+        os.utime(url, (old, old))  # stale unless a LIVE beat refreshes
+        time.sleep(2.5)
+        assert time.time() - os.path.getmtime(url) < 5.0, (
+            "heartbeat died on a transient failure: lease mtime was "
+            "never refreshed after the hiccup cleared"
+        )
+        assert sc.read_sidecar_text(spark, url) == token
+    finally:
+        sc.release_writer_lease(spark, url, token)
+
+
+def test_lease_token_write_failure_cleans_orphan(spark, tmp_path, monkeypatch):
+    """If the exclusive create WINS but the token write then fails, the
+    fresh token-less lease (no heartbeat) used to be left in place —
+    blocking every writer, the failed acquirer included, until the
+    staleness window expired (r8 ADVICE, low). The acquirer must delete
+    its own orphan and retry; the retry here succeeds immediately."""
+    from py4j.protocol import Py4JJavaError
+
+    from etlutils_spark.sources import sidecar as sc
+
+    url = str(tmp_path / "orphan" / ".writer_lease")
+    real_fs_path = sc._fs_path
+    fail_once = {"armed": True}
+
+    class FailingStream:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def write(self, data):
+            err = Py4JJavaError.__new__(Py4JJavaError)
+            err.args = ("simulated token write failure",)
+            raise err
+
+        def close(self):
+            self._inner.close()
+
+    class FSWrap:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def create(self, target, overwrite):
+            stream = self._fs.create(target, overwrite)
+            if fail_once["armed"]:
+                fail_once["armed"] = False
+                return FailingStream(stream)
+            return stream
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def patched(spark_, u):
+        jvm, fs, target = real_fs_path(spark_, u)
+        return jvm, FSWrap(fs), target
+
+    monkeypatch.setattr(sc, "_fs_path", patched)
+    token = sc.acquire_writer_lease(spark, url, stale_after_sec=60.0)
+    assert sc.read_sidecar_text(spark, url) == token
+    sc.release_writer_lease(spark, url, token)
+    assert not os.path.exists(url)
+
+
 def test_ann_index_stats_cell_balance(spark, tmp_path):
     """ann_index_stats reports per-cell row counts and the imbalance
     ratio vs the uniform share — the diagnostic that says WHICH
