@@ -158,7 +158,10 @@ _LAST_DRIVER_CHECK = {
 # consumer wiring, or a semantics-relevant operator edit) — they must
 # re-verify in the new form regardless of a prior green row.
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # r9: repopulated as registered behavior changes this round
+    # r9: extend_ann_index's drift aggregate moved from a standalone
+    # action onto the codes write job via Observation (and the batch
+    # persist was dropped) — new plan for every extend-path consumer
+    "ann_index_streaming",
 })
 
 # Derived view kept for the smoke-test invariant and round tooling: a

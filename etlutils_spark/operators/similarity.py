@@ -1280,56 +1280,72 @@ def _extend_ann_index_locked(
     vec_col: str,
     drift_ratio_threshold: float,
 ) -> DataFrame:
-    """Body of :func:`extend_ann_index`, under the writer lease."""
+    """Body of :func:`extend_ann_index`, under the writer lease.
+
+    The drift measurement is FREE: the batch's mean quantization error
+    is collected by an ``Observation`` attached to the codes frame
+    INSIDE the append-write job (the same zero-extra-jobs pattern as
+    the verbose write instrumentation in ``sources/sql.py``), not by a
+    separate aggregate action — the r8 bench showed the standalone agg
+    costing ~0.5-1 s of fixed scheduling per extend. The observe node
+    sits ABOVE the encode and BELOW the replay anti-join, so the stat
+    covers the WHOLE batch (replayed rows included, matching the
+    pre-Observation semantics — CollectMetrics is a pushdown barrier,
+    so the anti-join cannot filter rows out from under it), and the
+    single write action also makes the old persist/unpersist pair
+    unnecessary: the frame is consumed exactly once."""
     import warnings
 
     params, cents, books = _read_ann_index(spark, path)
     dim = int(params["dim"])
+    params_d = params.asDict() if hasattr(params, "asDict") else params
+    baseline = params_d.get("qerr_mean")
     batch_codes = _assign_and_encode(
         new_vectors, cents, books, id_col, vec_col, dim,
         "extend_ann_index: batch vectors have dim {got} but the index "
         f"was built at dim {{want}} (from {path}/params)",
-        with_qerr=True,
-    ).persist()  # consumed twice: drift aggregate + the append
-    try:
-        params_d = params.asDict() if hasattr(params, "asDict") else params
-        baseline = params_d.get("qerr_mean")
-        if baseline is not None:
-            stat = batch_codes.agg(
-                F.avg("__qerr").alias("m"), F.count(F.lit(1)).alias("n")
-            ).first()
-            if stat.n:
-                # a 0.0 baseline (degenerate all-duplicate training
-                # sample) makes ANY nonzero batch error infinite drift
-                # — correct: the quantizers know exactly one point
-                ratio = float(stat.m) / max(float(baseline), 1e-300)
-                drifted = bool(ratio > drift_ratio_threshold)
-                write_sidecar_json(
-                    spark,
-                    f"{path}/drift",
-                    {
-                        "batch_qerr_mean": float(stat.m),
-                        "build_qerr_mean": float(baseline),
-                        "ratio": ratio,
-                        "threshold": float(drift_ratio_threshold),
-                        "drifted": drifted,
-                        "batch_rows": int(stat.n),
-                    },
+        with_qerr=baseline is not None,
+    )
+    obs = None
+    if baseline is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        batch_codes = batch_codes.observe(
+            obs, F.avg("__qerr").alias("m"), F.count(F.lit(1)).alias("n")
+        ).drop("__qerr")
+    stored_ids = spark.read.parquet(f"{path}/codes").select(id_col)
+    fresh = batch_codes.join(stored_ids, id_col, "left_anti")
+    fresh.write.mode("append").parquet(f"{path}/codes")
+    if obs is not None:
+        stat = obs.get  # ready: the write action above has completed
+        if stat["n"]:
+            # a 0.0 baseline (degenerate all-duplicate training
+            # sample) makes ANY nonzero batch error infinite drift
+            # — correct: the quantizers know exactly one point
+            ratio = float(stat["m"]) / max(float(baseline), 1e-300)
+            drifted = bool(ratio > drift_ratio_threshold)
+            write_sidecar_json(
+                spark,
+                f"{path}/drift",
+                {
+                    "batch_qerr_mean": float(stat["m"]),
+                    "build_qerr_mean": float(baseline),
+                    "ratio": ratio,
+                    "threshold": float(drift_ratio_threshold),
+                    "drifted": drifted,
+                    "batch_rows": int(stat["n"]),
+                },
+            )
+            if drifted:
+                warnings.warn(
+                    f"extend_ann_index: batch quantization error is "
+                    f"{ratio:.2f}x the build baseline (threshold "
+                    f"{drift_ratio_threshold}) — the frozen "
+                    f"quantizers no longer fit the ingest "
+                    f"distribution; schedule a rebuild of {path}",
+                    stacklevel=2,
                 )
-                if drifted:
-                    warnings.warn(
-                        f"extend_ann_index: batch quantization error is "
-                        f"{ratio:.2f}x the build baseline (threshold "
-                        f"{drift_ratio_threshold}) — the frozen "
-                        f"quantizers no longer fit the ingest "
-                        f"distribution; schedule a rebuild of {path}",
-                        stacklevel=2,
-                    )
-        stored_ids = spark.read.parquet(f"{path}/codes").select(id_col)
-        fresh = batch_codes.drop("__qerr").join(stored_ids, id_col, "left_anti")
-        fresh.write.mode("append").parquet(f"{path}/codes")
-    finally:
-        batch_codes.unpersist()
     return spark.read.parquet(f"{path}/codes")
 
 
