@@ -1522,11 +1522,19 @@ def _extend_dedup_index_locked(
         .unionByName(self_edges.select("id_1", "id_2"))
         .distinct()
     )
+    batch_clean = False
     if effective_scope == "affected":
         # materialize once: consumed by the append AND the compressed-
         # graph CC below
         new_edges = new_edges.localCheckpoint(eager=True)
-    if effective_scope == "affected" and bucketed:
+        # clean-batch probe (r8 verdict #6): a batch with ZERO verified
+        # pairs — the common production case — needs no star snapshot,
+        # no compressed-graph CC, no edge append/rewrite, and touches
+        # only its own docs' label buckets. The probe is an isEmpty on
+        # the just-checkpointed frame, so it costs a first-block read,
+        # not a pipeline re-run.
+        batch_clean = new_edges.isEmpty()
+    if effective_scope == "affected" and bucketed and not batch_clean:
         # pre-append snapshot of the COMPACTED star edge table —
         # dup-mass-sized, and guaranteed to actually be the compacted
         # star because equal epochs imply the previous refresh's

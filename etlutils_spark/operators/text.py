@@ -744,9 +744,18 @@ def _train_from_word_freq(
     the merged pair instead of re-counting the whole vocabulary —
     the difference between O(merges * vocab) and O(merges * hits),
     what makes the >= 1k-merge registrations practical (r6 verdict
-    #8). Selection rule: max count, lexicographic min tie-break —
-    bit-identical merge lists to the naive loop (pinned by a
-    differential test)."""
+    #8). Selection is a LAZY-DELETION HEAP, not a scan: the r8
+    measurement put ~190 of the 8k-merge trainer's ~192 s in the
+    per-merge max-count + min-pair passes over the few-hundred-
+    thousand-entry pairs dict (two O(|pairs|) Python scans per merge);
+    the heap keys ``(-count, pair)`` so the top is exactly the old
+    rule — max count, lexicographic min tie-break — and every count
+    update pushes a fresh entry while stale ones are discarded when
+    popped (an entry is live iff its count matches the pair's CURRENT
+    count, regardless of the path that count took). Merge lists stay
+    bit-identical to the naive loop (pinned by a differential test)."""
+    import heapq
+
     from collections import Counter
 
     words: list[tuple[str, ...]] = []
@@ -762,12 +771,21 @@ def _train_from_word_freq(
             p = (word[i], word[i + 1])
             pairs[p] += f
             where.setdefault(p, set()).add(wi)
+    heap: "list[tuple[int, tuple[str, str]]]" = [
+        (-c, p) for p, c in pairs.items()
+    ]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
+    dirty: "set[tuple[str, str]]" = set()
     for _ in range(num_merges):
-        if not pairs:
+        while heap:
+            negc, p = heap[0]
+            if pairs.get(p) == -negc:
+                break  # live: current count matches the entry
+            heapq.heappop(heap)  # stale (count changed since push)
+        if not heap:
             break
-        best = max(pairs.values())
-        a, b = min(p for p, c in pairs.items() if c == best)
+        a, b = heap[0][1]
         merges.append((a, b))
         ab = a + b
         for wi in sorted(where.get((a, b), ())):
@@ -782,12 +800,20 @@ def _train_from_word_freq(
                     out.append(word[i])
                     i += 1
             new = tuple(out)
-            # retract the old word's pair stats, add the new word's
+            # retract the old word's pair stats, add the new word's.
+            # Count changes only mark the pair DIRTY here; the heap
+            # push happens once per dirty pair per merge, below —
+            # pushing per update meant H pushes for a pair touched by
+            # H hit words, and the stale entries made heappop the
+            # trainer's hottest call (profiled: ~45% of wall)
             for j in range(len(word) - 1):
                 p = (word[j], word[j + 1])
-                pairs[p] -= f
-                if pairs[p] <= 0:
+                c = pairs.get(p, 0) - f
+                if c <= 0:
                     pairs.pop(p, None)
+                else:
+                    pairs[p] = c
+                dirty.add(p)
                 s = where.get(p)
                 if s is not None:
                     s.discard(wi)
@@ -795,7 +821,15 @@ def _train_from_word_freq(
             for j in range(len(new) - 1):
                 p = (new[j], new[j + 1])
                 pairs[p] = pairs.get(p, 0) + f
+                dirty.add(p)
                 where.setdefault(p, set()).add(wi)
+        # one live entry per surviving dirty pair at its FINAL count
+        # (a pair retracted to zero just leaves its old entries stale)
+        for p in dirty:
+            c = pairs.get(p)
+            if c is not None:
+                heapq.heappush(heap, (-c, p))
+        dirty.clear()
     return merges
 
 
