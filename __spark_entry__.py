@@ -162,6 +162,10 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     # action onto the codes write job via Observation (and the batch
     # persist was dropped) — new plan for every extend-path consumer
     "ann_index_streaming",
+    # r9: extend_dedup_index gained the clean-batch fast path (zero
+    # verified pairs -> label-only refresh, edge table untouched) —
+    # every extend-path consumer re-verifies
+    "dedup_clusters_incremental", "dedup_clusters_streaming",
 })
 
 # Derived view kept for the smoke-test invariant and round tooling: a

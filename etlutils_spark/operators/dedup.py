@@ -1554,7 +1554,8 @@ def _extend_dedup_index_locked(
     # between here and the labels-side marker below, the epochs stay
     # unequal and the next refresh takes the full-CC drift fallback
     _write_sync_epoch(spark, path, "profiles", epoch)
-    new_edges.write.mode("append").parquet(f"{path}/edges")
+    if not batch_clean:  # appending a known-empty frame is a dead job
+        new_edges.write.mode("append").parquet(f"{path}/edges")
     new_prof.write.mode("append").parquet(f"{path}/profiles")
 
     def _all_ids():
@@ -1622,42 +1623,56 @@ def _extend_dedup_index_locked(
         # the partitions holding changed labels — no O(corpus) term
         # anywhere in this branch (the probe above scans stored BANDS
         # once; that is the documented index scan, not a rewrite).
-        endpoints = (
-            new_edges.select(F.col("id_1").alias("doc_id"))
-            .unionByName(new_edges.select(F.col("id_2").alias("doc_id")))
-            .distinct()
-        )
-        # an endpoint's old cluster: its member row in the stored
-        # star, else itself (stored cluster minima carry no member
-        # row; stored singletons and batch-new docs self-label). The
-        # id_2 lookup may also match this batch's raw rows if ids
-        # collide with star rows — that only ever ADDS clusters to
-        # ``touched`` (a superset is safe: more rows re-derived, never
-        # fewer).
-        touched = F.broadcast(
-            endpoints.join(
-                star_before,
-                endpoints["doc_id"] == star_before["id_2"],
-                "left",
+        if batch_clean:
+            # clean batch (zero verified pairs): no component can
+            # change, so the stored star and every non-batch label are
+            # already final — the refresh reduces to writing the BATCH
+            # docs' label rows (self-labels; old labels carried on
+            # replay) into their buckets. An empty local comp reuses
+            # the shared carry/coalesce tail below; the star snapshot,
+            # compressed-graph CC, edge append, and edge rewrite are
+            # all skipped (r8 verdict #6 — the common production case;
+            # extend ≡ rebuild stays bit-identical because a
+            # from-scratch build would also self-label a pairless
+            # batch).
+            comp = spark.createDataFrame([], "node long, cluster_id long")
+        else:
+            endpoints = (
+                new_edges.select(F.col("id_1").alias("doc_id"))
+                .unionByName(new_edges.select(F.col("id_2").alias("doc_id")))
+                .distinct()
             )
-            .select(F.coalesce("id_1", "doc_id").alias("t_cluster"))
-            .distinct()
-        )
-        # each touched component's full star (its exact node set +
-        # connectivity) + the new edges: CC over this compressed graph
-        # yields the same minima a full recompute would, because
-        # component minima only ever decrease via merges and every
-        # merge partner's node set is present
-        members_star = star_before.join(
-            touched, star_before["id_1"] == touched["t_cluster"]
-        ).select("id_1", "id_2")
-        compressed = members_star.unionByName(
-            new_edges.select("id_1", "id_2")
-        )
-        comp = connected_components(
-            compressed, "id_1", "id_2", algorithm="auto"
-        ).localCheckpoint(eager=True)  # feeds the label write AND the
-        # edge rewrite that runs after both overwrites
+            # an endpoint's old cluster: its member row in the stored
+            # star, else itself (stored cluster minima carry no member
+            # row; stored singletons and batch-new docs self-label).
+            # The id_2 lookup may also match this batch's raw rows if
+            # ids collide with star rows — that only ever ADDS
+            # clusters to ``touched`` (a superset is safe: more rows
+            # re-derived, never fewer).
+            touched = F.broadcast(
+                endpoints.join(
+                    star_before,
+                    endpoints["doc_id"] == star_before["id_2"],
+                    "left",
+                )
+                .select(F.coalesce("id_1", "doc_id").alias("t_cluster"))
+                .distinct()
+            )
+            # each touched component's full star (its exact node set +
+            # connectivity) + the new edges: CC over this compressed
+            # graph yields the same minima a full recompute would,
+            # because component minima only ever decrease via merges
+            # and every merge partner's node set is present
+            members_star = star_before.join(
+                touched, star_before["id_1"] == touched["t_cluster"]
+            ).select("id_1", "id_2")
+            compressed = members_star.unionByName(
+                new_edges.select("id_1", "id_2")
+            )
+            comp = connected_components(
+                compressed, "id_1", "id_2", algorithm="auto"
+            ).localCheckpoint(eager=True)  # feeds the label write AND
+            # the edge rewrite that runs after both overwrites
         # buckets whose labels may change = buckets of every node of
         # the compressed graph plus every batch id; the collect is
         # bounded by label_buckets
@@ -1721,19 +1736,24 @@ def _extend_dedup_index_locked(
         # would derive from the full label table). Epoch ordering
         # after this write is unchanged: a crash anywhere in this tail
         # leaves unequal epochs and the drift recovery's
-        # edges ∪ star(labels) union covers both halves.
-        kept = star_before.join(
-            touched, star_before["id_1"] == touched["t_cluster"], "left_anti"
-        )
-        new_star = comp.filter(
-            F.col("cluster_id") != F.col("node")
-        ).select(
-            F.col("cluster_id").cast("long").alias("id_1"),
-            F.col("node").cast("long").alias("id_2"),
-        )
-        kept.unionByName(new_star).write.mode("overwrite").parquet(
-            f"{path}/edges"
-        )
+        # edges ∪ star(labels) union covers both halves. A clean batch
+        # skips it outright — zero new edges touch zero components, so
+        # the stored star is already exactly what this would write.
+        if not batch_clean:
+            kept = star_before.join(
+                touched,
+                star_before["id_1"] == touched["t_cluster"],
+                "left_anti",
+            )
+            new_star = comp.filter(
+                F.col("cluster_id") != F.col("node")
+            ).select(
+                F.col("cluster_id").cast("long").alias("id_1"),
+                F.col("node").cast("long").alias("id_2"),
+            )
+            kept.unionByName(new_star).write.mode("overwrite").parquet(
+                f"{path}/edges"
+            )
         _write_sync_epoch(spark, path, "labels", epoch)
         # drop the physical partition key: (id, cluster_id) contract
         return out.select(id_name, "cluster_id")
@@ -1744,6 +1764,41 @@ def _extend_dedup_index_locked(
         # connectivity and its exact id set; CC over those stars + the
         # new edges yields the same minima a full recompute would.
         # Untouched components keep their rows.
+        if batch_clean:
+            # clean batch (zero verified pairs): no component changed,
+            # so the refresh's label delta is purely ADDITIVE — the
+            # batch's genuinely-new docs self-label, replayed docs
+            # already have rows. Append exactly those rows (the same
+            # read-while-append anti-join pattern as the ANN codes
+            # table) instead of rewriting the whole table, and leave
+            # the edge table alone. A from-scratch rebuild produces
+            # the same row set; the next DIRTY batch's full-table
+            # rewrite re-compacts the accumulated small files. Equal
+            # epochs guarantee no dangling profile rows need healing
+            # here (a crashed prior refresh routes to full scope via
+            # the drift check above).
+            fresh = (
+                new_docs.select(
+                    F.col(id_col).cast("long").alias("doc_id")
+                )
+                .distinct()
+                .join(
+                    lbl.select(
+                        F.col(id_name).cast("long").alias("doc_id")
+                    ),
+                    "doc_id",
+                    "left_anti",
+                )
+                .select(
+                    F.col("doc_id").alias(id_name),
+                    F.col("doc_id").alias("cluster_id"),
+                )
+            )
+            fresh.write.mode("append").parquet(f"{path}/labels")
+            _write_sync_epoch(spark, path, "labels", epoch)
+            return spark.read.parquet(f"{path}/labels").select(
+                id_name, "cluster_id"
+            )
         all_ids = _all_ids()
         old_pairs = lbl.select(
             F.col(id_name).cast("long").alias("doc_id"),

@@ -400,6 +400,63 @@ def test_extend_dedup_index_matches_full_rebuild(spark, tmp_path):
     assert labels[7] == 7 and labels[8] == 8
 
 
+def test_extend_dedup_index_clean_batch_fast_path(spark, tmp_path):
+    """A batch with ZERO verified pairs (the common production case)
+    takes the clean fast path on the bucketed layout: no component can
+    change, so the edge table must not be touched AT ALL — no append,
+    no rewrite — while the batch docs still get label rows (self-labels
+    here) and extend ≡ from-scratch rebuild stays bit-identical,
+    including a follow-up DIRTY batch that pairs with a clean-batch doc
+    (r8 verdict #6: the skip must not corrupt the epoch protocol or the
+    star the next refresh relies on)."""
+    from etlutils_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, base + " one"),
+        (2, base + " two"),   # near-dup of 1 (build batch)
+        (3, "completely different text about columnar storage engines"),
+        (4, "an unrelated memo on adaptive query execution planning"),
+        (5, "notes about watermark semantics in structured streaming"),
+        (6, base + " three"),  # near-dup of 1/2, arrives in the DIRTY batch
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    inc_path = str(tmp_path / "cleaninc")
+    full_path = str(tmp_path / "cleanfull")
+    # label_buckets=4 forces the bucketed layout below the auto cutoff
+    build_dedup_index(docs.filter("doc_id in (1, 2, 3)"), inc_path,
+                      label_buckets=4)
+
+    def _edge_files():
+        d = os.path.join(inc_path, "edges")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if not f.startswith(("_", "."))
+        )
+
+    before = _edge_files()
+    got = extend_dedup_index(inc_path, docs.filter("doc_id in (4, 5)"))
+    assert _edge_files() == before, (
+        "clean batch touched the edge table (append or rewrite ran)"
+    )
+    labels = dict(
+        sorted(tuple(r) for r in got.select("doc_id", "cluster_id").collect())
+    )
+    assert labels[4] == 4 and labels[5] == 5  # clean docs self-label
+    assert labels[1] == labels[2] == 1        # stored clusters intact
+    # a later dirty batch must still merge against CLEAN-batch-era state
+    got2 = extend_dedup_index(inc_path, docs.filter("doc_id = 6"))
+    want = build_dedup_index(docs, full_path, label_buckets=4)
+    pick = ["doc_id", "cluster_id"]
+    assert sorted(tuple(r) for r in got2.select(pick).collect()) == sorted(
+        tuple(r) for r in want.select(pick).collect()
+    )
+
+
 def test_extend_dedup_index_affected_scope_matches_full(spark, tmp_path):
     """cc_scope='affected' must label bit-identically to 'full' (and to
     a from-scratch rebuild), including the hard cases: a batch doc

@@ -5,8 +5,10 @@ action the refresh runs — localCheckpoints, parquet writes, sidecar
 file ops — and report where the seconds go for each of N successive
 batches on an sf0.1-sized corpus.
 
-    python3 tools/profile_extend_batch.py [corpus] [batches]
-    # default 5000 3  (the dedup_clusters_streaming shape)
+    python3 tools/profile_extend_batch.py [corpus] [batches] [mode]
+    # default 5000 3 dup  (the dedup_clusters_streaming shape)
+    # mode "clean": batches with ZERO verified pairs (unique texts) —
+    # measures the clean-batch fast path (r8 verdict #6)
 
 The UNWRAPPED remainder (total - sum(phases)) is plan
 analysis/scheduling for the lazy stages that feed those actions plus
@@ -99,6 +101,7 @@ def main() -> None:
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    mode = sys.argv[3] if len(sys.argv) > 3 else "dup"
     spark = get_session(
         "profile_extend",
         **{"spark.driver.memory": "8g", "spark.sql.shuffle.partitions": "32"},
@@ -117,10 +120,33 @@ def main() -> None:
     _wrap()  # instrument AFTER the build: profile extends only
     report = []
     for k in range(n_batches):
-        batch = docs.filter(F.col("doc_id") < 500).select(
-            (F.col("doc_id") + F.lit((10 + k) * max(n, 500))).alias("doc_id"),
-            F.concat("text", F.lit(f" dup{k}")).alias("text"),
-        ).persist()
+        if mode == "clean":
+            # unique word-salad per doc: shares no shingles with the
+            # stored corpus or batch siblings, so zero verified pairs
+            batch = spark.range(500).select(
+                (F.col("id") + F.lit((10 + k) * max(n, 500))).alias(
+                    "doc_id"
+                ),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.md5(
+                            F.concat(
+                                F.col("id").cast("string"),
+                                F.lit(f"-{k}-{j}"),
+                            )
+                        )
+                        for j in range(12)
+                    ],
+                ).alias("text"),
+            ).persist()
+        else:
+            batch = docs.filter(F.col("doc_id") < 500).select(
+                (F.col("doc_id") + F.lit((10 + k) * max(n, 500))).alias(
+                    "doc_id"
+                ),
+                F.concat("text", F.lit(f" dup{k}")).alias("text"),
+            ).persist()
         batch.count()
         PHASES.clear()
         t0 = time.time()
