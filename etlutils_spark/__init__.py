@@ -39,6 +39,7 @@ from etlutils_spark.operators.dedup import (
 )
 from etlutils_spark.operators.similarity import (
     ann_index_drift,
+    ann_index_health,
     ann_index_stats,
     ann_index_topk,
     build_ann_index,
@@ -143,6 +144,7 @@ __all__ = [
     "extend_ann_index",
     "ann_index_topk",
     "ann_index_drift",
+    "ann_index_health",
     "ann_index_stats",
     "temperature_resample",
     "bm25_topk",

@@ -1393,6 +1393,64 @@ def ann_index_drift(spark, path: str) -> dict | None:
     return read_sidecar_json(spark, f"{path}/drift")
 
 
+def ann_index_health(
+    spark,
+    path: str,
+    drift_ratio_threshold: float = 2.0,
+    imbalance_threshold: float = 8.0,
+) -> dict:
+    """The artifact's rebuild-recommended predicate: folds the two
+    stored diagnostics — quantizer DRIFT (:func:`ann_index_drift`, the
+    frozen quantizers stopped FITTING the ingest distribution) and
+    cell IMBALANCE (:func:`ann_index_stats`, they stopped PARTITIONING
+    the corpus) — into one answer, because both have the same remedy
+    (rebuild) and a monitoring job should not have to know two readers
+    and two thresholds (r8 verdict #7: the imbalance report existed
+    but nothing consumed it).
+
+    Thresholds: ``drift_ratio_threshold`` re-judges the RECORDED
+    batch-vs-build qerr ratio (in-distribution extends measure
+    0.99-1.01; a genuine shift measures orders of magnitude, so the
+    default 2.0 has wide margin on both sides — same default as
+    ``extend_ann_index``). ``imbalance_threshold`` bounds the top
+    cell's population vs the uniform share: every query probing a cell
+    at ratio R pays R times the ``|corpus| * nprobe / num_clusters``
+    scan-cost model, so the default 8.0 flags cells whose queries run
+    ~an order of magnitude over model — balanced builds measure ~1-3
+    even on moderately clustered data, while a collapsed quantizer
+    (most vectors in one cell) measures ~num_clusters.
+
+    Returns ``{"status": "ok" | "drifted" | "imbalanced" |
+    "drifted+imbalanced", "rebuild_recommended": bool, "drift_ratio":
+    float | None, "max_imbalance": float, "hot_cells": [(cluster_id,
+    imbalance), ...]}``. A never-extended artifact has no drift record
+    (``drift_ratio`` None -> not drifted). Cost: one map-side-
+    combinable agg over the codes table's cell column (bounded
+    collect) + two KB-sized sidecar reads — cheap enough to run after
+    every extend."""
+    drift = ann_index_drift(spark, path)
+    ratio = None if drift is None else float(drift["ratio"])
+    drifted = ratio is not None and ratio > drift_ratio_threshold
+    cells = ann_index_stats(spark, path).collect()
+    max_imbalance = max((r.imbalance for r in cells), default=0.0)
+    hot = [
+        (int(r.cluster_id), float(r.imbalance))
+        for r in cells
+        if r.imbalance > imbalance_threshold
+    ]
+    status = "+".join(
+        s for s, hit in (("drifted", drifted), ("imbalanced", bool(hot)))
+        if hit
+    ) or "ok"
+    return {
+        "status": status,
+        "rebuild_recommended": status != "ok",
+        "drift_ratio": ratio,
+        "max_imbalance": float(max_imbalance),
+        "hot_cells": hot,
+    }
+
+
 def ann_index_topk(
     corpus: DataFrame,
     path: str,

@@ -1770,6 +1770,60 @@ def test_ann_index_drift_metric(spark, tmp_path):
     assert spark.read.parquet(f"{path}/codes").count() == 160
 
 
+def test_ann_index_health_predicate(spark, tmp_path):
+    """ann_index_health folds the two stored diagnostics into ONE
+    rebuild-recommended answer (r8 verdict #7: the imbalance report
+    existed but nothing consumed it). Planted hot cell: a corpus with
+    most vectors in one mode must flip `imbalanced` once the top
+    cell's population passes the threshold — and stay `ok` at the
+    default 8.0, which such moderate skew does not reach. Planted
+    shift: a drifted extend must flip `drifted` through the same
+    predicate the drift reader feeds."""
+    import numpy as np
+
+    from etlutils_spark.operators.similarity import (
+        ann_index_health,
+        build_ann_index,
+        extend_ann_index,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(1, 101):
+        mode = 0 if i <= 70 else (i % 3) + 1  # 70% in one mode
+        base = np.zeros(8)
+        base[mode * 2] = 5.0
+        rows.append((i, [float(x) for x in base + rng.normal(0, 0.05, 8)]))
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    path = str(tmp_path / "healthidx")
+    build_ann_index(vecs, path, num_clusters=4, m=4, ksub=8)
+    # never extended: no drift record; skew ~2.8x < default 8.0
+    h = ann_index_health(spark, path)
+    assert h["status"] == "ok" and not h["rebuild_recommended"]
+    assert h["drift_ratio"] is None and h["hot_cells"] == []
+    assert 2.0 < h["max_imbalance"] < 8.0
+    # a tighter ops threshold flags the planted hot cell
+    h = ann_index_health(spark, path, imbalance_threshold=2.0)
+    assert h["status"] == "imbalanced" and h["rebuild_recommended"]
+    assert len(h["hot_cells"]) == 1 and h["hot_cells"][0][1] == pytest.approx(
+        h["max_imbalance"]
+    )
+    # planted distribution shift: drifted flips through the predicate
+    shifted = spark.createDataFrame(
+        [(i, [float(50.0 + rng.normal(0, 0.5)) for _ in range(8)])
+         for i in range(201, 221)],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.warns(UserWarning, match="schedule a rebuild"):
+        extend_ann_index(path, shifted)
+    h = ann_index_health(spark, path, imbalance_threshold=2.0)
+    assert h["status"] == "drifted+imbalanced" and h["rebuild_recommended"]
+    assert h["drift_ratio"] > 2.0
+    h = ann_index_health(spark, path, drift_ratio_threshold=1e9,
+                         imbalance_threshold=1e9)
+    assert h["status"] == "ok" and not h["rebuild_recommended"]
+
+
 def test_writer_lease_two_concurrent_extends(spark, tmp_path):
     """The single-writer assumption is ENFORCED (review item): with a
     live lease on the artifact — writer A mid-extend — a second extend
