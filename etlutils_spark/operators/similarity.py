@@ -1286,8 +1286,9 @@ def _extend_ann_index_locked(
     is collected by an ``Observation`` attached to the codes frame
     INSIDE the append-write job (the same zero-extra-jobs pattern as
     the verbose write instrumentation in ``sources/sql.py``), not by a
-    separate aggregate action — the r8 bench showed the standalone agg
-    costing ~0.5-1 s of fixed scheduling per extend. The observe node
+    separate aggregate action — one fewer scheduled job per extend
+    (~0.1 s measured at sf0.1 batch sizes; BASELINE.md round-9 note
+    has the honest A/B). The observe node
     sits ABOVE the encode and BELOW the replay anti-join, so the stat
     covers the WHOLE batch (replayed rows included, matching the
     pre-Observation semantics — CollectMetrics is a pushdown barrier,

@@ -196,24 +196,40 @@ def acquire_writer_lease(
     import time
     import urllib.parse
     import uuid
-    import warnings
 
     from py4j.protocol import Py4JJavaError
 
     # scheme check BEFORE touching the FS: the whole point is to be
-    # loud even when the store's connector happily accepts the calls
+    # loud even when the store's connector happily accepts the calls.
+    # The opt-out is reachable two ways — the kwarg for direct callers,
+    # and the session conf for the index builders/extenders that
+    # acquire on the user's behalf (their artifact path IS the lease
+    # path, so without the conf an s3a artifact would be unusable with
+    # no escape hatch).
     scheme = urllib.parse.urlsplit(url).scheme.lower()
     if scheme in _RENAME_WEAK_SCHEMES and not allow_rename_weak_store:
-        raise ValueError(
-            f"writer lease at {url}: {scheme}:// does not provide the "
-            "atomic exclusive-create/rename this lock is built on "
-            "(create(overwrite=false) is check-then-put, rename is "
-            "copy+delete), so two concurrent writers could both "
-            "acquire it — point the lease at an HDFS/ABFS/local path, "
-            "front it with a real lock service, or pass "
-            "allow_rename_weak_store=True to accept weakened mutual "
-            "exclusion"
-        )
+        try:
+            allow_conf = (
+                spark.conf.get(
+                    "spark.etlutils.lease.allowRenameWeakStore", "false"
+                ).lower()
+                == "true"
+            )
+        except Exception:
+            allow_conf = False
+        if not allow_conf:
+            raise ValueError(
+                f"writer lease at {url}: {scheme}:// does not provide "
+                "the atomic exclusive-create/rename this lock is built "
+                "on (create(overwrite=false) is check-then-put, rename "
+                "is copy+delete), so two concurrent writers could both "
+                "acquire it — point the lease at an HDFS/ABFS/local "
+                "path, front it with a real lock service, or accept "
+                "weakened mutual exclusion explicitly via "
+                "allow_rename_weak_store=True (direct callers) or "
+                "spark.conf.set('spark.etlutils.lease."
+                "allowRenameWeakStore', 'true') (index build/extend)"
+            )
 
     jvm, fs, target = _fs_path(spark, url)
     token = uuid.uuid4().hex
@@ -318,10 +334,9 @@ def acquire_writer_lease(
             )
         # stale: rename is the atomic one-winner steal; losers retry
         # and find either the fresh winner's lease (live -> raise) or
-        # nothing (create succeeds)
-        debris = jvm.org.apache.hadoop.fs.Path(
-            f"{url}.stale{uuid.uuid4().hex[:8]}"
-        )
+        # nothing (create succeeds). Path built through _fs_path so
+        # every lease path flows through the one construction seam.
+        debris = _fs_path(spark, f"{url}.stale{uuid.uuid4().hex[:8]}")[2]
         try:
             if fs.rename(target, debris):
                 fs.delete(debris, False)
@@ -349,9 +364,8 @@ def release_writer_lease(spark, url: str, token: str) -> None:
     if stop is not None:
         stop.set()
     jvm, fs, target = _fs_path(spark, url)
-    private = jvm.org.apache.hadoop.fs.Path(
-        f"{url}.rel{uuid.uuid4().hex[:8]}"
-    )
+    # sibling path through the one construction seam (see acquire)
+    private = _fs_path(spark, f"{url}.rel{uuid.uuid4().hex[:8]}")[2]
     try:
         if not fs.rename(target, private):
             return  # lease already gone

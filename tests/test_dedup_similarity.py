@@ -2012,6 +2012,37 @@ def test_lease_rename_weak_scheme_is_loud(spark):
             )
 
 
+def test_lease_rename_weak_conf_opt_out(spark, tmp_path, monkeypatch):
+    """The session-conf opt-out
+    (spark.etlutils.lease.allowRenameWeakStore) must get an s3a lease
+    past the scheme check — it is the only escape hatch for the index
+    builders/extenders, which acquire on the user's behalf with the
+    artifact path AS the lease path. Proven by the acquisition
+    proceeding to the FS layer (rerouted to a local path here; this
+    sandbox has no S3 connector) and completing the normal protocol."""
+    from etlutils_spark.sources import sidecar as sc
+
+    real_fs_path = sc._fs_path
+
+    def rerouted(spark_, url):
+        return real_fs_path(
+            spark_, url.replace("s3a://bucket", str(tmp_path))
+        )
+
+    monkeypatch.setattr(sc, "_fs_path", rerouted)
+    url = "s3a://bucket/idx/.writer_lease"
+    spark.conf.set("spark.etlutils.lease.allowRenameWeakStore", "true")
+    try:
+        token = sc.acquire_writer_lease(spark, url, stale_after_sec=60.0)
+        assert sc.read_sidecar_text(spark, url) == token
+        sc.release_writer_lease(spark, url, token)
+        assert sc.read_sidecar_text(spark, url) is None
+    finally:
+        spark.conf.set("spark.etlutils.lease.allowRenameWeakStore", "false")
+    with pytest.raises(ValueError, match="rename"):
+        sc.acquire_writer_lease(spark, url)
+
+
 def test_lease_heartbeat_survives_transient_fs_hiccup(spark, tmp_path):
     """The heartbeat must only stop on a POSITIVE foreign token, never
     on a read/touch failure: a transient FS hiccup (or the window where
