@@ -202,7 +202,15 @@ def run_bucketed(spark, n: int, buckets: int, n_refreshes: int = 3,
     layout is for; a fat-head batch legitimately touches most buckets.
     ``corpus_fn`` swaps the default Zipf corpus for another
     (doc_id, text) generator — ``singleton_corpus`` for the
-    label-rewrite-term measurement at multi-million-doc scale."""
+    label-rewrite-term measurement at multi-million-doc scale.
+
+    MEASUREMENT CAVEAT (r9): single-session BUILD walls at 5M docs
+    vary 32-59 s on batch_profiles' corpus-sized checkpoint alone
+    (memory-pressure ordering effects), which once mismeasured a
+    ~2 s layout premium as ~14 s. Comparing layouts? Interleave them
+    in BOTH orders within one session and read the per-phase
+    decomposition (tools/profile_extend_batch._wrap), not min-of-1
+    totals — BASELINE.md 'Bucketed build premium decomposed'."""
     from etlutils_spark.operators.dedup import (
         build_dedup_index,
         extend_dedup_index,
