@@ -1103,10 +1103,13 @@ def _build_ann_index_locked(
     return spark.read.parquet(f"{path}/codes")
 
 
-def _read_ann_index(spark, path: str):
-    """(params row, centroid matrix (C, dim), codebooks (m, ksub, dsub))
-    from a ``build_ann_index`` artifact. Both collects are bounded by
-    construction: num_clusters and m*ksub rows."""
+def _read_ann_params(spark, path: str):
+    """Just the params row/dict of a ``build_ann_index`` artifact —
+    for consumers that never touch the quantizers (``ann_index_stats``
+    / ``ann_index_health``): the full ``_read_ann_index`` also
+    collects the centroid and codebook tables, which a monitoring
+    call has no use for (review catch — at production index sizes
+    those are two needless driver-memory collects per health check)."""
     kind = sidecar_kind(spark, f"{path}/params")
     if kind == "file":
         params = read_sidecar_json(spark, f"{path}/params")
@@ -1136,6 +1139,14 @@ def _read_ann_index(spark, path: str):
             f"{path} is not a committed build_ann_index artifact "
             "(no params sidecar — the build's final write)"
         )
+    return params
+
+
+def _read_ann_index(spark, path: str):
+    """(params row, centroid matrix (C, dim), codebooks (m, ksub, dsub))
+    from a ``build_ann_index`` artifact. Both collects are bounded by
+    construction: num_clusters and m*ksub rows."""
+    params = _read_ann_params(spark, path)
     cent_rows = spark.read.parquet(f"{path}/centroids").collect()
     cents = np.empty((params["num_clusters"], params["dim"]), dtype=np.float64)
     for r in cent_rows:
@@ -1365,8 +1376,9 @@ def ann_index_stats(spark, path: str) -> DataFrame:
     after upstream dedup rewrites) simply have no row here. ONE scan:
     the corpus total is derived from the collected per-cell counts
     (at most num_clusters rows — bounded by construction) instead of
-    a second count job over the same table."""
-    params, _, _ = _read_ann_index(spark, path)
+    a second count job over the same table, and the params come from
+    the sidecar-only reader (no centroid/codebook collects)."""
+    params = _read_ann_params(spark, path)
     c = int(params["num_clusters"])
     per_cell = (
         spark.read.parquet(f"{path}/codes")

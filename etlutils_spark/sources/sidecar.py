@@ -177,6 +177,15 @@ def acquire_writer_lease(
     release guarantees a stalled holder can never delete a lease that
     was stolen and re-acquired by someone else.
 
+    Residual window (accepted, bounded): the beat's token read and its
+    mtime touch are two FS calls, so a zombie whose lease is stolen
+    BETWEEN them stamps the thief's fresh lease once. The very next
+    tick reads the foreign token and stops, so the damage is capped at
+    ONE stray touch — visible only if the thief dies immediately after
+    stealing, where it delays the next steal by at most one staleness
+    window. A compare-and-touch would need primitives the Hadoop FS
+    API does not offer.
+
     Store semantics: mutual exclusion needs atomic exclusive CREATE
     and atomic RENAME — true on HDFS, local filesystems, and ABFS. On
     S3-family stores, create(overwrite=false) is check-then-put and
@@ -309,11 +318,31 @@ def acquire_writer_lease(
                 # heartbeat) would block every writer — ourselves
                 # included — until stale_after_sec expires. It is ours
                 # (created milliseconds ago, so nobody can have stolen
-                # a non-stale lease): remove it and retry.
-                try:
-                    fs.delete(target, False)
-                except Py4JJavaError:
-                    pass
+                # a non-stale lease): remove it and retry. The delete
+                # gets its own retries, and an un-removable orphan
+                # raises ITS OWN error — falling through would let the
+                # live/stale check misread our token-less debris as
+                # "another writer holds the lease" and tell the
+                # operator to wait for a holder that does not exist
+                # (review catch). Note only the CREATOR may delete an
+                # empty lease: to any other writer, empty-and-fresh is
+                # indistinguishable from a real winner caught between
+                # its create and its token write.
+                for _ in range(3):
+                    try:
+                        fs.delete(target, False)
+                        break
+                    except Py4JJavaError:
+                        time.sleep(0.1)
+                else:
+                    raise ValueError(
+                        f"writer lease at {url}: this process won the "
+                        "exclusive create but failed to write its "
+                        "token AND failed to remove the resulting "
+                        "token-less lease file — the store is "
+                        "misbehaving; delete the file manually or "
+                        f"wait out stale_after_sec={stale_after_sec:g}"
+                    )
                 continue
             pass  # exists (contended) — fall through to live/stale check
         try:
