@@ -314,6 +314,71 @@ def _naive_bpe_train(texts, num_merges):
     return merges
 
 
+def _naive_train_from_word_freq(word_freq, num_merges):
+    """Full pair recount per merge, straight off a word-frequency
+    table — the independent reference for the heap trainer's property
+    test below (the text-level differential above exercises it only on
+    corpus-shaped inputs)."""
+    from collections import Counter
+
+    wf = Counter(dict(word_freq))
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for word, f in wf.items():
+            for i in range(len(word) - 1):
+                pairs[(word[i], word[i + 1])] += f
+        if not pairs:
+            break
+        top = max(pairs.values())
+        a, b = min(p for p, c in pairs.items() if c == top)
+        merges.append((a, b))
+        ab = a + b
+        nf = Counter()
+        for word, f in wf.items():
+            out, i = [], 0
+            while i < len(word):
+                if i + 1 < len(word) and word[i] == a and word[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            nf[tuple(out)] += f
+        wf = nf
+    return merges
+
+
+@settings(
+    max_examples=200,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    words=st.dictionaries(
+        st.lists(
+            st.sampled_from("ab c"), min_size=1, max_size=6
+        ).map(tuple),
+        st.integers(min_value=1, max_value=5),
+        max_size=12,
+    ),
+    k=st.integers(min_value=0, max_value=20),
+)
+def test_train_from_word_freq_heap_matches_naive(words, k):
+    """The r9 lazy-deletion-heap trainer (dirty-batched pushes, stale
+    entries discarded when their count no longer matches) must emit
+    merge lists bit-identical to the naive full-recount loop on
+    ARBITRARY word tables — a tiny alphabet (with a space-adjacent
+    char for collision pressure) forces dense count ties, repeated
+    merges of merged symbols, and counts that return to previous
+    values (the stale-entry-looks-live case)."""
+    from etlutils_spark.operators.text import _train_from_word_freq
+
+    assert _train_from_word_freq(dict(words), k) == (
+        _naive_train_from_word_freq(words, k)
+    )
+
+
 def test_bpe_train_indexed_matches_naive(spark, star):
     """The indexed incremental trainer (r6 verdict #8: what makes 1k+
     merges practical) must emit the SAME ordered merge list as the
