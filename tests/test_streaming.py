@@ -154,6 +154,68 @@ def test_streaming_dedup_index_equals_batch(spark, tmp_path):
     assert labels[3] == 3 and labels[5] == 5 and labels[7] == 7
 
 
+def test_streaming_dedup_index_clean_batch_micro(spark, tmp_path):
+    """A CLEAN micro-batch (zero verified pairs — the common production
+    case) flowing through the stream must take extend's r9 fast path
+    without corrupting the epoch protocol or the star a LATER dirty
+    micro-batch merges against: slice1 is all-unique, slice2 pairs with
+    a slice0 doc, and the final labels must equal a from-scratch
+    build."""
+    import os
+
+    from etlutils_spark.operators.dedup import build_dedup_index
+    from etlutils_spark.streaming.incremental_lsh import (
+        streaming_dedup_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (1, base + " one"), (2, base + " two"),
+        (3, "completely different text about columnar storage engines"),
+        # slice1: CLEAN — unique word salads, no pairs anywhere
+        (4, "adaptive execution notes on exchange reuse and reopt"),
+        (5, "watermark semantics for append mode output tables"),
+        # slice2: dirty — merges with the slice0 component
+        (6, base + " three"), (7, "hi"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, (lo, hi) in enumerate(((1, 3), (4, 5), (6, 7))):
+        docs.filter(f"doc_id between {lo} and {hi}").coalesce(1).write.parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        part = next(
+            f for f in sorted(os.listdir(tmp_path / f"stage{i}"))
+            if f.endswith(".parquet")
+        )
+        os.replace(tmp_path / f"stage{i}" / part, f"{src}/slice{i}.parquet")
+        os.utime(f"{src}/slice{i}.parquet", (1_000_000 + i * 10,) * 2)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .format("parquet").option("maxFilesPerTrigger", 1).load(src)
+    )
+    q = streaming_dedup_index(
+        stream, path=str(tmp_path / "idx"), checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    pick = ["doc_id", "cluster_id"]
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "idx" / "labels"))
+        .select(pick).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in build_dedup_index(docs, str(tmp_path / "full"))
+        .select(pick).collect()
+    )
+    assert got == want
+    labels = dict(got)
+    assert labels[1] == labels[2] == labels[6] == 1  # merged across clean gap
+    assert labels[4] == 4 and labels[5] == 5          # clean batch self-labels
+
+
 def test_streaming_dedup_index_resumes_from_checkpoint(spark, tmp_path):
     """Restarting the ingest stream with the same checkpoint must pick
     up only NEW slices and fold them through the same index — the
