@@ -64,6 +64,7 @@ from etlutils_spark.operators.sampling import (
 )
 from etlutils_spark.operators.search import bigram_lm_scores, bm25_topk
 from etlutils_spark.operators.text import (
+    bpe_decode,
     bpe_encode,
     bpe_train,
     bpe_train_corpus,
@@ -107,6 +108,7 @@ __all__ = [
     "cluster_size_histogram",
     "centroid_assign",
     "semantic_dedup",
+    "bpe_decode",
     "bpe_encode",
     "bpe_train",
     "bpe_train_corpus",

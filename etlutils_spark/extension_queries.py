@@ -994,6 +994,65 @@ def q_bpe_encode_docs(spark, sf_dir):
     )
 
 
+def _duck_bpe_roundtrip_sql() -> str:
+    enc = _duck_bpe_sql()
+    # reuse the generated encode expression by lifting its CTE body
+    s_expr = enc.split("WITH enc AS (SELECT doc_id, ", 1)[1].split(
+        " AS s FROM documents)", 1
+    )[0]
+    return f"""
+    WITH enc AS (SELECT doc_id, text, {s_expr} AS s FROM documents)
+    SELECT doc_id,
+           CAST(len(s) - len(replace(s, chr(28), '')) AS BIGINT)
+             AS n_pieces,
+           md5(replace(replace(s, chr(28), ''), chr(29), ''))
+             AS decoded_md5,
+           replace(replace(s, chr(28), ''), chr(29), '') =
+             array_to_string(
+               list_filter(
+                 regexp_split_to_array(text, '[ \\t\\n\\r\\f]+'),
+                 x -> len(x) > 0
+               ), ' ')
+             AS roundtrip_ok
+    FROM enc
+    """
+
+
+@register("bpe_roundtrip_docs", _duck_bpe_roundtrip_sql())
+def q_bpe_roundtrip_docs(spark, sf_dir):
+    """Tokenize -> DETOKENIZE losslessness under the oracle gate: the
+    frozen 16-merge encode (same literals as ``bpe_encode_docs``)
+    followed by ``bpe_decode`` must reconstruct every document's
+    whitespace-normalized text exactly — merges only concatenate
+    characters within a word, so stripping the sentinels is a complete
+    inverse regardless of the merge table. ``roundtrip_ok`` computes
+    the comparison on BOTH engines (never a literal TRUE), and
+    ``decoded_md5`` hash-pins the reconstructed bytes themselves."""
+    from etlutils_spark.operators.text import bpe_decode, bpe_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, _BPE_MERGES)
+    dec = bpe_decode(enc).withColumnRenamed("text", "decoded")
+    normalized = F.concat_ws(
+        " ",
+        F.filter(
+            F.split(F.col("text"), "[ \t\n\r\f]+"),
+            lambda w: F.length(w) > 0,
+        ),
+    )
+    return (
+        enc.select("doc_id", "n_pieces")
+        .join(dec, "doc_id")
+        .join(docs.select("doc_id", normalized.alias("norm")), "doc_id")
+        .select(
+            "doc_id",
+            "n_pieces",
+            F.md5(F.col("decoded")).alias("decoded_md5"),
+            (F.col("decoded") == F.col("norm")).alias("roundtrip_ok"),
+        )
+    )
+
+
 @register(
     "bpe_encode_docs_bigvocab",
     """

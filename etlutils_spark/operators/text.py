@@ -906,6 +906,33 @@ def bpe_encode(
     )
 
 
+def bpe_decode(
+    df: DataFrame,
+    encoded_col: str = "encoded",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Invert :func:`bpe_encode`'s sentinel-delimited piece string back
+    to the whitespace-NORMALIZED source text — the detokenization half
+    of the tokenizer, and the losslessness proof of the piece
+    representation: pieces are ``FS+piece+GS`` with words joined by
+    single spaces, and merges only ever CONCATENATE adjacent characters
+    within a word, so stripping the two sentinels reconstructs the
+    original words verbatim regardless of which merge table produced
+    the encoding (decode is merge-table-INDEPENDENT). Exact up to the
+    documented ``[ \\t\\n\\r\\f]+ -> ' '`` word-boundary normalization
+    that tokenization itself applies; pure column algebra (two plain
+    replaces), whole-stage codegen at any scale. Returns
+    ``(id_col, text)``."""
+    return df.select(
+        F.col(id_col),
+        F.replace(
+            F.replace(F.col(encoded_col), F.lit(BPE_FS), F.lit("")),
+            F.lit(BPE_GS),
+            F.lit(""),
+        ).alias("text"),
+    )
+
+
 def _bpe_encode_pandas(
     df: DataFrame,
     merges: "list[tuple[str, str]]",

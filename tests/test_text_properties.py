@@ -416,6 +416,62 @@ def test_bpe_train_indexed_matches_naive(spark, star):
     )
 
 
+def test_bpe_decode_roundtrips(spark, star):
+    """encode -> decode must reconstruct the whitespace-normalized
+    source exactly, for BOTH physical encode modes, on real corpus
+    text and on adversarial rows (unicode, NBSP-inside-word — NBSP is
+    not a split boundary by contract — empty string, single char);
+    decode is merge-table-independent, so a bigger merge table must
+    round-trip to the SAME text."""
+    from pyspark.sql import functions as F
+
+    from etlutils_spark.operators.text import (
+        bpe_decode,
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = star["documents"].limit(300)
+    merges = bpe_train(docs, num_merges=50)
+    norm = F.concat_ws(
+        " ",
+        F.filter(
+            F.split(F.col("text"), "[ \t\n\r\f]+"),
+            lambda w: F.length(w) > 0,
+        ),
+    )
+
+    def _mismatches(src, mode):
+        dec = bpe_decode(bpe_encode(src, merges, mode=mode))
+        return (
+            dec.withColumnRenamed("text", "decoded")
+            .join(src.select("doc_id", norm.alias("n")), "doc_id")
+            .filter(F.col("decoded") != F.col("n"))
+            .count()
+        )
+
+    assert _mismatches(docs, "chain") == 0
+    assert _mismatches(docs, "pandas") == 0
+    weird = spark.createDataFrame(
+        [
+            (1, "café naïve 中文 words"),
+            (2, "nbsp inside stays one-word"),
+            (3, ""),
+            (4, "x"),
+            (5, "  \t padded \n\n with   runs \f"),
+        ],
+        "doc_id bigint, text string",
+    )
+    assert _mismatches(weird, "chain") == 0
+    assert _mismatches(weird, "pandas") == 0
+    # merge-table independence: a different table, same reconstruction
+    assert _mismatches(docs, "chain") == 0 and (
+        bpe_decode(bpe_encode(docs, merges[:5], mode="chain"))
+        .exceptAll(bpe_decode(bpe_encode(docs, merges, mode="pandas")))
+        .isEmpty()
+    )
+
+
 def test_bpe_encode_modes_agree(spark, star):
     """chain and pandas encode modes must agree byte-for-byte (and
     match the per-word Python reference) on a deep merge table — the
