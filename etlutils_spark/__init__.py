@@ -21,7 +21,12 @@ from etlutils_spark.operators.recode import (
 from etlutils_spark.operators.locf import na_locf_plus_one
 from etlutils_spark.operators.transfun import trans_fun
 from etlutils_spark.sources.sql import read_sql, write_sql
-from etlutils_spark.sources.files import load_star, read_table, read_text_corpus
+from etlutils_spark.sources.files import (
+    load_star,
+    read_binary_dir,
+    read_table,
+    read_text_corpus,
+)
 from etlutils_spark.sources.merge import merge_upsert, scd2_apply
 from etlutils_spark.operators.curation import curate_documents, curate_to_sequences
 from etlutils_spark.operators.dedup import (
@@ -116,6 +121,7 @@ __all__ = [
     "corpus_diff",
     "dedup_rate_report",
     "quantize_embeddings_int8",
+    "read_binary_dir",
     "read_text_corpus",
     "standardize_embeddings",
     "winsorize",

@@ -166,6 +166,56 @@ def read_text_corpus(
     )
 
 
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+    **options,
+) -> DataFrame:
+    """Media-file corpus source — the production ingest path for the
+    multimodal tier: raw image/audio/video FILES under ``path`` become
+    the engine's binary-payload shape via Spark's built-in
+    ``binaryFile`` format, ready for ``operators.multimodal``
+    (``probe_media``, ``resize_batch``, ``chunk_audio``,
+    ``sample_frames``, feature extraction) without any bespoke reader.
+
+    Output: ``(media_id, payload, source, n_bytes, modified)`` —
+    ``media_id`` is ``xxhash64(content)`` (content-addressed, stable
+    under any file layout; exact duplicate files share an id, which
+    exact-dedup treats as the collapse key), ``payload`` the raw bytes,
+    ``source`` the file name, ``n_bytes``/``modified`` the typed
+    metadata the reference-free multimodal contract carries.
+
+    ``glob`` filters by pattern (``"*.png"``) via the format's native
+    ``pathGlobFilter`` — applied at LISTING time, before any bytes are
+    read. ``max_bytes`` guards against a stray huge file poisoning
+    executor memory: files LARGER are dropped with their metadata kept
+    (payload null) rather than silently vanishing, so the pipeline can
+    count and report them. Scale: binaryFile is non-splittable per
+    file (each file one task input — correct for media, where a file
+    is the unit); listing parallelizes across the driver's FS threads
+    and the scan itself is executor-side."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    raw = reader.load(path)
+    payload = (
+        F.when(F.col("length") <= F.lit(int(max_bytes)), F.col("content"))
+        if max_bytes is not None
+        else F.col("content")
+    )
+    return raw.select(
+        F.xxhash64(F.col("content")).alias("media_id"),
+        payload.alias("payload"),
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("source"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.col("modificationTime").alias("modified"),
+    )
+
+
 def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
     """ORC source (Spark-native columnar alternative to parquet; same
     pushdown/pruning machinery — PushedFilters + ReadSchema reach the

@@ -202,3 +202,45 @@ def test_read_text_corpus(spark, tmp_path):
              for r in read_text_corpus(spark, str(tmp_path))
              .repartition(3).collect()}
     assert all(again[r.text] == r.doc_id for r in out)
+
+
+def test_read_binary_dir(spark, tmp_path):
+    """Media-file ingest via the built-in binaryFile format: payload
+    shape for the multimodal tier, content-addressed ids (duplicate
+    files share one), listing-time glob filter, and the max_bytes
+    guard keeping oversize files' METADATA while nulling the payload
+    (dropped-but-countable, never silently vanished)."""
+    from etlutils_spark.sources.files import read_binary_dir
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG-fake-a" * 3)
+    (tmp_path / "b.png").write_bytes(b"\x89PNG-fake-a" * 3)  # exact dup
+    (tmp_path / "c.wav").write_bytes(b"RIFF-fake-audio")
+    (tmp_path / "huge.png").write_bytes(b"x" * 4096)
+    out = read_binary_dir(spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    rows = {r.source: r for r in out}
+    assert rows["a.png"].media_id == rows["b.png"].media_id  # content hash
+    assert rows["a.png"].payload == b"\x89PNG-fake-a" * 3
+    assert rows["c.wav"].n_bytes == 15 and rows["c.wav"].modified is not None
+    # glob filters at listing time
+    pngs = read_binary_dir(spark, str(tmp_path), glob="*.png")
+    assert {r.source for r in pngs.collect()} == {"a.png", "b.png", "huge.png"}
+    # oversize guard: metadata kept, payload nulled
+    guarded = {
+        r.source: r
+        for r in read_binary_dir(spark, str(tmp_path), max_bytes=100).collect()
+    }
+    assert guarded["huge.png"].payload is None
+    assert guarded["huge.png"].n_bytes == 4096
+    assert guarded["a.png"].payload is not None
+    # feeds the multimodal probe unchanged (plumbing contract)
+    from etlutils_spark.operators.multimodal import probe_media
+
+    probed = probe_media(
+        read_binary_dir(spark, str(tmp_path), glob="*.png", max_bytes=100)
+        .filter(F.col("payload").isNotNull())
+        .select(F.col("media_id").alias("doc_id"), F.col("payload")),
+        payload_col="payload",
+        id_col="doc_id",
+    )
+    assert probed.count() == 2
