@@ -32,6 +32,7 @@ from etlutils_spark.operators.curation import curate_documents, curate_to_sequen
 from etlutils_spark.operators.dedup import (
     build_dedup_clusters,
     build_dedup_index,
+    compact_dedup_index,
     extend_dedup_index,
     lsh_candidate_probability,
     pick_lsh_bands,
@@ -49,6 +50,7 @@ from etlutils_spark.operators.similarity import (
     ann_index_topk,
     build_ann_index,
     centroid_assign,
+    compact_ann_index,
     extend_ann_index,
     decontaminate_semantic,
     hard_negative_mining,
@@ -130,6 +132,7 @@ __all__ = [
     "triplet_mining",
     "build_dedup_clusters",
     "build_dedup_index",
+    "compact_dedup_index",
     "extend_dedup_index",
     "lsh_candidate_probability",
     "pick_lsh_bands",
@@ -149,6 +152,7 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "build_ann_index",
+    "compact_ann_index",
     "extend_ann_index",
     "ann_index_topk",
     "ann_index_drift",

@@ -1135,6 +1135,49 @@ def _build_dedup_index_locked(
     return out.select(id_col, "cluster_id")
 
 
+def compact_dedup_index(
+    docs_or_spark,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    writer_lease_stale_sec: float = 600.0,
+) -> dict:
+    """Periodic maintenance for a ``build_dedup_index`` artifact:
+    every :func:`extend_dedup_index` APPENDS one file to
+    ``path/profiles`` (and, on the unbucketed layout, clean batches
+    append to ``path/labels``), so a long-running ingest accumulates
+    files without bound — every probe's stored-band scan then pays a
+    task per file plus listing. Rewrites those tables in place under
+    the artifact's writer lease via the crash-safe temp+two-rename
+    compactor (content byte-identical, epochs/params untouched — the
+    probe and the label reads see the same rows, so labels cannot
+    change; the edge table needs nothing, it is star-compacted by
+    every refresh, and a BUCKETED label table keeps its
+    one-file-per-bucket invariant by construction and is skipped).
+    Accepts a SparkSession as the first argument. Returns
+    ``{"profiles": n_files, "labels": n_files | None}``."""
+    spark = docs_or_spark
+    lease = acquire_writer_lease(
+        spark, f"{path}/.writer_lease", writer_lease_stale_sec
+    )
+    try:
+        from etlutils_spark.sources.files import compact_parquet_inplace
+
+        out = {
+            "profiles": compact_parquet_inplace(
+                spark, f"{path}/profiles", target_rows_per_file
+            ),
+            "labels": None,
+        }
+        lbl = spark.read.parquet(f"{path}/labels")
+        if "label_bucket" not in lbl.columns:
+            out["labels"] = compact_parquet_inplace(
+                spark, f"{path}/labels", target_rows_per_file
+            )
+        return out
+    finally:
+        release_writer_lease(spark, f"{path}/.writer_lease", lease)
+
+
 def _label_bucket(id_col, num_buckets: int) -> Column:
     """The label table's partition key: ``pmod(xxhash64(id), B)``.
     xxhash64 is seed-stable across sessions, so a doc's bucket never

@@ -1406,6 +1406,40 @@ def ann_index_drift(spark, path: str) -> dict | None:
     return read_sidecar_json(spark, f"{path}/drift")
 
 
+def compact_ann_index(
+    spark,
+    path: str,
+    target_rows_per_file: int = 4_000_000,
+    writer_lease_stale_sec: float = 600.0,
+) -> int:
+    """Periodic maintenance for a ``build_ann_index`` artifact: every
+    :func:`extend_ann_index` APPENDS one file to ``path/codes``, so a
+    streaming ingest accumulates files without bound — the classic
+    small-files failure (every ``ann_index_topk`` scan schedules a
+    task per file and pays listing). Rewrites the codes table in place
+    to ceil(rows/target) files under the artifact's writer lease (a
+    concurrent extend cannot interleave with the swap), via the
+    crash-safe temp+two-rename compactor — content byte-identical,
+    quantizers/params/drift untouched, so served results cannot
+    change. Returns the post-compaction file count. Run it on the
+    same cadence as the drift check (:func:`ann_index_health`)."""
+    from etlutils_spark.sources.files import compact_parquet_inplace
+    from etlutils_spark.sources.sidecar import (
+        acquire_writer_lease,
+        release_writer_lease,
+    )
+
+    lease = acquire_writer_lease(
+        spark, f"{path}/.writer_lease", writer_lease_stale_sec
+    )
+    try:
+        return compact_parquet_inplace(
+            spark, f"{path}/codes", target_rows_per_file
+        )
+    finally:
+        release_writer_lease(spark, f"{path}/.writer_lease", lease)
+
+
 def ann_index_health(
     spark,
     path: str,

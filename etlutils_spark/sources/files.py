@@ -274,6 +274,54 @@ def compact_parquet(
     out.write.mode("overwrite").parquet(out_path)
 
 
+def compact_parquet_inplace(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """In-place small-files compaction for APPEND-GROWN tables (the
+    index artifacts' codes/profiles, which gain one file per extend
+    forever): rewrite ``path`` to ceil(rows/target) files via a
+    temp-write + two-rename swap, never a direct overwrite — a direct
+    ``mode("overwrite")`` deletes the old files before the new commit,
+    so a crash inside it TRUNCATES the table silently (for an index's
+    codes/profiles that is unrecoverable data loss, unlike the edge
+    table's epoch-union recovery). Crash windows here are all loud or
+    harmless: a leftover ``.compact_tmp`` is overwritten by the next
+    run; a crash between the two renames leaves ``path`` MISSING
+    (readers fail loudly, never read wrong data) and the next call —
+    or :func:`recover_compaction` semantics built in below — heals it
+    by promoting the fully-written tmp. Callers that guard a shared
+    artifact must hold its writer lease around this (the index-level
+    wrappers do). Returns the file count after compaction."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}.compact_tmp")
+    old = jvm.org.apache.hadoop.fs.Path(f"{path}.compact_old")
+    # self-heal a previous run that died between its two renames:
+    # tmp holds the full rewrite, path is gone — promote tmp
+    if not fs.exists(jpath) and fs.exists(tmp):
+        if not fs.rename(tmp, jpath):
+            raise IOError(f"could not promote {path}.compact_tmp")
+    fs.delete(old, True)  # debris from a crash after rename1
+    df = spark.read.parquet(path)
+    n = max(1, -(-df.count() // target_rows_per_file))
+    fs.delete(tmp, True)
+    df.repartition(n).write.mode("overwrite").parquet(f"{path}.compact_tmp")
+    # swap: path -> .compact_old, tmp -> path, drop old. Single writer
+    # (lease-holder); the only mid-swap crash window leaves path absent
+    # with BOTH copies intact.
+    if not fs.rename(jpath, old):
+        raise IOError(f"could not stage {path} for compaction swap")
+    if not fs.rename(tmp, jpath):
+        # put the original back — nothing lost
+        fs.rename(old, jpath)
+        raise IOError(f"could not commit compaction of {path}")
+    fs.delete(old, True)
+    return n
+
+
 def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     """Repartition a narrow input up to the session's parallelism.
 

@@ -244,3 +244,33 @@ def test_read_binary_dir(spark, tmp_path):
         id_col="doc_id",
     )
     assert probed.count() == 2
+
+
+def test_compact_parquet_inplace_and_crash_recovery(spark, tmp_path):
+    """In-place compaction must be crash-safe: never a direct
+    overwrite (which truncates on a mid-write crash), and a run that
+    died between its two renames — table missing, fully-written tmp
+    present — is healed by the next call promoting the tmp."""
+    import os
+    import shutil
+
+    from etlutils_spark.sources.files import compact_parquet_inplace
+
+    p = str(tmp_path / "t")
+    for i in range(5):  # 5 appends -> >= 5 files
+        spark.range(i * 100, (i + 1) * 100).write.mode("append").parquet(p)
+    files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    assert len(files) >= 5
+    before = sorted(r.id for r in spark.read.parquet(p).collect())
+    n = compact_parquet_inplace(spark, p, target_rows_per_file=1_000)
+    assert n == 1
+    files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert sorted(r.id for r in spark.read.parquet(p).collect()) == before
+    assert not os.path.exists(p + ".compact_tmp")
+    assert not os.path.exists(p + ".compact_old")
+    # crash between rename1 and rename2: path gone, tmp holds the data
+    shutil.move(p, p + ".compact_tmp")
+    assert not os.path.exists(p)
+    compact_parquet_inplace(spark, p, target_rows_per_file=1_000)
+    assert sorted(r.id for r in spark.read.parquet(p).collect()) == before
