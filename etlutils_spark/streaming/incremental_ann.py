@@ -32,8 +32,17 @@ def streaming_ann_index(
     max_iter: int = 20,
     init_mode: str = "k-means||",
     sample_limit: int = 65_536,
+    compact_every: int | None = None,
 ):
     """Fold a vector STREAM into a ``build_ann_index`` artifact.
+
+    ``compact_every=N`` folds maintenance into the stream: every N
+    micro-batches the codes table is rewritten in place
+    (``compact_ann_index`` — crash-safe swap, content byte-identical),
+    so a long-running ingest never accumulates unbounded append files.
+    Counted on processed non-empty batches, so replayed/empty epochs
+    don't skew the cadence. Default off: batch jobs schedule
+    compaction on their own cadence.
 
     Cold start: the first non-empty micro-batch bootstraps the
     artifact with ``build_ann_index`` — the IVF centroids and PQ
@@ -63,9 +72,12 @@ def streaming_ann_index(
     Returns the StreamingQuery."""
     from etlutils_spark.operators.similarity import (
         build_ann_index,
+        compact_ann_index,
         extend_ann_index,
     )
     from etlutils_spark.sources.sidecar import bootstrap_action
+
+    processed = {"n": 0}
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -90,6 +102,13 @@ def streaming_ann_index(
                 init_mode=init_mode,
                 sample_limit=sample_limit,
             )
+        processed["n"] += 1
+        if compact_every and processed["n"] % int(compact_every) == 0:
+            # maintenance between batches: the extend above released
+            # the lease, compaction re-acquires it, and a crash inside
+            # the swap is the compactor's own recoverable state —
+            # content is unchanged so replay semantics are unaffected
+            compact_ann_index(spark, path)
 
     return (
         vectors.writeStream.foreachBatch(_process)

@@ -120,6 +120,7 @@ def streaming_dedup_index(
     bands: int = 4,
     threshold: float = 0.5,
     cc_scope: str = "affected",
+    compact_every: int | None = None,
 ):
     """Streaming ingest into the batch-incremental dedup index: ONE
     code path for both modes (r6 verdict #4). Each micro-batch is
@@ -140,11 +141,21 @@ def streaming_dedup_index(
     build on everything ingested (pinned by the
     ``dedup_clusters_streaming`` oracle).
 
+    ``compact_every=N`` folds maintenance into the stream: every N
+    processed non-empty micro-batches the append-grown profile table
+    (and unbucketed label appends) is rewritten in place
+    (``compact_dedup_index`` — crash-safe swap, content byte-identical,
+    labels unchanged), so a long-running ingest never accumulates
+    unbounded files. Default off.
+
     Returns the StreamingQuery."""
     from etlutils_spark.operators.dedup import (
         build_dedup_index,
+        compact_dedup_index,
         extend_dedup_index,
     )
+
+    processed = {"n": 0}
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -168,6 +179,11 @@ def streaming_dedup_index(
                 batch_df, path, text_col, id_col, n, num_hashes, bands,
                 threshold,
             )
+        processed["n"] += 1
+        if compact_every and processed["n"] % int(compact_every) == 0:
+            # between-batch maintenance under its own lease hold;
+            # content-identical, so replay semantics are unaffected
+            compact_dedup_index(spark, path)
 
     return (
         docs.writeStream.foreachBatch(_process)

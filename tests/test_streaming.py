@@ -356,3 +356,65 @@ def test_streaming_ann_index_equals_batch(spark, tmp_path):
     )
     top1 = {r.query_id: r.vec_id for r in top.collect() if r.rank == 1}
     assert top1 == {0: 1, 100: 101}
+
+
+def test_streaming_dedup_index_compact_every(spark, tmp_path):
+    """compact_every folds small-files maintenance into the stream:
+    after 3 micro-batches with compact_every=2 the profile table has
+    been collapsed mid-stream, and the final labels still equal a
+    from-scratch build (compaction is content-identical and runs
+    under its own lease hold between batches)."""
+    import os
+
+    from etlutils_spark.operators.dedup import build_dedup_index
+    from etlutils_spark.streaming.incremental_lsh import (
+        streaming_dedup_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (1, base + " one"), (2, base + " two"),
+        (3, "completely different text about columnar storage engines"),
+        (4, base + " three"), (5, "another note concerning partitions"),
+        (6, base + " four"), (7, "hi"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, (lo, hi) in enumerate(((1, 3), (4, 5), (6, 7))):
+        docs.filter(f"doc_id between {lo} and {hi}").coalesce(1).write.parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        part = next(
+            f for f in sorted(os.listdir(tmp_path / f"stage{i}"))
+            if f.endswith(".parquet")
+        )
+        os.replace(tmp_path / f"stage{i}" / part, f"{src}/slice{i}.parquet")
+        os.utime(f"{src}/slice{i}.parquet", (1_000_000 + i * 10,) * 2)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .format("parquet").option("maxFilesPerTrigger", 1).load(src)
+    )
+    q = streaming_dedup_index(
+        stream, path=str(tmp_path / "idx"), checkpoint=str(tmp_path / "ckpt"),
+        compact_every=2,
+    )
+    q.awaitTermination()
+    # batch 3 appended after the batch-2 compaction: 1 (compacted) + 1
+    prof_files = [
+        f for f in os.listdir(tmp_path / "idx" / "profiles")
+        if f.endswith(".parquet")
+    ]
+    assert len(prof_files) == 2
+    pick = ["doc_id", "cluster_id"]
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "idx" / "labels"))
+        .select(pick).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in build_dedup_index(docs, str(tmp_path / "full"))
+        .select(pick).collect()
+    )
+    assert got == want
