@@ -1480,6 +1480,64 @@ def q_decontaminate(spark, sf_dir):
 
 
 @register(
+    "decontaminate_rewrite_docs",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT s AS shingle
+      FROM (SELECT list_distinct(list_transform(
+                     generate_series(1, greatest(len(w) - 2, 0)),
+                     i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shl
+            FROM (SELECT string_split(text, ' ') AS w FROM documents
+                  WHERE source IN {_BENCH_SOURCES})),
+           UNNEST(shl) AS t(s)),
+    tr AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE source NOT IN {_BENCH_SOURCES}),
+    sp AS (SELECT doc_id, w,
+                  UNNEST(generate_series(1, greatest(len(w), 1), 32)) AS cs
+           FROM tr),
+    k AS (SELECT doc_id,
+                 CAST((cs - 1) // 32 AS BIGINT) AS idx,
+                 len(list_slice(w, cs, least(cs + 31, len(w)))) AS n,
+                 array_to_string(list_slice(w, cs, least(cs + 31, len(w))),
+                                 ' ') AS chunk_text,
+                 list_slice(w, cs, least(cs + 31, len(w))) AS cw
+          FROM sp),
+    hits AS (
+      SELECT doc_id, idx, count(*) AS n_hit
+      FROM (SELECT doc_id, idx, UNNEST(list_distinct(list_transform(
+                     generate_series(1, greatest(len(cw) - 2, 0)),
+                     i -> concat_ws(' ', cw[i], cw[i+1], cw[i+2])))) AS s
+            FROM k)
+      WHERE s IN (SELECT shingle FROM bench)
+      GROUP BY doc_id, idx),
+    clean AS (
+      SELECT k.* FROM k LEFT JOIN hits h USING (doc_id, idx)
+      WHERE coalesce(h.n_hit, 0) < 1)
+    SELECT doc_id,
+           string_agg(chunk_text, ' ' ORDER BY idx) AS clean_text,
+           CAST(sum(n) AS BIGINT) AS n_kept_tokens
+    FROM clean GROUP BY doc_id
+    """,
+)
+def q_decontaminate_rewrite(spark, sf_dir):
+    """SPAN-level decontamination under the oracle gate: training docs
+    are reassembled from only the 32-token spans sharing NO word-3-gram
+    with the benchmark sources — the production form that removes the
+    contaminated passage instead of dropping the whole document (Lee et
+    al. 2022's span granularity applied to the decontamination set).
+    Fully contaminated documents drop out; the oracle recomputes spans,
+    the distinct-shingle probe, and the ordered reassembly in SQL."""
+    from etlutils_spark.operators.dedup import decontaminate_rewrite
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source").isin(*_BENCH_SOURCES))
+    train = docs.filter(~F.col("source").isin(*_BENCH_SOURCES))
+    return decontaminate_rewrite(
+        train, bench, window=32, n=3, min_overlap=1
+    )
+
+
+@register(
     "dedup_cluster_survivors",
     _duck_minhash_clusters_sql().rstrip()
     .replace("SELECT d.doc_id,", """SELECT d.doc_id, d.n_chars,""", 1)

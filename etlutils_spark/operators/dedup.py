@@ -2037,6 +2037,76 @@ def cluster_survivors(
     )
 
 
+def decontaminate_rewrite(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    window: int = 32,
+    n: int = 3,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """SPAN-level decontamination: rewrite each document with only the
+    spans that do NOT overlap the benchmark, instead of dropping whole
+    documents — the production eval-decontamination form (a long
+    document quoting one benchmark passage loses that ``window``-token
+    span, not its training mass; cf. the doc-level flagger
+    :func:`decontaminate`, which is the measurement, and
+    :func:`window_dedup_rewrite`, whose span/reassembly machinery this
+    reuses against an EXTERNAL contamination set instead of the corpus
+    itself).
+
+    A span is contaminated when >= ``min_overlap`` of its distinct
+    word ``n``-gram shingles appear anywhere in ``benchmark``; clean
+    spans reassemble in original order. Documents whose every span is
+    contaminated disappear (they contribute no clean tokens). Output:
+    ``(id_col, clean_text, n_kept_tokens)``.
+
+    Scale: the benchmark's distinct shingle set broadcasts (a typical
+    eval suite is a few million strings); the corpus side is one span
+    pass + a shuffle-free broadcast probe + the per-doc reassembly
+    shuffle that any rewrite pays. Spans shorter than ``n`` tokens
+    carry no shingles and are never contaminated."""
+    spans = _persist_tracked(
+        span_rows(docs, window, text_col, id_col, portable, keep_text=True)
+    )  # feeds the shingle probe AND the reassembly
+    bench_sh = (
+        shingle_rows(benchmark, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    from etlutils_spark.operators.text import shingles_from_tokens
+
+    span_sh = spans.select(
+        id_col,
+        "__idx",
+        F.explode(
+            shingles_from_tokens(F.split(F.col("__text"), " "), n)
+        ).alias("shingle"),
+    )
+    contaminated = (
+        span_sh.join(bench_sh, "shingle")
+        .groupBy(id_col, "__idx")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .filter(F.col("__hits") >= min_overlap)
+        .select(id_col, "__idx")
+    )
+    clean = spans.join(contaminated, [id_col, "__idx"], "left_anti")
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("__idx"), F.col("__text")))
+    )
+    return clean.groupBy(id_col).agg(
+        F.concat_ws(" ", F.transform(arr, lambda s: s["__text"])).alias(
+            "clean_text"
+        ),
+        F.sum("__n").cast("bigint").alias("n_kept_tokens"),
+    )
+
+
 def span_rows(
     df: DataFrame,
     window: int = 32,

@@ -995,6 +995,46 @@ def test_window_dedup_intra_doc_repeat(spark):
     assert row["n_kept_tokens"] == 4
 
 
+def test_decontaminate_rewrite_drops_only_contaminated_spans(spark):
+    """Span-level decontamination keeps a document's clean mass: a doc
+    quoting one benchmark passage loses exactly the window holding the
+    quote; a fully-contaminated doc disappears; untouched docs pass
+    through whole; spans shorter than n carry no shingles and survive."""
+    from etlutils_spark.operators.dedup import decontaminate_rewrite
+
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark passage about held out answers")],
+        "doc_id bigint, text string",
+    )
+    mk = lambda seed, k: " ".join(  # noqa: E731
+        f"{seed}{i}" for i in range(k)
+    )
+    rows = [
+        # window=8 over 23 tokens: span0 = a0..a7 (clean), span1 = the
+        # 7-word quote + b0 (contaminated — b0 rides in the dropped
+        # window: span granularity, not token granularity), span2 =
+        # b1..b7 (clean)
+        (1, mk("a", 8) + " the secret benchmark passage about held out"
+            + " " + mk("b", 8)),
+        # exactly one fully-contaminated span -> the doc disappears
+        (2, "the secret benchmark passage about held out answers"),
+        (3, mk("c", 12)),  # untouched
+        (4, "tiny"),       # < n tokens: no shingles, never contaminated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r
+        for r in decontaminate_rewrite(docs, bench, window=8, n=3).collect()
+    }
+    assert 2 not in out  # fully contaminated -> no clean tokens
+    assert out[1].clean_text == mk("a", 8) + " " + " ".join(
+        f"b{i}" for i in range(1, 8)
+    )
+    assert out[1].n_kept_tokens == 15
+    assert out[3].clean_text == mk("c", 12) and out[3].n_kept_tokens == 12
+    assert out[4].clean_text == "tiny" and out[4].n_kept_tokens == 1
+
+
 def test_containment_detects_subset(spark):
     short = "alpha beta gamma delta epsilon zeta"
     long = short + " " + " ".join(f"tok{i}" for i in range(30))
