@@ -2278,6 +2278,66 @@ def test_lease_token_write_failure_cleans_orphan(spark, tmp_path, monkeypatch):
     assert not os.path.exists(url)
 
 
+def test_lease_unremovable_orphan_raises_its_own_error(
+    spark, tmp_path, monkeypatch
+):
+    """When the token write fails AND the orphan delete keeps failing,
+    acquire must raise the dedicated misbehaving-store error naming the
+    token-less debris — falling through to the live/stale check would
+    misreport 'another writer holds the lease' for a holder that does
+    not exist (round-9 review finding)."""
+    from py4j.protocol import Py4JJavaError
+
+    from etlutils_spark.sources import sidecar as sc
+
+    url = str(tmp_path / "orphan2" / ".writer_lease")
+    real_fs_path = sc._fs_path
+
+    def _err(msg):
+        e = Py4JJavaError.__new__(Py4JJavaError)
+        e.args = (msg,)
+        return e
+
+    class FailingStream:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def write(self, data):
+            raise _err("simulated token write failure")
+
+        def close(self):
+            self._inner.close()
+
+    class FSWrap:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def create(self, target, overwrite):
+            return FailingStream(self._fs.create(target, overwrite))
+
+        def delete(self, target, recursive):
+            raise _err("simulated delete failure")
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def patched(spark_, u):
+        jvm, fs, target = real_fs_path(spark_, u)
+        return jvm, FSWrap(fs), target
+
+    monkeypatch.setattr(sc, "_fs_path", patched)
+    with pytest.raises(ValueError, match="token-less"):
+        sc.acquire_writer_lease(spark, url, stale_after_sec=60.0)
+    monkeypatch.setattr(sc, "_fs_path", real_fs_path)
+    # after the store recovers, the stale orphan is stolen and a fresh
+    # acquire succeeds (the orphan is token-less so the beat of the new
+    # holder owns the file outright)
+    os.utime(url, (1, 1))  # age the orphan past any staleness window
+    token = sc.acquire_writer_lease(spark, url, stale_after_sec=60.0)
+    assert sc.read_sidecar_text(spark, url) == token
+    sc.release_writer_lease(spark, url, token)
+
+
 def test_ann_index_stats_cell_balance(spark, tmp_path):
     """ann_index_stats reports per-cell row counts and the imbalance
     ratio vs the uniform share — the diagnostic that says WHICH
