@@ -305,6 +305,20 @@ def compact_parquet_inplace(
         if not fs.rename(tmp, jpath):
             raise IOError(f"could not promote {path}.compact_tmp")
     fs.delete(old, True)  # debris from a crash after rename1
+    # a Hive-partitioned table (col=value subdirectories) must NOT be
+    # flat-compacted: the rewrite would silently demote the partition
+    # key to a data column and destroy the layout consumers prune on
+    # (e.g. the dedup index's bucketed labels and their dynamic
+    # partition overwrites). Be loud; partitioned tables compact
+    # per-partition or through their own layout-aware writer.
+    for st in fs.listStatus(jpath):
+        if st.isDirectory() and "=" in st.getPath().getName():
+            raise ValueError(
+                f"compact_parquet_inplace: {path} is partition-laid-out "
+                f"({st.getPath().getName()}/...) — flat compaction would "
+                "silently flatten the directory layout; compact "
+                "per-partition instead"
+            )
     df = spark.read.parquet(path)
     n = max(1, -(-df.count() // target_rows_per_file))
     fs.delete(tmp, True)

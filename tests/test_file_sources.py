@@ -274,3 +274,19 @@ def test_compact_parquet_inplace_and_crash_recovery(spark, tmp_path):
     assert not os.path.exists(p)
     compact_parquet_inplace(spark, p, target_rows_per_file=1_000)
     assert sorted(r.id for r in spark.read.parquet(p).collect()) == before
+
+
+def test_compact_parquet_inplace_refuses_partitioned_layout(spark, tmp_path):
+    """Flat compaction of a Hive-partitioned table would silently
+    demote the partition key to a data column; the compactor must be
+    loud instead."""
+    import pytest
+
+    from etlutils_spark.sources.files import compact_parquet_inplace
+
+    p = str(tmp_path / "parted")
+    spark.range(100).withColumn("b", F.pmod("id", F.lit(4))).write.partitionBy(
+        "b"
+    ).parquet(p)
+    with pytest.raises(ValueError, match="partition-laid-out"):
+        compact_parquet_inplace(spark, p)
