@@ -955,7 +955,10 @@ _BPE_MERGES = [
 ]
 
 
-def _duck_bpe_sql() -> str:
+def _duck_bpe_expr() -> str:
+    """The DuckDB piece-string expression for the frozen merge table —
+    shared by the encode and roundtrip oracles (built once, never
+    text-spliced back out of a finished template)."""
     fs, gs = "chr(28)", "chr(29)"
     s = (
         f"array_to_string(list_transform("
@@ -967,8 +970,12 @@ def _duck_bpe_sql() -> str:
         pat = f"{fs} || '{a}' || {gs} || {fs} || '{b}' || {gs}"
         rep = f"{fs} || '{a}{b}' || {gs}"
         s = f"replace({s}, {pat}, {rep})"
+    return s
+
+
+def _duck_bpe_sql() -> str:
     return f"""
-    WITH enc AS (SELECT doc_id, {s} AS s FROM documents)
+    WITH enc AS (SELECT doc_id, {_duck_bpe_expr()} AS s FROM documents)
     SELECT doc_id,
            CAST(len(s) - len(replace(s, chr(28), '')) AS BIGINT) AS n_pieces,
            md5(s) AS pieces_md5
@@ -995,13 +1002,8 @@ def q_bpe_encode_docs(spark, sf_dir):
 
 
 def _duck_bpe_roundtrip_sql() -> str:
-    enc = _duck_bpe_sql()
-    # reuse the generated encode expression by lifting its CTE body
-    s_expr = enc.split("WITH enc AS (SELECT doc_id, ", 1)[1].split(
-        " AS s FROM documents)", 1
-    )[0]
     return f"""
-    WITH enc AS (SELECT doc_id, text, {s_expr} AS s FROM documents)
+    WITH enc AS (SELECT doc_id, text, {_duck_bpe_expr()} AS s FROM documents)
     SELECT doc_id,
            CAST(len(s) - len(replace(s, chr(28), '')) AS BIGINT)
              AS n_pieces,

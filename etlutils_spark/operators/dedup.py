@@ -1136,7 +1136,7 @@ def _build_dedup_index_locked(
 
 
 def compact_dedup_index(
-    docs_or_spark,
+    spark,
     path: str,
     target_rows_per_file: int = 1_000_000,
     writer_lease_stale_sec: float = 600.0,
@@ -1153,9 +1153,9 @@ def compact_dedup_index(
     change; the edge table needs nothing, it is star-compacted by
     every refresh, and a BUCKETED label table keeps its
     one-file-per-bucket invariant by construction and is skipped).
-    Accepts a SparkSession as the first argument. Returns
+    Takes a SparkSession (this is artifact maintenance, not a
+    DataFrame transform). Returns
     ``{"profiles": n_files, "labels": n_files | None}``."""
-    spark = docs_or_spark
     lease = acquire_writer_lease(
         spark, f"{path}/.writer_lease", writer_lease_stale_sec
     )
@@ -2045,7 +2045,6 @@ def decontaminate_rewrite(
     min_overlap: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
-    portable: bool = True,
     broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """SPAN-level decontamination: rewrite each document with only the
@@ -2070,8 +2069,12 @@ def decontaminate_rewrite(
     shuffle that any rewrite pays. Spans shorter than ``n`` tokens
     carry no shingles and are never contaminated."""
     spans = _persist_tracked(
-        span_rows(docs, window, text_col, id_col, portable, keep_text=True)
-    )  # feeds the shingle probe AND the reassembly
+        span_rows(
+            docs, window, text_col, id_col, keep_text=True, with_key=False
+        )
+    )  # feeds the shingle probe AND the reassembly; no span key is
+    # needed here (contamination is judged by shingles, not identity),
+    # so the corpus-wide md5 pass the dedup forms pay is skipped
     bench_sh = (
         shingle_rows(benchmark, text_col, id_col, n)
         .select("shingle")
@@ -2115,10 +2118,14 @@ def span_rows(
     portable: bool = True,
     keep_text: bool = False,
     stride: int | None = None,
+    with_key: bool = True,
 ) -> DataFrame:
-    """``window``-token span rows: ``(id, __idx, __n, __key[,
+    """``window``-token span rows: ``(id, __idx, __n[, __key][,
     __text])`` — one row per span, key = md5 of the span text
-    (portable) or xxhash64-hex (fast path). The raw-material stage of
+    (portable) or xxhash64-hex (fast path). ``with_key=False`` skips
+    the key entirely for consumers that only need the span text (the
+    decontamination rewrite) — one less corpus-wide hash pass and
+    narrower persisted rows. The raw-material stage of
     the window-dedup family, also consumed by the streaming incremental
     index (``streaming.incremental_spans``).
 
@@ -2136,12 +2143,13 @@ def span_rows(
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
     chunk = F.slice(F.col("__w"), F.col("__start"), window)
     span_text = F.concat_ws(" ", chunk)
-    key = F.md5(span_text) if portable else F.hex(F.xxhash64(span_text))
     cols = [
         F.col("__idx").cast("bigint").alias("__idx"),
         F.size(chunk).alias("__n"),
-        key.alias("__key"),
     ]
+    if with_key:
+        key = F.md5(span_text) if portable else F.hex(F.xxhash64(span_text))
+        cols.append(key.alias("__key"))
     if keep_text:
         cols.append(span_text.alias("__text"))
     return base.select(

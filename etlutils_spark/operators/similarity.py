@@ -1424,10 +1424,6 @@ def compact_ann_index(
     change. Returns the post-compaction file count. Run it on the
     same cadence as the drift check (:func:`ann_index_health`)."""
     from etlutils_spark.sources.files import compact_parquet_inplace
-    from etlutils_spark.sources.sidecar import (
-        acquire_writer_lease,
-        release_writer_lease,
-    )
 
     lease = acquire_writer_lease(
         spark, f"{path}/.writer_lease", writer_lease_stale_sec

@@ -190,30 +190,50 @@ def read_binary_dir(
     ``glob`` filters by pattern (``"*.png"``) via the format's native
     ``pathGlobFilter`` — applied at LISTING time, before any bytes are
     read. ``max_bytes`` guards against a stray huge file poisoning
-    executor memory: files LARGER are dropped with their metadata kept
-    (payload null) rather than silently vanishing, so the pipeline can
-    count and report them. Scale: binaryFile is non-splittable per
-    file (each file one task input — correct for media, where a file
-    is the unit); listing parallelizes across the driver's FS threads
-    and the scan itself is executor-side."""
+    executor memory, and the guard is REAL, not cosmetic: the length
+    predicate pushes down into the binaryFile source (length is one of
+    its pushdown columns), so an oversize file's bytes are never
+    loaded at all — the metadata row survives (payload AND media_id
+    null: bytes that were never read cannot be content-addressed)
+    rather than silently vanishing, so the pipeline can count and
+    report drops. Without ``max_bytes``, a file past Spark's 2 GB
+    binaryFile cap fails the scan outright (the format's limit) — set
+    ``max_bytes`` to also absorb that case. Scale: binaryFile is
+    non-splittable per file (each file one task input — correct for
+    media, where a file is the unit); listing parallelizes across the
+    driver's FS threads and the scan itself is executor-side."""
     reader = spark.read.format("binaryFile")
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     for k, v in options.items():
         reader = reader.option(k, v)
     raw = reader.load(path)
-    payload = (
-        F.when(F.col("length") <= F.lit(int(max_bytes)), F.col("content"))
-        if max_bytes is not None
-        else F.col("content")
+    src = F.element_at(F.split(F.col("path"), "/"), -1).alias("source")
+    n_bytes = F.col("length").cast("bigint").alias("n_bytes")
+    modified = F.col("modificationTime").alias("modified")
+    kept = raw if max_bytes is None else raw.filter(
+        F.col("length") <= F.lit(int(max_bytes))
     )
-    return raw.select(
+    out = kept.select(
         F.xxhash64(F.col("content")).alias("media_id"),
-        payload.alias("payload"),
-        F.element_at(F.split(F.col("path"), "/"), -1).alias("source"),
-        F.col("length").cast("bigint").alias("n_bytes"),
-        F.col("modificationTime").alias("modified"),
+        F.col("content").alias("payload"),
+        src,
+        n_bytes,
+        modified,
     )
+    if max_bytes is None:
+        return out
+    # metadata-only arm: content is pruned from this scan entirely
+    # (binaryFile honors column pruning), so the oversize bytes are
+    # never materialized anywhere
+    dropped = raw.filter(F.col("length") > F.lit(int(max_bytes))).select(
+        F.lit(None).cast("bigint").alias("media_id"),
+        F.lit(None).cast("binary").alias("payload"),
+        src,
+        n_bytes,
+        modified,
+    )
+    return out.unionByName(dropped)
 
 
 def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
@@ -274,6 +294,27 @@ def compact_parquet(
     out.write.mode("overwrite").parquet(out_path)
 
 
+def heal_interrupted_compaction(spark: SparkSession, path: str) -> bool:
+    """Promote a fully-written ``{path}.compact_tmp`` when ``path``
+    itself is MISSING — the one crash window of
+    :func:`compact_parquet_inplace`'s two-rename swap. Safe to call
+    any time (two exists() checks when healthy); readers that would
+    otherwise fail on the absent table — e.g. an index extend
+    restarting after a mid-swap crash — call this first, which is how
+    the streaming wrappers make ``compact_every`` crash-transparent
+    instead of wedging the stream until a manual compaction (round-9
+    review finding). Returns True iff a promotion happened."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}.compact_tmp")
+    if not fs.exists(jpath) and fs.exists(tmp):
+        if not fs.rename(tmp, jpath):
+            raise IOError(f"could not promote {path}.compact_tmp")
+        return True
+    return False
+
+
 def compact_parquet_inplace(
     spark: SparkSession,
     path: str,
@@ -299,11 +340,7 @@ def compact_parquet_inplace(
     fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     tmp = jvm.org.apache.hadoop.fs.Path(f"{path}.compact_tmp")
     old = jvm.org.apache.hadoop.fs.Path(f"{path}.compact_old")
-    # self-heal a previous run that died between its two renames:
-    # tmp holds the full rewrite, path is gone — promote tmp
-    if not fs.exists(jpath) and fs.exists(tmp):
-        if not fs.rename(tmp, jpath):
-            raise IOError(f"could not promote {path}.compact_tmp")
+    heal_interrupted_compaction(spark, path)
     fs.delete(old, True)  # debris from a crash after rename1
     # a Hive-partitioned table (col=value subdirectories) must NOT be
     # flat-compacted: the rewrite would silently demote the partition

@@ -231,8 +231,19 @@ def test_read_binary_dir(spark, tmp_path):
         for r in read_binary_dir(spark, str(tmp_path), max_bytes=100).collect()
     }
     assert guarded["huge.png"].payload is None
+    assert guarded["huge.png"].media_id is None  # unread bytes have no hash
     assert guarded["huge.png"].n_bytes == 4096
     assert guarded["a.png"].payload is not None
+    # the guard is real: the oversize arm's scan must not read content
+    # (column pruning) and the kept arm must push the length filter
+    plan = read_binary_dir(
+        spark, str(tmp_path), max_bytes=100
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    scans = re.findall(r"FileScan binaryFile \[[^\]]*\]", plan)
+    assert any("content" not in s for s in scans), scans
+    assert "length" in plan and "100" in plan
     # feeds the multimodal probe unchanged (plumbing contract)
     from etlutils_spark.operators.multimodal import probe_media
 

@@ -418,3 +418,57 @@ def test_streaming_dedup_index_compact_every(spark, tmp_path):
         .select(pick).collect()
     )
     assert got == want
+
+
+def test_streaming_dedup_index_heals_mid_swap_compaction_crash(spark, tmp_path):
+    """A compaction that dies between its two renames leaves the
+    profile table MISSING with a fully-written .compact_tmp beside it;
+    a restarted stream with compact_every set must heal it before the
+    first extend instead of failing every restart (round-9 review
+    finding)."""
+    import os
+    import shutil
+
+    from etlutils_spark.streaming.incremental_lsh import (
+        streaming_dedup_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (1, base + " one"), (2, base + " two"),
+        (3, "completely different text about columnar storage engines"),
+        (4, base + " three"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    docs.filter("doc_id <= 3").coalesce(1).write.parquet(str(tmp_path / "s0"))
+    part = next(f for f in sorted(os.listdir(tmp_path / "s0"))
+                if f.endswith(".parquet"))
+    os.replace(tmp_path / "s0" / part, f"{src}/slice0.parquet")
+    idx, ckpt = str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .format("parquet").option("maxFilesPerTrigger", 1).load(src)
+    )
+    streaming_dedup_index(stream, path=idx, checkpoint=ckpt,
+                          compact_every=5).awaitTermination()
+    # simulate the mid-swap crash: table renamed away, tmp fully written
+    shutil.move(f"{idx}/profiles", f"{idx}/profiles.compact_tmp")
+    # second slice arrives; the restarted stream must heal, then extend
+    docs.filter("doc_id = 4").coalesce(1).write.parquet(str(tmp_path / "s1"))
+    part = next(f for f in sorted(os.listdir(tmp_path / "s1"))
+                if f.endswith(".parquet"))
+    os.replace(tmp_path / "s1" / part, f"{src}/slice1.parquet")
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .format("parquet").option("maxFilesPerTrigger", 1).load(src)
+    )
+    streaming_dedup_index(stream2, path=idx, checkpoint=ckpt,
+                          compact_every=5).awaitTermination()
+    labels = dict(
+        sorted(tuple(r) for r in spark.read.parquet(f"{idx}/labels")
+               .select("doc_id", "cluster_id").collect())
+    )
+    assert labels[1] == labels[2] == labels[4] == 1 and labels[3] == 3
+    assert not os.path.exists(f"{idx}/profiles.compact_tmp")
