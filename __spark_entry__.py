@@ -63,26 +63,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # green rows.
 
 _LAST_DRIVER_CHECK = {
-    # --- last green driver row: CORRECTNESS_r05.json ---
-    "agg_cube": 5, "agg_rollup": 5, "anti_join_customers": 5,
-    "append_union": 5, "bigram_lm_quality": 5, "bpe_encode_docs": 5,
-    "corpus_diff_releases": 5, "distinct_agg_segments": 5,
-    "embedding_quantize_int8": 5, "embedding_standardize": 5,
-    "factor_levels_brand": 5, "format_roundtrip_text": 5,
-    "fuzzy_matchmerge_segments": 5, "hard_negative_mining": 5,
-    "locf_events": 5, "matchmerge_composite_key": 5,
-    "matchmerge_expr_key": 5, "matchmerge_inner": 5, "matchmerge_left": 5,
-    "matchmerge_paste_key": 5, "matchmerge_vector_y": 5,
-    "mixture_temperature_lang": 5, "multimodal_frame_sample": 5,
-    "multimodal_resize": 5, "profile_drift_documents": 5,
-    "q1_pricing_summary": 5, "q3_top_revenue_orders": 5,
-    "q5_nation_revenue": 5, "recode_mktsegment": 5, "rename_project": 5,
-    "scalar_funcs_projection": 5, "semi_join_customers": 5, "set_except": 5,
-    "set_intersect": 5, "source_cap_sample": 5, "streaming_funnel": 5,
-    "text_token_gini": 5, "transfun_derived_date": 5,
-    "user_cadence_stats": 5, "window_multi_horizon": 5,
-    "window_running_spend": 5, "window_topk_per_customer": 5,
-    "winsorize_order_totals": 5,
     # --- last green driver row: CORRECTNESS_r06.json ---
     "ann_cosine_topk": 6, "collect_sorted_sizes": 6,
     "correlated_subquery": 6, "curation_pipeline_tokens": 6,
@@ -94,16 +74,15 @@ _LAST_DRIVER_CHECK = {
     "histogram_price_buckets": 6, "json_extract_props": 6,
     "json_map_explode": 6, "lateral_topk_per_nation": 6,
     "line_boilerplate_docs": 6, "pack_ids_export": 6,
-    "percentile_quantity": 6, "pivot_status_counts": 6,
-    "q10_returned_items": 6, "q12_late_shipment_priority": 6,
-    "q13_customer_order_distribution": 6, "q14_promo_share": 6,
-    "q15_top_supplier": 6, "q18_large_volume_orders": 6,
-    "q19_disjunctive_filter": 6, "q22_idle_rich_customers": 6,
-    "q4_priority_returns": 6, "q6_revenue_forecast": 6,
-    "q7_volume_shipping": 6, "q8_market_share": 6,
+    "percentile_quantity": 6, "q10_returned_items": 6,
+    "q12_late_shipment_priority": 6, "q13_customer_order_distribution": 6,
+    "q14_promo_share": 6, "q15_top_supplier": 6,
+    "q18_large_volume_orders": 6, "q19_disjunctive_filter": 6,
+    "q22_idle_rich_customers": 6, "q4_priority_returns": 6,
+    "q6_revenue_forecast": 6, "q7_volume_shipping": 6, "q8_market_share": 6,
     "q9_product_type_profit": 6, "stats_moments": 6, "text_lang_id": 6,
     "text_stats": 6, "tokenize_to_ids": 6, "tokenize_to_ids_bigvocab": 6,
-    "union_distinct_nations": 6, "window_rank_functions": 6,
+    "union_distinct_nations": 6,
     # --- last green driver row: CORRECTNESS_r07.json ---
     "asof_last_purchase": 7, "bpe_encode_docs_bigvocab": 7,
     "c4_quality_docs": 7, "chunk_documents_windows": 7,
@@ -128,14 +107,13 @@ _LAST_DRIVER_CHECK = {
     "time_rollup_multigrain": 7, "unpivot_order_metrics": 7,
     "upsert_scd1": 7, "window_rolling_7d": 7, "write_roundtrip": 7,
     # --- last green driver row: CORRECTNESS_r08.json ---
-    "ann_arrow_topk": 8, "ann_index_streaming": 8, "ann_index_topk": 8,
-    "ann_ivf_topk": 8, "ann_lsh_topk": 8, "ann_pq_recall_contract": 8,
+    "ann_arrow_topk": 8, "ann_index_topk": 8, "ann_ivf_topk": 8,
+    "ann_lsh_topk": 8, "ann_pq_recall_contract": 8,
     "approx_distinct_contract": 8, "approx_quantiles_contract": 8,
     "asof_next_purchase": 8, "bm25_topk_search": 8, "cohort_retention": 8,
     "constraint_audit": 8, "curation_pipeline_batch": 8,
     "decontaminate_semantic_embeddings": 8,
-    "dedup_cluster_size_histogram": 8, "dedup_clusters_incremental": 8,
-    "dedup_clusters_star": 8, "dedup_clusters_streaming": 8,
+    "dedup_cluster_size_histogram": 8, "dedup_clusters_star": 8,
     "dedup_containment": 8, "dedup_rate_report_by_source": 8,
     "dedup_simhash": 8, "dedup_window_rewrite": 8, "dedup_window_spans": 8,
     "dedup_window_spans_shifted": 8, "embedding_cluster_assign": 8,
@@ -151,22 +129,36 @@ _LAST_DRIVER_CHECK = {
     "triplet_mining_pairs": 8, "vocab_oov_rate": 8, "vocab_top_tokens": 8,
     "winnow_fingerprints": 8, "winnow_overlap_pairs": 8,
     "zorder_pruning_stats": 8,
+    # --- last green driver row: CORRECTNESS_r09.json ---
+    "agg_cube": 9, "agg_rollup": 9, "ann_index_streaming": 9,
+    "anti_join_customers": 9, "append_union": 9, "bigram_lm_quality": 9,
+    "bpe_encode_docs": 9, "bpe_roundtrip_docs": 9,
+    "corpus_diff_releases": 9, "decontaminate_rewrite_docs": 9,
+    "dedup_clusters_incremental": 9, "dedup_clusters_streaming": 9,
+    "distinct_agg_segments": 9, "embedding_quantize_int8": 9,
+    "embedding_standardize": 9, "factor_levels_brand": 9,
+    "format_roundtrip_text": 9, "fuzzy_matchmerge_segments": 9,
+    "hard_negative_mining": 9, "locf_events": 9,
+    "matchmerge_composite_key": 9, "matchmerge_expr_key": 9,
+    "matchmerge_inner": 9, "matchmerge_left": 9, "matchmerge_paste_key": 9,
+    "matchmerge_vector_y": 9, "mixture_temperature_lang": 9,
+    "multimodal_frame_sample": 9, "multimodal_resize": 9,
+    "pivot_status_counts": 9, "profile_drift_documents": 9,
+    "q1_pricing_summary": 9, "q3_top_revenue_orders": 9,
+    "q5_nation_revenue": 9, "recode_mktsegment": 9, "rename_project": 9,
+    "scalar_funcs_projection": 9, "semi_join_customers": 9, "set_except": 9,
+    "set_intersect": 9, "source_cap_sample": 9, "streaming_funnel": 9,
+    "text_token_gini": 9, "transfun_derived_date": 9,
+    "user_cadence_stats": 9, "window_multi_horizon": 9,
+    "window_rank_functions": 9, "window_running_spend": 9,
+    "window_topk_per_customer": 9, "winsorize_order_totals": 9,
 }
 
 
 # Queries whose registered form changed this round (new plan, new
 # consumer wiring, or a semantics-relevant operator edit) — they must
 # re-verify in the new form regardless of a prior green row.
-_CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # r9: extend_ann_index's drift aggregate moved from a standalone
-    # action onto the codes write job via Observation (and the batch
-    # persist was dropped) — new plan for every extend-path consumer
-    "ann_index_streaming",
-    # r9: extend_dedup_index gained the clean-batch fast path (zero
-    # verified pairs -> label-only refresh, edge table untouched) —
-    # every extend-path consumer re-verifies
-    "dedup_clusters_incremental", "dedup_clusters_streaming",
-})
+_CHANGED_THIS_ROUND: frozenset[str] = frozenset()
 
 # Derived view kept for the smoke-test invariant and round tooling: a
 # query counts as "verified in a prior round" only if it has a green
