@@ -158,7 +158,13 @@ _LAST_DRIVER_CHECK = {
 # Queries whose registered form changed this round (new plan, new
 # consumer wiring, or a semantics-relevant operator edit) — they must
 # re-verify in the new form regardless of a prior green row.
-_CHANGED_THIS_ROUND: frozenset[str] = frozenset()
+_CHANGED_THIS_ROUND: frozenset[str] = frozenset({
+    # r10: decontaminate_rewrite's contamination probe moved from
+    # per-span shingle sets to positioned full-document n-grams
+    # (boundary-straddling quotes now drop both spans they touch) —
+    # new plan AND new result mass for the registered query
+    "decontaminate_rewrite_docs",
+})
 
 # Derived view kept for the smoke-test invariant and round tooling: a
 # query counts as "verified in a prior round" only if it has a green

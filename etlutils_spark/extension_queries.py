@@ -1501,17 +1501,27 @@ def q_decontaminate(spark, sf_dir):
                  CAST((cs - 1) // 32 AS BIGINT) AS idx,
                  len(list_slice(w, cs, least(cs + 31, len(w)))) AS n,
                  array_to_string(list_slice(w, cs, least(cs + 31, len(w))),
-                                 ' ') AS chunk_text,
-                 list_slice(w, cs, least(cs + 31, len(w))) AS cw
+                                 ' ') AS chunk_text
           FROM sp),
+    -- positioned 3-grams over the WHOLE document: the gram at 1-based
+    -- token i touches spans (i-1)//32 .. (i+1)//32 (a boundary
+    -- straddler touches two), mirroring decontaminate_rewrite's
+    -- boundary-bridging contamination probe
+    g AS (SELECT doc_id, w,
+                 UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS i
+          FROM tr),
+    touched AS (
+      SELECT DISTINCT doc_id, s, idx
+      FROM (SELECT doc_id,
+                   concat_ws(' ', w[i], w[i+1], w[i+2]) AS s,
+                   UNNEST(generate_series(CAST((i - 1) // 32 AS BIGINT),
+                                          CAST((i + 1) // 32 AS BIGINT)))
+                     AS idx
+            FROM g)
+      WHERE s IN (SELECT shingle FROM bench)),
     hits AS (
       SELECT doc_id, idx, count(*) AS n_hit
-      FROM (SELECT doc_id, idx, UNNEST(list_distinct(list_transform(
-                     generate_series(1, greatest(len(cw) - 2, 0)),
-                     i -> concat_ws(' ', cw[i], cw[i+1], cw[i+2])))) AS s
-            FROM k)
-      WHERE s IN (SELECT shingle FROM bench)
-      GROUP BY doc_id, idx),
+      FROM touched GROUP BY doc_id, idx),
     clean AS (
       SELECT k.* FROM k LEFT JOIN hits h USING (doc_id, idx)
       WHERE coalesce(h.n_hit, 0) < 1)

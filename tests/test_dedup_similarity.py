@@ -1035,6 +1035,41 @@ def test_decontaminate_rewrite_drops_only_contaminated_spans(spark):
     assert out[4].clean_text == "tiny" and out[4].n_kept_tokens == 1
 
 
+def test_decontaminate_rewrite_catches_boundary_straddling_quote(spark):
+    """A benchmark quote of exactly n tokens lying ACROSS the span
+    boundary belongs to neither span's own shingle set — the r9
+    per-span probe missed it (VERDICT r9 #2). The positioned-gram probe
+    assigns the straddling gram to both spans it touches, so both drop;
+    an identical doc with the quote's tokens scattered (no contiguous
+    gram) keeps everything."""
+    from etlutils_spark.operators.dedup import decontaminate_rewrite
+
+    bench = spark.createDataFrame(
+        [(100, "held out answer")], "doc_id bigint, text string"
+    )
+    mk = lambda seed, k: " ".join(  # noqa: E731
+        f"{seed}{i}" for i in range(k)
+    )
+    rows = [
+        # window=8: tokens 0..6 = a0..a6, token 7 = "held" (end of span
+        # 0), tokens 8,9 = "out answer" (start of span 1), 10..15 =
+        # b0..b5. The only contaminated 3-gram "held out answer" starts
+        # at 0-based pos 7 and straddles the 7|8 boundary: span 0 and
+        # span 1 must BOTH drop, leaving only span 2 (b6..b9).
+        (1, mk("a", 7) + " held out answer " + mk("b", 10)),
+        # same tokens, quote broken up: no contiguous contaminated gram
+        (2, mk("a", 7) + " held x out x answer " + mk("b", 8)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r
+        for r in decontaminate_rewrite(docs, bench, window=8, n=3).collect()
+    }
+    assert out[1].clean_text == " ".join(f"b{i}" for i in range(6, 10))
+    assert out[1].n_kept_tokens == 4
+    assert out[2].n_kept_tokens == 20  # untouched: all 20 tokens kept
+
+
 def test_containment_detects_subset(spark):
     short = "alpha beta gamma delta epsilon zeta"
     long = short + " " + " ".join(f"tok{i}" for i in range(30))
