@@ -127,6 +127,12 @@ R4_EXTRAS = [
     # batch-twin equality check + exhaustive-probe serving, rebuilt
     # per invocation by design — same family as dedup_clusters_streaming)
     "ann_index_streaming",
+    # round-9 additions: BPE encode+decode roundtrip, span-level
+    # decontamination rewrite (r10: boundary-bridging positioned-gram
+    # probe) — keeps BASELINE.md's "every registered query has a
+    # recorded sf0.1 wall-clock" claim true (r9 verdict Missing #3)
+    "bpe_roundtrip_docs",
+    "decontaminate_rewrite_docs",
 ]
 
 

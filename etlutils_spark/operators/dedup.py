@@ -43,6 +43,7 @@ from etlutils_spark.sources.sidecar import (
     read_sidecar_text,
     release_writer_lease,
     sidecar_kind,
+    verify_writer_lease,
     write_sidecar_json,
     write_sidecar_text,
 )
@@ -1162,16 +1163,25 @@ def compact_dedup_index(
     try:
         from etlutils_spark.sources.files import compact_parquet_inplace
 
+        # the swap runs only after ownership is re-asserted: the
+        # rewrite job before it can outlast a heartbeat outage, and a
+        # compactor that lost its lease mid-rewrite must not swap its
+        # stale copy over a thief's fresh appends (r9 verdict Next #3)
+        check = lambda: verify_writer_lease(  # noqa: E731
+            spark, f"{path}/.writer_lease", lease
+        )
         out = {
             "profiles": compact_parquet_inplace(
-                spark, f"{path}/profiles", target_rows_per_file
+                spark, f"{path}/profiles", target_rows_per_file,
+                pre_swap_check=check,
             ),
             "labels": None,
         }
         lbl = spark.read.parquet(f"{path}/labels")
         if "label_bucket" not in lbl.columns:
             out["labels"] = compact_parquet_inplace(
-                spark, f"{path}/labels", target_rows_per_file
+                spark, f"{path}/labels", target_rows_per_file,
+                pre_swap_check=check,
             )
         return out
     finally:
@@ -1451,12 +1461,25 @@ def extend_dedup_index(
         spark, f"{path}/.writer_lease", writer_lease_stale_sec
     )
     try:
+        # heal a compaction that died between its two renames — UNDER
+        # the lease (the heal is itself an artifact mutation; racing a
+        # live compactor's swap would corrupt the directory layout) and
+        # UNCONDITIONALLY (a manual compact_dedup_index crash must not
+        # wedge extends until someone re-runs compaction; two exists()
+        # checks per table when healthy) — r9 advice #1/#2
+        from etlutils_spark.sources.files import heal_interrupted_compaction
+
+        heal_interrupted_compaction(spark, f"{path}/profiles")
+        heal_interrupted_compaction(spark, f"{path}/labels")
         n, num_hashes, bands, threshold, label_buckets = _read_index_params(
             spark, path, n, num_hashes, bands, threshold
         )
         return _extend_dedup_index_locked(
             spark, path, new_docs, text_col, id_col, cc_scope,
             n, num_hashes, bands, threshold, label_buckets,
+            commit_check=lambda: verify_writer_lease(
+                spark, f"{path}/.writer_lease", lease
+            ),
         )
     finally:
         release_writer_lease(spark, f"{path}/.writer_lease", lease)
@@ -1474,11 +1497,16 @@ def _extend_dedup_index_locked(
     bands: int,
     threshold: float,
     label_buckets: int,
+    commit_check=None,
 ) -> DataFrame:
     """Body of :func:`extend_dedup_index`, running under the artifact's
     writer lease (which also covers the reads: the
     profiles/labels/edges snapshot this refresh derives from cannot be
-    mutated under it by a concurrent writer)."""
+    mutated under it by a concurrent writer). ``commit_check`` runs
+    immediately before the first artifact mutation — the wrapper passes
+    a lease re-verification so a holder whose heartbeat gave up during
+    the (long) candidate/verify stage aborts instead of committing over
+    a thief (r9 verdict Next #3)."""
     from etlutils_spark.streaming.incremental_lsh import (
         _explode_bands,
         _verified_pairs,
@@ -1605,7 +1633,11 @@ def _extend_dedup_index_locked(
         )
     # intent marker BEFORE the appends: if this refresh dies anywhere
     # between here and the labels-side marker below, the epochs stay
-    # unequal and the next refresh takes the full-CC drift fallback
+    # unequal and the next refresh takes the full-CC drift fallback.
+    # Ownership is re-asserted first: everything above was reads and
+    # cluster math (possibly minutes), everything from here on mutates
+    if commit_check is not None:
+        commit_check()
     _write_sync_epoch(spark, path, "profiles", epoch)
     if not batch_clean:  # appending a known-empty frame is a dead job
         new_edges.write.mode("append").parquet(f"{path}/edges")

@@ -2,9 +2,10 @@
 columns with typed metadata, processed by Arrow-batched pandas UDFs.
 
 The decode step is capability-probed: ``decode_image``/``resize_image``
-use PIL when it is importable (``has_imaging()``) and raise
-NotImplementedError otherwise (this container ships no imaging
-library). The deterministic fakes (``fake_features``/``fake_resize``)
+use PIL when it is importable (``has_imaging()``), fall back to a
+stdlib zlib+struct PNG codec for PNG payloads (8-bit, non-interlaced —
+so the real-bytes arm is exercised even in this imaging-library-free
+container), and raise NotImplementedError for other formats. The deterministic fakes (``fake_features``/``fake_resize``)
 remain the registered-query/oracle mode regardless — oracles need
 byte-math reproducibility, not a codec. Everything around the decode —
 schema, binary payload handling, mapInPandas batch shape, partition
@@ -59,17 +60,144 @@ def has_imaging() -> bool:
         return False
 
 
+# ---- stdlib PNG codec (zlib + struct; PNG spec / RFC 2083) -----------------
+# The container ships no imaging library, so the "real bytes" arm of
+# decode/resize was unexercisable (r8/r9 verdicts, environment-blocked).
+# PNG's container is simple enough to do with the stdlib: zlib inflate +
+# five per-row byte filters. Scope: 8-bit depth, color types 0/2/3/4/6,
+# no interlace — the common case; anything else raises the same
+# NotImplementedError the PIL-absent path always raised. PIL, when
+# importable, still takes priority (it covers every format and depth).
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_decode(data: bytes) -> "np.ndarray":
+    """Stdlib PNG -> HxWx3 uint8 RGB. See the codec note above."""
+    import struct
+    import zlib
+
+    if not data.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG stream")
+    pos, idat, plte, ihdr = len(_PNG_MAGIC), [], None, None
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        if len(chunk) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"stdlib PNG decoder handles 8-bit non-interlaced images "
+            f"only (got depth={depth}, interlace={interlace}); install "
+            "PIL/pillow for full coverage"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError(f"unsupported PNG color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(height):
+        ftype = raw[r * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 1:  # Sub
+            cur = row.copy()
+            for i in range(channels, stride):
+                cur[i] = (cur[i] + cur[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = row.copy()
+            for i in range(stride):
+                left = cur[i - channels] if i >= channels else 0
+                cur[i] = (cur[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = row.copy()
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[r] = cur.astype(np.uint8)
+        prev = out[r].astype(np.uint8)
+    px = out.reshape(height, width, channels)
+    if color == 2:
+        return px
+    if color == 6:
+        return px[:, :, :3].copy()
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    # color == 3: palette lookup
+    if plte is None:
+        raise ValueError("palette PNG without PLTE chunk")
+    return plte[px[:, :, 0]]
+
+
+def _png_encode(arr: "np.ndarray") -> bytes:
+    """HxWx3 uint8 RGB -> PNG bytes (filter 0 rows, one zlib stream)."""
+    import struct
+    import zlib
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("expected an HxWx3 uint8 array")
+    height, width = arr.shape[:2]
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    rows = b"".join(b"\x00" + arr[r].tobytes() for r in range(height))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(rows, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(data: bytes) -> "np.ndarray":
-    """Decode an encoded image payload to an HxWx3 uint8 RGB array via
-    PIL when importable; raises NotImplementedError otherwise (this
-    container ships no imaging library — the deterministic fakes remain
-    the registered-query/oracle mode either way)."""
+    """Decode an encoded image payload to an HxWx3 uint8 RGB array: PIL
+    when importable (every format), else the stdlib PNG decoder for PNG
+    payloads; raises NotImplementedError for non-PNG formats without
+    PIL (the deterministic fakes remain the registered-query/oracle
+    mode either way)."""
     try:
         from PIL import Image
     except ImportError as exc:
+        if data.startswith(_PNG_MAGIC):
+            return _png_decode(data)
         raise NotImplementedError(
-            "image decoding requires PIL/pillow, not available in this "
-            "environment; use fake_features for the deterministic stub"
+            "decoding non-PNG images requires PIL/pillow, not available "
+            "in this environment; PNG payloads decode via the stdlib "
+            "fallback, and fake_features is the deterministic stub"
         ) from exc
     import io
 
@@ -88,14 +216,23 @@ def fake_features(data: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def resize_image(data: bytes, width: int, height: int) -> bytes:
-    """Resize an encoded image to width x height via PIL when
-    importable (returns PNG bytes); NotImplementedError otherwise —
-    ``fake_resize`` stays the oracle mode."""
+    """Resize an encoded image to width x height (returns PNG bytes):
+    PIL when importable, else stdlib PNG decode -> nearest-neighbor
+    sample -> stdlib PNG encode for PNG payloads; NotImplementedError
+    for non-PNG formats without PIL — ``fake_resize`` stays the oracle
+    mode."""
     try:
         from PIL import Image
     except ImportError as exc:
+        if data.startswith(_PNG_MAGIC):
+            arr = _png_decode(data)
+            h, w = arr.shape[:2]
+            rows = (np.arange(height) * h) // height
+            cols = (np.arange(width) * w) // width
+            return _png_encode(arr[rows][:, cols])
         raise NotImplementedError(
-            "image resize requires PIL/pillow; use fake_resize for the "
+            "resizing non-PNG images requires PIL/pillow; PNG payloads "
+            "resize via the stdlib fallback, and fake_resize is the "
             "deterministic stub"
         ) from exc
     import io

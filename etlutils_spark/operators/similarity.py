@@ -27,6 +27,7 @@ from etlutils_spark.sources.sidecar import (
     read_sidecar_json,
     release_writer_lease,
     sidecar_kind,
+    verify_writer_lease,
     write_sidecar_json,
 )
 
@@ -1275,9 +1276,20 @@ def extend_ann_index(
         spark, f"{path}/.writer_lease", writer_lease_stale_sec
     )
     try:
+        # heal a compaction that died between its two renames — UNDER
+        # the lease and UNCONDITIONALLY (a manual compact_ann_index
+        # crash must not wedge extends, or a stream restarted without
+        # compact_every, until someone re-runs compaction; two
+        # exists() checks when healthy) — r9 advice #1/#2
+        from etlutils_spark.sources.files import heal_interrupted_compaction
+
+        heal_interrupted_compaction(spark, f"{path}/codes")
         return _extend_ann_index_locked(
             spark, path, new_vectors, id_col, vec_col,
             drift_ratio_threshold,
+            commit_check=lambda: verify_writer_lease(
+                spark, f"{path}/.writer_lease", lease
+            ),
         )
     finally:
         release_writer_lease(spark, f"{path}/.writer_lease", lease)
@@ -1290,8 +1302,13 @@ def _extend_ann_index_locked(
     id_col: str,
     vec_col: str,
     drift_ratio_threshold: float,
+    commit_check=None,
 ) -> DataFrame:
     """Body of :func:`extend_ann_index`, under the writer lease.
+    ``commit_check`` runs immediately before the codes append — the
+    wrapper passes a lease re-verification so a holder whose heartbeat
+    gave up during the encode aborts instead of appending codes encoded
+    against quantizers a thief may have rebuilt (r9 verdict Next #3).
 
     The drift measurement is FREE: the batch's mean quantization error
     is collected by an ``Observation`` attached to the codes frame
@@ -1328,6 +1345,8 @@ def _extend_ann_index_locked(
         ).drop("__qerr")
     stored_ids = spark.read.parquet(f"{path}/codes").select(id_col)
     fresh = batch_codes.join(stored_ids, id_col, "left_anti")
+    if commit_check is not None:
+        commit_check()
     fresh.write.mode("append").parquet(f"{path}/codes")
     if obs is not None:
         stat = obs.get  # ready: the write action above has completed
@@ -1429,8 +1448,13 @@ def compact_ann_index(
         spark, f"{path}/.writer_lease", writer_lease_stale_sec
     )
     try:
+        # ownership is re-asserted right before the swap: the rewrite
+        # job can outlast a heartbeat outage (r9 verdict Next #3)
         return compact_parquet_inplace(
-            spark, f"{path}/codes", target_rows_per_file
+            spark, f"{path}/codes", target_rows_per_file,
+            pre_swap_check=lambda: verify_writer_lease(
+                spark, f"{path}/.writer_lease", lease
+            ),
         )
     finally:
         release_writer_lease(spark, f"{path}/.writer_lease", lease)

@@ -319,6 +319,7 @@ def compact_parquet_inplace(
     spark: SparkSession,
     path: str,
     target_rows_per_file: int = 1_000_000,
+    pre_swap_check=None,
 ) -> int:
     """In-place small-files compaction for APPEND-GROWN tables (the
     index artifacts' codes/profiles, which gain one file per extend
@@ -334,7 +335,12 @@ def compact_parquet_inplace(
     or :func:`recover_compaction` semantics built in below — heals it
     by promoting the fully-written tmp. Callers that guard a shared
     artifact must hold its writer lease around this (the index-level
-    wrappers do). Returns the file count after compaction."""
+    wrappers do), and may pass ``pre_swap_check`` — a callable invoked
+    immediately before the first swap rename, AFTER the long rewrite
+    job — to re-assert lease ownership at the commit point (the
+    index wrappers pass ``verify_writer_lease``; a compaction whose
+    rewrite outlasted a heartbeat outage must not swap over a thief's
+    fresh artifact). Returns the file count after compaction."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
@@ -363,14 +369,106 @@ def compact_parquet_inplace(
     # swap: path -> .compact_old, tmp -> path, drop old. Single writer
     # (lease-holder); the only mid-swap crash window leaves path absent
     # with BOTH copies intact.
+    if pre_swap_check is not None:
+        pre_swap_check()
     if not fs.rename(jpath, old):
         raise IOError(f"could not stage {path} for compaction swap")
     if not fs.rename(tmp, jpath):
-        # put the original back — nothing lost
-        fs.rename(old, jpath)
+        # put the original back — nothing lost, but the rollback must
+        # be CHECKED: rename-into-existing can report failure (or, on
+        # some stores, move the old copy INSIDE a recreated path) and
+        # silently swallowing that leaves the table unreadable with no
+        # hint that both complete copies still exist (r9 advice)
+        if not fs.rename(old, jpath):
+            raise IOError(
+                f"compaction swap of {path} failed AND the rollback "
+                f"rename failed: the table is currently absent, with "
+                f"the original intact at {path}.compact_old and the "
+                f"compacted copy at {path}.compact_tmp — restore one "
+                "manually (both are complete; no rows were lost)"
+            )
         raise IOError(f"could not commit compaction of {path}")
     fs.delete(old, True)
     return n
+
+
+def compact_partitioned_parquet(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    pre_swap_check=None,
+) -> dict[str, int]:
+    """Per-partition in-place compaction for Hive-partition-laid-out
+    tables (``col=value`` directories — event-date sinks,
+    ``write_orc(partition_by=...)`` outputs): walks to each LEAF
+    partition directory and runs :func:`compact_parquet_inplace` on it,
+    so the directory layout consumers prune on is preserved exactly —
+    the flat compactor refuses these tables for that reason. Handles
+    nested (multi-column) partitioning; a ``.compact_tmp`` left by a
+    mid-swap crash in any partition is healed before compaction (an
+    ABSENT partition is silent data loss to a full-table scan, unlike
+    the flat table's loud missing-path failure, so healing comes
+    first, not lazily). Returns ``{partition_rel_path: n_files}``.
+
+    Callers guarding a shared artifact hold its writer lease around
+    this and pass ``pre_swap_check`` (e.g. ``verify_writer_lease``) —
+    it runs before EVERY partition's swap, since the walk can be long.
+
+    Scale: each partition compacts independently (its own count + one
+    rewrite job), so memory is bounded by one partition, and an
+    interrupted run leaves every completed partition compacted — rerun
+    to resume. Partitions already at their target file count are still
+    rewritten; pre-filter the dict if that matters."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+
+    def part_dirs(p):
+        subs = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if not st.isDirectory() or ".compact_" in name:
+                continue
+            if "=" in name and not name.startswith((".", "_")):
+                subs.append(st.getPath())
+        return subs
+
+    tops = part_dirs(jpath)
+    if not tops:
+        raise ValueError(
+            f"compact_partitioned_parquet: {path} has no col=value "
+            "partition directories — use compact_parquet_inplace for "
+            "flat tables"
+        )
+    leaves: list = []
+
+    def walk(p) -> None:
+        # heal a mid-swap crash in this subtree first: a fully-written
+        # D.compact_tmp whose D is absent is promoted on the spot
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.endswith(".compact_tmp"):
+                heal_interrupted_compaction(
+                    spark, str(st.getPath())[: -len(".compact_tmp")]
+                )
+        subs = part_dirs(p)
+        if subs:
+            for s in subs:
+                walk(s)
+        else:
+            leaves.append(p)
+
+    for t in tops:
+        walk(t)
+    base = str(jpath.toUri().getPath())
+    out: dict[str, int] = {}
+    for leaf in leaves:
+        rel = str(leaf.toUri().getPath())[len(base):].lstrip("/")
+        out[rel] = compact_parquet_inplace(
+            spark, str(leaf), target_rows_per_file,
+            pre_swap_check=pre_swap_check,
+        )
+    return out
 
 
 def spread(df: DataFrame, n: int | None = None) -> DataFrame:

@@ -83,17 +83,12 @@ def streaming_ann_index(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if compact_every:
-            # a compaction that died between its two renames left the
-            # codes table missing with a fully-written tmp beside it;
-            # heal BEFORE the extend reads it, so a mid-swap crash
-            # never wedges the restarted stream (two exists() checks
-            # when healthy)
-            from etlutils_spark.sources.files import (
-                heal_interrupted_compaction,
-            )
-
-            heal_interrupted_compaction(spark, f"{path}/codes")
+        # a compaction that died between its two renames (codes table
+        # missing, fully-written tmp beside it) is healed INSIDE
+        # extend_ann_index, under the artifact's writer lease and
+        # unconditionally (r10: previously healed here, lease-less and
+        # only when compact_every was set — a manual compaction crash
+        # or a restart without compact_every stayed wedged)
         # committed -> extend; absent/debris -> build; torn params
         # FILE -> raise (a damaged committed artifact — rebuilding
         # from one micro-batch would destroy the stored corpus)
@@ -117,9 +112,9 @@ def streaming_ann_index(
         if compact_every and processed["n"] % int(compact_every) == 0:
             # maintenance between batches: the extend above released
             # the lease, compaction re-acquires it; a crash inside the
-            # swap is healed by the next batch's pre-extend
-            # heal_interrupted_compaction above — content is unchanged
-            # either way, so replay semantics are unaffected
+            # swap is healed by the next extend's in-lease heal —
+            # content is unchanged either way, so replay semantics are
+            # unaffected
             compact_ann_index(spark, path)
 
     return (

@@ -161,16 +161,11 @@ def streaming_dedup_index(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if compact_every:
-            # heal a compaction that died mid-swap BEFORE the extend
-            # reads the tables, so a crash never wedges the restarted
-            # stream (two exists() checks per table when healthy)
-            from etlutils_spark.sources.files import (
-                heal_interrupted_compaction,
-            )
-
-            heal_interrupted_compaction(spark, f"{path}/profiles")
-            heal_interrupted_compaction(spark, f"{path}/labels")
+        # a compaction that died mid-swap is healed INSIDE
+        # extend_dedup_index, under the artifact's writer lease and
+        # unconditionally (r10: previously healed here, lease-less and
+        # only when compact_every was set — a manual compaction crash
+        # or a restart without compact_every stayed wedged)
         # cold-start probe with three distinguished states (review
         # catches, sources.sidecar.bootstrap_action): committed ->
         # extend; absent / crashed-pre-JSON-build debris -> rebuild;
@@ -193,8 +188,8 @@ def streaming_dedup_index(
         if compact_every and processed["n"] % int(compact_every) == 0:
             # between-batch maintenance under its own lease hold;
             # content-identical, so replay semantics are unaffected
-            # (a mid-swap crash is healed by the next batch's
-            # pre-extend heal_interrupted_compaction above)
+            # (a mid-swap crash is healed by the next extend's
+            # in-lease heal)
             compact_dedup_index(spark, path)
 
     return (

@@ -187,10 +187,123 @@ def test_multimodal_feature_plumbing(docs):
 
 @pytest.mark.skipif(multimodal.has_imaging(), reason="PIL present: real path")
 def test_decode_stub_raises():
+    """Without PIL, NON-PNG payloads (and a stream too short to carry
+    the full 8-byte PNG magic) still raise the capability error; PNG
+    goes through the stdlib codec (tests below)."""
     with pytest.raises(NotImplementedError, match="PIL|pillow"):
-        multimodal.decode_image(b"\x89PNG")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0JFIF")
     with pytest.raises(NotImplementedError, match="PIL|pillow"):
-        multimodal.resize_image(b"\x89PNG", 8, 8)
+        multimodal.decode_image(b"\x89PNG")  # truncated magic
+    with pytest.raises(NotImplementedError, match="PIL|pillow"):
+        multimodal.resize_image(b"\xff\xd8\xff\xe0JFIF", 8, 8)
+
+
+def test_stdlib_png_roundtrip_and_resize():
+    """The stdlib PNG codec (zlib+struct) exercises the real-bytes arm
+    without an imaging library (r9 verdict Next #6): encode->decode is
+    identity, decode_image/resize_image route PNG payloads through it,
+    and nearest-neighbor resize hits exact target geometry."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    png = multimodal._png_encode(arr)
+    assert png.startswith(b"\x89PNG\r\n\x1a\n")
+    assert (multimodal._png_decode(png) == arr).all()
+    # the public hooks route PNG through the codec regardless of PIL
+    # (PIL, when present, decodes the same stream — same assertions)
+    assert (multimodal.decode_image(png) == arr).all()
+    small = multimodal.resize_image(png, 3, 2)
+    out = multimodal.decode_image(small)
+    assert out.shape == (2, 3, 3)
+    # nearest-neighbor at exact integer geometry: corners map to source
+    assert (out[0, 0] == arr[0, 0]).all()
+
+
+def test_stdlib_png_all_filter_types_and_color_types():
+    """Decoder coverage for what encoders in the wild actually emit:
+    all five per-row filter types (our own encoder only writes filter
+    0) and the non-RGB color types (gray, gray+alpha, palette, RGBA),
+    each hand-assembled per the PNG spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype, payload):
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", crc)
+        )
+
+    def build(width, height, color, raws, plte=None):
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+        body = b"".join(raws)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b"")
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    ch, stride = 3, 4 * 3
+    rows, prev = [], np.zeros(stride, dtype=np.int32)
+    for r, ftype in enumerate([0, 1, 2, 3, 4]):
+        raw = arr[r].reshape(-1).astype(np.int32)
+        filt = raw.copy()
+        for i in range(stride):
+            a = int(raw[i - ch]) if i >= ch else 0          # left
+            b = int(prev[i])                                # up
+            c = int(prev[i - ch]) if i >= ch else 0         # up-left
+            if ftype == 1:
+                filt[i] = (raw[i] - a) % 256
+            elif ftype == 2:
+                filt[i] = (raw[i] - b) % 256
+            elif ftype == 3:
+                filt[i] = (raw[i] - ((a + b) >> 1)) % 256
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                filt[i] = (raw[i] - pred) % 256
+        rows.append(bytes([ftype]) + filt.astype(np.uint8).tobytes())
+        prev = raw
+    png = build(4, 5, 2, rows)
+    assert (multimodal._png_decode(png) == arr).all()
+
+    # grayscale (color 0): value replicated into RGB
+    g = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+    png_g = build(2, 2, 0, [b"\x00" + g[0].tobytes(), b"\x00" + g[1].tobytes()])
+    out = multimodal._png_decode(png_g)
+    assert (out[..., 0] == g).all() and (out[..., 2] == g).all()
+
+    # gray+alpha (color 4): alpha dropped
+    ga = b"\x00" + bytes([10, 255, 20, 0]) + b"\x00" + bytes([30, 7, 40, 9])
+    out = multimodal._png_decode(build(2, 2, 4, [ga[:5], ga[5:]]))
+    assert (out[..., 0] == g).all()
+
+    # RGBA (color 6): alpha dropped
+    rgba = np.dstack([arr[:2, :2], np.full((2, 2), 128, np.uint8)])
+    raws = [b"\x00" + rgba[r].tobytes() for r in range(2)]
+    out = multimodal._png_decode(build(2, 2, 6, raws))
+    assert (out == arr[:2, :2]).all()
+
+    # palette (color 3): PLTE lookup
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    idx = [b"\x00" + bytes([0, 1]), b"\x00" + bytes([2, 0])]
+    out = multimodal._png_decode(build(2, 2, 3, idx, plte=plte))
+    assert (out[0, 0] == [255, 0, 0]).all() and (out[1, 0] == [0, 0, 255]).all()
+
+    # declared-but-unsupported states stay LOUD, not wrong
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    png16 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+             + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+             + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        multimodal._png_decode(png16)
 
 
 @pytest.mark.skipif(not multimodal.has_imaging(), reason="no imaging lib")
@@ -2371,6 +2484,242 @@ def test_lease_unremovable_orphan_raises_its_own_error(
     token = sc.acquire_writer_lease(spark, url, stale_after_sec=60.0)
     assert sc.read_sidecar_text(spark, url) == token
     sc.release_writer_lease(spark, url, token)
+
+
+def test_lease_verify_aborts_commit_after_giveup_and_steal(
+    spark, tmp_path
+):
+    """The post-give-up guarantee (r9 verdict Next #3): a holder whose
+    heartbeat gave up after FS failures spanning a full staleness
+    window must RE-VERIFY ownership at its next commit point — and
+    abort when the lease was stolen in the gap. Previously the give-up
+    was a warning and nothing re-checked, so a holder whose FS outage
+    outlasted stale_after_sec could commit over a thief. The outage is
+    simulated by renaming the lease away until the beat gives up."""
+    import time
+    import warnings as _warnings
+
+    from etlutils_spark.sources import sidecar as sc
+
+    url = str(tmp_path / "giveup" / ".writer_lease")
+    # stale=3s -> beat interval 1s, retry tick 1s, give-up after ~3
+    # consecutive failures
+    with _warnings.catch_warnings(record=True) as seen:
+        _warnings.simplefilter("always")
+        token = sc.acquire_writer_lease(spark, url, stale_after_sec=3.0)
+        os.rename(url, url + ".outage")  # every beat tick now fails
+        deadline = time.time() + 20
+        while (url, token) not in sc._LEASE_STATE and time.time() < deadline:
+            time.sleep(0.25)
+    assert sc._LEASE_STATE.get((url, token)) == "gave_up"
+    assert any("giving up" in str(w.message) for w in seen)
+    # the thief acquires cleanly (the path is free after the outage)
+    thief = sc.acquire_writer_lease(spark, url, stale_after_sec=3.0)
+    try:
+        with pytest.raises(ValueError, match="ownership could not be"):
+            sc.verify_writer_lease(spark, url, token)
+        # the failed verification is remembered as positive theft:
+        # subsequent commits abort without re-reading
+        assert sc._LEASE_STATE.get((url, token)) == "stolen"
+        with pytest.raises(ValueError, match="STOLEN"):
+            sc.verify_writer_lease(spark, url, token)
+        # the thief itself (healthy beat, no recorded state) passes
+        sc.verify_writer_lease(spark, url, thief)
+    finally:
+        sc.release_writer_lease(spark, url, thief)
+        sc._LEASE_STATE.pop((url, token), None)
+
+
+def test_lease_verify_reconfirms_ownership_after_giveup(spark, tmp_path):
+    """The give-up path's HAPPY branch: when the outage ends and the
+    lease was NOT stolen, verify re-reads the token, confirms
+    ownership, refreshes the mtime (the dead beat's stand-in), and the
+    commit proceeds — give-up alone must not abort a still-valid
+    holder. The holder stays in gave_up so every later commit
+    re-verifies (the beat is not restarted)."""
+    import time
+
+    from etlutils_spark.sources import sidecar as sc
+
+    url = str(tmp_path / "giveup2" / ".writer_lease")
+    token = sc.acquire_writer_lease(spark, url, stale_after_sec=3.0)
+    os.rename(url, url + ".outage")
+    deadline = time.time() + 20
+    while (url, token) not in sc._LEASE_STATE and time.time() < deadline:
+        time.sleep(0.25)
+    assert sc._LEASE_STATE.get((url, token)) == "gave_up"
+    os.rename(url + ".outage", url)  # outage over, lease intact
+    old = time.time() - 100
+    os.utime(url, (old, old))
+    sc.verify_writer_lease(spark, url, token)  # must not raise
+    assert time.time() - os.path.getmtime(url) < 10.0, (
+        "verify confirmed ownership but did not refresh the lease "
+        "mtime — with the beat dead, the lease would go stale again "
+        "mid-mutation"
+    )
+    assert sc._LEASE_STATE.get((url, token)) == "gave_up"
+    sc.release_writer_lease(spark, url, token)
+    assert (url, token) not in sc._LEASE_STATE
+
+
+def test_lease_verify_zombie_abort_on_positive_theft(spark, tmp_path):
+    """When the heartbeat POSITIVELY reads a foreign token (the holder
+    stalled, the lease went stale, a thief took it), the beat records
+    'stolen' and every subsequent commit-point verify aborts without
+    touching the store."""
+    import time
+
+    from etlutils_spark.sources import sidecar as sc
+
+    url = str(tmp_path / "zombie" / ".writer_lease")
+    token = sc.acquire_writer_lease(spark, url, stale_after_sec=3.0)
+    # the thief's token lands under the live beat — written through the
+    # Hadoop FS API (a raw Python overwrite invalidates LocalFS's .crc
+    # sidecar and reads back as an IO error, i.e. an outage, not theft)
+    sc.write_sidecar_text(spark, url, "f" * 32)
+    deadline = time.time() + 20
+    while sc._LEASE_STATE.get((url, token)) != "stolen":
+        if time.time() > deadline:
+            raise AssertionError("beat never recorded the theft")
+        time.sleep(0.25)
+    with pytest.raises(ValueError, match="STOLEN"):
+        sc.verify_writer_lease(spark, url, token)
+    os.remove(url)
+    sc._LEASE_STATE.pop((url, token), None)
+
+
+def test_lease_scheme_allowlist_fails_closed(spark):
+    """The scheme gate is an ALLOWLIST of audited atomic-rename stores:
+    every other object-store connector (gs, oss, cos, wasb — all
+    check-then-put create and copy+delete rename) must be refused, not
+    just the s3 family the old denylist named (r9 advice #3: unaudited
+    connectors silently passed the guard)."""
+    from etlutils_spark.sources import sidecar as sc
+
+    for scheme in ("gs", "oss", "cos", "cosn", "wasb", "wasbs", "swift",
+                   "s3a", "madeupfs"):
+        with pytest.raises(ValueError, match="rename"):
+            sc.acquire_writer_lease(
+                spark, f"{scheme}://bucket/idx/.writer_lease"
+            )
+
+
+def test_lease_lock_provider_seam(spark, tmp_path):
+    """set_lease_lock_provider replaces the filesystem lease wholesale:
+    acquisition on an otherwise-REFUSED object-store URL succeeds
+    through the provider, double-acquire raises inside the provider
+    (mutual exclusion is its job), verify delegates, and release
+    unlocks — the supported S3-family single-writer path (r9 verdict
+    Next #5), exercised end-to-end through build/extend_dedup_index."""
+    from etlutils_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+    from etlutils_spark.sources import sidecar as sc
+
+    class MemLock:
+        def __init__(self):
+            self.held = {}
+            self.calls = []
+
+        def acquire(self, url, stale_after_sec):
+            self.calls.append(("acquire", url))
+            if url in self.held:
+                raise ValueError(f"lock {url} already held")
+            token = f"mem-{len(self.calls)}"
+            self.held[url] = token
+            return token
+
+        def release(self, url, token):
+            self.calls.append(("release", url))
+            if self.held.get(url) == token:
+                del self.held[url]
+
+        def verify(self, url, token):
+            self.calls.append(("verify", url))
+            if self.held.get(url) != token:
+                raise ValueError(f"lock {url} lost")
+
+    provider = MemLock()
+    prev = sc.set_lease_lock_provider(provider)
+    try:
+        # unit protocol, on a URL the FS lease would refuse outright
+        url = "s3a://bucket/idx/.writer_lease"
+        t = sc.acquire_writer_lease(spark, url)
+        with pytest.raises(ValueError, match="already held"):
+            sc.acquire_writer_lease(spark, url)
+        sc.verify_writer_lease(spark, url, t)
+        sc.release_writer_lease(spark, url, t)
+        assert provider.held == {}
+        # end-to-end: the index wrappers acquire/verify/release through
+        # the provider transparently (local artifact path; the lock
+        # name is opaque to the provider)
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+             (2, "alpha beta gamma delta epsilon zeta eta iota")],
+            "doc_id bigint, text string",
+        )
+        path = str(tmp_path / "previdx")
+        build_dedup_index(docs.filter("doc_id = 1"), path,
+                          bands=8, threshold=0.3)
+        extend_dedup_index(path, docs.filter("doc_id = 2"))
+        ops = [c[0] for c in provider.calls]
+        assert ops.count("acquire") >= 3 and ops.count("release") >= 3
+        assert "verify" in ops  # the extend's commit point re-verified
+        assert provider.held == {}
+    finally:
+        sc.set_lease_lock_provider(prev)
+
+
+def test_extend_heals_interrupted_compaction_without_compact_every(
+    spark, tmp_path
+):
+    """A manual compact_ann_index/compact_dedup_index that crashes
+    between its two renames leaves the table MISSING with the
+    fully-written copy at .compact_tmp. A plain extend (no streaming
+    wrapper, no compact_every) must heal that state under its own
+    lease instead of failing on the absent table and wedging until an
+    operator re-runs compaction (r9 advice #2)."""
+    import numpy as np
+
+    from etlutils_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+    from etlutils_spark.operators.similarity import (
+        build_ann_index,
+        extend_ann_index,
+    )
+
+    # --- ANN: codes missing, codes.compact_tmp complete
+    rng = np.random.default_rng(7)
+    vecs = spark.createDataFrame(
+        [(i, rng.normal(size=8).tolist()) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    apath = str(tmp_path / "annheal")
+    build_ann_index(vecs.filter("vec_id < 30"), apath,
+                    num_clusters=2, m=4, ksub=4)
+    os.rename(f"{apath}/codes", f"{apath}/codes.compact_tmp")
+    out = extend_ann_index(apath, vecs.filter("vec_id >= 30"))
+    assert out.count() == 40
+    assert not os.path.exists(f"{apath}/codes.compact_tmp")
+
+    # --- dedup: profiles missing mid-swap, same recovery
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "completely different words about something else"),
+         (3, "alpha beta gamma delta epsilon zeta eta iota")],
+        "doc_id bigint, text string",
+    )
+    dpath = str(tmp_path / "dedupheal")
+    build_dedup_index(docs.filter("doc_id <= 2"), dpath,
+                      bands=8, threshold=0.3)
+    os.rename(f"{dpath}/profiles", f"{dpath}/profiles.compact_tmp")
+    labels = extend_dedup_index(dpath, docs.filter("doc_id = 3"))
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert got == {1: 1, 2: 2, 3: 1}
+    assert not os.path.exists(f"{dpath}/profiles.compact_tmp")
 
 
 def test_ann_index_stats_cell_balance(spark, tmp_path):
