@@ -22,11 +22,14 @@ from etlutils_spark.operators.locf import na_locf_plus_one
 from etlutils_spark.operators.transfun import trans_fun
 from etlutils_spark.sources.sql import read_sql, write_sql
 from etlutils_spark.sources.files import (
+    compact_parquet_inplace,
+    compact_partitioned_parquet,
     load_star,
     read_binary_dir,
     read_table,
     read_text_corpus,
 )
+from etlutils_spark.sources.sidecar import set_lease_lock_provider
 from etlutils_spark.sources.merge import merge_upsert, scd2_apply
 from etlutils_spark.operators.curation import curate_documents, curate_to_sequences
 from etlutils_spark.operators.dedup import (
@@ -134,6 +137,8 @@ __all__ = [
     "build_dedup_clusters",
     "build_dedup_index",
     "compact_dedup_index",
+    "compact_parquet_inplace",
+    "compact_partitioned_parquet",
     "extend_dedup_index",
     "lsh_candidate_probability",
     "pick_lsh_bands",
@@ -155,6 +160,7 @@ __all__ = [
     "pq_topk",
     "build_ann_index",
     "compact_ann_index",
+    "set_lease_lock_provider",
     "extend_ann_index",
     "ann_index_topk",
     "ann_index_drift",

@@ -301,3 +301,60 @@ def test_compact_parquet_inplace_refuses_partitioned_layout(spark, tmp_path):
     ).parquet(p)
     with pytest.raises(ValueError, match="partition-laid-out"):
         compact_parquet_inplace(spark, p)
+
+
+def test_compact_partitioned_parquet_preserves_layout(spark, tmp_path):
+    """Per-partition compaction (r9 verdict Next #7): every leaf
+    col=value directory is rewritten in place, the pruning layout and
+    row content are exactly preserved (nested partitioning included),
+    a mid-swap-crashed partition is healed up front, and flat tables
+    are refused toward compact_parquet_inplace."""
+    import os
+    import shutil
+
+    import pytest
+
+    from etlutils_spark.sources.files import compact_partitioned_parquet
+
+    p = str(tmp_path / "nested")
+    df = (
+        spark.range(400)
+        .withColumn("b", F.pmod("id", F.lit(2)))
+        .withColumn("c", F.pmod("id", F.lit(3)))
+    )
+    # several appends per partition -> many small files per leaf
+    for _ in range(4):
+        df.write.mode("append").partitionBy("b", "c").parquet(p)
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(p).select("id", "b", "c").collect()
+    )
+    leaf = f"{p}/b=0/c=0"
+    assert len([f for f in os.listdir(leaf) if f.endswith(".parquet")]) >= 4
+    # simulate a previous per-partition compaction crashing mid-swap in
+    # ONE leaf: that partition is absent with a complete tmp beside it
+    shutil.move(leaf, leaf + ".compact_tmp")
+
+    out = compact_partitioned_parquet(spark, p, target_rows_per_file=10_000)
+    assert set(out) == {
+        f"b={b}/c={c}" for b in (0, 1) for c in (0, 1, 2)
+    }
+    assert all(n == 1 for n in out.values())
+    for rel in out:
+        files = [
+            f for f in os.listdir(f"{p}/{rel}") if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, rel
+    assert not os.path.exists(leaf + ".compact_tmp")
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(p).select("id", "b", "c").collect()
+    )
+    assert after == before
+    # partition pruning still works on the preserved layout
+    assert spark.read.parquet(p).filter("b = 1 and c = 2").count() == len(
+        [t for t in before if t[1] == 1 and t[2] == 2]
+    )
+    # flat tables are routed to the flat compactor
+    flat = str(tmp_path / "flat")
+    spark.range(10).write.parquet(flat)
+    with pytest.raises(ValueError, match="no col=value"):
+        compact_partitioned_parquet(spark, flat)
