@@ -1411,6 +1411,44 @@ _FEATURES_ORACLE = """
 )
 
 
+# The PNG-roundtrip oracle never touches PNG code: the codec is
+# lossless, so the decoded pixels ARE the source bytes (first 48 text
+# bytes, cycled) — DuckDB recomputes their sum/min/max straight from
+# the text on the same pure-ASCII corpus (byte == codepoint, the
+# _FEATURES_ORACLE convention). A codec bug on the Spark side (filter
+# math, channel swap, row order) changes the decoded stats and fails
+# the value hash; roundtrip_ok is additionally computed elementwise on
+# the Spark side (the oracle pins it TRUE — lossless is the contract).
+_PNG_ROUNDTRIP_ORACLE = """
+    WITH c AS (
+      SELECT doc_id, string_split(text, '') AS ch FROM documents
+      WHERE len(text) > 0),
+    b AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 47),
+                            i -> ascii(ch[(i % len(ch)) + 1])) AS bytes
+      FROM c)
+    SELECT doc_id,
+           TRUE AS roundtrip_ok,
+           CAST(list_aggregate(bytes, 'sum') AS BIGINT) AS decoded_sum,
+           CAST(list_aggregate(bytes, 'min') AS BIGINT) AS decoded_min,
+           CAST(list_aggregate(bytes, 'max') AS BIGINT) AS decoded_max
+    FROM b
+    """
+
+
+@register("multimodal_png_roundtrip", _PNG_ROUNDTRIP_ORACLE)
+def q_multimodal_png_roundtrip(spark, sf_dir):
+    """Real encoded-image bytes through the stdlib PNG codec (zlib +
+    struct; PIL-free), Arrow-batched: text bytes -> 4x4x3 image ->
+    encode -> decode -> pixel statistics, value-checked against the
+    text-derived expectation (see the oracle note). Exercises the
+    real-bytes arm of the multimodal decode slot end-to-end in a
+    distributed plan — the arm that was environment-blocked while PIL
+    was the only decoder (r9 verdict Next #6)."""
+    return multimodal.png_roundtrip_stats(_t(spark, sf_dir, "documents"))
+
+
 @register("multimodal_features", _FEATURES_ORACLE)
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched feature extraction over binary payloads (decode

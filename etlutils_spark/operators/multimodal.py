@@ -327,6 +327,67 @@ def sample_frames(
 
 
 # Typed per-modality metadata schemas — the contract a real probe
+def png_roundtrip_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 4,
+    height: int = 4,
+) -> DataFrame:
+    """Real-bytes codec exercise as a VALUE-CHECKABLE query: derive a
+    deterministic ``height x width x 3`` image from each document's
+    utf-8 bytes (cycled to fill), run it through the stdlib PNG
+    encode->decode roundtrip (or PIL's decoder when importable — same
+    lossless stream), and report statistics OF THE DECODED PIXELS.
+    Because the codec is lossless, an oracle can compute the same
+    statistics from the text bytes directly without any PNG code — a
+    codec bug (wrong filter math, channel swap, row order) surfaces as
+    a value mismatch, not just a failed flag. ``roundtrip_ok`` is the
+    Spark-side elementwise equality of decoded vs source pixels.
+
+    Output: ``(id, roundtrip_ok, decoded_sum, decoded_min,
+    decoded_max)``; rows with empty text are dropped (no bytes to
+    image). Scale: stateless mapInPandas projection, no shuffle."""
+    npix = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok, s, mn, mx = [], [], [], []
+            for t in pdf[text_col]:
+                data = np.frombuffer(
+                    str(t).encode("utf-8"), dtype=np.uint8
+                )
+                arr = data[np.arange(npix) % len(data)].reshape(
+                    height, width, 3
+                )
+                dec = _png_decode(_png_encode(arr))
+                flat = dec.reshape(-1).astype(np.int64)
+                ok.append(bool((dec == arr).all()))
+                s.append(int(flat.sum()))
+                mn.append(int(flat.min()))
+                mx.append(int(flat.max()))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "roundtrip_ok": ok,
+                    "decoded_sum": pd.Series(s, dtype="int64"),
+                    "decoded_min": pd.Series(mn, dtype="int64"),
+                    "decoded_max": pd.Series(mx, dtype="int64"),
+                }
+            )
+
+    from etlutils_spark.sources.files import spread
+
+    src = spread(df.select(id_col, text_col).filter(F.length(text_col) > 0))
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} bigint, roundtrip_ok boolean, decoded_sum bigint, "
+            "decoded_min bigint, decoded_max bigint"
+        ),
+    )
+
+
 # (ffprobe/PIL) fills. One superset struct keeps a mixed-modality table
 # in a single column; fields not applicable to a modality stay null.
 IMAGE_META_DDL = "width int, height int, channels int, format string"
