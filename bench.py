@@ -133,8 +133,10 @@ R4_EXTRAS = [
     # recorded sf0.1 wall-clock" claim true (r9 verdict Missing #3)
     "bpe_roundtrip_docs",
     "decontaminate_rewrite_docs",
-    # round-10 addition: stdlib PNG codec roundtrip over real bytes
+    # round-10 additions: stdlib PNG codec roundtrip over real bytes;
+    # benchmark-side contamination attribution
     "multimodal_png_roundtrip",
+    "decontaminate_attribution",
 ]
 
 

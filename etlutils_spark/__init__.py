@@ -40,6 +40,7 @@ from etlutils_spark.operators.dedup import (
     lsh_candidate_probability,
     pick_lsh_bands,
     cluster_size_histogram,
+    decontaminate_attribution,
     decontaminate_rewrite,
     dedup_rate_report,
     triplet_mining,
@@ -151,6 +152,7 @@ __all__ = [
     "rank_blend",
     "knn_label_consistency",
     "token_gini_stats",
+    "decontaminate_attribution",
     "decontaminate_rewrite",
     "decontaminate_semantic",
     "hard_negative_mining",

@@ -1520,6 +1520,48 @@ def q_decontaminate(spark, sf_dir):
 
 
 @register(
+    "decontaminate_attribution",
+    f"""
+    WITH bench AS (
+      SELECT doc_id AS bench_id, s AS shingle
+      FROM (SELECT doc_id, list_distinct(list_transform(
+                     generate_series(1, greatest(len(w) - 2, 0)),
+                     i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shl
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents WHERE source IN {_BENCH_SOURCES})),
+           UNNEST(shl) AS t(s)),
+    tr_sh AS (
+      SELECT doc_id AS train_id, s AS shingle
+      FROM (SELECT doc_id, list_distinct(list_transform(
+                     generate_series(1, greatest(len(w) - 2, 0)),
+                     i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS shl
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents WHERE source NOT IN {_BENCH_SOURCES})),
+           UNNEST(shl) AS t(s))
+    SELECT b.bench_id,
+           CAST(count(DISTINCT t.train_id) AS BIGINT) AS n_quoting_docs,
+           CAST(count(DISTINCT b.shingle) AS BIGINT) AS n_shared_shingles,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM tr_sh t JOIN bench b ON t.shingle = b.shingle
+    GROUP BY b.bench_id
+    """,
+)
+def q_decontaminate_attribution(spark, sf_dir):
+    """Contamination attributed back to the BENCHMARK side: per eval
+    doc, how many training docs quote it, how much of it is quoted
+    (distinct shared shingles), and the total co-occurrence mass —
+    the "which benchmark leaked" report that complements the
+    train-side flagger (decontaminate_overlap). Pure counting, so the
+    oracle is bit-exact."""
+    from etlutils_spark.operators.dedup import decontaminate_attribution
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source").isin(*_BENCH_SOURCES))
+    train = docs.filter(~F.col("source").isin(*_BENCH_SOURCES))
+    return decontaminate_attribution(train, bench, n=3)
+
+
+@register(
     "decontaminate_rewrite_docs",
     f"""
     WITH bench AS (

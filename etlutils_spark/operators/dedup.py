@@ -2181,6 +2181,55 @@ def decontaminate_rewrite(
     )
 
 
+def decontaminate_attribution(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Per-BENCHMARK-document contamination attribution: for each
+    benchmark doc, WHICH slice of the eval suite is leaking and how
+    widely. :func:`decontaminate` answers "which training docs are
+    contaminated"; this answers the operator's follow-up — "which
+    benchmark items should I distrust / which suite shipped into the
+    crawl" (one over-quoted item means a leaked test set, a thousand
+    lightly-quoted items mean boilerplate overlap).
+
+    Output, per benchmark doc with at least one shared shingle (inner
+    join — silent items are absent): ``(bench_id, n_quoting_docs,
+    n_shared_shingles, n_hits)`` where ``n_quoting_docs`` counts
+    distinct training docs sharing >= 1 word-``n``-gram,
+    ``n_shared_shingles`` counts the bench doc's distinct shingles
+    seen anywhere in training, and ``n_hits`` counts (train doc,
+    shingle) co-occurrences. Pure counting — decimal/float-free, so
+    the DuckDB oracle is bit-exact.
+
+    Scale: the benchmark side broadcasts (per-doc distinct shingles);
+    the training side is one shingle pass probed by the broadcast —
+    only MATCHING shingles (contamination mass, not corpus mass)
+    reach the distinct/count aggregation, keyed by bench_id (suite-
+    sized)."""
+    bench_sh = shingle_rows(benchmark, text_col, id_col, n).select(
+        F.col(id_col).alias("bench_id"), "shingle"
+    )
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    train_sh = shingle_rows(docs, text_col, id_col, n).select(
+        F.col(id_col).alias("train_id"), "shingle"
+    )
+    return (
+        train_sh.join(bench_sh, "shingle")
+        .groupBy("bench_id")
+        .agg(
+            F.countDistinct("train_id").alias("n_quoting_docs"),
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        )
+    )
+
+
 def span_rows(
     df: DataFrame,
     window: int = 32,

@@ -1148,6 +1148,39 @@ def test_decontaminate_rewrite_drops_only_contaminated_spans(spark):
     assert out[4].clean_text == "tiny" and out[4].n_kept_tokens == 1
 
 
+def test_decontaminate_attribution_counts(spark):
+    """Per-benchmark-doc attribution: a quoted item reports every
+    quoting training doc exactly once, distinct-shingle mass counts
+    the bench doc's own shingles seen in training (not hit
+    multiplicity), n_hits counts (train doc, shingle) pairs, and an
+    unquoted bench doc is absent."""
+    from etlutils_spark.operators.dedup import decontaminate_attribution
+
+    bench = spark.createDataFrame(
+        [(100, "the secret answer is forty two exactly"),
+         (101, "an entirely unquoted benchmark item here")],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # quotes 4 consecutive tokens of bench 100 -> 2 shingles
+            (1, "prefix words the secret answer is more filler"),
+            # quotes the full 7-token item -> 5 shingles
+            (2, "the secret answer is forty two exactly trailing"),
+            (3, "nothing in common with anything at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.bench_id: r
+        for r in decontaminate_attribution(train, bench, n=3).collect()
+    }
+    assert set(out) == {100}
+    assert out[100].n_quoting_docs == 2
+    assert out[100].n_shared_shingles == 5
+    assert out[100].n_hits == 7  # doc1: 2 pairs, doc2: 5 pairs
+
+
 def test_decontaminate_rewrite_catches_boundary_straddling_quote(spark):
     """A benchmark quote of exactly n tokens lying ACROSS the span
     boundary belongs to neither span's own shingle set — the r9
