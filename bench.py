@@ -137,6 +137,7 @@ R4_EXTRAS = [
     # benchmark-side contamination attribution
     "multimodal_png_roundtrip",
     "decontaminate_attribution",
+    "embedding_covariance",
 ]
 
 

@@ -58,6 +58,7 @@ from etlutils_spark.operators.similarity import (
     compact_ann_index,
     extend_ann_index,
     decontaminate_semantic,
+    embedding_covariance,
     hard_negative_mining,
     knn_label_consistency,
     pq_encode,
@@ -155,6 +156,7 @@ __all__ = [
     "decontaminate_attribution",
     "decontaminate_rewrite",
     "decontaminate_semantic",
+    "embedding_covariance",
     "hard_negative_mining",
     "profile_drift",
     "pq_train",

@@ -2294,6 +2294,52 @@ def q_dedup_window_spans_shifted(spark, sf_dir):
     )
 
 
+# Same exact-integer convention as profile_embeddings: quantize each
+# element to floor(v*1e6) as int64, sum exactly, then ONE fixed IEEE
+# expression over the exact sums — bit-identical cross-engine. DuckDB's
+# SUM(BIGINT) returns HUGEINT, cast back down (values ~1e17 fit).
+_COVARIANCE_ORACLE = """
+    WITH q AS (
+      SELECT list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)
+             ) AS qv
+      FROM embeddings),
+    pairs AS (
+      SELECT g1.i AS i, g2.j AS j
+      FROM generate_series(1, 64) g1(i), generate_series(1, 64) g2(j)
+      WHERE g1.i <= g2.j),
+    agg AS (
+      SELECT i, j,
+             CAST(count(*) AS BIGINT) AS n_vectors,
+             CAST(SUM(qv[i]) AS BIGINT) AS si,
+             CAST(SUM(qv[j]) AS BIGINT) AS sj,
+             CAST(SUM(qv[i] * qv[j]) AS BIGINT) AS s_xx
+      FROM q, pairs GROUP BY i, j)
+    SELECT CAST(i - 1 AS INT) AS i,
+           CAST(j - 1 AS INT) AS j,
+           n_vectors,
+           s_xx,
+           CAST(s_xx AS DOUBLE) / n_vectors / 1e12
+             - (CAST(si AS DOUBLE) / n_vectors / 1e6)
+               * (CAST(sj AS DOUBLE) / n_vectors / 1e6) AS cov_pop
+    FROM agg
+    """
+
+
+@register("embedding_covariance", _COVARIANCE_ORACLE)
+def q_embedding_covariance(spark, sf_dir):
+    """Full 64x64 population covariance of the embeddings table (2080
+    upper-triangle rows), via the one-pass partials pattern: each Arrow
+    batch contributes one exact int64 Q^T Q partial, the shuffle
+    carries partials-per-batch (never per-row terms), and the oracle
+    recomputes the same exact integer sums in SQL. The PCA/whitening
+    precursor for the embedding curation tier."""
+    from etlutils_spark.operators.similarity import embedding_covariance
+
+    return embedding_covariance(_t(spark, sf_dir, "embeddings"))
+
+
 @register(
     "profile_embeddings",
     """

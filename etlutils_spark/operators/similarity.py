@@ -497,6 +497,80 @@ def profile_embeddings(
     )
 
 
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: float = 1e6,
+) -> DataFrame:
+    """Population covariance matrix of an embedding column — the
+    PCA/whitening-prep statistic for SemDeDup-style pipelines (which
+    dimensions co-vary, what a projection should keep). Output: one
+    row per upper-triangle entry ``(i, j, n_vectors, s_xx, cov_pop)``
+    with 0-based ``i <= j``; ``s_xx`` is the exact scaled cross-moment
+    the covariance derives from.
+
+    Numerics are the Q1 scaled-long pattern (cf.
+    :func:`profile_embeddings`): each element is quantized to
+    ``floor(v * scale)`` as int64, and all sums are EXACT integer
+    arithmetic — the result is bit-identical under any partitioning
+    and any engine; ``cov_pop`` then comes from one fixed IEEE
+    expression over those exact integers. Quantization bounds the
+    error at ~1/scale per element (1e-6 resolution by default) — a
+    diagnostic statistic, not a physics simulation.
+
+    Scale: the classic one-pass pattern — each Arrow batch emits ONE
+    d(d+1)/2-row partial (n, sum_i, sum_j, sum_ij from an int64
+    ``Q.T @ Q``), so the shuffle carries partials-per-batch, never
+    per-row terms: ~2080 rows per batch at d=64 regardless of corpus
+    size, combined by a groupBy on (i, j). No d^2-column codegen, no
+    per-row explode join."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(X * scale).astype(np.int64)
+            S = Q.sum(axis=0)
+            P = Q.T @ Q  # exact: |q| ~ scale * |v|, products << 2^63
+            iu, ju = np.triu_indices(Q.shape[1])
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "n": np.full(len(iu), len(Q), dtype="int64"),
+                    "s_i": S[iu],
+                    "s_j": S[ju],
+                    "p": P[iu, ju],
+                }
+            )
+
+    partials = df.select(vec_col).mapInPandas(
+        run, schema="i int, j int, n bigint, s_i bigint, s_j bigint, p bigint"
+    )
+    agg = partials.groupBy("i", "j").agg(
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.sum("s_i").cast("bigint").alias("__si"),
+        F.sum("s_j").cast("bigint").alias("__sj"),
+        F.sum("p").cast("bigint").alias("s_xx"),
+    )
+    n = F.col("n_vectors").cast("double")
+    # mean-product form keeps every term within double's exact-integer
+    # range (n * sum_ij would not); one fixed expression tree over
+    # exact integers -> deterministic IEEE result cross-engine
+    cov = (
+        F.col("s_xx").cast("double") / n / F.lit(float(scale) ** 2)
+        - (F.col("__si").cast("double") / n / F.lit(float(scale)))
+        * (F.col("__sj").cast("double") / n / F.lit(float(scale)))
+    )
+    return agg.select(
+        "i", "j", "n_vectors", "s_xx", cov.alias("cov_pop")
+    )
+
+
 def standardize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

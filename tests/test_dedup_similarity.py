@@ -2755,6 +2755,36 @@ def test_extend_heals_interrupted_compaction_without_compact_every(
     assert not os.path.exists(f"{dpath}/profiles.compact_tmp")
 
 
+def test_embedding_covariance_matches_numpy_and_partitioning(spark):
+    """embedding_covariance == np.cov(bias=True) at integer-valued
+    inputs (quantization exact there), and the one-pass partial
+    pattern is partitioning-invariant: 1 partition and 7 partitions
+    produce identical rows (exact integer sums commute)."""
+    import numpy as np
+
+    from etlutils_spark.operators.similarity import embedding_covariance
+
+    X = np.array(
+        [[1.0, 2.0], [3.0, 4.0], [5.0, 10.0], [2.0, -3.0], [0.0, 7.0]]
+    )
+    rows = [(i, v.tolist()) for i, v in enumerate(X)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    expected = np.cov(X.T, bias=True)
+    got = {
+        (r.i, r.j): r
+        for r in embedding_covariance(df.repartition(1)).collect()
+    }
+    assert set(got) == {(0, 0), (0, 1), (1, 1)}
+    for (i, j), r in got.items():
+        assert abs(r.cov_pop - expected[i][j]) < 1e-9, (i, j)
+        assert r.n_vectors == 5
+    got7 = {
+        (r.i, r.j): (r.n_vectors, r.s_xx, r.cov_pop)
+        for r in embedding_covariance(df.repartition(7)).collect()
+    }
+    assert got7 == {k: (v.n_vectors, v.s_xx, v.cov_pop) for k, v in got.items()}
+
+
 def test_ann_index_stats_cell_balance(spark, tmp_path):
     """ann_index_stats reports per-cell row counts and the imbalance
     ratio vs the uniform share — the diagnostic that says WHICH
