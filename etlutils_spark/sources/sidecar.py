@@ -188,6 +188,7 @@ def set_lease_lock_provider(provider: Any) -> Any:
     _LOCK_PROVIDER = provider
     return previous
 
+
 # heartbeat retry tick after a read/touch failure: short enough that a
 # transient hiccup doesn't let the lease age toward staleness, long
 # enough not to hammer a struggling namenode
@@ -232,13 +233,22 @@ def acquire_writer_lease(
     API does not offer.
 
     Store semantics: mutual exclusion needs atomic exclusive CREATE
-    and atomic RENAME — true on HDFS, local filesystems, and ABFS. On
-    S3-family stores, create(overwrite=false) is check-then-put and
-    rename is copy+delete, so two racers can both "win": acquisition
-    there RAISES unless ``allow_rename_weak_store=True`` (an explicit
-    opt-out for users who front the path with a real lock service) —
-    the data sidecars remain S3-safe (a torn read is handled), it is
+    and atomic RENAME — true on HDFS, local filesystems, and ABFS
+    (``_RENAME_ATOMIC_SCHEMES``, an allowlist: unaudited connectors
+    fail closed). On object stores (s3/gs/oss/...) those primitives
+    are check-then-put and copy+delete, so two racers can both "win":
+    acquisition there RAISES unless ``allow_rename_weak_store=True``
+    (an explicit footgun opt-out) — the SUPPORTED object-store path is
+    :func:`set_lease_lock_provider` with a real lock service. The data
+    sidecars remain object-store-safe (a torn read is handled); it is
     only this LOCK that needs stronger primitives.
+
+    Degradation is recorded, not just warned: a beat that positively
+    reads a foreign token marks the holder stolen, and a beat that
+    gives up after failures spanning a staleness window marks
+    ownership unknown — :func:`verify_writer_lease`, called by the
+    index mutators at their commit points, turns those marks into
+    loud aborts instead of two-writer interleaving.
 
     Clock model: staleness compares the driver's wall clock against
     the filesystem's stored mtime, so skew between the two (or between
