@@ -19,9 +19,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_corpus(spark, n: int):
-    """Deterministic synthetic docs: ~60 tokens each, vocabulary drawn
-    from the doc index so near-dup mass exists without being total."""
+def make_corpus(spark, n: int, mod: int = 99_991):
+    """Deterministic synthetic docs: ~60 tokens each. With the default
+    prime modulus > corpus size, token sequences are unique per doc, so
+    a 1k-doc benchmark slice contaminates exactly its own 1k docs and
+    the remaining corpus exercises the clean-span REASSEMBLY path at
+    full mass (a small modulus instead makes every doc quote the
+    benchmark — the max-contamination worst case)."""
     from pyspark.sql import functions as F
 
     base = spark.range(n).withColumn(
@@ -29,7 +33,7 @@ def make_corpus(spark, n: int):
         F.concat_ws(
             " ",
             *[
-                F.concat(F.lit(f"w{k}_"), ((F.col("id") + k) % 997).cast("string"))
+                F.concat(F.lit(f"w{k}_"), ((F.col("id") + k) % mod).cast("string"))
                 for k in range(60)
             ],
         ),
