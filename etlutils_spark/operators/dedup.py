@@ -1029,6 +1029,9 @@ def build_dedup_index(
         return _build_dedup_index_locked(
             spark, docs, path, text_col, id_col, n, num_hashes, bands,
             threshold, label_buckets,
+            commit_check=lambda: verify_writer_lease(
+                spark, f"{path}/.writer_lease", lease
+            ),
         )
     finally:
         release_writer_lease(spark, f"{path}/.writer_lease", lease)
@@ -1045,8 +1048,14 @@ def _build_dedup_index_locked(
     bands: int,
     threshold: float,
     label_buckets,
+    commit_check=None,
 ) -> DataFrame:
-    """Body of :func:`build_dedup_index`, under the writer lease."""
+    """Body of :func:`build_dedup_index`, under the writer lease.
+    ``commit_check`` (a lease re-verification) runs before the
+    epoch/params commit markers — the table writes are the build's
+    long jobs, and a holder whose heartbeat degraded during them must
+    not stamp the artifact committed over a thief's (tables without
+    params read as an uncommitted build -> rebuild)."""
     from etlutils_spark.streaming.incremental_lsh import (
         _explode_bands,
         _verified_pairs,
@@ -1116,6 +1125,8 @@ def _build_dedup_index_locked(
     # (the very last write — streaming_dedup_index's bootstrap and the
     # docstring's "a crashed build is simply rebuilt" both key off it),
     # so the sync epochs land before it.
+    if commit_check is not None:
+        commit_check()
     _write_sync_epoch(spark, path, "profiles", 0)
     _write_sync_epoch(spark, path, "labels", 0)
     write_sidecar_json(
@@ -1161,8 +1172,19 @@ def compact_dedup_index(
         spark, f"{path}/.writer_lease", writer_lease_stale_sec
     )
     try:
-        from etlutils_spark.sources.files import compact_parquet_inplace
+        from etlutils_spark.sources.files import (
+            compact_parquet_inplace,
+            heal_interrupted_compaction,
+        )
 
+        # heal BOTH tables up front: a previous compact_dedup_index
+        # that crashed between the labels swap's two renames left
+        # path/labels absent — the labels read below would then fail
+        # BEFORE compact_parquet_inplace's own heal could run, wedging
+        # the natural recovery (re-running this function) until an
+        # extend happened to heal it (review catch)
+        heal_interrupted_compaction(spark, f"{path}/profiles")
+        heal_interrupted_compaction(spark, f"{path}/labels")
         # the swap runs only after ownership is re-asserted: the
         # rewrite job before it can outlast a heartbeat outage, and a
         # compactor that lost its lease mid-rewrite must not swap its
@@ -1603,11 +1625,15 @@ def _extend_dedup_index_locked(
         .unionByName(self_edges.select("id_1", "id_2"))
         .distinct()
     )
+    # materialize once IN BOTH SCOPES: consumed by the append AND the
+    # CC below, and — load-bearing for the commit_check contract — the
+    # expensive candidate/verify job must COMPLETE before ownership is
+    # re-asserted; leaving it lazy under full scope would run the long
+    # job inside the post-check append, where a theft during it went
+    # undetected (review catch)
+    new_edges = new_edges.localCheckpoint(eager=True)
     batch_clean = False
     if effective_scope == "affected":
-        # materialize once: consumed by the append AND the compressed-
-        # graph CC below
-        new_edges = new_edges.localCheckpoint(eager=True)
         # clean-batch probe (r8 verdict #6): a batch with ZERO verified
         # pairs — the common production case — needs no star snapshot,
         # no compressed-graph CC, no edge append/rewrite, and touches
@@ -1839,6 +1865,8 @@ def _extend_dedup_index_locked(
             kept.unionByName(new_star).write.mode("overwrite").parquet(
                 f"{path}/edges"
             )
+        if commit_check is not None:  # final commit marker: re-assert
+            commit_check()
         _write_sync_epoch(spark, path, "labels", epoch)
         # drop the physical partition key: (id, cluster_id) contract
         return out.select(id_name, "cluster_id")
@@ -1880,6 +1908,8 @@ def _extend_dedup_index_locked(
                 )
             )
             fresh.write.mode("append").parquet(f"{path}/labels")
+            if commit_check is not None:  # final commit marker
+                commit_check()
             _write_sync_epoch(spark, path, "labels", epoch)
             return spark.read.parquet(f"{path}/labels").select(
                 id_name, "cluster_id"
@@ -1954,6 +1984,8 @@ def _extend_dedup_index_locked(
     # table (r7 review #2 catch: the previous order silently trusted
     # a half-written compaction).
     _compact_edges_from_labels(out, f"{path}/edges")
+    if commit_check is not None:  # final commit marker: re-assert
+        commit_check()
     _write_sync_epoch(spark, path, "labels", epoch)
     # drop the physical partition key: (id, cluster_id) contract
     return out.select(id_name, "cluster_id")
@@ -2108,15 +2140,21 @@ def decontaminate_rewrite(
     interior grams touch exactly one span and behave as before.
 
     Scale: the benchmark's distinct shingle set broadcasts (a typical
-    eval suite is a few million strings); the corpus side is one
-    positioned-gram pass filtered by the broadcast probe BEFORE the
-    distinct/count shuffle (only matching grams — contamination mass,
-    not corpus mass — ever shuffle) + the per-doc reassembly shuffle
-    that any rewrite pays. Spans shorter than ``n`` tokens carry no
-    interior grams and are contaminated only via grams bridging into a
-    neighbor."""
+    eval suite is a few million strings); the corpus side is ONE
+    scan+tokenize pass (persisted; the span branch and the gram branch
+    both read it) whose gram branch is filtered by the broadcast probe
+    BEFORE the distinct/count shuffle (only matching grams —
+    contamination mass, not corpus mass — ever shuffle), plus the
+    per-doc reassembly shuffle that any rewrite pays. Spans shorter
+    than ``n`` tokens carry no interior grams and are contaminated
+    only via grams bridging into a neighbor."""
+    # one tokenized base, persisted: the rewrite spans and the
+    # positioned grams are two consumers — without the persist the
+    # corpus would be scanned and tokenized twice (review catch)
+    base = _persist_tracked(with_tokens(docs, text_col))
     spans = span_rows(
-        docs, window, text_col, id_col, keep_text=True, with_key=False
+        base, window, text_col, id_col, keep_text=True, with_key=False,
+        pre_tokenized=True,
     )  # the non-overlapping rewrite partition; no span key is needed
     # (contamination is judged by positioned grams, not identity), so
     # the corpus-wide md5 pass the dedup forms pay is skipped
@@ -2133,7 +2171,6 @@ def decontaminate_rewrite(
     # spans floor((i-1)/window) .. floor((i+n-2)/window) (0-based span
     # index; at most two spans for n <= window+1). i <= len-n+1 keeps
     # the upper span index within the document, no clamp needed.
-    base = with_tokens(docs, text_col)
     toks = F.col(TOKENS_COL)
     gram_structs = F.when(
         F.size(toks) >= n,
@@ -2239,13 +2276,17 @@ def span_rows(
     keep_text: bool = False,
     stride: int | None = None,
     with_key: bool = True,
+    pre_tokenized: bool = False,
 ) -> DataFrame:
     """``window``-token span rows: ``(id, __idx, __n[, __key][,
     __text])`` — one row per span, key = md5 of the span text
     (portable) or xxhash64-hex (fast path). ``with_key=False`` skips
     the key entirely for consumers that only need the span text (the
     decontamination rewrite) — one less corpus-wide hash pass and
-    narrower persisted rows. The raw-material stage of
+    narrower persisted rows. ``pre_tokenized=True`` means ``df``
+    already carries ``TOKENS_COL`` (a caller sharing one tokenized
+    base across several passes skips re-scanning + re-tokenizing the
+    corpus). The raw-material stage of
     the window-dedup family, also consumed by the streaming incremental
     index (``streaming.incremental_spans``).
 
@@ -2258,7 +2299,7 @@ def span_rows(
     dial in between."""
     if stride is None:
         stride = window
-    base = with_tokens(df, text_col)
+    base = df if pre_tokenized else with_tokens(df, text_col)
     toks = F.col(TOKENS_COL)
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
     chunk = F.slice(F.col("__w"), F.col("__start"), window)

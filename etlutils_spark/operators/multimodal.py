@@ -110,40 +110,58 @@ def _png_decode(data: bytes) -> "np.ndarray":
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
+    # Unfiltering cost note: None/Up/Sub are fully vectorized (Sub's
+    # prefix-sum IS mod-256 addition, so a wrapping uint8 accumulate
+    # computes it exactly); Average and Paeth have a true sequential
+    # dependence on the left pixel, so they iterate per PIXEL with
+    # channel-vector ops — O(W) interpreter steps per row, not O(W*C).
+    # For production-volume decode of arbitrary PNGs, PIL (when
+    # importable) remains the fast path.
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for r in range(height):
         ftype = raw[r * (stride + 1)]
-        row = np.frombuffer(
+        row8 = np.frombuffer(
             raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
-        ).astype(np.int32)
+        )
         if ftype == 0:  # None
-            cur = row
-        elif ftype == 1:  # Sub
-            cur = row.copy()
-            for i in range(channels, stride):
-                cur[i] = (cur[i] + cur[i - channels]) & 0xFF
+            cur = row8.copy()
+        elif ftype == 1:  # Sub: per-channel-lane wrapping prefix sum
+            cur = np.add.accumulate(
+                row8.reshape(width, channels), axis=0, dtype=np.uint8
+            ).reshape(stride)
         elif ftype == 2:  # Up
-            cur = (row + prev) & 0xFF
+            cur = row8 + prev  # uint8 wraps = mod 256
         elif ftype == 3:  # Average
-            cur = row.copy()
-            for i in range(stride):
-                left = cur[i - channels] if i >= channels else 0
-                cur[i] = (cur[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+            lane = row8.reshape(width, channels).astype(np.int32)
+            up = prev.reshape(width, channels).astype(np.int32)
+            acc = np.empty((width, channels), dtype=np.int32)
+            left = np.zeros(channels, dtype=np.int32)
+            for x in range(width):
+                left = (lane[x] + ((left + up[x]) >> 1)) & 0xFF
+                acc[x] = left
+            cur = acc.astype(np.uint8).reshape(stride)
         elif ftype == 4:  # Paeth
-            cur = row.copy()
-            for i in range(stride):
-                a = cur[i - channels] if i >= channels else 0
-                b = int(prev[i])
-                c = int(prev[i - channels]) if i >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (cur[i] + pred) & 0xFF
+            lane = row8.reshape(width, channels).astype(np.int32)
+            up = prev.reshape(width, channels).astype(np.int32)
+            upleft = np.zeros((width, channels), dtype=np.int32)
+            upleft[1:] = up[:-1]
+            acc = np.empty((width, channels), dtype=np.int32)
+            left = np.zeros(channels, dtype=np.int32)
+            for x in range(width):
+                b, c = up[x], upleft[x]
+                p = left + b - c
+                pa, pb, pc = np.abs(p - left), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, b, c)
+                )
+                left = (lane[x] + pred) & 0xFF
+                acc[x] = left
+            cur = acc.astype(np.uint8).reshape(stride)
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
-        out[r] = cur.astype(np.uint8)
-        prev = out[r].astype(np.uint8)
+        out[r] = cur
+        prev = cur
     px = out.reshape(height, width, channels)
     if color == 2:
         return px

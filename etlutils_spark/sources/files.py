@@ -433,6 +433,22 @@ def compact_partitioned_parquet(
                 subs.append(st.getPath())
         return subs
 
+    def heal_level(p) -> None:
+        # a fully-written D.compact_tmp whose D is absent is a
+        # mid-swap crash at this level — promote it on the spot
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.endswith(".compact_tmp"):
+                heal_interrupted_compaction(
+                    spark, str(st.getPath())[: -len(".compact_tmp")]
+                )
+
+    # heal the ROOT level BEFORE computing tops: on a single-column
+    # layout the leaves ARE the top-level dirs, so a crashed leaf's
+    # only trace is date=X.compact_tmp at the root — without this the
+    # walk would never visit it and the function would return
+    # "successfully" with that partition missing (review catch)
+    heal_level(jpath)
     tops = part_dirs(jpath)
     if not tops:
         raise ValueError(
@@ -443,14 +459,7 @@ def compact_partitioned_parquet(
     leaves: list = []
 
     def walk(p) -> None:
-        # heal a mid-swap crash in this subtree first: a fully-written
-        # D.compact_tmp whose D is absent is promoted on the spot
-        for st in fs.listStatus(p):
-            name = st.getPath().getName()
-            if st.isDirectory() and name.endswith(".compact_tmp"):
-                heal_interrupted_compaction(
-                    spark, str(st.getPath())[: -len(".compact_tmp")]
-                )
+        heal_level(p)
         subs = part_dirs(p)
         if subs:
             for s in subs:

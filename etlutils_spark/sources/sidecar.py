@@ -37,6 +37,25 @@ def _fs_path(spark, url: str):
     return jvm, fs, target
 
 
+def _read_lease_token(jvm, fs, target) -> str | None:
+    """The lease file's current token, or None when it cannot be read
+    (absent, renamed away, IO error). One seam for the heartbeat,
+    verify, and release reads — they must never drift apart in stream
+    handling."""
+    from py4j.protocol import Py4JJavaError
+
+    try:
+        stream = fs.open(target)
+        try:
+            return jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+    except Py4JJavaError:
+        return None
+
+
 def sidecar_kind(spark, url: str) -> str | None:
     """``"file"`` (the FS-API sidecar form), ``"dir"`` (the legacy
     parquet-directory form), or ``None`` (absent). Lets callers
@@ -329,13 +348,9 @@ def acquire_writer_lease(
                 interval if misses == 0 else min(interval, _BEAT_RETRY_SEC)
             ):
                 try:
-                    stream = fs.open(target)
-                    try:
-                        current = jvm.org.apache.commons.io.IOUtils.toString(
-                            stream, "UTF-8"
-                        )
-                    finally:
-                        stream.close()
+                    current = _read_lease_token(jvm, fs, target)
+                    if current is None:
+                        raise IOError("lease unreadable")  # -> retry path
                     if current != token:
                         # positively stolen — stop as a zombie, and
                         # record it so verify_writer_lease aborts the
@@ -345,7 +360,7 @@ def acquire_writer_lease(
                         return
                     fs.setTimes(target, int(time.time() * 1000), -1)
                     misses = 0
-                except Py4JJavaError:
+                except (IOError, Py4JJavaError):
                     misses += 1
                     if misses >= max_misses:
                         import warnings
@@ -367,8 +382,23 @@ def acquire_writer_lease(
                         return
                 except Exception:
                     return  # gateway shut down mid-beat
+
+        def beat_recorded() -> None:
+            # ANY exit while the holder still thinks it owns the lease
+            # must leave a mark: a beat that dies without recording
+            # (an unexpected exception type, a py4j network error
+            # outside the retry clause) would otherwise let the mtime
+            # silently go stale while verify_writer_lease keeps
+            # reporting "heartbeat healthy" (review catch). A normal
+            # release sets the stop event first and records nothing.
+            try:
+                beat()
+            finally:
+                if not stop.is_set():
+                    _LEASE_STATE.setdefault((url, token), "gave_up")
+
         t = threading.Thread(
-            target=beat, name=f"lease-beat-{token[:8]}", daemon=True
+            target=beat_recorded, name=f"lease-beat-{token[:8]}", daemon=True
         )
         t.start()
         return token
@@ -491,17 +521,7 @@ def verify_writer_lease(spark, url: str, token: str) -> None:
         )
     # gave_up: re-read the token — one FS open, ~70 ms
     jvm, fs, target = _fs_path(spark, url)
-    current = None
-    try:
-        stream = fs.open(target)
-        try:
-            current = jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
-        finally:
-            stream.close()
-    except Py4JJavaError:
-        current = None
+    current = _read_lease_token(jvm, fs, target)
     if current != token:
         _LEASE_STATE[(url, token)] = "stolen"
         raise ValueError(
@@ -548,17 +568,7 @@ def release_writer_lease(spark, url: str, token: str) -> None:
             return  # lease already gone
     except Py4JJavaError:
         return
-    current = None
-    try:
-        stream = fs.open(private)
-        try:
-            current = jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
-        finally:
-            stream.close()
-    except Py4JJavaError:
-        pass
+    current = _read_lease_token(jvm, fs, private)
     if current == token:
         try:
             fs.delete(private, False)

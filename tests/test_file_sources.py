@@ -358,3 +358,20 @@ def test_compact_partitioned_parquet_preserves_layout(spark, tmp_path):
     spark.range(10).write.parquet(flat)
     with pytest.raises(ValueError, match="no col=value"):
         compact_partitioned_parquet(spark, flat)
+
+    # SINGLE-level layout with a TOP-level partition crashed mid-swap:
+    # the leaf IS the top dir, so its only trace is date=X.compact_tmp
+    # at the ROOT — the walk alone would never visit it and the run
+    # would return "successfully" with the partition missing (review
+    # catch: heal must scan the root before computing tops)
+    single = str(tmp_path / "single")
+    for _ in range(2):
+        spark.range(100).withColumn(
+            "d", F.pmod("id", F.lit(2))
+        ).write.mode("append").partitionBy("d").parquet(single)
+    rows_before = spark.read.parquet(single).count()
+    shutil.move(f"{single}/d=1", f"{single}/d=1.compact_tmp")
+    out = compact_partitioned_parquet(spark, single, target_rows_per_file=500)
+    assert set(out) == {"d=0", "d=1"}
+    assert spark.read.parquet(single).count() == rows_before
+    assert not os.path.exists(f"{single}/d=1.compact_tmp")
