@@ -138,6 +138,7 @@ R4_EXTRAS = [
     "multimodal_png_roundtrip",
     "decontaminate_attribution",
     "embedding_covariance",
+    "pca_variance_contract",
 ]
 
 

@@ -59,6 +59,8 @@ from etlutils_spark.operators.similarity import (
     extend_ann_index,
     decontaminate_semantic,
     embedding_covariance,
+    pca_model,
+    pca_project,
     hard_negative_mining,
     knn_label_consistency,
     pq_encode,
@@ -157,6 +159,8 @@ __all__ = [
     "decontaminate_rewrite",
     "decontaminate_semantic",
     "embedding_covariance",
+    "pca_model",
+    "pca_project",
     "hard_negative_mining",
     "profile_drift",
     "pq_train",

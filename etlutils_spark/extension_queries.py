@@ -2327,6 +2327,75 @@ _COVARIANCE_ORACLE = """
     """
 
 
+# PCA verified by CONTRACT (the recall-contract pattern): the
+# eigendecomposition is not SQL-expressible, but its defining
+# invariants are checkable from the Spark side alone — the projected
+# data's per-component variance must equal the component's eigenvalue,
+# the eigenvalues must be sorted descending, the projected components
+# must be mutually uncorrelated, and the top-k explained mass must be
+# a valid fraction of the total variance (the trace). The oracle pins
+# the booleans TRUE and the exact row count.
+@register(
+    "pca_variance_contract",
+    """
+    SELECT CAST(i AS INT) AS component,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
+           TRUE AS variance_matches_eigenvalue,
+           TRUE AS eigenvalues_descending,
+           TRUE AS components_uncorrelated,
+           TRUE AS explained_share_valid
+    FROM generate_series(0, 7) t(i)
+    """,
+)
+def q_pca_variance_contract(spark, sf_dir):
+    """Distributed PCA (pca_model: corpus -> exact covariance ->
+    driver eigh; pca_project: Arrow-batched (x-mean) @ V^T), verified
+    by its defining invariants per component: Var(proj_i) == lambda_i
+    (within 1e-6 relative), lambda_i descending, projected components
+    pairwise uncorrelated (re-running embedding_covariance ON the
+    projected data — off-diagonals ~ 0), and cumulative explained
+    share in (0, 1]. A wrong covariance, a wrong eigensolve, or a
+    wrong projection breaks the variance/eigenvalue identity."""
+    from etlutils_spark.operators.similarity import (
+        embedding_covariance,
+        pca_model,
+        pca_project,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = pca_model(emb, k=8)
+    proj = pca_project(emb, model, out_col="pca")
+    pc = {
+        (r.i, r.j): r.cov_pop
+        for r in embedding_covariance(proj, vec_col="pca").collect()
+    }
+    lam = model["eigenvalues"]
+    trace = model["trace"]
+    max_offdiag = max(
+        (abs(v) for (i, j), v in pc.items() if i != j), default=0.0
+    )
+    rows = []
+    share = 0.0
+    for i in range(8):
+        share += lam[i] / trace
+        rows.append(
+            (
+                i,
+                int(model["n_vectors"]),
+                bool(abs(pc[(i, i)] / lam[i] - 1.0) < 1e-6),
+                bool(i == 0 or lam[i] <= lam[i - 1] + 1e-12),
+                bool(max_offdiag < 1e-6 * trace),
+                bool(0.0 < share <= 1.0 + 1e-12),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "component int, n_vectors bigint, variance_matches_eigenvalue "
+        "boolean, eigenvalues_descending boolean, components_uncorrelated "
+        "boolean, explained_share_valid boolean",
+    )
+
+
 @register("embedding_covariance", _COVARIANCE_ORACLE)
 def q_embedding_covariance(spark, sf_dir):
     """Full 64x64 population covariance of the embeddings table (2080

@@ -571,6 +571,92 @@ def embedding_covariance(
     )
 
 
+def pca_model(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    scale: float = 1e6,
+) -> dict:
+    """Fit a PCA model to an embedding column the scalable way: the
+    corpus contributes ONLY the exact d x d covariance (one
+    :func:`embedding_covariance` pass — partials-per-batch, never
+    per-row terms) and the d means (one :func:`profile_embeddings`
+    pass); the eigendecomposition runs on the driver over that d x d
+    matrix (64x64 here — microseconds), never over data. This is how
+    PCA is done at any corpus size: the data-sized work is the moment
+    aggregation, which is exact here (scaled-long integers), so the
+    fitted model is deterministic for a given corpus under any
+    partitioning.
+
+    Returns ``{"mean": (d,), "components": (k, d) rows = descending-
+    eigenvalue principal axes, "eigenvalues": (k,), "trace": float,
+    "n_vectors": int}``. Component signs are fixed (largest-|loading|
+    coordinate positive) so the model is reproducible run to run.
+    Whitening-prep for SemDeDup-style embedding curation: project with
+    :func:`pca_project`."""
+    import numpy as np
+
+    cov_rows = embedding_covariance(df, vec_col, scale).collect()
+    if not cov_rows:
+        raise ValueError("pca_model: empty embedding column")
+    d = max(r.j for r in cov_rows) + 1
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r.i, r.j] = r.cov_pop
+        C[r.j, r.i] = r.cov_pop
+    n_vectors = int(cov_rows[0].n_vectors)
+    means = {r.dim: r.mean_val for r in profile_embeddings(df, vec_col).collect()}
+    mean = np.array([means[i] for i in range(d)])
+    w, V = np.linalg.eigh(C)  # ascending
+    order = np.argsort(w)[::-1][: int(k)]
+    comps = V[:, order].T  # (k, d)
+    # deterministic sign: the largest-|loading| coordinate is positive
+    for i in range(comps.shape[0]):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": mean,
+        "components": comps,
+        "eigenvalues": w[order],
+        "trace": float(np.trace(C)),
+        "n_vectors": n_vectors,
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project an embedding column onto a :func:`pca_model`'s
+    principal axes: ``(x - mean) @ components.T`` per row, Arrow-
+    batched (one matmul per batch, no shuffle). Output:
+    ``(id_col, out_col array<double>)`` with ``len(out_col) == k``."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    comps = np.asarray(model["components"], dtype=np.float64)
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Y = (X - mean) @ comps.T
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], out_col: list(Y)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} bigint, {out_col} array<double>"
+    )
+
+
 def standardize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

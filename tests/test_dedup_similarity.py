@@ -2785,6 +2785,37 @@ def test_embedding_covariance_matches_numpy_and_partitioning(spark):
     assert got7 == {k: (v.n_vectors, v.s_xx, v.cov_pop) for k, v in got.items()}
 
 
+def test_pca_recovers_planted_axis(spark):
+    """pca_model finds a planted dominant direction: data spread along
+    u=(3,4)/5 with small isotropic noise must put component 0 within a
+    degree of u, eigenvalue 0 near the planted variance, and
+    pca_project's first coordinate must carry ~all the spread. Sign is
+    pinned (largest-|loading| coordinate positive) so the model is
+    reproducible."""
+    import numpy as np
+
+    from etlutils_spark.operators.similarity import pca_model, pca_project
+
+    rng = np.random.default_rng(5)
+    u = np.array([0.6, 0.8])
+    t = rng.normal(0, 10.0, size=400)
+    X = np.outer(t, u) + rng.normal(0, 0.1, size=(400, 2))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(X)],
+        "vec_id bigint, embedding array<double>",
+    )
+    model = pca_model(df, k=2)
+    c0 = model["components"][0]
+    assert abs(abs(float(np.dot(c0, u))) - 1.0) < 1e-3  # aligned with u
+    assert c0[int(np.abs(c0).argmax())] > 0  # sign convention
+    lam = model["eigenvalues"]
+    assert lam[0] > 50 * lam[1]  # planted axis dominates the noise
+    proj = {r.vec_id: r.pca for r in pca_project(df, model).collect()}
+    P = np.array([proj[i] for i in range(400)])
+    assert abs(P[:, 0].var() / lam[0] - 1.0) < 1e-3
+    assert P.shape == (400, 2)
+
+
 def test_ann_index_stats_cell_balance(spark, tmp_path):
     """ann_index_stats reports per-cell row counts and the imbalance
     ratio vs the uniform share — the diagnostic that says WHICH
