@@ -149,6 +149,25 @@ COMMENTARY = {
     "embedding_quantize_int8": "stateless per-row array algebra — "
     "scale, codes, and reconstruction error all inside one codegen "
     "stage; no shuffle anywhere.",
+    # round-10 additions
+    "decontaminate_rewrite_docs": "ONE persisted tokenized base feeds "
+    "both branches; the positioned-gram branch joins the broadcast "
+    "benchmark shingles BEFORE its distinct/count shuffle (only "
+    "contamination mass ever shuffles), the contaminated span set "
+    "broadcasts into the left-anti, and reassembly is one per-doc "
+    "aggregate.",
+    "decontaminate_attribution": "benchmark shingles broadcast into "
+    "the training-side gram stream; only MATCHING (train, shingle) "
+    "rows reach the two distinct-count aggregations, keyed by the "
+    "suite-sized bench_id.",
+    "embedding_covariance": "one MapInPandas emits d(d+1)/2-row exact "
+    "int64 partials PER BATCH (the corpus never shuffles); the only "
+    "exchange carries partials into the (i,j)-keyed combinable sum; "
+    "cov is a stateless projection over the exact sums.",
+    "multimodal_png_roundtrip": "stateless mapInPandas projection "
+    "after one Exchange (the spread of a single-file scan) — encode, "
+    "decode, and pixel stats all inside the Python stage; no join, no "
+    "aggregation.",
 }
 
 
