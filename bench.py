@@ -139,6 +139,7 @@ R4_EXTRAS = [
     "decontaminate_attribution",
     "embedding_covariance",
     "pca_variance_contract",
+    "ccnet_lm_buckets",
 ]
 
 

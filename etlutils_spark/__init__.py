@@ -77,7 +77,11 @@ from etlutils_spark.operators.sampling import (
     temperature_resample,
     token_budget_sample,
 )
-from etlutils_spark.operators.search import bigram_lm_scores, bm25_topk
+from etlutils_spark.operators.search import (
+    bigram_lm_scores,
+    bm25_topk,
+    ccnet_lm_buckets,
+)
 from etlutils_spark.operators.text import (
     bpe_decode,
     bpe_encode,
@@ -177,6 +181,7 @@ __all__ = [
     "temperature_resample",
     "bm25_topk",
     "bigram_lm_scores",
+    "ccnet_lm_buckets",
 ]
 
 __version__ = "0.1.0"

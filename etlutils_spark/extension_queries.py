@@ -2455,6 +2455,23 @@ def q_bm25_topk_search(spark, sf_dir):
     return bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERY_TERMS, k=10)
 
 
+from etlutils_spark.operators.search import duck_ccnet_lm_sql  # noqa: E402
+
+
+@register("ccnet_lm_buckets", duck_ccnet_lm_sql())
+def q_ccnet_lm_buckets(spark, sf_dir):
+    """CCNet-style per-LANGUAGE LM quality tiers (Wenzek et al. 2020):
+    each doc scored under its own language's exact-rational bigram
+    model, each language split into fluency tertiles (bucket 1 = the
+    head slice CCNet keeps). NTILE with an id tie-break is
+    deterministic, so buckets hash-match cross-engine; the approx
+    (percentile-threshold) mode is the 100 TB path and shares the
+    scoring code."""
+    from etlutils_spark.operators.search import ccnet_lm_buckets
+
+    return ccnet_lm_buckets(_t(spark, sf_dir, "documents"))
+
+
 @register("bigram_lm_quality", duck_bigram_lm_sql())
 def q_bigram_lm_quality(spark, sf_dir):
     """Per-document fluency under the corpus's own ML bigram model

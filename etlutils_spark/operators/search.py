@@ -168,9 +168,13 @@ def duck_bm25_sql(
 
 
 def bigram_rows(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    carry: list[str] | None = None,
 ) -> DataFrame:
-    """One row per in-document bigram occurrence: (id, __ctx, __nxt).
+    """One row per in-document bigram occurrence: (id[, carry...],
+    __ctx, __nxt). ``carry`` columns (e.g. a language key for
+    per-language models) ride the explode instead of being re-joined
+    onto bigram mass afterwards.
 
     Built with array index algebra (``sequence`` over the materialized
     token array, like ``shingles_from_tokens``) — zero Python, one
@@ -187,9 +191,13 @@ def bigram_rows(
     # generate_series — guard exactly like shingles_from_tokens
     empty = F.array().cast("array<struct<c:string,n:string>>")
     guarded = F.when(F.size(w) >= 2, pairs).otherwise(empty)
+    extra = [F.col(c) for c in (carry or [])]
     return (
-        toks.select(F.col(id_col), F.explode(guarded).alias("__bg"))
-        .select(id_col, F.col("__bg.c").alias("__ctx"), F.col("__bg.n").alias("__nxt"))
+        toks.select(F.col(id_col), *extra, F.explode(guarded).alias("__bg"))
+        .select(
+            id_col, *(carry or []),
+            F.col("__bg.c").alias("__ctx"), F.col("__bg.n").alias("__nxt"),
+        )
     )
 
 
@@ -226,6 +234,126 @@ def bigram_lm_scores(
             F.min("__pd").alias("min_bigram_prob"),
         )
     )
+
+
+def ccnet_lm_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    mode: str = "exact",
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """CCNet-style LM quality bucketing (Wenzek et al. 2020): score
+    each document under ITS OWN LANGUAGE's bigram model, then split
+    each language into ``n_buckets`` fluency tiers (bucket 1 = most
+    fluent "head", the slice CCNet keeps preferentially; 3 = "tail").
+    The per-language model is the same exact-rational construction as
+    :func:`bigram_lm_scores` — P(next | ctx) = count/count evaluated
+    as one IEEE division, per-doc mean accumulated in decimal — so
+    scores and buckets are bit-identical cross-engine. Docs with < 2
+    tokens have no bigrams and are absent (same contract as
+    ``bigram_lm_scores``).
+
+    Output: ``(id, lang, n_bigrams, avg_bigram_prob, lm_bucket)``.
+
+    ``mode="exact"`` ranks with an NTILE window per language
+    (deterministic tie-break on id) — one global sort per language, the
+    dictionary-scale mode an oracle can mirror exactly.
+    ``mode="approx"`` replaces the sort with per-language
+    percentile_approx thresholds broadcast back onto a stateless
+    compare — the 100 TB path (no per-language global sort; same
+    pattern as ``quality.percentile_prune``'s sketch mode), at the
+    cost of sketch-grade bucket boundaries.
+
+    Scale: the model aggregations key on (lang, ctx[, next]) — same
+    shuffle shape as the corpus-wide model, with language as a free
+    leading key; the scored table is one narrow row per doc."""
+    if mode not in ("exact", "approx"):
+        raise ValueError(f"mode must be exact|approx, got {mode!r}")
+    bg = bigram_rows(df, text_col, id_col, carry=[lang_col])
+    c2 = bg.groupBy(lang_col, "__ctx", "__nxt").agg(
+        F.count(F.lit(1)).alias("__n2")
+    )
+    c1 = bg.groupBy(lang_col, "__ctx").agg(F.count(F.lit(1)).alias("__n1"))
+    if broadcast_model:
+        c2, c1 = F.broadcast(c2), F.broadcast(c1)
+    prob = F.col("__n2").cast("double") / F.col("__n1").cast("double")
+    scored = (
+        bg.join(c2, [lang_col, "__ctx", "__nxt"])
+        .join(c1, [lang_col, "__ctx"])
+        .select(F.col(id_col), F.col(lang_col), prob.cast(DEC).alias("__p"))
+        .groupBy(id_col, lang_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("__p").cast("double") / F.count(F.lit(1)))
+            .alias("avg_bigram_prob"),
+        )
+    )
+    if mode == "exact":
+        w = Window.partitionBy(lang_col).orderBy(
+            F.desc("avg_bigram_prob"), F.col(id_col)
+        )
+        return scored.withColumn("lm_bucket", F.ntile(n_buckets).over(w))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    thresholds = scored.groupBy(lang_col).agg(
+        F.percentile_approx("avg_bigram_prob", qs).alias("__t")
+    )
+    # bucket 1 = most fluent: count how many tier thresholds the score
+    # clears (>=, so threshold-equal scores take the better bucket —
+    # with heavy ties a strict > would push the entire modal mass into
+    # the tail)
+    bucket = F.lit(n_buckets) - F.aggregate(
+        F.col("__t"),
+        F.lit(0),
+        lambda acc, t: acc
+        + F.when(F.col("avg_bigram_prob") >= t, 1).otherwise(0),
+    )
+    return scored.join(F.broadcast(thresholds), lang_col).select(
+        id_col, lang_col, "n_bigrams", "avg_bigram_prob",
+        bucket.cast("int").alias("lm_bucket"),
+    )
+
+
+def duck_ccnet_lm_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> str:
+    """DuckDB twin of ``ccnet_lm_buckets(mode="exact")`` (same operand
+    tree, same NTILE ordering incl. the id tie-break)."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, {lang_col}, string_split({text_col}, ' ') AS w
+      FROM {table}
+    ),
+    bg AS (
+      SELECT {id_col}, {lang_col}, w[g.i] AS ctx, w[g.i + 1] AS nxt
+      FROM toks, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS g(i)
+    ),
+    c2 AS (SELECT {lang_col}, ctx, nxt, count(*) AS n2
+           FROM bg GROUP BY {lang_col}, ctx, nxt),
+    c1 AS (SELECT {lang_col}, ctx, count(*) AS n1
+           FROM bg GROUP BY {lang_col}, ctx),
+    scored AS (
+      SELECT {id_col}, {lang_col},
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CAST(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                           AS DECIMAL(30,12))) AS DOUBLE) / count(*)
+               AS avg_bigram_prob
+      FROM bg JOIN c2 USING ({lang_col}, ctx, nxt)
+              JOIN c1 USING ({lang_col}, ctx)
+      GROUP BY {id_col}, {lang_col}
+    )
+    SELECT {id_col}, {lang_col}, n_bigrams, avg_bigram_prob,
+           CAST(ntile({n_buckets}) OVER (
+             PARTITION BY {lang_col}
+             ORDER BY avg_bigram_prob DESC, {id_col}) AS INT) AS lm_bucket
+    FROM scored
+    """
 
 
 def duck_bigram_lm_sql(

@@ -165,3 +165,53 @@ def test_bigram_lm_property_random_corpus(spark, doc_texts):
     for i, (nb, avg, _mn) in want.items():
         assert got[i][0] == nb
         assert got[i][1] == pytest.approx(avg, abs=1e-9)
+
+
+def test_ccnet_lm_buckets_per_language_tiers(spark):
+    """Per-language fluency tiers: word-salad docs (common words in
+    orders the corpus never repeats) land in the tail bucket of THEIR
+    language, bucket assignment follows the (score desc, id) NTILE
+    order exactly, languages are tiered independently, and the approx
+    (threshold) mode agrees with exact on the planted extremes."""
+    from etlutils_spark.operators.search import ccnet_lm_buckets
+
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent, "en") for i in range(4)] + [
+        (4, "mat the on sat the cat", "en"),
+        (5, "on the mat the cat sat", "en"),
+        # second language: one repeated pattern + one salad
+        (6, "le chat dort le chat dort", "fr"),
+        (7, "dort chat le dort le chat", "fr"),
+        (8, "le chat dort le chat dort", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {r.doc_id: r for r in ccnet_lm_buckets(df, n_buckets=3).collect()}
+    assert len(out) == 9
+    # NTILE consistency: recompute expected buckets from the returned
+    # scores per language
+    for lang in ("en", "fr"):
+        docs = sorted(
+            (r for r in out.values() if r.lang == lang),
+            key=lambda r: (-r.avg_bigram_prob, r.doc_id),
+        )
+        n = len(docs)
+        for pos, r in enumerate(docs):
+            # SQL NTILE over n rows in 3 buckets: first n%3 buckets get
+            # ceil(n/3), the rest floor(n/3)
+            big, rem = divmod(n, 3)
+            expect = 1
+            acc = big + (1 if rem > 0 else 0)
+            while pos >= acc:
+                expect += 1
+                acc += big + (1 if expect <= rem else 0)
+            assert r.lm_bucket == expect, (lang, r.doc_id)
+    # the en salads score strictly below the repeated pattern
+    assert out[4].avg_bigram_prob < out[0].avg_bigram_prob
+    assert out[4].lm_bucket == 3 or out[5].lm_bucket == 3
+    # approx mode agrees on the planted extremes
+    ax = {
+        r.doc_id: r
+        for r in ccnet_lm_buckets(df, n_buckets=3, mode="approx").collect()
+    }
+    assert ax[0].lm_bucket == 1
+    assert ax[4].lm_bucket == 3 or ax[5].lm_bucket == 3
