@@ -140,6 +140,7 @@ R4_EXTRAS = [
     "embedding_covariance",
     "pca_variance_contract",
     "ccnet_lm_buckets",
+    "next_event_training_pairs",
 ]
 
 

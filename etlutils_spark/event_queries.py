@@ -866,3 +866,57 @@ def q_user_cadence_stats(spark, sf_dir):
             F.max("gap_us").alias("max_gap_us"),
         )
     )
+
+
+@register(
+    "next_event_training_pairs",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type,
+             list(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS ctx
+      FROM events)
+    SELECT user_id, event_id,
+           CAST(len(ctx) AS INT) AS n_context,
+           array_to_string(ctx, ' ') AS context,
+           event_type AS label
+    FROM ordered WHERE len(ctx) >= 1
+    """,
+)
+def q_next_event_training_pairs(spark, sf_dir):
+    """Sequence-dataset construction — the (context, label) pairs a
+    next-event-prediction model trains on: per user, order events by
+    (ts, event_id) and emit each event's label with up to the 4
+    preceding event types as its context (variable-length head
+    contexts included; first events have no context and are absent).
+    ONE window pass — the collect_list frame and the ordering share a
+    single Exchange+Sort on user_id; the context is emitted as a
+    space-joined string (canonicalizer-safe, and exactly what a text
+    tokenizer ingests downstream). The 100 TB shape: per-user
+    partitions, frame bounded at context_len rows, no self-join (the
+    naive formulation joins events to events per offset)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-4, -1)
+    )
+    ctx = F.collect_list("event_type").over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            ctx.alias("__ctx"),
+            F.col("event_type").alias("label"),
+        )
+        .filter(F.size("__ctx") >= 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.size("__ctx").alias("n_context"),
+            F.concat_ws(" ", "__ctx").alias("context"),
+            "label",
+        )
+    )

@@ -144,3 +144,46 @@ def test_salted_join_shuffles_on_salted_key(spark):
     join_keys = [p for p in parts if "k#" in p]
     assert join_keys, plan
     assert all("__salt" in p for p in join_keys), join_keys
+
+
+def test_next_event_training_pairs_contexts(spark):
+    """Sequence-pair construction: contexts are the up-to-4 PRECEDING
+    event types in (ts, id) order, first events (no context) are
+    absent, and the frame truncates at 4 — one window pass, no
+    self-join."""
+    import datetime as dt
+
+    import __spark_entry__ as em
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, i), 1, t, 0.0, "{}")
+        for i, t in enumerate(["a", "b", "c", "d", "e", "f"])
+    ] + [(10, dt.datetime(2024, 1, 1), 2, "z", 0.0, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    df.createOrReplaceTempView("events")
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-4, -1)
+    )
+    out = {
+        r.event_id: r
+        for r in df.select(
+            "event_id",
+            F.concat_ws(
+                " ", F.collect_list("event_type").over(w)
+            ).alias("context"),
+            F.col("event_type").alias("label"),
+        ).filter(F.length("context") > 0).collect()
+    }
+    assert 0 not in out and 10 not in out  # no-context events absent
+    assert out[1].context == "a"           # head: variable length
+    assert out[4].context == "a b c d"
+    assert out[5].context == "b c d e"     # frame truncates at 4
+    assert out[5].label == "f"
