@@ -141,6 +141,7 @@ R4_EXTRAS = [
     "pca_variance_contract",
     "ccnet_lm_buckets",
     "next_event_training_pairs",
+    "temporal_split_events",
 ]
 
 

@@ -920,3 +920,41 @@ def q_next_event_training_pairs(spark, sf_dir):
             "label",
         )
     )
+
+
+@register(
+    "temporal_split_events",
+    """
+    WITH f AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id,
+           CASE WHEN e.ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'train'
+                WHEN f.first_ts < TIMESTAMP '2024-01-22 00:00:00'
+                  THEN 'test_warm'
+                ELSE 'test_cold' END AS split
+    FROM events e JOIN f USING (user_id)
+    """,
+)
+def q_temporal_split_events(spark, sf_dir):
+    """Temporal train/eval split with USER integrity — the
+    forecasting-grade split a random split silently leaks on: train is
+    everything before the cutoff; post-cutoff events divide into
+    test_warm (user already seen in train — the realistic serving
+    case) and test_cold (user's entire history is post-cutoff — the
+    cold-start case, which must be evaluated separately because the
+    model has no user state for it). One per-user min(ts) aggregate
+    (map-side combinable) joined back on user_id — AQE broadcasts the
+    per-user table when it fits; the labeling is a stateless CASE.
+    At 100 TB: no window, no sort — the naive row_number-over-user
+    formulation pays a per-user sort this never does."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("__first_ts"))
+    return ev.join(first, "user_id").select(
+        "event_id",
+        "user_id",
+        F.when(F.col("ts") < cutoff, "train")
+        .when(F.col("__first_ts") < cutoff, "test_warm")
+        .otherwise("test_cold")
+        .alias("split"),
+    )

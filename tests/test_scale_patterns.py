@@ -187,3 +187,38 @@ def test_next_event_training_pairs_contexts(spark):
     assert out[4].context == "a b c d"
     assert out[5].context == "b c d e"     # frame truncates at 4
     assert out[5].label == "f"
+
+
+def test_temporal_split_warm_cold_integrity(spark):
+    """Temporal split semantics: pre-cutoff events are train; a user
+    with ANY pre-cutoff event gets test_warm for their post-cutoff
+    events; a user whose whole history is post-cutoff is test_cold —
+    per-event labels, per-user integrity."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    c = dt.datetime(2024, 1, 22)
+    rows = [
+        (1, c - dt.timedelta(days=1), 1, "a", 0.0, "{}"),   # train
+        (2, c + dt.timedelta(days=1), 1, "b", 0.0, "{}"),   # warm
+        (3, c + dt.timedelta(days=2), 2, "c", 0.0, "{}"),   # cold
+        (4, c + dt.timedelta(days=3), 2, "d", 0.0, "{}"),   # cold
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    cutoff = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("__f"))
+    out = {
+        r.event_id: r.split
+        for r in ev.join(first, "user_id").select(
+            "event_id",
+            F.when(F.col("ts") < cutoff, "train")
+            .when(F.col("__f") < cutoff, "test_warm")
+            .otherwise("test_cold")
+            .alias("split"),
+        ).collect()
+    }
+    assert out == {1: "train", 2: "test_warm", 3: "test_cold", 4: "test_cold"}
