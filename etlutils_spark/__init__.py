@@ -100,6 +100,7 @@ from etlutils_spark.operators.quality import (
     rank_blend,
     winsorize,
 )
+from etlutils_spark.event_queries import next_event_pairs, temporal_split
 from etlutils_spark.plans.checks import check_constraints
 
 __all__ = [
@@ -182,6 +183,8 @@ __all__ = [
     "bm25_topk",
     "bigram_lm_scores",
     "ccnet_lm_buckets",
+    "next_event_pairs",
+    "temporal_split",
 ]
 
 __version__ = "0.1.0"

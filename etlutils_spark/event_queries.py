@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import itertools
 
-from pyspark.sql import Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etlutils_spark.entry_queries import _t, register
@@ -868,6 +868,74 @@ def q_user_cadence_stats(spark, sf_dir):
     )
 
 
+def next_event_pairs(
+    events: DataFrame,
+    context_len: int = 4,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(context, label) pairs for next-event prediction: per user in
+    (ts, id) order, each event's type labeled with up to the
+    ``context_len`` preceding types as a space-joined context
+    (variable-length head contexts included; first events have no
+    context and are absent). ONE window pass — the collect_list frame
+    and the ordering share a single Exchange+Sort on the user key,
+    frame bounded at ``context_len`` rows; the naive formulation
+    self-joins events per offset."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(-context_len, -1)
+    )
+    ctx = F.collect_list(type_col).over(w)
+    return (
+        events.select(
+            user_col,
+            id_col,
+            ctx.alias("__ctx"),
+            F.col(type_col).alias("label"),
+        )
+        .filter(F.size("__ctx") >= 1)
+        .select(
+            user_col,
+            id_col,
+            F.size("__ctx").alias("n_context"),
+            F.concat_ws(" ", "__ctx").alias("context"),
+            "label",
+        )
+    )
+
+
+def temporal_split(
+    events: DataFrame,
+    cutoff,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-based train/eval split with USER integrity: train before
+    ``cutoff``; post-cutoff events labeled test_warm (user already
+    seen in train — the serving case) vs test_cold (the user's entire
+    history is post-cutoff — evaluated separately, the model has no
+    state for them). One map-side-combinable per-user min(ts)
+    aggregate joined back + a stateless CASE — no window, no per-user
+    sort. ``cutoff`` is a Column or a timestamp-castable literal."""
+    cutoff_c = (
+        cutoff if hasattr(cutoff, "_jc") else F.lit(cutoff).cast("timestamp")
+    )
+    first = events.groupBy(user_col).agg(F.min(ts_col).alias("__first_ts"))
+    return events.join(first, user_col).select(
+        id_col,
+        user_col,
+        F.when(F.col(ts_col) < cutoff_c, "train")
+        .when(F.col("__first_ts") < cutoff_c, "test_warm")
+        .otherwise("test_cold")
+        .alias("split"),
+    )
+
+
 @register(
     "next_event_training_pairs",
     """
@@ -897,29 +965,7 @@ def q_next_event_training_pairs(spark, sf_dir):
     tokenizer ingests downstream). The 100 TB shape: per-user
     partitions, frame bounded at context_len rows, no self-join (the
     naive formulation joins events to events per offset)."""
-    ev = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("event_id"))
-        .rowsBetween(-4, -1)
-    )
-    ctx = F.collect_list("event_type").over(w)
-    return (
-        ev.select(
-            "user_id",
-            "event_id",
-            ctx.alias("__ctx"),
-            F.col("event_type").alias("label"),
-        )
-        .filter(F.size("__ctx") >= 1)
-        .select(
-            "user_id",
-            "event_id",
-            F.size("__ctx").alias("n_context"),
-            F.concat_ws(" ", "__ctx").alias("context"),
-            "label",
-        )
-    )
+    return next_event_pairs(_t(spark, sf_dir, "events"), context_len=4)
 
 
 @register(
@@ -947,14 +993,6 @@ def q_temporal_split_events(spark, sf_dir):
     per-user table when it fits; the labeling is a stateless CASE.
     At 100 TB: no window, no sort — the naive row_number-over-user
     formulation pays a per-user sort this never does."""
-    ev = _t(spark, sf_dir, "events")
-    cutoff = F.lit("2024-01-22 00:00:00").cast("timestamp")
-    first = ev.groupBy("user_id").agg(F.min("ts").alias("__first_ts"))
-    return ev.join(first, "user_id").select(
-        "event_id",
-        "user_id",
-        F.when(F.col("ts") < cutoff, "train")
-        .when(F.col("__first_ts") < cutoff, "test_warm")
-        .otherwise("test_cold")
-        .alias("split"),
+    return temporal_split(
+        _t(spark, sf_dir, "events"), "2024-01-22 00:00:00"
     )

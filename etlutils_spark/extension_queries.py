@@ -2319,6 +2319,7 @@ _COVARIANCE_ORACLE = """
     SELECT CAST(i - 1 AS INT) AS i,
            CAST(j - 1 AS INT) AS j,
            n_vectors,
+           si AS s_i,
            s_xx,
            CAST(s_xx AS DOUBLE) / n_vectors / 1e12
              - (CAST(si AS DOUBLE) / n_vectors / 1e6)
@@ -2402,8 +2403,9 @@ def q_embedding_covariance(spark, sf_dir):
     upper-triangle rows), via the one-pass partials pattern: each Arrow
     batch contributes one exact int64 Q^T Q partial, the shuffle
     carries partials-per-batch (never per-row terms), and the oracle
-    recomputes the same exact integer sums in SQL. The PCA/whitening
-    precursor for the embedding curation tier."""
+    recomputes the same exact integer sums in SQL. Diagonal rows also
+    expose the exact dimension sums (s_i), which is how pca_model gets
+    its means without a second corpus pass."""
     from etlutils_spark.operators.similarity import embedding_covariance
 
     return embedding_covariance(_t(spark, sf_dir, "embeddings"))
@@ -2439,6 +2441,7 @@ BM25_QUERY_TERMS = ["spark", "merge", "vector", "stream"]
 from etlutils_spark.operators.search import (  # noqa: E402
     duck_bigram_lm_sql,
     duck_bm25_sql,
+    duck_ccnet_lm_sql,
 )
 
 
@@ -2453,9 +2456,6 @@ def q_bm25_topk_search(spark, sf_dir):
     from etlutils_spark.operators.search import bm25_topk
 
     return bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERY_TERMS, k=10)
-
-
-from etlutils_spark.operators.search import duck_ccnet_lm_sql  # noqa: E402
 
 
 @register("ccnet_lm_buckets", duck_ccnet_lm_sql())

@@ -201,6 +201,47 @@ def bigram_rows(
     )
 
 
+def _bigram_lm_scored(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_cols: list[str],
+    broadcast_model: bool,
+    with_min: bool,
+) -> DataFrame:
+    """ONE exact-rational bigram scoring pipeline for both the
+    corpus-wide and the per-group (CCNet per-language) forms: the
+    model's count keys and the per-doc grouping are extended by
+    ``group_cols``, and every numeric convention (one IEEE division
+    per transition, decimal-accumulated mean) lives HERE once — the
+    two public faces must not be able to drift numerically."""
+    bg = bigram_rows(df, text_col, id_col, carry=group_cols or None)
+    c2 = bg.groupBy(*group_cols, "__ctx", "__nxt").agg(
+        F.count(F.lit(1)).alias("__n2")
+    )
+    c1 = bg.groupBy(*group_cols, "__ctx").agg(F.count(F.lit(1)).alias("__n1"))
+    if broadcast_model:
+        c2, c1 = F.broadcast(c2), F.broadcast(c1)
+    prob = F.col("__n2").cast("double") / F.col("__n1").cast("double")
+    proj = [F.col(id_col), *[F.col(c) for c in group_cols],
+            prob.cast(DEC).alias("__p")]
+    aggs = [
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("__p").cast("double") / F.count(F.lit(1)))
+        .alias("avg_bigram_prob"),
+    ]
+    if with_min:
+        proj.append(prob.alias("__pd"))
+        aggs.append(F.min("__pd").alias("min_bigram_prob"))
+    return (
+        bg.join(c2, [*group_cols, "__ctx", "__nxt"])
+        .join(c1, [*group_cols, "__ctx"])
+        .select(*proj)
+        .groupBy(id_col, *group_cols)
+        .agg(*aggs)
+    )
+
+
 def bigram_lm_scores(
     df: DataFrame,
     text_col: str = "text",
@@ -216,23 +257,8 @@ def bigram_lm_scores(
     transitions never occur elsewhere in the corpus. Docs with < 2
     tokens have no bigrams and are absent from the output (documented;
     mirror keeps the same inner-join shape)."""
-    bg = bigram_rows(df, text_col, id_col)
-    c2 = bg.groupBy("__ctx", "__nxt").agg(F.count(F.lit(1)).alias("__n2"))
-    c1 = bg.groupBy("__ctx").agg(F.count(F.lit(1)).alias("__n1"))
-    if broadcast_model:
-        c2, c1 = F.broadcast(c2), F.broadcast(c1)
-    prob = F.col("__n2").cast("double") / F.col("__n1").cast("double")
-    return (
-        bg.join(c2, ["__ctx", "__nxt"])
-        .join(c1, "__ctx")
-        .select(F.col(id_col), prob.cast(DEC).alias("__p"), prob.alias("__pd"))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            (F.sum("__p").cast("double") / F.count(F.lit(1)))
-            .alias("avg_bigram_prob"),
-            F.min("__pd").alias("min_bigram_prob"),
-        )
+    return _bigram_lm_scored(
+        df, text_col, id_col, [], broadcast_model, with_min=True
     )
 
 
@@ -272,24 +298,8 @@ def ccnet_lm_buckets(
     leading key; the scored table is one narrow row per doc."""
     if mode not in ("exact", "approx"):
         raise ValueError(f"mode must be exact|approx, got {mode!r}")
-    bg = bigram_rows(df, text_col, id_col, carry=[lang_col])
-    c2 = bg.groupBy(lang_col, "__ctx", "__nxt").agg(
-        F.count(F.lit(1)).alias("__n2")
-    )
-    c1 = bg.groupBy(lang_col, "__ctx").agg(F.count(F.lit(1)).alias("__n1"))
-    if broadcast_model:
-        c2, c1 = F.broadcast(c2), F.broadcast(c1)
-    prob = F.col("__n2").cast("double") / F.col("__n1").cast("double")
-    scored = (
-        bg.join(c2, [lang_col, "__ctx", "__nxt"])
-        .join(c1, [lang_col, "__ctx"])
-        .select(F.col(id_col), F.col(lang_col), prob.cast(DEC).alias("__p"))
-        .groupBy(id_col, lang_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            (F.sum("__p").cast("double") / F.count(F.lit(1)))
-            .alias("avg_bigram_prob"),
-        )
+    scored = _bigram_lm_scored(
+        df, text_col, id_col, [lang_col], broadcast_model, with_min=False
     )
     if mode == "exact":
         w = Window.partitionBy(lang_col).orderBy(

@@ -505,9 +505,12 @@ def embedding_covariance(
     """Population covariance matrix of an embedding column — the
     PCA/whitening-prep statistic for SemDeDup-style pipelines (which
     dimensions co-vary, what a projection should keep). Output: one
-    row per upper-triangle entry ``(i, j, n_vectors, s_xx, cov_pop)``
-    with 0-based ``i <= j``; ``s_xx`` is the exact scaled cross-moment
-    the covariance derives from.
+    row per upper-triangle entry ``(i, j, n_vectors, s_i, s_xx,
+    cov_pop)`` with 0-based ``i <= j``; ``s_xx`` is the exact scaled
+    cross-moment the covariance derives from and ``s_i`` the exact
+    scaled sum of dimension ``i`` (diagonal rows therefore carry the
+    per-dimension means for free — :func:`pca_model` reads them
+    instead of paying a second corpus pass).
 
     Numerics are the Q1 scaled-long pattern (cf.
     :func:`profile_embeddings`): each element is quantized to
@@ -553,7 +556,7 @@ def embedding_covariance(
     )
     agg = partials.groupBy("i", "j").agg(
         F.sum("n").cast("bigint").alias("n_vectors"),
-        F.sum("s_i").cast("bigint").alias("__si"),
+        F.sum("s_i").cast("bigint").alias("s_i"),
         F.sum("s_j").cast("bigint").alias("__sj"),
         F.sum("p").cast("bigint").alias("s_xx"),
     )
@@ -563,11 +566,11 @@ def embedding_covariance(
     # exact integers -> deterministic IEEE result cross-engine
     cov = (
         F.col("s_xx").cast("double") / n / F.lit(float(scale) ** 2)
-        - (F.col("__si").cast("double") / n / F.lit(float(scale)))
+        - (F.col("s_i").cast("double") / n / F.lit(float(scale)))
         * (F.col("__sj").cast("double") / n / F.lit(float(scale)))
     )
     return agg.select(
-        "i", "j", "n_vectors", "s_xx", cov.alias("cov_pop")
+        "i", "j", "n_vectors", "s_i", "s_xx", cov.alias("cov_pop")
     )
 
 
@@ -580,8 +583,8 @@ def pca_model(
     """Fit a PCA model to an embedding column the scalable way: the
     corpus contributes ONLY the exact d x d covariance (one
     :func:`embedding_covariance` pass — partials-per-batch, never
-    per-row terms) and the d means (one :func:`profile_embeddings`
-    pass); the eigendecomposition runs on the driver over that d x d
+    per-row terms; the d means ride the same pass on the diagonal
+    rows' exact sums); the eigendecomposition runs on the driver over that d x d
     matrix (64x64 here — microseconds), never over data. This is how
     PCA is done at any corpus size: the data-sized work is the moment
     aggregation, which is exact here (scaled-long integers), so the
@@ -601,12 +604,13 @@ def pca_model(
         raise ValueError("pca_model: empty embedding column")
     d = max(r.j for r in cov_rows) + 1
     C = np.zeros((d, d))
+    mean = np.zeros(d)
     for r in cov_rows:
         C[r.i, r.j] = r.cov_pop
         C[r.j, r.i] = r.cov_pop
+        if r.i == r.j:  # diagonal carries the exact dimension sums
+            mean[r.i] = r.s_i / (r.n_vectors * scale)
     n_vectors = int(cov_rows[0].n_vectors)
-    means = {r.dim: r.mean_val for r in profile_embeddings(df, vec_col).collect()}
-    mean = np.array([means[i] for i in range(d)])
     w, V = np.linalg.eigh(C)  # ascending
     order = np.argsort(w)[::-1][: int(k)]
     comps = V[:, order].T  # (k, d)
@@ -652,8 +656,9 @@ def pca_project(
                 {id_col: pdf[id_col], out_col: list(Y)}
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, vec_col).mapInPandas(
-        run, schema=f"{id_col} bigint, {out_col} array<double>"
+        run, schema=f"{id_col} {id_type}, {out_col} array<double>"
     )
 
 

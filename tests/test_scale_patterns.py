@@ -147,13 +147,13 @@ def test_salted_join_shuffles_on_salted_key(spark):
 
 
 def test_next_event_training_pairs_contexts(spark):
-    """Sequence-pair construction: contexts are the up-to-4 PRECEDING
-    event types in (ts, id) order, first events (no context) are
-    absent, and the frame truncates at 4 — one window pass, no
-    self-join."""
+    """Sequence-pair construction (the PRODUCTION operator, not a
+    re-implementation): contexts are the up-to-4 PRECEDING event types
+    in (ts, id) order, first events (no context) are absent, the frame
+    truncates at 4, and users are independent."""
     import datetime as dt
 
-    import __spark_entry__ as em
+    from etlutils_spark.event_queries import next_event_pairs
 
     rows = [
         (i, dt.datetime(2024, 1, 1, 0, i), 1, t, 0.0, "{}")
@@ -163,40 +163,22 @@ def test_next_event_training_pairs_contexts(spark):
         rows, "event_id bigint, ts timestamp, user_id bigint, "
         "event_type string, value double, props string"
     )
-    df.createOrReplaceTempView("events")
-    import pyspark.sql.functions as F
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("event_id"))
-        .rowsBetween(-4, -1)
-    )
-    out = {
-        r.event_id: r
-        for r in df.select(
-            "event_id",
-            F.concat_ws(
-                " ", F.collect_list("event_type").over(w)
-            ).alias("context"),
-            F.col("event_type").alias("label"),
-        ).filter(F.length("context") > 0).collect()
-    }
+    out = {r.event_id: r for r in next_event_pairs(df, context_len=4).collect()}
     assert 0 not in out and 10 not in out  # no-context events absent
-    assert out[1].context == "a"           # head: variable length
+    assert out[1].context == "a" and out[1].n_context == 1  # head
     assert out[4].context == "a b c d"
     assert out[5].context == "b c d e"     # frame truncates at 4
-    assert out[5].label == "f"
+    assert out[5].label == "f" and out[5].n_context == 4
 
 
 def test_temporal_split_warm_cold_integrity(spark):
-    """Temporal split semantics: pre-cutoff events are train; a user
-    with ANY pre-cutoff event gets test_warm for their post-cutoff
-    events; a user whose whole history is post-cutoff is test_cold —
-    per-event labels, per-user integrity."""
+    """Temporal split semantics (the PRODUCTION operator): pre-cutoff
+    events are train; a user with ANY pre-cutoff event gets test_warm
+    for their post-cutoff events; a user whose whole history is
+    post-cutoff is test_cold — per-event labels, per-user integrity."""
     import datetime as dt
 
-    import pyspark.sql.functions as F
+    from etlutils_spark.event_queries import temporal_split
 
     c = dt.datetime(2024, 1, 22)
     rows = [
@@ -209,16 +191,8 @@ def test_temporal_split_warm_cold_integrity(spark):
         rows, "event_id bigint, ts timestamp, user_id bigint, "
         "event_type string, value double, props string"
     )
-    cutoff = F.lit("2024-01-22 00:00:00").cast("timestamp")
-    first = ev.groupBy("user_id").agg(F.min("ts").alias("__f"))
     out = {
         r.event_id: r.split
-        for r in ev.join(first, "user_id").select(
-            "event_id",
-            F.when(F.col("ts") < cutoff, "train")
-            .when(F.col("__f") < cutoff, "test_warm")
-            .otherwise("test_cold")
-            .alias("split"),
-        ).collect()
+        for r in temporal_split(ev, "2024-01-22 00:00:00").collect()
     }
     assert out == {1: "train", 2: "test_warm", 3: "test_cold", 4: "test_cold"}
