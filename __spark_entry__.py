@@ -63,26 +63,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # green rows.
 
 _LAST_DRIVER_CHECK = {
-    # --- last green driver row: CORRECTNESS_r06.json ---
-    "ann_cosine_topk": 6, "collect_sorted_sizes": 6,
-    "correlated_subquery": 6, "curation_pipeline_tokens": 6,
-    "dedup_embedding_cosine": 6, "dedup_exact": 6,
-    "dedup_exact_survivors": 6, "dedup_minhash_clusters": 6,
-    "dedup_minhash_lsh": 6, "dedup_ngram_jaccard": 6, "delegated_sql": 6,
-    "explode_token_freq": 6, "gopher_quality_docs": 6,
-    "grouping_sets_sql": 6, "having_filter": 6,
-    "histogram_price_buckets": 6, "json_extract_props": 6,
-    "json_map_explode": 6, "lateral_topk_per_nation": 6,
-    "line_boilerplate_docs": 6, "pack_ids_export": 6,
-    "percentile_quantity": 6, "q10_returned_items": 6,
-    "q12_late_shipment_priority": 6, "q13_customer_order_distribution": 6,
-    "q14_promo_share": 6, "q15_top_supplier": 6,
-    "q18_large_volume_orders": 6, "q19_disjunctive_filter": 6,
-    "q22_idle_rich_customers": 6, "q4_priority_returns": 6,
-    "q6_revenue_forecast": 6, "q7_volume_shipping": 6, "q8_market_share": 6,
-    "q9_product_type_profit": 6, "stats_moments": 6, "text_lang_id": 6,
-    "text_stats": 6, "tokenize_to_ids": 6, "tokenize_to_ids_bigvocab": 6,
-    "union_distinct_nations": 6,
     # --- last green driver row: CORRECTNESS_r07.json ---
     "asof_last_purchase": 7, "bpe_encode_docs_bigvocab": 7,
     "c4_quality_docs": 7, "chunk_documents_windows": 7,
@@ -102,10 +82,10 @@ _LAST_DRIVER_CHECK = {
     "sample_stratified_lang": 7, "sessionize_events": 7,
     "sessionize_native_window": 7, "sessionize_stateful_evicted": 7,
     "shard_manifest": 7, "streaming_curation_pipeline": 7,
-    "streaming_window_counts": 7, "text_fingerprint": 7,
-    "text_redact_pii": 7, "text_repetition": 7, "text_token_counts": 7,
-    "time_rollup_multigrain": 7, "unpivot_order_metrics": 7,
-    "upsert_scd1": 7, "window_rolling_7d": 7, "write_roundtrip": 7,
+    "text_fingerprint": 7, "text_redact_pii": 7, "text_repetition": 7,
+    "text_token_counts": 7, "time_rollup_multigrain": 7,
+    "unpivot_order_metrics": 7, "upsert_scd1": 7, "window_rolling_7d": 7,
+    "write_roundtrip": 7,
     # --- last green driver row: CORRECTNESS_r08.json ---
     "ann_arrow_topk": 8, "ann_index_topk": 8, "ann_ivf_topk": 8,
     "ann_lsh_topk": 8, "ann_pq_recall_contract": 8,
@@ -133,38 +113,59 @@ _LAST_DRIVER_CHECK = {
     "agg_cube": 9, "agg_rollup": 9, "ann_index_streaming": 9,
     "anti_join_customers": 9, "append_union": 9, "bigram_lm_quality": 9,
     "bpe_encode_docs": 9, "bpe_roundtrip_docs": 9,
-    "corpus_diff_releases": 9, "decontaminate_rewrite_docs": 9,
-    "dedup_clusters_incremental": 9, "dedup_clusters_streaming": 9,
-    "distinct_agg_segments": 9, "embedding_quantize_int8": 9,
-    "embedding_standardize": 9, "factor_levels_brand": 9,
-    "format_roundtrip_text": 9, "fuzzy_matchmerge_segments": 9,
-    "hard_negative_mining": 9, "locf_events": 9,
-    "matchmerge_composite_key": 9, "matchmerge_expr_key": 9,
-    "matchmerge_inner": 9, "matchmerge_left": 9, "matchmerge_paste_key": 9,
-    "matchmerge_vector_y": 9, "mixture_temperature_lang": 9,
-    "multimodal_frame_sample": 9, "multimodal_resize": 9,
-    "pivot_status_counts": 9, "profile_drift_documents": 9,
-    "q1_pricing_summary": 9, "q3_top_revenue_orders": 9,
-    "q5_nation_revenue": 9, "recode_mktsegment": 9, "rename_project": 9,
+    "corpus_diff_releases": 9, "dedup_clusters_incremental": 9,
+    "dedup_clusters_streaming": 9, "distinct_agg_segments": 9,
+    "embedding_quantize_int8": 9, "embedding_standardize": 9,
+    "factor_levels_brand": 9, "format_roundtrip_text": 9,
+    "fuzzy_matchmerge_segments": 9, "hard_negative_mining": 9,
+    "locf_events": 9, "matchmerge_composite_key": 9,
+    "matchmerge_expr_key": 9, "matchmerge_inner": 9, "matchmerge_left": 9,
+    "matchmerge_paste_key": 9, "matchmerge_vector_y": 9,
+    "mixture_temperature_lang": 9, "multimodal_frame_sample": 9,
+    "multimodal_resize": 9, "pivot_status_counts": 9,
+    "profile_drift_documents": 9, "q1_pricing_summary": 9,
+    "q3_top_revenue_orders": 9, "q5_nation_revenue": 9,
+    "recode_mktsegment": 9, "rename_project": 9,
     "scalar_funcs_projection": 9, "semi_join_customers": 9, "set_except": 9,
     "set_intersect": 9, "source_cap_sample": 9, "streaming_funnel": 9,
     "text_token_gini": 9, "transfun_derived_date": 9,
     "user_cadence_stats": 9, "window_multi_horizon": 9,
     "window_rank_functions": 9, "window_running_spend": 9,
     "window_topk_per_customer": 9, "winsorize_order_totals": 9,
+    # --- last green driver row: CORRECTNESS_r10.json ---
+    "ann_cosine_topk": 10, "ccnet_lm_buckets": 10,
+    "collect_sorted_sizes": 10, "correlated_subquery": 10,
+    "curation_pipeline_tokens": 10, "decontaminate_attribution": 10,
+    "decontaminate_rewrite_docs": 10, "dedup_embedding_cosine": 10,
+    "dedup_exact": 10, "dedup_exact_survivors": 10,
+    "dedup_minhash_clusters": 10, "dedup_minhash_lsh": 10,
+    "dedup_ngram_jaccard": 10, "delegated_sql": 10,
+    "embedding_covariance": 10, "explode_token_freq": 10,
+    "gopher_quality_docs": 10, "grouping_sets_sql": 10, "having_filter": 10,
+    "histogram_price_buckets": 10, "json_extract_props": 10,
+    "json_map_explode": 10, "lateral_topk_per_nation": 10,
+    "line_boilerplate_docs": 10, "multimodal_png_roundtrip": 10,
+    "next_event_training_pairs": 10, "pack_ids_export": 10,
+    "pca_variance_contract": 10, "percentile_quantity": 10,
+    "q10_returned_items": 10, "q12_late_shipment_priority": 10,
+    "q13_customer_order_distribution": 10, "q14_promo_share": 10,
+    "q15_top_supplier": 10, "q18_large_volume_orders": 10,
+    "q19_disjunctive_filter": 10, "q22_idle_rich_customers": 10,
+    "q4_priority_returns": 10, "q6_revenue_forecast": 10,
+    "q7_volume_shipping": 10, "q8_market_share": 10,
+    "q9_product_type_profit": 10, "stats_moments": 10,
+    "streaming_window_counts": 10, "temporal_split_events": 10,
+    "text_lang_id": 10, "text_stats": 10, "tokenize_to_ids": 10,
+    "tokenize_to_ids_bigvocab": 10, "union_distinct_nations": 10,
 }
+
+
 
 
 # Queries whose registered form changed this round (new plan, new
 # consumer wiring, or a semantics-relevant operator edit) — they must
 # re-verify in the new form regardless of a prior green row.
-_CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # r10: decontaminate_rewrite's contamination probe moved from
-    # per-span shingle sets to positioned full-document n-grams
-    # (boundary-straddling quotes now drop both spans they touch) —
-    # new plan AND new result mass for the registered query
-    "decontaminate_rewrite_docs",
-})
+_CHANGED_THIS_ROUND: frozenset[str] = frozenset()
 
 # Derived view kept for the smoke-test invariant and round tooling: a
 # query counts as "verified in a prior round" only if it has a green

@@ -2,9 +2,11 @@
 
 The ledger maps each registered query to the latest round whose committed
 CORRECTNESS_r0N.json holds a fully-green row (rows+schema+hash all true).
-Run after each round, paste the output block into __spark_entry__.py, and
-clear _CHANGED_THIS_ROUND. tests/test_entry_contract.py pins that the
-committed ledger matches this derivation exactly.
+Run after each round with ``--apply`` to rewrite the block in
+__spark_entry__.py in place (then clear _CHANGED_THIS_ROUND by hand if the
+round changed registered behavior); without ``--apply`` it prints the block
+for manual pasting. tests/test_entry_contract.py pins that the committed
+ledger matches this derivation exactly.
 """
 from __future__ import annotations
 
@@ -56,5 +58,23 @@ def render(ledger: dict[str, int]) -> str:
     return "\n".join(out)
 
 
+def apply(block: str) -> None:
+    """Rewrite the _LAST_DRIVER_CHECK block in __spark_entry__.py in place."""
+    path = os.path.join(REPO, "__spark_entry__.py")
+    with open(path) as f:
+        src = f.read()
+    start = src.index("_LAST_DRIVER_CHECK = {")
+    end = src.index("\n}", start) + 2
+    with open(path, "w") as f:
+        f.write(src[:start] + block + "\n" + src[end:])
+
+
 if __name__ == "__main__":
-    print(render(green_rows()))
+    import sys
+
+    block = render(green_rows())
+    if "--apply" in sys.argv:
+        apply(block)
+        print("applied to __spark_entry__.py")
+    else:
+        print(block)
