@@ -396,11 +396,12 @@ def png_roundtrip_stats(
 
     from etlutils_spark.sources.files import spread
 
+    id_type = df.schema[id_col].dataType.simpleString()
     src = spread(df.select(id_col, text_col).filter(F.length(text_col) > 0))
     return src.mapInPandas(
         run,
         schema=(
-            f"{id_col} bigint, roundtrip_ok boolean, decoded_sum bigint, "
+            f"{id_col} {id_type}, roundtrip_ok boolean, decoded_sum bigint, "
             "decoded_min bigint, decoded_max bigint"
         ),
     )

@@ -537,8 +537,20 @@ def embedding_covariance(
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             Q = np.floor(X * scale).astype(np.int64)
+            # numpy int64 matmul WRAPS silently on overflow — a corpus
+            # with |v| large relative to 1/scale would yield a wrong but
+            # plausible-looking covariance. Bound the worst-case
+            # accumulated dot product in exact Python ints and refuse
+            # loudly instead (caller lowers `scale` or pre-normalizes).
+            amax = int(np.abs(Q).max()) if Q.size else 0
+            if amax * amax * len(Q) >= 2**62:
+                raise ValueError(
+                    "embedding_covariance: int64 partial would overflow "
+                    f"(max|q|={amax}, batch={len(Q)}); lower scale= "
+                    f"(currently {scale:g}) or normalize the embeddings"
+                )
             S = Q.sum(axis=0)
-            P = Q.T @ Q  # exact: |q| ~ scale * |v|, products << 2^63
+            P = Q.T @ Q  # exact: guarded above, products << 2^63
             iu, ju = np.triu_indices(Q.shape[1])
             yield pd.DataFrame(
                 {

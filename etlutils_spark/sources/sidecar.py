@@ -167,6 +167,17 @@ _LEASE_BEATS: "dict[tuple[str, str], object]" = {}
 # (r9 verdict "What's wrong" #3).
 _LEASE_STATE: "dict[tuple[str, str], str]" = {}
 
+# per-(url, token) (last_successful_touch_epoch, stale_after_sec),
+# written at acquire and on every successful heartbeat mtime refresh.
+# Closes the give-up lag gap (r10 advice): the first miss can land up
+# to stale/3 AFTER the last good touch and "gave_up" is only recorded
+# after misses spanning a further full staleness window, so the lease
+# is already stealable (age > stale_after_sec) while _LEASE_STATE is
+# still unset. verify_writer_lease therefore treats "no successful
+# touch within stale_after_sec" itself as ownership-unknown and falls
+# through to the re-read path without waiting for the give-up mark.
+_LEASE_TOUCH: "dict[tuple[str, str], tuple[float, float]]" = {}
+
 
 # Schemes whose Hadoop connectors are KNOWN to provide the atomic
 # exclusive-create and atomic rename the lease is built on. Everything
@@ -326,6 +337,9 @@ def acquire_writer_lease(
     def _start_beat() -> str:
         stop = threading.Event()
         _LEASE_BEATS[(url, token)] = stop
+        # the winning create just wrote the lease, so its mtime is
+        # fresh as of now — seed the touch record from acquire time
+        _LEASE_TOUCH[(url, token)] = (time.time(), stale_after_sec)
         interval = max(1.0, stale_after_sec / 3.0)
 
         def beat() -> None:
@@ -359,6 +373,9 @@ def acquire_writer_lease(
                         _LEASE_STATE[(url, token)] = "stolen"
                         return
                     fs.setTimes(target, int(time.time() * 1000), -1)
+                    _LEASE_TOUCH[(url, token)] = (
+                        time.time(), stale_after_sec,
+                    )
                     misses = 0
                 except (IOError, Py4JJavaError):
                     misses += 1
@@ -481,11 +498,17 @@ def verify_writer_lease(spark, url: str, token: str) -> None:
     still owns the lease at ``url`` — raising instead of letting a
     zombie holder write over a thief.
 
-    While the heartbeat is healthy this is a dict probe and returns
-    immediately: the beat refreshes the mtime every ``stale/3``, so
-    the lease cannot have gone stale, so nobody can have stolen it
-    (a live lease is never stolen — acquire raises on it). Only after
-    the beat DEGRADED does the check do real work:
+    While the heartbeat is demonstrably healthy — its last SUCCESSFUL
+    mtime refresh is within ``stale_after_sec`` of now — this is a
+    dict probe and returns immediately: a fresh lease cannot have been
+    stolen (acquire raises on a live lease). "Healthy" is judged from
+    the recorded touch time, NOT merely from the absence of a
+    degradation mark: the beat's give-up mark lags its last good touch
+    by up to ``stale/3`` (first-miss timing) plus a full staleness
+    window of retries, during which the lease is already stealable
+    (r10 advice) — so a touch record older than ``stale_after_sec``
+    falls through to the re-read path exactly as if the beat had
+    given up. Otherwise the check does real work:
 
     - beat positively read a foreign token ("stolen"): raise — we are
       a zombie, unconditionally.
@@ -509,8 +532,6 @@ def verify_writer_lease(spark, url: str, token: str) -> None:
             check(url, token)
         return
     state = _LEASE_STATE.get((url, token))
-    if state is None:
-        return  # heartbeat healthy — liveness is its guarantee
     if state == "stolen":
         raise ValueError(
             f"writer lease at {url}: this holder's lease was STOLEN "
@@ -519,7 +540,17 @@ def verify_writer_lease(spark, url: str, token: str) -> None:
             "to the new writer, re-run this mutation from scratch "
             "after it finishes"
         )
-    # gave_up: re-read the token — one FS open, ~70 ms
+    if state is None:
+        touch = _LEASE_TOUCH.get((url, token))
+        if touch is None:
+            return  # no beat record (foreign/legacy token) — nothing to judge
+        last_touch, stale_after = touch
+        if time.time() - last_touch <= stale_after:
+            return  # heartbeat demonstrably fresh — liveness is its guarantee
+        # no successful touch within a full staleness window: the lease
+        # is already stealable even though the beat has not yet recorded
+        # its give-up — ownership unknown; fall through to the re-read
+    # gave_up (or touch-stale): re-read the token — one FS open, ~70 ms
     jvm, fs, target = _fs_path(spark, url)
     current = _read_lease_token(jvm, fs, target)
     if current != token:
@@ -535,6 +566,13 @@ def verify_writer_lease(spark, url: str, token: str) -> None:
         fs.setTimes(target, int(time.time() * 1000), -1)
     except Py4JJavaError:
         pass  # ownership confirmed; freshness is best-effort here
+    else:
+        # a confirmed-ownership refresh IS a successful touch: record
+        # it so commits only pay the re-read while actually degraded
+        # (the explicit gave_up mark still forces re-reads regardless)
+        prev = _LEASE_TOUCH.get((url, token))
+        if prev is not None:
+            _LEASE_TOUCH[(url, token)] = (time.time(), prev[1])
 
 
 def release_writer_lease(spark, url: str, token: str) -> None:
@@ -560,6 +598,7 @@ def release_writer_lease(spark, url: str, token: str) -> None:
     if stop is not None:
         stop.set()
     _LEASE_STATE.pop((url, token), None)
+    _LEASE_TOUCH.pop((url, token), None)
     jvm, fs, target = _fs_path(spark, url)
     # sibling path through the one construction seam (see acquire)
     private = _fs_path(spark, f"{url}.rel{uuid.uuid4().hex[:8]}")[2]

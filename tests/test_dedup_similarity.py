@@ -2595,6 +2595,69 @@ def test_lease_verify_reconfirms_ownership_after_giveup(spark, tmp_path):
     assert (url, token) not in sc._LEASE_STATE
 
 
+def test_lease_verify_detects_steal_in_giveup_lag_window(spark, tmp_path):
+    """The give-up lag gap (r10 advice #2): the beat's first miss can
+    land up to stale/3 after its last good touch and the give-up mark
+    needs a FURTHER staleness window of retries, so the lease is
+    already stealable while _LEASE_STATE is still unset. verify must
+    judge health from the recorded last-successful-touch time, not the
+    absence of a degradation mark: with the touch record aged past
+    stale_after_sec and a foreign token on disk, a commit-point verify
+    must fall through to the re-read and abort. Simulated by
+    backdating the touch record under a long-interval beat (stale=60
+    -> the beat won't tick during the test)."""
+    import time
+
+    from etlutils_spark.sources import sidecar as sc
+
+    url = str(tmp_path / "laggap" / ".writer_lease")
+    token = sc.acquire_writer_lease(spark, url, stale_after_sec=60.0)
+    try:
+        # thief's token lands on disk; the 20s-interval beat won't
+        # notice within this test, and no give-up has been recorded
+        sc.write_sidecar_text(spark, url, "f" * 32)
+        sc._LEASE_TOUCH[(url, token)] = (time.time() - 120.0, 60.0)
+        assert (url, token) not in sc._LEASE_STATE
+        with pytest.raises(ValueError, match="ownership could not be"):
+            sc.verify_writer_lease(spark, url, token)
+        assert sc._LEASE_STATE.get((url, token)) == "stolen"
+    finally:
+        stop = sc._LEASE_BEATS.pop((url, token), None)
+        if stop is not None:
+            stop.set()
+        sc._LEASE_STATE.pop((url, token), None)
+        sc._LEASE_TOUCH.pop((url, token), None)
+        os.remove(url)
+
+
+def test_lease_verify_reconfirms_in_giveup_lag_window_when_owned(
+    spark, tmp_path
+):
+    """The lag-window check's happy branch: a touch record older than
+    stale_after_sec with the lease STILL OURS must re-read, confirm,
+    refresh the mtime, and record the refresh as a successful touch so
+    later commits fast-path again (no permanent give-up state — the
+    beat never actually degraded)."""
+    import time
+
+    from etlutils_spark.sources import sidecar as sc
+
+    url = str(tmp_path / "laggap2" / ".writer_lease")
+    token = sc.acquire_writer_lease(spark, url, stale_after_sec=60.0)
+    try:
+        sc._LEASE_TOUCH[(url, token)] = (time.time() - 120.0, 60.0)
+        old = time.time() - 100
+        os.utime(url, (old, old))
+        sc.verify_writer_lease(spark, url, token)  # must not raise
+        assert time.time() - os.path.getmtime(url) < 10.0
+        assert (url, token) not in sc._LEASE_STATE
+        last_touch, stale = sc._LEASE_TOUCH[(url, token)]
+        assert time.time() - last_touch < 10.0 and stale == 60.0
+    finally:
+        sc.release_writer_lease(spark, url, token)
+        assert (url, token) not in sc._LEASE_TOUCH
+
+
 def test_lease_verify_zombie_abort_on_positive_theft(spark, tmp_path):
     """When the heartbeat POSITIVELY reads a foreign token (the holder
     stalled, the lease went stale, a thief took it), the beat records
@@ -2783,6 +2846,44 @@ def test_embedding_covariance_matches_numpy_and_partitioning(spark):
         for r in embedding_covariance(df.repartition(7)).collect()
     }
     assert got7 == {k: (v.n_vectors, v.s_xx, v.cov_pop) for k, v in got.items()}
+
+
+def test_embedding_covariance_overflow_guard(spark):
+    """numpy int64 matmul WRAPS silently, so large-magnitude embeddings
+    (|q| = scale*|v| with q^2*batch beyond 2^62) must raise loudly
+    instead of yielding a plausible-looking wrong covariance (r10
+    advice #1). |v|~1e4 at the default scale=1e6 puts a single row's
+    squared term at ~1e20 > 2^62."""
+    import pytest as _pytest
+
+    from etlutils_spark.operators.similarity import embedding_covariance
+
+    df = spark.createDataFrame(
+        [(0, [1.0e4, 2.0e4]), (1, [-3.0e4, 4.0e4])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="overflow"):
+        embedding_covariance(df).collect()
+    # the same vectors pass with a proportionally smaller scale
+    rows = embedding_covariance(df, scale=1e2).collect()
+    assert {(r.i, r.j) for r in rows} == {(0, 0), (0, 1), (1, 1)}
+
+
+def test_png_roundtrip_stats_string_id(spark):
+    """The mapInPandas output schema must derive the id field's type
+    from the input frame — a string id previously hit a hardcoded
+    `bigint` slot and came back as nulls/garbage (r10 advice #3)."""
+    from etlutils_spark.operators.multimodal import png_roundtrip_stats
+
+    df = spark.createDataFrame(
+        [("doc-a", "alpha beta gamma"), ("doc-b", "delta epsilon")],
+        "doc_id string, text string",
+    )
+    out = png_roundtrip_stats(df, width=3, height=3)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {"doc-a", "doc-b"}
+    assert all(r.roundtrip_ok for r in rows.values())
 
 
 def test_pca_recovers_planted_axis(spark):
