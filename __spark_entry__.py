@@ -165,7 +165,12 @@ _LAST_DRIVER_CHECK = {
 # Queries whose registered form changed this round (new plan, new
 # consumer wiring, or a semantics-relevant operator edit) — they must
 # re-verify in the new form regardless of a prior green row.
-_CHANGED_THIS_ROUND: frozenset[str] = frozenset()
+_CHANGED_THIS_ROUND: frozenset[str] = frozenset({
+    # r11: the oracle now independently recomputes the exact-integer
+    # trace numerator as a value column (trace_num) instead of pinning
+    # only TRUE literals — new output schema, must re-verify
+    "pca_variance_contract",
+})
 
 # Derived view kept for the smoke-test invariant and round tooling: a
 # query counts as "verified in a prior round" only if it has a green
