@@ -30,6 +30,10 @@ from etlutils_spark.sources.files import (
     read_text_corpus,
 )
 from etlutils_spark.sources.sidecar import set_lease_lock_provider
+from etlutils_spark.sources.lease_providers import (
+    ConditionalPutLeaseProvider,
+    InMemoryConditionalStore,
+)
 from etlutils_spark.sources.merge import merge_upsert, scd2_apply
 from etlutils_spark.operators.curation import curate_documents, curate_to_sequences
 from etlutils_spark.operators.dedup import (
@@ -174,6 +178,8 @@ __all__ = [
     "build_ann_index",
     "compact_ann_index",
     "set_lease_lock_provider",
+    "ConditionalPutLeaseProvider",
+    "InMemoryConditionalStore",
     "extend_ann_index",
     "ann_index_topk",
     "ann_index_drift",

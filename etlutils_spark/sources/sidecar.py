@@ -211,8 +211,13 @@ def set_lease_lock_provider(provider: Any) -> Any:
     a service with real atomic primitives (DynamoDB conditional puts,
     ZooKeeper ephemerals, a database row lock) and the index
     build/extend/compact wrappers use it transparently — their lease
-    URLs become opaque lock names. Returns the previous provider so
-    tests can restore it."""
+    URLs become opaque lock names. A reference implementation ships in
+    :mod:`etlutils_spark.sources.lease_providers`:
+    ``ConditionalPutLeaseProvider`` implements the full protocol
+    (one-winner stale steal, heartbeat extend, commit-point reconfirm)
+    over any store exposing put-if-absent / compare-and-swap — fake
+    in-memory store included, proven under the lease test matrix.
+    Returns the previous provider so tests can restore it."""
     global _LOCK_PROVIDER
     previous = _LOCK_PROVIDER
     _LOCK_PROVIDER = provider

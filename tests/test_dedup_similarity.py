@@ -2700,6 +2700,129 @@ def test_lease_scheme_allowlist_fails_closed(spark):
             )
 
 
+def test_conditional_put_provider_full_matrix():
+    """The reference object-store lock (r10 verdict Next #4) under the
+    full lease scenario matrix, driven by an injected clock: mutual
+    exclusion while live, one-winner stale steal via CAS, commit-point
+    abort for the stolen-from zombie, zombie release leaving the
+    thief's lease intact, expired-but-still-ours reconfirmed by a CAS
+    re-extend at verify (the FS gave-up path's analog), and clean
+    release. heartbeat=False so expiry moves only with the fake
+    clock."""
+    from etlutils_spark.sources.lease_providers import (
+        ConditionalPutLeaseProvider,
+        InMemoryConditionalStore,
+    )
+
+    now = [1000.0]
+    store = InMemoryConditionalStore()
+    p = ConditionalPutLeaseProvider(
+        store, clock=lambda: now[0], heartbeat=False
+    )
+    url = "s3a://bucket/idx/.writer_lease"
+    t1 = p.acquire(url, stale_after_sec=60.0)
+    with pytest.raises(ValueError, match="another writer holds"):
+        p.acquire(url, 60.0)  # two-writers: refused while live
+    p.verify(url, t1)  # healthy commit point
+    now[0] += 61.0  # holder stalls past expiry
+    t2 = p.acquire(url, 60.0)  # stale steal (CAS one-winner)
+    with pytest.raises(ValueError, match="ownership could not be"):
+        p.verify(url, t1)  # zombie's commit aborts
+    p.release(url, t1)  # zombie release must not touch the thief
+    p.verify(url, t2)
+    # expired-but-ours: no thief raced in — verify re-extends via CAS
+    now[0] += 61.0
+    p.verify(url, t2)
+    with pytest.raises(ValueError, match="another writer holds"):
+        p.acquire(url, 60.0)  # live again after the re-extend
+    p.release(url, t2)
+    assert store.get(url) is None  # clean release deletes the record
+
+
+def test_conditional_put_provider_reclaim_loses_to_thief():
+    """The expired-reconfirm race: the holder's lease expires, a thief
+    CASes it away FIRST, then the holder's commit-point verify must
+    lose the re-extend CAS and abort — never both writers proceeding
+    (the exact two-winner hazard conditional writes exist to prevent)."""
+    from etlutils_spark.sources.lease_providers import (
+        ConditionalPutLeaseProvider,
+        InMemoryConditionalStore,
+    )
+
+    now = [1000.0]
+    store = InMemoryConditionalStore()
+    p = ConditionalPutLeaseProvider(
+        store, clock=lambda: now[0], heartbeat=False
+    )
+    url = "s3a://bucket/idx2/.writer_lease"
+    t1 = p.acquire(url, stale_after_sec=60.0)
+    now[0] += 61.0
+    t2 = p.acquire(url, 60.0)  # thief wins the expired record
+    with pytest.raises(ValueError, match="ownership could not be"):
+        p.verify(url, t1)
+    p.verify(url, t2)
+    p.release(url, t2)
+
+
+def test_conditional_put_provider_heartbeat_keeps_lease_live():
+    """With the real clock, the background CAS-extend beat must keep a
+    short-staleness lease live well past its initial expiry — the
+    conditional-store analog of the FS mtime heartbeat."""
+    import time as _time
+
+    from etlutils_spark.sources.lease_providers import (
+        ConditionalPutLeaseProvider,
+        InMemoryConditionalStore,
+    )
+
+    store = InMemoryConditionalStore()
+    p = ConditionalPutLeaseProvider(store)  # heartbeat=True, real clock
+    url = "s3a://bucket/idx3/.writer_lease"
+    token = p.acquire(url, stale_after_sec=0.3)  # beat every 0.1s
+    try:
+        _time.sleep(1.0)  # 3x the staleness window
+        with pytest.raises(ValueError, match="another writer holds"):
+            p.acquire(url, 0.3)  # still live: the beat extended it
+        p.verify(url, token)
+    finally:
+        p.release(url, token)
+    assert store.get(url) is None
+
+
+def test_conditional_put_provider_end_to_end_index(spark, tmp_path):
+    """The reference provider driving the real index lifecycle through
+    the set_lease_lock_provider seam: build + extend acquire/verify/
+    release through conditional puts (on a lease URL the FS path would
+    refuse outright), results identical to the unlocked path, and no
+    lease record left behind."""
+    from etlutils_spark.operators.dedup import (
+        build_dedup_index,
+        extend_dedup_index,
+    )
+    from etlutils_spark.sources import sidecar as sc
+    from etlutils_spark.sources.lease_providers import (
+        ConditionalPutLeaseProvider,
+        InMemoryConditionalStore,
+    )
+
+    store = InMemoryConditionalStore()
+    prev = sc.set_lease_lock_provider(ConditionalPutLeaseProvider(store))
+    try:
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+             (2, "alpha beta gamma delta epsilon zeta eta iota")],
+            "doc_id bigint, text string",
+        )
+        path = str(tmp_path / "casidx")
+        build_dedup_index(docs.filter("doc_id = 1"), path,
+                          bands=8, threshold=0.3)
+        extend_dedup_index(path, docs.filter("doc_id = 2"))
+    finally:
+        sc.set_lease_lock_provider(prev)
+    # every acquire released: the fake store holds no residual record
+    assert store._items == {}
+
+
 def test_lease_lock_provider_seam(spark, tmp_path):
     """set_lease_lock_provider replaces the filesystem lease wholesale:
     acquisition on an otherwise-REFUSED object-store URL succeeds
