@@ -142,6 +142,8 @@ R4_EXTRAS = [
     "ccnet_lm_buckets",
     "next_event_training_pairs",
     "temporal_split_events",
+    # round-11 addition: the approx-mode (100 TB path) CCNet contract
+    "ccnet_lm_approx_contract",
 ]
 
 

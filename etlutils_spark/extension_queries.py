@@ -2544,7 +2544,11 @@ def q_ccnet_lm_approx_contract(spark, sf_dir):
     independent exact-percentile threshold pass over the same scored
     frame. n_docs / n_scored are recomputed by DuckDB as values (the
     scored mass pins the bigram pipeline's join shape); the three
-    booleans are the sketch-tolerance contract."""
+    booleans are the sketch-tolerance contract. The exact-percentile
+    reference pass (F.percentile buffers each language's scores in
+    executor memory) is the VERIFICATION harness only — production
+    runs ccnet_lm_buckets(mode="approx") alone, whose sketch
+    thresholds are the whole point at 100 TB."""
     from etlutils_spark.operators.search import ccnet_lm_buckets
 
     n_buckets = 3

@@ -306,6 +306,12 @@ def ccnet_lm_buckets(
             F.desc("avg_bigram_prob"), F.col(id_col)
         )
         return scored.withColumn("lm_bucket", F.ntile(n_buckets).over(w))
+    # approx consumes the scored frame twice (threshold sketch + final
+    # compare); without a persist the whole bigram scoring pipeline
+    # (explode + two model aggs + two joins) runs twice
+    from etlutils_spark.caching import persist_tracked
+
+    scored = persist_tracked(scored)
     qs = [i / n_buckets for i in range(1, n_buckets)]
     thresholds = scored.groupBy(lang_col).agg(
         F.percentile_approx("avg_bigram_prob", qs).alias("__t")

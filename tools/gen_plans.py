@@ -168,6 +168,13 @@ COMMENTARY = {
     "after one Exchange (the spread of a single-file scan) — encode, "
     "decode, and pixel stats all inside the Python stage; no join, no "
     "aggregation.",
+    # round-11 additions
+    "ccnet_lm_approx_contract": "the scored frame (explode + two model "
+    "aggs + two joins) persists ONCE and feeds all three consumers "
+    "(sketch thresholds, exact-percentile thresholds, the compare); "
+    "both threshold tables broadcast back onto stateless compares — "
+    "no per-language global sort anywhere, the property the approx "
+    "mode exists to prove.",
 }
 
 
