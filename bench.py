@@ -142,8 +142,10 @@ R4_EXTRAS = [
     "ccnet_lm_buckets",
     "next_event_training_pairs",
     "temporal_split_events",
-    # round-11 addition: the approx-mode (100 TB path) CCNet contract
+    # round-11 additions: the approx-mode (100 TB path) CCNet contract;
+    # the DCLM/fastText-style NB classifier-filter stage
     "ccnet_lm_approx_contract",
+    "nb_quality_classifier",
 ]
 
 

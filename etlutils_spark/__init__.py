@@ -100,6 +100,8 @@ from etlutils_spark.operators.text import (
 from etlutils_spark.operators.quality import (
     c4_quality_flags,
     gopher_quality_flags,
+    nb_classifier_scores,
+    nb_token_weights,
     percentile_prune,
     rank_blend,
     winsorize,
@@ -160,6 +162,8 @@ __all__ = [
     "pack_ids_export",
     "token_budget_sample",
     "tokens_to_ids",
+    "nb_classifier_scores",
+    "nb_token_weights",
     "percentile_prune",
     "rank_blend",
     "knn_label_consistency",

@@ -501,3 +501,98 @@ def winsorize(
                            F.col("__hi"))),
     ).drop("__g", "__lo", "__hi")
     return out.drop("__wg") if group_col is None else out
+
+
+def nb_token_weights(
+    df: DataFrame,
+    label: "F.Column",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train the token-weight table of a Naive-Bayes-style quality
+    classifier (the DCLM / fastText-filter recipe: label a seed split,
+    learn token likelihood ratios, score everything). ``label`` is a
+    boolean Column marking the positive ("high quality") class — e.g.
+    an existing heuristic flag, a curated-source indicator, or a
+    benchmark-likeness bit.
+
+    Output: one row per distinct token — ``(token, c_pos, c_neg,
+    weight)`` where ``weight`` is the Laplace-smoothed likelihood
+    ratio ``P(tok|pos) / P(tok|neg)`` = ``((c_pos+1)/(N_pos+V)) /
+    ((c_neg+1)/(N_neg+V))``. LOG-FREE on purpose (the rational-idf
+    convention of ``search.bm25_topk`` / ``corpus_rarity_stats``):
+    every weight is a fixed tree of IEEE divisions over exact integer
+    counts, so the trained table is bit-identical on any engine and
+    any partitioning — a libm log would differ in the last ulp.
+
+    Scale: one explode + ONE combinable token-keyed aggregation; the
+    class totals are a 1-row aggregate broadcast-cross-joined back.
+    The weight table is vocabulary-sized (Heaps: ~sqrt of token mass).
+    """
+    tok = with_tokens(df, text_col).select(
+        label.cast("int").alias("__pos"),
+        F.explode(TOKENS_COL).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum("__pos").cast("bigint").alias("c_pos"),
+        (F.count(F.lit(1)) - F.sum("__pos")).cast("bigint").alias("c_neg"),
+    )
+    totals = counts.agg(
+        F.sum("c_pos").cast("bigint").alias("__np"),
+        F.sum("c_neg").cast("bigint").alias("__nn"),
+        F.count(F.lit(1)).cast("bigint").alias("__v"),
+    )
+    # fixed expression tree: (c_pos+1)/(N_pos+V) / ((c_neg+1)/(N_neg+V))
+    w = (
+        (F.col("c_pos") + 1).cast("double")
+        / (F.col("__np") + F.col("__v")).cast("double")
+    ) / (
+        (F.col("c_neg") + 1).cast("double")
+        / (F.col("__nn") + F.col("__v")).cast("double")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select("token", "c_pos", "c_neg", w.alias("weight"))
+    )
+
+
+def nb_classifier_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """Score documents under a :func:`nb_token_weights` table — the
+    inference half of the classifier-filter stage. Per doc:
+    ``n_tokens`` (instances that hit the weight table), ``nb_score``
+    (decimal-exact sum of per-instance likelihood ratios — the
+    additive log-free stand-in for the NB product, same spirit as the
+    rational idf), and ``mean_weight`` (= nb_score / n_tokens; > 1
+    means the doc's vocabulary leans positive). Tokens absent from the
+    weight table contribute nothing (inner join) — score foreign
+    corpora with the training corpus's table and unseen tokens are
+    neutral by construction.
+
+    Scale: stateless scan + broadcast join (vocabulary-sized table) +
+    one per-doc combinable aggregation; ``broadcast_weights=False``
+    falls back to a shuffle join for web-scale vocabularies (AQE skew
+    split handles stopword keys), the ``corpus_rarity_stats`` escape
+    hatch."""
+    tok = with_tokens(df, text_col).select(
+        id_col, F.explode(TOKENS_COL).alias("token")
+    )
+    w = F.broadcast(weights) if broadcast_weights else weights
+    dec = F.col("weight").cast("decimal(30,12)")
+    out = (
+        tok.join(w.select("token", "weight"), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(dec).cast("double").alias("nb_score"),
+        )
+    )
+    return out.select(
+        id_col, "n_tokens", "nb_score",
+        (F.col("nb_score") / F.col("n_tokens").cast("double"))
+        .alias("mean_weight"),
+    )

@@ -262,6 +262,62 @@ def q_c4_quality(spark, sf_dir):
     )
 
 
+NB_LABEL_CHARS = 300  # median n_chars at bench SFs -> balanced classes
+
+
+@register(
+    "nb_quality_classifier",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, n_chars >= {NB_LABEL_CHARS} AS pos,
+             UNNEST(string_split(text, ' ')) AS token
+      FROM documents),
+    tc AS (
+      SELECT token,
+             SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+             SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+      FROM toks GROUP BY token),
+    tot AS (
+      SELECT SUM(c_pos) AS np, SUM(c_neg) AS nn, COUNT(*) AS v FROM tc),
+    w AS (
+      SELECT token,
+             (CAST(c_pos + 1 AS DOUBLE) / CAST(np + v AS DOUBLE))
+               / (CAST(c_neg + 1 AS DOUBLE) / CAST(nn + v AS DOUBLE))
+               AS weight
+      FROM tc, tot)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(weight AS DECIMAL(30,12))) AS DOUBLE) AS nb_score,
+           CAST(SUM(CAST(weight AS DECIMAL(30,12))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS mean_weight
+    FROM toks JOIN w USING (token)
+    GROUP BY doc_id
+    """,
+)
+def q_nb_quality_classifier(spark, sf_dir):
+    """The classifier-filter stage of a DCLM/fastText-style curation
+    pipeline: train Laplace-smoothed Naive-Bayes token likelihood
+    ratios against a seed labeling (here the length heuristic n_chars
+    >= 300 — any boolean Column works: curated-source flags,
+    benchmark-likeness bits), then score every document as the
+    decimal-exact sum of its tokens' ratios. LOG-FREE (the rational
+    convention of bm25/corpus_rarity): weights are fixed IEEE division
+    trees over exact integer counts, so train AND inference are
+    bit-identical cross-engine — the oracle re-derives the entire
+    model in SQL. Scale: one explode + one token-keyed combinable agg
+    (train) + vocabulary-sized broadcast join + per-doc agg (score)."""
+    from etlutils_spark.operators.quality import (
+        nb_classifier_scores,
+        nb_token_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = nb_token_weights(
+        docs, label=F.col("n_chars") >= NB_LABEL_CHARS
+    )
+    return nb_classifier_scores(docs, weights)
+
+
 @register(
     "text_repetition",
     """

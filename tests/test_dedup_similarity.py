@@ -2789,6 +2789,57 @@ def test_conditional_put_provider_heartbeat_keeps_lease_live():
     assert store.get(url) is None
 
 
+def test_conditional_put_provider_mutual_exclusion_hammer():
+    """8 threads hammer acquire/hold/release on one lock name (real
+    clock, no heartbeat churn): at no instant may two threads hold the
+    lease. The fake store's conditional writes are the only
+    serialization point — exactly the property a real conditional-put
+    service provides — so a protocol bug (non-atomic read-check-write,
+    a steal path that ignores the CAS result) surfaces as an overlap
+    here."""
+    import threading
+    import time as _time
+
+    from etlutils_spark.sources.lease_providers import (
+        ConditionalPutLeaseProvider,
+        InMemoryConditionalStore,
+    )
+
+    store = InMemoryConditionalStore()
+    p = ConditionalPutLeaseProvider(store, heartbeat=False)
+    url = "s3a://bucket/hammer/.writer_lease"
+    holders: set[str] = set()
+    guard = threading.Lock()
+    overlaps: list[str] = []
+    acquired = [0]
+
+    def worker(wid: int) -> None:
+        for _ in range(50):
+            try:
+                token = p.acquire(url, stale_after_sec=60.0)
+            except ValueError:
+                continue  # held by someone else — the expected outcome
+            with guard:
+                if holders:
+                    overlaps.append(f"{wid} overlapped {holders}")
+                holders.add(token)
+                acquired[0] += 1
+            _time.sleep(0.001)  # hold window where overlap would show
+            p.verify(url, token)
+            with guard:
+                holders.discard(token)
+            p.release(url, token)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not overlaps, overlaps
+    assert acquired[0] > 0  # the lock was actually exercised
+    assert store.get(url) is None
+
+
 def test_conditional_put_provider_end_to_end_index(spark, tmp_path):
     """The reference provider driving the real index lifecycle through
     the set_lease_lock_provider seam: build + extend acquire/verify/

@@ -967,3 +967,59 @@ def test_winsorize_null_group_is_clipped(spark):
                      group_col="grp").collect()}
     assert out[9] == 9.0  # the NULL group's 100 clips to its own P90
     assert out[0] == 1.0
+
+
+def test_nb_classifier_separates_planted_classes(spark):
+    """Planted separation: positive docs speak 'signal' words, negative
+    docs 'noise' words, a few words are shared. The trained likelihood
+    ratios must order signal > shared > noise, and the per-doc mean
+    weight must separate the classes with a margin."""
+    from etlutils_spark.operators.quality import (
+        nb_classifier_scores,
+        nb_token_weights,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "signal quality insight shared common", 1))
+    for i in range(20, 40):
+        rows.append((i, "noise junk garble shared common", 0))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, y int")
+    w = nb_token_weights(docs, label=F.col("y") == 1)
+    wm = {r.token: r.weight for r in w.collect()}
+    assert wm["signal"] > wm["shared"] > wm["noise"]
+    assert wm["signal"] > 1.0 > wm["noise"]
+    assert abs(wm["shared"] - 1.0) < 1e-9  # perfectly balanced token
+    scores = {
+        r.doc_id: r.mean_weight
+        for r in nb_classifier_scores(docs, w).collect()
+    }
+    assert min(scores[i] for i in range(20)) > max(
+        scores[i] for i in range(20, 40)
+    )
+
+
+def test_nb_classifier_partitioning_invariant_and_unseen_neutral(spark):
+    """The decimal-exact score is bit-identical under repartitioning,
+    and scoring a FOREIGN document drops unseen tokens (inner join):
+    n_tokens counts only vocabulary hits."""
+    from etlutils_spark.operators.quality import (
+        nb_classifier_scores,
+        nb_token_weights,
+    )
+
+    rows = [(i, f"alpha beta gamma tok{i % 7}", int(i % 2)) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, y int")
+    w1 = nb_token_weights(docs.repartition(1), label=F.col("y") == 1)
+    w7 = nb_token_weights(docs.repartition(7), label=F.col("y") == 1)
+    assert sorted(map(tuple, w1.collect())) == sorted(map(tuple, w7.collect()))
+    s1 = {(r.doc_id, r.n_tokens, r.nb_score)
+          for r in nb_classifier_scores(docs.repartition(1), w1).collect()}
+    s7 = {(r.doc_id, r.n_tokens, r.nb_score)
+          for r in nb_classifier_scores(docs.repartition(7), w7).collect()}
+    assert s1 == s7
+    foreign = spark.createDataFrame(
+        [(99, "alpha zzz-unseen qqq-unseen")], "doc_id bigint, text string"
+    )
+    out = nb_classifier_scores(foreign, w1).collect()
+    assert len(out) == 1 and out[0].n_tokens == 1  # only 'alpha' hits

@@ -175,6 +175,12 @@ COMMENTARY = {
     "both threshold tables broadcast back onto stateless compares — "
     "no per-language global sort anywhere, the property the approx "
     "mode exists to prove.",
+    "nb_quality_classifier": "train = one explode + ONE token-keyed "
+    "combinable agg, class totals a 1-row broadcast cross join; "
+    "inference = the vocabulary-sized weight table broadcast back "
+    "onto the token stream + one per-doc combinable agg. No global "
+    "sort, no Python; the token-keyed shuffle is the only data-sized "
+    "exchange.",
 }
 
 
