@@ -146,6 +146,7 @@ R4_EXTRAS = [
     # the DCLM/fastText-style NB classifier-filter stage
     "ccnet_lm_approx_contract",
     "nb_quality_classifier",
+    "nb_classifier_hashed",
 ]
 
 

@@ -503,10 +503,27 @@ def winsorize(
     return out.drop("__wg") if group_col is None else out
 
 
+def _nb_feature(tok: "F.Column", hash_dim: int | None) -> "F.Column":
+    """Classifier feature key: the raw token (vocabulary mode), or the
+    hashing-trick bucket (first 8 md5 hex chars as a 32-bit int, mod
+    ``hash_dim``) — the portable-digest convention of
+    ``dedup.simhash_signatures``, so any SQL engine computes the same
+    buckets. Hashing bounds the MODEL at ``hash_dim`` rows regardless
+    of vocabulary size — the guaranteed-broadcastable 100 TB mode; the
+    cost is deliberate collision (multiple tokens share a bucket)."""
+    if hash_dim is None:
+        return tok
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+        % hash_dim
+    )
+
+
 def nb_token_weights(
     df: DataFrame,
     label: "F.Column",
     text_col: str = "text",
+    hash_dim: int | None = None,
 ) -> DataFrame:
     """Train the token-weight table of a Naive-Bayes-style quality
     classifier (the DCLM / fastText-filter recipe: label a seed split,
@@ -526,11 +543,16 @@ def nb_token_weights(
 
     Scale: one explode + ONE combinable token-keyed aggregation; the
     class totals are a 1-row aggregate broadcast-cross-joined back.
-    The weight table is vocabulary-sized (Heaps: ~sqrt of token mass).
+    The weight table is vocabulary-sized (Heaps: ~sqrt of token mass)
+    — or exactly ``hash_dim`` rows in hashing-trick mode (see
+    :func:`_nb_feature`), the mode whose model broadcast is bounded by
+    construction at any corpus size.
     """
     tok = with_tokens(df, text_col).select(
         label.cast("int").alias("__pos"),
-        F.explode(TOKENS_COL).alias("token"),
+        F.explode(
+            F.transform(TOKENS_COL, lambda t: _nb_feature(t, hash_dim))
+        ).alias("token"),
     )
     counts = tok.groupBy("token").agg(
         F.sum("__pos").cast("bigint").alias("c_pos"),
@@ -561,6 +583,7 @@ def nb_classifier_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_weights: bool = True,
+    hash_dim: int | None = None,
 ) -> DataFrame:
     """Score documents under a :func:`nb_token_weights` table — the
     inference half of the classifier-filter stage. Per doc:
@@ -577,9 +600,14 @@ def nb_classifier_scores(
     one per-doc combinable aggregation; ``broadcast_weights=False``
     falls back to a shuffle join for web-scale vocabularies (AQE skew
     split handles stopword keys), the ``corpus_rarity_stats`` escape
-    hatch."""
+    hatch. ``hash_dim`` must match the value the weight table was
+    trained with (a mismatch keys the join on incompatible features
+    and scores nothing — loud, not subtly wrong)."""
     tok = with_tokens(df, text_col).select(
-        id_col, F.explode(TOKENS_COL).alias("token")
+        id_col,
+        F.explode(
+            F.transform(TOKENS_COL, lambda t: _nb_feature(t, hash_dim))
+        ).alias("token"),
     )
     w = F.broadcast(weights) if broadcast_weights else weights
     dec = F.col("weight").cast("decimal(30,12)")

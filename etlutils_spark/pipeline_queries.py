@@ -318,6 +318,64 @@ def q_nb_quality_classifier(spark, sf_dir):
     return nb_classifier_scores(docs, weights)
 
 
+NB_HASH_DIM = 1024
+
+
+@register(
+    "nb_classifier_hashed",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, n_chars >= {NB_LABEL_CHARS} AS pos,
+             ('0x' || substring(md5(tok), 1, 8))::BIGINT % {NB_HASH_DIM}
+               AS token
+      FROM (SELECT doc_id, n_chars,
+                   UNNEST(string_split(text, ' ')) AS tok
+            FROM documents)),
+    tc AS (
+      SELECT token,
+             SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+             SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+      FROM toks GROUP BY token),
+    tot AS (
+      SELECT SUM(c_pos) AS np, SUM(c_neg) AS nn, COUNT(*) AS v FROM tc),
+    w AS (
+      SELECT token,
+             (CAST(c_pos + 1 AS DOUBLE) / CAST(np + v AS DOUBLE))
+               / (CAST(c_neg + 1 AS DOUBLE) / CAST(nn + v AS DOUBLE))
+               AS weight
+      FROM tc, tot)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(weight AS DECIMAL(30,12))) AS DOUBLE) AS nb_score,
+           CAST(SUM(CAST(weight AS DECIMAL(30,12))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS mean_weight
+    FROM toks JOIN w USING (token)
+    GROUP BY doc_id
+    """,
+)
+def q_nb_classifier_hashed(spark, sf_dir):
+    """The hashing-trick mode of the NB classifier filter: tokens map
+    to {NB_HASH_DIM}-bucket features (first 8 md5 hex chars as a
+    32-bit int, the portable-digest convention of dedup.simhash), so
+    the MODEL is bounded at hash_dim rows regardless of vocabulary —
+    the guaranteed-broadcastable 100 TB inference mode (a raw
+    web-scale vocabulary can exceed executor memory; 1024 buckets
+    never do). Collisions are the documented trade; weights/scores
+    remain bit-identical cross-engine because the bucket hash itself
+    is portable."""
+    from etlutils_spark.operators.quality import (
+        nb_classifier_scores,
+        nb_token_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = nb_token_weights(
+        docs, label=F.col("n_chars") >= NB_LABEL_CHARS,
+        hash_dim=NB_HASH_DIM,
+    )
+    return nb_classifier_scores(docs, weights, hash_dim=NB_HASH_DIM)
+
+
 @register(
     "text_repetition",
     """

@@ -1023,3 +1023,33 @@ def test_nb_classifier_partitioning_invariant_and_unseen_neutral(spark):
     )
     out = nb_classifier_scores(foreign, w1).collect()
     assert len(out) == 1 and out[0].n_tokens == 1  # only 'alpha' hits
+
+
+def test_nb_classifier_hashed_bounds_model_and_separates(spark):
+    """Hashing-trick mode: the weight table is bounded at hash_dim
+    rows no matter the vocabulary, scoring with a mismatched hash_dim
+    is loud (join on incompatible key types scores nothing subtle —
+    the feature spaces differ), and planted separation survives
+    hashing when the dims are collision-sparse."""
+    from etlutils_spark.operators.quality import (
+        nb_classifier_scores,
+        nb_token_weights,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "signal quality insight shared common", 1))
+    for i in range(20, 40):
+        rows.append((i, "noise junk garble shared common", 0))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, y int")
+    w = nb_token_weights(docs, label=F.col("y") == 1, hash_dim=64)
+    assert w.count() <= 64
+    # feature keys are bucket ids, not tokens
+    assert dict(w.dtypes)["token"] == "bigint"
+    scores = {
+        r.doc_id: r.mean_weight
+        for r in nb_classifier_scores(docs, w, hash_dim=64).collect()
+    }
+    assert min(scores[i] for i in range(20)) > max(
+        scores[i] for i in range(20, 40)
+    )

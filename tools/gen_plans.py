@@ -181,6 +181,11 @@ COMMENTARY = {
     "onto the token stream + one per-doc combinable agg. No global "
     "sort, no Python; the token-keyed shuffle is the only data-sized "
     "exchange.",
+    "nb_classifier_hashed": "same shape as nb_quality_classifier with "
+    "the feature key replaced by a portable md5 bucket (stateless "
+    "per-token hash inside the same codegen stage) — the model side "
+    "of the broadcast is BOUNDED at hash_dim rows by construction, "
+    "so the inference join broadcasts at any corpus size.",
 }
 
 
