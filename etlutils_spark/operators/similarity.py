@@ -646,17 +646,32 @@ def pca_project(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     out_col: str = "pca",
+    whiten: bool = False,
 ) -> DataFrame:
     """Project an embedding column onto a :func:`pca_model`'s
     principal axes: ``(x - mean) @ components.T`` per row, Arrow-
     batched (one matmul per batch, no shuffle). Output:
-    ``(id_col, out_col array<double>)`` with ``len(out_col) == k``."""
+    ``(id_col, out_col array<double>)`` with ``len(out_col) == k``.
+
+    ``whiten=True`` additionally divides each component by
+    ``sqrt(eigenvalue)`` so the projected dimensions have unit
+    variance — the standard preconditioning before cosine/Euclidean
+    comparisons in SemDeDup-style embedding curation (otherwise the
+    top component dominates every distance). Components whose
+    eigenvalue is ~0 (below 1e-12 x the largest) stay UNwhitened:
+    dividing by ~sqrt(0) would amplify quantization noise into the
+    dominant signal."""
     import numpy as np
     import pandas as pd
     from typing import Iterator
 
     mean = np.asarray(model["mean"], dtype=np.float64)
     comps = np.asarray(model["components"], dtype=np.float64)
+    if whiten:
+        lam = np.asarray(model["eigenvalues"], dtype=np.float64)
+        floor = 1e-12 * max(float(lam.max()), 1e-300)
+        scale_w = np.where(lam > floor, 1.0 / np.sqrt(np.maximum(lam, floor)), 1.0)
+        comps = comps * scale_w[:, None]
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:

@@ -3163,3 +3163,42 @@ def test_bucketed_labels_one_file_per_bucket(spark, tmp_path):
     extend_dedup_index(path, batch, cc_scope="affected")
     per = files_per_bucket()
     assert per and all(n == 1 for n in per.values()), per
+
+
+def test_pca_project_whiten_unit_variance(spark):
+    """whiten=True must make every projected dimension's population
+    variance 1 (verified through the same exact covariance operator),
+    leave cross-correlations ~0, and preserve component ORDER (the
+    rotation is unchanged, only per-axis scale)."""
+    import numpy as np
+
+    from etlutils_spark.operators.similarity import (
+        embedding_covariance,
+        pca_model,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(0, 1, size=(400, 4)) @ np.diag([5.0, 2.0, 1.0, 0.5])
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(X)],
+        "vec_id bigint, embedding array<double>",
+    )
+    model = pca_model(df, k=4)
+    white = pca_project(df, model, out_col="w", whiten=True)
+    cov = {
+        (r.i, r.j): r.cov_pop
+        for r in embedding_covariance(white, vec_col="w").collect()
+    }
+    for i in range(4):
+        assert abs(cov[(i, i)] - 1.0) < 1e-3, (i, cov[(i, i)])
+    off = max(abs(v) for (i, j), v in cov.items() if i != j)
+    assert off < 1e-2
+    # same rotation: whitened coords are the plain projection / sqrt(lam)
+    plain = {r.vec_id: r.pca for r in pca_project(df, model).collect()}
+    ww = {r.vec_id: r.w for r in white.collect()}
+    lam = model["eigenvalues"]
+    for vid in (0, 1, 2):
+        got = np.array(ww[vid])
+        want = np.array(plain[vid]) / np.sqrt(lam)
+        assert np.allclose(got, want, rtol=1e-9)
