@@ -319,3 +319,30 @@ def test_boilerplate_and_cap_empty(spark):
     assert out.columns == ["doc_id", "n_lines", "n_boiler_lines", "text_clean"]
     assert cap_per_group(docs, cap=5).count() == 0
     assert cap_per_group(docs, cap=5, approx=True).count() == 0
+
+
+def test_nb_classifier_empty_and_degenerate(spark):
+    """Empty corpus -> empty weight table and empty scores (no
+    divide-by-zero inside the weight tree: the cross-joined totals
+    row simply doesn't exist); one-class corpus (all positive) still
+    trains — Laplace smoothing keeps every denominator positive."""
+    from pyspark.sql import functions as F
+
+    from etlutils_spark.operators.quality import (
+        nb_classifier_scores,
+        nb_token_weights,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string, y int")
+    w = nb_token_weights(empty, label=F.col("y") == 1)
+    assert w.count() == 0
+    assert nb_classifier_scores(empty, w).count() == 0
+    onecls = spark.createDataFrame(
+        [(1, "alpha beta", 1), (2, "alpha gamma", 1)],
+        "doc_id bigint, text string, y int",
+    )
+    w1 = nb_token_weights(onecls, label=F.col("y") == 1)
+    rows = {r.token: r for r in w1.collect()}
+    assert all(r.c_neg == 0 and r.weight > 0 for r in rows.values())
+    scored = nb_classifier_scores(onecls, w1).collect()
+    assert len(scored) == 2 and all(s.nb_score > 0 for s in scored)
