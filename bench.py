@@ -147,6 +147,7 @@ R4_EXTRAS = [
     "ccnet_lm_approx_contract",
     "nb_quality_classifier",
     "nb_classifier_hashed",
+    "streaming_nb_scoring",
 ]
 
 

@@ -264,10 +264,9 @@ def q_c4_quality(spark, sf_dir):
 
 NB_LABEL_CHARS = 300  # median n_chars at bench SFs -> balanced classes
 
-
-@register(
-    "nb_quality_classifier",
-    f"""
+# shared by nb_quality_classifier and its streaming twin (the scorer
+# is stateless per doc, so stream == batch at the value level)
+NB_ORACLE_SQL = f"""
     WITH toks AS (
       SELECT doc_id, n_chars >= {NB_LABEL_CHARS} AS pos,
              UNNEST(string_split(text, ' ')) AS token
@@ -292,8 +291,10 @@ NB_LABEL_CHARS = 300  # median n_chars at bench SFs -> balanced classes
              / CAST(count(*) AS DOUBLE) AS mean_weight
     FROM toks JOIN w USING (token)
     GROUP BY doc_id
-    """,
-)
+    """
+
+
+@register("nb_quality_classifier", NB_ORACLE_SQL)
 def q_nb_quality_classifier(spark, sf_dir):
     """The classifier-filter stage of a DCLM/fastText-style curation
     pipeline: train Laplace-smoothed Naive-Bayes token likelihood
@@ -316,6 +317,54 @@ def q_nb_quality_classifier(spark, sf_dir):
         docs, label=F.col("n_chars") >= NB_LABEL_CHARS
     )
     return nb_classifier_scores(docs, weights)
+
+
+@register("streaming_nb_scoring", NB_ORACLE_SQL)
+def q_streaming_nb_scoring(spark, sf_dir):
+    """The classifier-filter stage under Structured Streaming: train
+    the NB weight table ONCE on the batch corpus (the frozen offline
+    model — how classifier filters deploy: train on a seed snapshot,
+    score the firehose), then replay the corpus as 3 ordered
+    micro-batches whose foreachBatch body IS ``nb_classifier_scores``
+    with the broadcast weights — one shared code path, no streaming
+    re-implementation. Scoring is stateless per doc (each doc's tokens
+    live in one micro-batch), so stream == batch at the value level;
+    the oracle is the SAME full-model SQL as ``nb_quality_classifier``,
+    pinning that equality cross-engine."""
+    import os
+    import shutil
+
+    from etlutils_spark.caching import persist_tracked
+    from etlutils_spark.extension_queries import _sliced_stream
+    from etlutils_spark.operators.quality import (
+        nb_classifier_scores,
+        nb_token_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # trained once, consumed by every micro-batch: persist, or each
+    # batch re-runs the train aggregation
+    weights = persist_tracked(
+        nb_token_weights(docs, label=F.col("n_chars") >= NB_LABEL_CHARS)
+    )
+    root = _rt_path(spark, "stream_nb")
+    shutil.rmtree(root, ignore_errors=True)
+    stream = _sliced_stream(spark, docs, root, n_slices=3)
+    out = os.path.join(root, "scored")
+
+    def sink(batch_df, epoch_id):
+        nb_classifier_scores(batch_df, weights).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
 
 
 NB_HASH_DIM = 1024

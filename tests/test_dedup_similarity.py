@@ -3202,3 +3202,59 @@ def test_pca_project_whiten_unit_variance(spark):
         got = np.array(ww[vid])
         want = np.array(plain[vid]) / np.sqrt(lam)
         assert np.allclose(got, want, rtol=1e-9)
+
+
+def test_stdlib_png_mixed_filters_roundtrip():
+    """Every row of one image encoded with a DIFFERENT filter type
+    (seeded pseudo-random 0-4 sequence): decoding must reproduce the
+    source exactly. This locks the per-row unfilter paths AND their
+    interactions (each row's reconstruction depends on the PREVIOUS
+    row's decoded bytes, which came through a different filter)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from etlutils_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(23)
+    h, w = 40, 17  # odd width exercises non-aligned strides
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    stride = w * 3
+    prev = np.zeros(stride, dtype=np.int32)
+    rows = []
+    for r in range(h):
+        cur = img[r].reshape(stride).astype(np.int32)
+        left = np.zeros(stride, dtype=np.int32)
+        left[3:] = cur[:-3]
+        upleft = np.zeros(stride, dtype=np.int32)
+        upleft[3:] = prev[:-3]
+        ftype = int(rng.integers(0, 5))
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:
+            enc = (cur - left) & 0xFF
+        elif ftype == 2:
+            enc = (cur - prev) & 0xFF
+        elif ftype == 3:
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - upleft))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = (cur - pred) & 0xFF
+        rows.append(bytes([ftype]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, payload):
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", crc))
+
+    png = (mm._PNG_MAGIC
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"".join(rows), 6))
+           + chunk(b"IEND", b""))
+    assert (mm._png_decode(png) == img).all()
