@@ -160,8 +160,6 @@ _LAST_DRIVER_CHECK = {
 }
 
 
-
-
 # Queries whose registered form changed this round (new plan, new
 # consumer wiring, or a semantics-relevant operator edit) — they must
 # re-verify in the new form regardless of a prior green row.

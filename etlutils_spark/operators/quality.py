@@ -533,7 +533,9 @@ def nb_token_weights(
     benchmark-likeness bit.
 
     Output: one row per distinct token — ``(token, c_pos, c_neg,
-    weight)`` where ``weight`` is the Laplace-smoothed likelihood
+    weight, hash_dim)`` (``hash_dim`` null in vocabulary mode — it
+    stamps the feature space so the scorer can refuse a mismatched
+    table) where ``weight`` is the Laplace-smoothed likelihood
     ratio ``P(tok|pos) / P(tok|neg)`` = ``((c_pos+1)/(N_pos+V)) /
     ((c_neg+1)/(N_neg+V))``. LOG-FREE on purpose (the rational-idf
     convention of ``search.bm25_topk`` / ``corpus_rarity_stats``):
@@ -558,6 +560,14 @@ def nb_token_weights(
         F.sum("__pos").cast("bigint").alias("c_pos"),
         (F.count(F.lit(1)) - F.sum("__pos")).cast("bigint").alias("c_neg"),
     )
+    # counts feeds BOTH the totals aggregate and the weight projection;
+    # without a persist the explode + token-keyed shuffle (the only
+    # data-sized exchange) runs twice per train (the same double-
+    # execution the ccnet approx path fixed — review catch). The
+    # persisted table is vocabulary-sized, not corpus-sized.
+    from etlutils_spark.caching import persist_tracked
+
+    counts = persist_tracked(counts)
     totals = counts.agg(
         F.sum("c_pos").cast("bigint").alias("__np"),
         F.sum("c_neg").cast("bigint").alias("__nn"),
@@ -573,7 +583,10 @@ def nb_token_weights(
     )
     return (
         counts.crossJoin(F.broadcast(totals))
-        .select("token", "c_pos", "c_neg", w.alias("weight"))
+        .select(
+            "token", "c_pos", "c_neg", w.alias("weight"),
+            F.lit(hash_dim).cast("int").alias("hash_dim"),
+        )
     )
 
 
@@ -601,8 +614,21 @@ def nb_classifier_scores(
     falls back to a shuffle join for web-scale vocabularies (AQE skew
     split handles stopword keys), the ``corpus_rarity_stats`` escape
     hatch. ``hash_dim`` must match the value the weight table was
-    trained with (a mismatch keys the join on incompatible features
-    and scores nothing — loud, not subtly wrong)."""
+    trained with — ENFORCED against the table's stamped ``hash_dim``
+    column before any scoring (two different dims produce
+    type-compatible bucket ids that PARTIALLY join and yield plausible
+    but wrong scores, so a silent mismatch is the failure mode here —
+    review catch)."""
+    if "hash_dim" in weights.columns:
+        probe = weights.select("hash_dim").first()
+        if probe is not None and probe.hash_dim != hash_dim:
+            raise ValueError(
+                "nb_classifier_scores: weight table was trained with "
+                f"hash_dim={probe.hash_dim} but scoring was asked for "
+                f"hash_dim={hash_dim} — the feature spaces differ and "
+                "a partial join would score every document with wrong "
+                "weights; pass the training value"
+            )
     tok = with_tokens(df, text_col).select(
         id_col,
         F.explode(

@@ -566,11 +566,42 @@ def embedding_covariance(
     partials = df.select(vec_col).mapInPandas(
         run, schema="i int, j int, n bigint, s_i bigint, s_j bigint, p bigint"
     )
-    agg = partials.groupBy("i", "j").agg(
+    # the CROSS-batch combine can exceed int64 even when every batch
+    # passed the per-batch guard (10M unit-norm vectors at scale=1e6
+    # sum diagonal s_xx to ~1e19 > 2^63 — review catch), and an
+    # ANSI-off session would wrap a long sum silently. Sum as
+    # decimal(38,0) — exact to 1e38, far beyond any real corpus — and
+    # bound-check LOUDLY (engine-config-independent) before the int64
+    # downcast that the output schema and oracle pin.
+    aggd = partials.groupBy("i", "j").agg(
         F.sum("n").cast("bigint").alias("n_vectors"),
-        F.sum("s_i").cast("bigint").alias("s_i"),
-        F.sum("s_j").cast("bigint").alias("__sj"),
-        F.sum("p").cast("bigint").alias("s_xx"),
+        F.sum(F.col("s_i").cast("decimal(38,0)")).alias("__si_d"),
+        F.sum(F.col("s_j").cast("decimal(38,0)")).alias("__sj_d"),
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("__p_d"),
+    )
+    bound = F.lit(2**62).cast("decimal(38,0)")
+    ok = (
+        (F.abs(F.col("__p_d")) < bound)
+        & (F.abs(F.col("__si_d")) < bound)
+        & (F.abs(F.col("__sj_d")) < bound)
+    )
+    msg = F.lit(
+        "embedding_covariance: corpus-total moment exceeds int64 — "
+        "lower scale= or pre-normalize the embeddings"
+    )
+
+    def guarded(col: str):
+        # the assert rides the value expression so column pruning can
+        # never drop it while the value survives
+        return F.when(
+            F.assert_true(ok, msg).isNull(), F.col(col).cast("long")
+        )
+
+    agg = aggd.select(
+        "i", "j", "n_vectors",
+        guarded("__si_d").alias("s_i"),
+        guarded("__sj_d").alias("__sj"),
+        guarded("__p_d").alias("s_xx"),
     )
     n = F.col("n_vectors").cast("double")
     # mean-product form keeps every term within double's exact-integer

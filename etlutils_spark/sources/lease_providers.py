@@ -171,28 +171,41 @@ class ConditionalPutLeaseProvider:
         if self._clock() >= expires_at:
             # ours but expired (the beat stalled): a thief may CAS it
             # away at any moment — re-extend through CAS so ownership
-            # is reconfirmed atomically, and abort if we lose the race
+            # is reconfirmed atomically. A lost CAS is NOT necessarily
+            # theft: our own heartbeat may have extended concurrently
+            # (review catch) — re-read and abort only when the record
+            # is gone or carries a foreign token.
             extended = self._encode(token, self._clock() + stale_after)
             if not self._store.compare_and_swap(url, current, extended):
-                raise ValueError(
-                    f"writer lease at {url}: the lease expired while "
-                    "this holder was stalled and could not be "
-                    "re-claimed (another writer took it) — aborting "
-                    "the commit; re-acquire and re-run this mutation"
-                )
+                after = self._store.get(url)
+                if after is None or self._decode(after)[0] != token:
+                    raise ValueError(
+                        f"writer lease at {url}: the lease expired "
+                        "while this holder was stalled and could not "
+                        "be re-claimed (another writer took it) — "
+                        "aborting the commit; re-acquire and re-run "
+                        "this mutation"
+                    )
 
     def release(self, url: str, token: str) -> None:
         stop = self._beats.pop((url, token), None)
         if stop is not None:
             stop.set()
         self._stale.pop((url, token), None)
-        current = self._store.get(url)
-        if current is not None and self._decode(current)[0] == token:
-            # conditional delete: a thief re-issuing the lease between
-            # our read and the delete makes the condition fail — their
-            # lease survives (same stolen-while-stalled semantics as
-            # the FS release's rename-and-inspect)
-            self._store.delete_if(url, current)
+        # re-read-and-retry: a single get+delete_if races our OWN
+        # in-flight heartbeat CAS-extend (the beat re-encodes a new
+        # expiry between our read and the conditional delete), which
+        # would silently leave a live ownerless record blocking every
+        # acquire for a full staleness window (review catch). Loop
+        # until the record is gone or carries a FOREIGN token — a
+        # thief's lease must survive (same stolen-while-stalled
+        # semantics as the FS release's rename-and-inspect).
+        for _ in range(8):
+            current = self._store.get(url)
+            if current is None or self._decode(current)[0] != token:
+                return
+            if self._store.delete_if(url, current):
+                return
 
     # -- internals ------------------------------------------------------
 

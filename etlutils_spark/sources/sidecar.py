@@ -339,12 +339,14 @@ def acquire_writer_lease(
     jvm, fs, target = _fs_path(spark, url)
     token = uuid.uuid4().hex
 
-    def _start_beat() -> str:
+    def _start_beat(seed_time: float) -> str:
         stop = threading.Event()
         _LEASE_BEATS[(url, token)] = stop
-        # the winning create just wrote the lease, so its mtime is
-        # fresh as of now — seed the touch record from acquire time
-        _LEASE_TOUCH[(url, token)] = (time.time(), stale_after_sec)
+        # seed the touch record from the instant BEFORE the winning
+        # create/steal RPC was issued — the store assigned the mtime no
+        # earlier than that, so the recorded time never overstates
+        # freshness (a post-create stamp would, by the RPC latency)
+        _LEASE_TOUCH[(url, token)] = (seed_time, stale_after_sec)
         interval = max(1.0, stale_after_sec / 3.0)
 
         def beat() -> None:
@@ -377,10 +379,13 @@ def acquire_writer_lease(
                         # write over the thief
                         _LEASE_STATE[(url, token)] = "stolen"
                         return
-                    fs.setTimes(target, int(time.time() * 1000), -1)
-                    _LEASE_TOUCH[(url, token)] = (
-                        time.time(), stale_after_sec,
-                    )
+                    # stamp BEFORE the RPC and reuse the same instant
+                    # for the stored mtime: recording a post-RPC time
+                    # would extend verify's fast-path window past the
+                    # steal boundary by the RPC latency (review catch)
+                    now = time.time()
+                    fs.setTimes(target, int(now * 1000), -1)
+                    _LEASE_TOUCH[(url, token)] = (now, stale_after_sec)
                     misses = 0
                 except (IOError, Py4JJavaError):
                     misses += 1
@@ -427,6 +432,7 @@ def acquire_writer_lease(
 
     for _ in range(4):  # create, steal-retry, vanished-retry, race-retry
         created = False
+        t_create = time.time()  # pre-RPC: see _start_beat's seed note
         try:
             stream = fs.create(target, False)  # overwrite=False
             created = True
@@ -434,7 +440,7 @@ def acquire_writer_lease(
                 stream.write(bytearray(token.encode("utf-8")))
             finally:
                 stream.close()
-            return _start_beat()
+            return _start_beat(t_create)
         except Py4JJavaError:
             if created:
                 # the exclusive create WON but the token write failed:
@@ -567,8 +573,9 @@ def verify_writer_lease(spark, url: str, token: str) -> None:
             "— aborting the commit to avoid two writers interleaving "
             "on one artifact; re-acquire and re-run this mutation"
         )
+    now = time.time()  # pre-RPC stamp, same instant as the stored mtime
     try:
-        fs.setTimes(target, int(time.time() * 1000), -1)
+        fs.setTimes(target, int(now * 1000), -1)
     except Py4JJavaError:
         pass  # ownership confirmed; freshness is best-effort here
     else:
@@ -577,7 +584,7 @@ def verify_writer_lease(spark, url: str, token: str) -> None:
         # (the explicit gave_up mark still forces re-reads regardless)
         prev = _LEASE_TOUCH.get((url, token))
         if prev is not None:
-            _LEASE_TOUCH[(url, token)] = (time.time(), prev[1])
+            _LEASE_TOUCH[(url, token)] = (now, prev[1])
 
 
 def release_writer_lease(spark, url: str, token: str) -> None:

@@ -2789,6 +2789,80 @@ def test_conditional_put_provider_heartbeat_keeps_lease_live():
     assert store.get(url) is None
 
 
+def test_conditional_put_provider_release_survives_beat_race():
+    """release must not be defeated by its OWN in-flight heartbeat
+    extend: if a CAS-extend lands between release's read and its
+    conditional delete, a single-shot delete_if would silently leave a
+    live ownerless record that blocks every acquire for a staleness
+    window. Simulated by a store whose first delete_if is preempted by
+    a same-token extend (exactly what the beat does)."""
+    from etlutils_spark.sources.lease_providers import (
+        ConditionalPutLeaseProvider,
+        InMemoryConditionalStore,
+    )
+
+    class RacingStore(InMemoryConditionalStore):
+        def __init__(self):
+            super().__init__()
+            self.raced = False
+
+        def delete_if(self, key, expected):
+            if not self.raced:
+                self.raced = True
+                # the beat's concurrent extend: same token, new expiry
+                tok = expected.partition(":")[0]
+                super().compare_and_swap(
+                    key, expected, f"{tok}:{9e9!r}"
+                )
+            return super().delete_if(key, expected)
+
+    now = [1000.0]
+    store = RacingStore()
+    p = ConditionalPutLeaseProvider(
+        store, clock=lambda: now[0], heartbeat=False
+    )
+    url = "s3a://bucket/relrace/.writer_lease"
+    t = p.acquire(url, stale_after_sec=60.0)
+    p.release(url, t)
+    assert store.raced
+    assert store.get(url) is None  # the retry loop finished the job
+
+
+def test_conditional_put_provider_verify_survives_own_beat_extend():
+    """verify's expired-reconfirm CAS losing to the holder's OWN
+    concurrent heartbeat extend must NOT abort the commit — ownership
+    is intact; only a foreign/absent record after the lost CAS aborts."""
+    from etlutils_spark.sources.lease_providers import (
+        ConditionalPutLeaseProvider,
+        InMemoryConditionalStore,
+    )
+
+    class ExtendingStore(InMemoryConditionalStore):
+        def __init__(self):
+            super().__init__()
+            self.intercepts = 0
+
+        def compare_and_swap(self, key, expected, value):
+            if self.intercepts == 0:
+                self.intercepts = 1
+                tok = expected.partition(":")[0]
+                # the beat slips in first with a same-token extend
+                super().compare_and_swap(key, expected, f"{tok}:{9e9!r}")
+            return super().compare_and_swap(key, expected, value)
+
+    now = [1000.0]
+    store = ExtendingStore()
+    p = ConditionalPutLeaseProvider(
+        store, clock=lambda: now[0], heartbeat=False
+    )
+    url = "s3a://bucket/vrfrace/.writer_lease"
+    t = p.acquire(url, stale_after_sec=60.0)
+    now[0] += 61.0  # expired from verify's viewpoint
+    p.verify(url, t)  # lost CAS + same-token re-read -> must NOT raise
+    assert store.intercepts == 1
+    p.release(url, t)
+
+
 def test_conditional_put_provider_mutual_exclusion_hammer():
     """8 threads hammer acquire/hold/release on one lock name (real
     clock, no heartbeat churn): at no instant may two threads hold the

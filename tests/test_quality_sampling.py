@@ -1053,3 +1053,27 @@ def test_nb_classifier_hashed_bounds_model_and_separates(spark):
     assert min(scores[i] for i in range(20)) > max(
         scores[i] for i in range(20, 40)
     )
+
+
+def test_nb_classifier_hash_dim_mismatch_raises(spark):
+    """Two different hash_dims produce TYPE-COMPATIBLE bucket ids that
+    partially join into plausible wrong scores — the scorer must refuse
+    a weight table stamped with a different hash_dim (including
+    vocab-vs-hashed mismatches) before any scoring happens."""
+    from etlutils_spark.operators.quality import (
+        nb_classifier_scores,
+        nb_token_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", 1), (2, "gamma delta", 0)],
+        "doc_id bigint, text string, y int",
+    )
+    w1024 = nb_token_weights(docs, label=F.col("y") == 1, hash_dim=1024)
+    with pytest.raises(ValueError, match="hash_dim"):
+        nb_classifier_scores(docs, w1024, hash_dim=64)
+    with pytest.raises(ValueError, match="hash_dim"):
+        nb_classifier_scores(docs, w1024)  # vocab-mode vs hashed table
+    wv = nb_token_weights(docs, label=F.col("y") == 1)
+    with pytest.raises(ValueError, match="hash_dim"):
+        nb_classifier_scores(docs, wv, hash_dim=1024)  # hashed vs vocab

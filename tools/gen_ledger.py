@@ -88,9 +88,13 @@ def apply(block: str) -> None:
     with open(path) as f:
         src = f.read()
     start = src.index("_LAST_DRIVER_CHECK = {")
+    # end points just past the closing '}'; src[end:] keeps the
+    # original trailing newline, so the block is written WITHOUT an
+    # extra one (appending '\n' here grew a blank line per round —
+    # review catch)
     end = src.index("\n}", start) + 2
     with open(path, "w") as f:
-        f.write(src[:start] + block + "\n" + src[end:])
+        f.write(src[:start] + block + src[end:])
 
 
 if __name__ == "__main__":

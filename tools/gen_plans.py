@@ -193,7 +193,18 @@ def render(spark) -> str:
     """The full PLANS.md content for the given session — shared by the
     generator CLI, `--check`, and the pytest golden-snapshot test."""
     import __spark_entry__ as em
+    from etlutils_spark import caching
     from etlutils_spark.plans.checks import physical_plan
+
+    # cache-state independence: queries that persist an intermediate
+    # (ccnet approx, nb classifier) render an InMemoryRelation whose
+    # text depends on what the CacheManager already holds (it dedupes
+    # by canonicalized plan against SESSION history — a pytest session
+    # that cached a sibling frame earlier renders a different tree
+    # than the generator CLI did). Start every render from an empty
+    # cache so the golden snapshot is a function of the code alone.
+    caching._TRACKED.clear()
+    spark.catalog.clearCache()
 
     qs = em.queries()
     out = ["# PLANS — physical-plan audit of headline queries\n"]
@@ -206,6 +217,11 @@ def render(spark) -> str:
         # keep the operator tree, drop the verbose per-node detail section
         tree = plan.split("\n\n")[0]
         tree = re.sub(r"#\d+L?", "", tree)
+        # executed AdaptiveSparkPlans inside InMemoryRelations carry
+        # RUNTIME statistics (sizeInBytes/rowCount vary with core count
+        # and partitioning — local[4] pytest vs local[32] CLI broke the
+        # golden snapshot); the audit pins plan SHAPE, not run stats
+        tree = re.sub(r", Statistics\([^)]*\)", "", tree)
         lines = tree.strip().splitlines()
         if len(lines) > 200:
             # iterative operators (e.g. min-label propagation) unroll
