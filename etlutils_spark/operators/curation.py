@@ -47,6 +47,9 @@ def curate_documents(
     source_col: str = "source",
     gopher_rules: bool = False,
     c4_rules: bool = False,
+    nb_weights: DataFrame | None = None,
+    nb_min_mean_weight: float = 1.0,
+    nb_hash_dim: int | None = None,
 ) -> DataFrame:
     """Run the full curation chain over ``docs`` and return the
     surviving rows (original columns) plus their ``shard`` assignment.
@@ -66,7 +69,14 @@ def curate_documents(
     ``gopher_rules`` / ``c4_rules`` additionally require the published
     Gopher (Rae et al. 2021) / C4 (Raffel et al. 2020) rule sets to
     pass alongside the threshold filter — all three are stateless
-    predicates, so Catalyst fuses them into the same scan stage.
+    predicates, so Catalyst fuses them into the same scan stage;
+    ``nb_weights`` (a :func:`quality.nb_token_weights` table, with
+    ``nb_hash_dim`` matching its training) runs the DCLM-style
+    classifier filter AFTER dedup/source-cap (duplicates shouldn't
+    vote, and the join is cheapest on the already-cut corpus),
+    keeping docs whose ``mean_weight >= nb_min_mean_weight``; docs
+    with zero vocabulary hits have no score and are dropped — score
+    foreign corpora with a table trained on a representative seed.
     """
     if boilerplate_max_doc_frac is not None:
         from etlutils_spark.operators.text import line_boilerplate_removal
@@ -103,6 +113,17 @@ def curate_documents(
             kept, cap=source_cap, group_col=source_col,
             key_col=id_col, approx=True,
         )
+    if nb_weights is not None:
+        from etlutils_spark.operators.quality import nb_classifier_scores
+
+        scored = nb_classifier_scores(
+            kept, nb_weights, text_col=text_col, id_col=id_col,
+            hash_dim=nb_hash_dim,
+        )
+        keep_ids = scored.filter(
+            F.col("mean_weight") >= nb_min_mean_weight
+        ).select(id_col)
+        kept = kept.join(keep_ids, id_col, "left_semi")
     contam = decontaminate(
         kept, benchmark, n=decontam_n, min_overlap=decontam_min_overlap,
         text_col=text_col, id_col=id_col,

@@ -1077,3 +1077,43 @@ def test_nb_classifier_hash_dim_mismatch_raises(spark):
     wv = nb_token_weights(docs, label=F.col("y") == 1)
     with pytest.raises(ValueError, match="hash_dim"):
         nb_classifier_scores(docs, wv, hash_dim=1024)  # hashed vs vocab
+
+
+def test_curate_documents_classifier_stage(spark):
+    """The DCLM-style classifier stage inside the curation chain:
+    docs whose mean likelihood-ratio falls below the threshold are
+    dropped after dedup, before decontamination; hash_dim plumbs
+    through; defaults (nb_weights=None) leave behavior unchanged."""
+    from etlutils_spark.operators.curation import curate_documents
+    from etlutils_spark.operators.quality import nb_token_weights
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "the quick brown fox insight quality signal "
+                        f"of the and to in doc{i}", "s0", 1))
+    for i in range(20, 40):
+        rows.append((i, "the quick brown fox junk garble noise "
+                        f"of the and to in doc{i}", "s0", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, y int"
+    )
+    bench = spark.createDataFrame(
+        [(0, "benchmark only text nothing shared")],
+        "doc_id long, text string",
+    )
+    w = nb_token_weights(docs, label=F.col("y") == 1)
+    kept = curate_documents(
+        docs.drop("y"), bench, min_tokens=5, min_stopword_ratio=0.0,
+        nb_weights=w, nb_min_mean_weight=1.0,
+    )
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert ids == set(range(20))  # positives survive, negatives cut
+    # hashed weights plumb through hash_dim
+    wh = nb_token_weights(docs, label=F.col("y") == 1, hash_dim=256)
+    kept_h = curate_documents(
+        docs.drop("y"), bench, min_tokens=5, min_stopword_ratio=0.0,
+        nb_weights=wh, nb_min_mean_weight=1.0, nb_hash_dim=256,
+    )
+    assert {r.doc_id for r in kept_h.select("doc_id").collect()} == set(
+        range(20)
+    )
