@@ -615,26 +615,45 @@ def nb_classifier_scores(
     split handles stopword keys), the ``corpus_rarity_stats`` escape
     hatch. ``hash_dim`` must match the value the weight table was
     trained with — ENFORCED against the table's stamped ``hash_dim``
-    column before any scoring (two different dims produce
-    type-compatible bucket ids that PARTIALLY join and yield plausible
-    but wrong scores, so a silent mismatch is the failure mode here —
-    review catch)."""
-    if "hash_dim" in weights.columns:
-        probe = weights.select("hash_dim").first()
-        if probe is not None and probe.hash_dim != hash_dim:
-            raise ValueError(
-                "nb_classifier_scores: weight table was trained with "
-                f"hash_dim={probe.hash_dim} but scoring was asked for "
-                f"hash_dim={hash_dim} — the feature spaces differ and "
-                "a partial join would score every document with wrong "
-                "weights; pass the training value"
-            )
+    column (two different dims produce type-compatible bucket ids that
+    PARTIALLY join and yield plausible but wrong scores, so a silent
+    mismatch is the failure mode here — review catch). The check is a
+    LAZY null-safe assert fused into the weight projection, not a
+    driver-side read: an eager ``.first()`` probe would execute the
+    full training aggregation at plan-construction time (and once per
+    micro-batch in the streaming wrapper — second review catch)."""
     tok = with_tokens(df, text_col).select(
         id_col,
         F.explode(
             F.transform(TOKENS_COL, lambda t: _nb_feature(t, hash_dim))
         ).alias("token"),
     )
+    if "hash_dim" in weights.columns:
+        # null-safe (<=>): vocab mode stamps NULL, which must equal a
+        # hash_dim=None scoring call and mismatch any integer; the
+        # assert rides the weight value so pruning can never drop it
+        ok = F.col("hash_dim").eqNullSafe(
+            F.lit(hash_dim).cast("int")
+        )
+        msg = F.concat(
+            F.lit(
+                "nb_classifier_scores: weight table was trained with "
+                "hash_dim="
+            ),
+            F.coalesce(F.col("hash_dim").cast("string"), F.lit("None")),
+            F.lit(
+                f" but scoring was asked for hash_dim={hash_dim} — the "
+                "feature spaces differ and a partial join would score "
+                "every document with wrong weights; pass the training "
+                "value"
+            ),
+        )
+        weights = weights.select(
+            "token",
+            F.when(
+                F.assert_true(ok, msg).isNull(), F.col("weight")
+            ).alias("weight"),
+        )
     w = F.broadcast(weights) if broadcast_weights else weights
     dec = F.col("weight").cast("decimal(30,12)")
     out = (

@@ -206,6 +206,21 @@ class ConditionalPutLeaseProvider:
                 return
             if self._store.delete_if(url, current):
                 return
+        # loop exhausted with OUR record still live: a misbehaving
+        # store (or an interleaver rewriting the record faster than we
+        # can re-read) has defeated the conditional delete — surface it
+        # loudly instead of returning as if released (the FS release
+        # warns on its analogous residual window); the record blocks
+        # every acquire until its expiry passes
+        import warnings
+
+        warnings.warn(
+            f"ConditionalPutLeaseProvider.release: could not delete "
+            f"the lease record at {url} after 8 conditional attempts "
+            "(the record still carries this holder's token and keeps "
+            "being rewritten) — it will block acquires until its "
+            "expiry passes; inspect the store"
+        )
 
     # -- internals ------------------------------------------------------
 

@@ -1059,7 +1059,10 @@ def test_nb_classifier_hash_dim_mismatch_raises(spark):
     """Two different hash_dims produce TYPE-COMPATIBLE bucket ids that
     partially join into plausible wrong scores — the scorer must refuse
     a weight table stamped with a different hash_dim (including
-    vocab-vs-hashed mismatches) before any scoring happens."""
+    vocab-vs-hashed mismatches). The guard is a LAZY in-plan assert
+    (an eager driver probe would train the model at plan-construction
+    time), so the refusal surfaces at execution; plan construction
+    stays job-free."""
     from etlutils_spark.operators.quality import (
         nb_classifier_scores,
         nb_token_weights,
@@ -1070,13 +1073,15 @@ def test_nb_classifier_hash_dim_mismatch_raises(spark):
         "doc_id bigint, text string, y int",
     )
     w1024 = nb_token_weights(docs, label=F.col("y") == 1, hash_dim=1024)
-    with pytest.raises(ValueError, match="hash_dim"):
-        nb_classifier_scores(docs, w1024, hash_dim=64)
-    with pytest.raises(ValueError, match="hash_dim"):
-        nb_classifier_scores(docs, w1024)  # vocab-mode vs hashed table
+    with pytest.raises(Exception, match="hash_dim"):
+        nb_classifier_scores(docs, w1024, hash_dim=64).collect()
+    with pytest.raises(Exception, match="hash_dim"):
+        # vocab-mode scoring against a hashed table
+        nb_classifier_scores(docs, w1024).collect()
     wv = nb_token_weights(docs, label=F.col("y") == 1)
-    with pytest.raises(ValueError, match="hash_dim"):
-        nb_classifier_scores(docs, wv, hash_dim=1024)  # hashed vs vocab
+    with pytest.raises(Exception, match="hash_dim"):
+        # hashed scoring against a vocab table
+        nb_classifier_scores(docs, wv, hash_dim=1024).collect()
 
 
 def test_curate_documents_classifier_stage(spark):

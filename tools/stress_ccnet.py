@@ -37,6 +37,10 @@ def main() -> None:
         "doc_id", "text", "lang"
     )
     n = docs.count()
+    # replica id stride must clear the MAX id, not the count — sparse
+    # or offset doc_ids would otherwise collide across replicas
+    # (review catch; dense 0-based corpora make the two identical)
+    stride = (docs.agg(F.max("doc_id")).first()[0] or 0) + 1
 
     def replicate(k: int):
         if k == 1:
@@ -46,7 +50,7 @@ def main() -> None:
                 F.broadcast(spark.range(k).select(F.col("id").alias("__r")))
             )
             .select(
-                (F.col("doc_id") + F.col("__r") * n).alias("doc_id"),
+                (F.col("doc_id") + F.col("__r") * stride).alias("doc_id"),
                 # per-replica token salt so the model and score mass
                 # actually grow (pure replication would dedupe nothing
                 # but also not change rank structure)

@@ -38,6 +38,9 @@ def main() -> None:
     spark = get_session("stress_nb")
     docs = read_table(spark, "documents", SF_DIR)
     n = docs.count()
+    # replica stride clears the MAX id so sparse/offset doc_ids cannot
+    # collide across replicas (review catch)
+    stride = (docs.agg(F.max("doc_id")).first()[0] or 0) + 1
 
     def replicate(k: int):
         # every doc carries a unique token (the realistic web-corpus
@@ -49,7 +52,7 @@ def main() -> None:
                 F.broadcast(spark.range(k).select(F.col("id").alias("__r")))
             )
             .select(
-                (F.col("doc_id") + F.col("__r") * n).alias("doc_id"),
+                (F.col("doc_id") + F.col("__r") * stride).alias("doc_id"),
                 F.concat_ws(
                     " ", F.col("text"),
                     F.concat(F.lit("rep"), F.col("__r")),
