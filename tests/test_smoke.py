@@ -119,3 +119,38 @@ spark.stop()
         timeout=300, cwd="/tmp",
     )
     assert "FOREIGN_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_gen_ledger_apply_is_idempotent_and_newline_stable():
+    """tools/gen_ledger.py --apply must be a fixed point: applying the
+    derived ledger to a file that already carries it leaves the file
+    BYTE-identical (an earlier version appended one blank line per
+    round — review catch), and the block it writes matches render()."""
+    import os
+    import shutil
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    import gen_ledger
+
+    with tempfile.TemporaryDirectory() as td:
+        entry_copy = os.path.join(td, "__spark_entry__.py")
+        shutil.copy(os.path.join(ROOT, "__spark_entry__.py"), entry_copy)
+        block = gen_ledger.render(gen_ledger.green_rows())
+
+        def apply_to(path, blk):
+            with open(path) as f:
+                src = f.read()
+            start = src.index("_LAST_DRIVER_CHECK = {")
+            end = src.index("\n}", start) + 2
+            with open(path, "w") as f:
+                f.write(src[:start] + blk + src[end:])
+
+        before = open(entry_copy).read()
+        apply_to(entry_copy, block)
+        once = open(entry_copy).read()
+        apply_to(entry_copy, block)
+        twice = open(entry_copy).read()
+        assert once == twice  # fixed point: no growth round-over-round
+        assert once == before  # committed file already carries it
