@@ -63,29 +63,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # green rows.
 
 _LAST_DRIVER_CHECK = {
-    # --- last green driver row: CORRECTNESS_r07.json ---
-    "asof_last_purchase": 7, "bpe_encode_docs_bigvocab": 7,
-    "c4_quality_docs": 7, "chunk_documents_windows": 7,
-    "cogroup_asof_enrich": 7, "corpus_rarity": 7,
-    "decontaminate_overlap": 7, "dedup_cluster_survivors": 7,
-    "format_roundtrip_csv": 7, "format_roundtrip_json": 7,
-    "full_outer_reconcile": 7, "grouped_apply_rank": 7,
-    "incremental_lsh_pairs": 7, "incremental_span_dedup": 7,
-    "mixture_resample_lang": 7, "multimodal_audio_chunks": 7,
-    "multimodal_meta": 7, "outlier_flags_events": 7,
-    "pack_sequences_source": 7, "pandas_udf_normalize": 7,
-    "profile_documents": 7, "q11_important_stock": 7,
-    "q16_supplier_part_counts": 7, "q17_small_quantity_revenue": 7,
-    "q20_excess_stock_suppliers": 7, "q21_waiting_supplier": 7,
-    "q2_min_cost_supplier": 7, "quality_filter_flags": 7,
-    "range_join_purchase_window": 7, "sample_hash_10pct": 7,
-    "sample_stratified_lang": 7, "sessionize_events": 7,
-    "sessionize_native_window": 7, "sessionize_stateful_evicted": 7,
-    "shard_manifest": 7, "streaming_curation_pipeline": 7,
-    "text_fingerprint": 7, "text_redact_pii": 7, "text_repetition": 7,
-    "text_token_counts": 7, "time_rollup_multigrain": 7,
-    "unpivot_order_metrics": 7, "upsert_scd1": 7, "window_rolling_7d": 7,
-    "write_roundtrip": 7,
     # --- last green driver row: CORRECTNESS_r08.json ---
     "ann_arrow_topk": 8, "ann_index_topk": 8, "ann_ivf_topk": 8,
     "ann_lsh_topk": 8, "ann_pq_recall_contract": 8,
@@ -146,17 +123,42 @@ _LAST_DRIVER_CHECK = {
     "json_map_explode": 10, "lateral_topk_per_nation": 10,
     "line_boilerplate_docs": 10, "multimodal_png_roundtrip": 10,
     "next_event_training_pairs": 10, "pack_ids_export": 10,
-    "pca_variance_contract": 10, "percentile_quantity": 10,
-    "q10_returned_items": 10, "q12_late_shipment_priority": 10,
-    "q13_customer_order_distribution": 10, "q14_promo_share": 10,
-    "q15_top_supplier": 10, "q18_large_volume_orders": 10,
-    "q19_disjunctive_filter": 10, "q22_idle_rich_customers": 10,
-    "q4_priority_returns": 10, "q6_revenue_forecast": 10,
-    "q7_volume_shipping": 10, "q8_market_share": 10,
-    "q9_product_type_profit": 10, "stats_moments": 10,
-    "streaming_window_counts": 10, "temporal_split_events": 10,
-    "text_lang_id": 10, "text_stats": 10, "tokenize_to_ids": 10,
-    "tokenize_to_ids_bigvocab": 10, "union_distinct_nations": 10,
+    "percentile_quantity": 10, "q10_returned_items": 10,
+    "q12_late_shipment_priority": 10, "q13_customer_order_distribution": 10,
+    "q14_promo_share": 10, "q15_top_supplier": 10,
+    "q18_large_volume_orders": 10, "q19_disjunctive_filter": 10,
+    "q22_idle_rich_customers": 10, "q4_priority_returns": 10,
+    "q6_revenue_forecast": 10, "q7_volume_shipping": 10,
+    "q8_market_share": 10, "q9_product_type_profit": 10,
+    "stats_moments": 10, "streaming_window_counts": 10,
+    "temporal_split_events": 10, "text_lang_id": 10, "text_stats": 10,
+    "tokenize_to_ids": 10, "tokenize_to_ids_bigvocab": 10,
+    "union_distinct_nations": 10,
+    # --- last green driver row: CORRECTNESS_r11.json ---
+    "asof_last_purchase": 11, "bpe_encode_docs_bigvocab": 11,
+    "c4_quality_docs": 11, "ccnet_lm_approx_contract": 11,
+    "chunk_documents_windows": 11, "cogroup_asof_enrich": 11,
+    "corpus_rarity": 11, "decontaminate_overlap": 11,
+    "dedup_cluster_survivors": 11, "format_roundtrip_csv": 11,
+    "format_roundtrip_json": 11, "full_outer_reconcile": 11,
+    "grouped_apply_rank": 11, "incremental_lsh_pairs": 11,
+    "incremental_span_dedup": 11, "mixture_resample_lang": 11,
+    "multimodal_audio_chunks": 11, "multimodal_meta": 11,
+    "nb_classifier_hashed": 11, "nb_quality_classifier": 11,
+    "outlier_flags_events": 11, "pack_sequences_source": 11,
+    "pandas_udf_normalize": 11, "pca_variance_contract": 11,
+    "profile_documents": 11, "q11_important_stock": 11,
+    "q16_supplier_part_counts": 11, "q17_small_quantity_revenue": 11,
+    "q20_excess_stock_suppliers": 11, "q21_waiting_supplier": 11,
+    "q2_min_cost_supplier": 11, "quality_filter_flags": 11,
+    "range_join_purchase_window": 11, "sample_hash_10pct": 11,
+    "sample_stratified_lang": 11, "sessionize_events": 11,
+    "sessionize_native_window": 11, "sessionize_stateful_evicted": 11,
+    "shard_manifest": 11, "streaming_curation_pipeline": 11,
+    "streaming_nb_scoring": 11, "text_fingerprint": 11,
+    "text_redact_pii": 11, "text_repetition": 11, "text_token_counts": 11,
+    "time_rollup_multigrain": 11, "unpivot_order_metrics": 11,
+    "upsert_scd1": 11, "window_rolling_7d": 11, "write_roundtrip": 11,
 }
 
 
