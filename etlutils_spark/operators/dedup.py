@@ -116,12 +116,31 @@ def jaccard_pairs(
     block_cols: tuple[str, ...] = (),
     threshold: float = 0.2,
     containment_threshold: float | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing >=1 shingle (and block).
 
     Pair generation is a self-equi-join on the shingle (plus optional
     blocking columns) — only co-shingled pairs materialize. Output:
     (id_1, id_2, n_common, n_1, n_2, jaccard >= threshold).
+
+    ``max_shingle_df`` is the hot-shingle skew guard: a boilerplate
+    shingle shared by D documents contributes D(D-1)/2 rows to the
+    self-join, so one shingle in 10^5 docs is ~5x10^9 join rows — the
+    exact analogue of the LSH bucket blow-up that
+    :func:`lsh_candidate_pairs` caps with ``max_bucket_size``. When
+    set, shingles whose document frequency exceeds the cap are dropped
+    from the shingle universe (sizes AND both join sides — one
+    semi-join on the shingle, the same shuffle key the pair join uses,
+    so AQE coalesces the exchanges) before any pair materializes. The
+    metric stays a true Jaccard, computed over the retained shingles —
+    identical semantics to pre-filtering with
+    :func:`shingle_rows`'s ``max_doc_freq``, enforced here at the
+    operator boundary so ANY shingle source is bounded. Recall loss is
+    explicit: a pair whose only overlap was boilerplate is missed (by
+    design — that overlap is template noise, not near-duplication),
+    and docs consisting solely of dropped shingles vanish. Default
+    ``None`` preserves exact unguarded semantics.
 
     ``containment_threshold`` switches the selection metric to Broder
     containment ``n_common / min(n_1, n_2)`` (the asymmetric resemblance
@@ -138,6 +157,15 @@ def jaccard_pairs(
     same materialize-before-fan-out rule a 100 TB pipeline follows by
     checkpointing its shingle table.
     """
+    if max_shingle_df is not None:
+        block_key = ["shingle", *block_cols] if block_cols else ["shingle"]
+        # df counted within the blocking scope when blocks are given:
+        # a shingle hot in one block but rare elsewhere only blows up
+        # the join inside that block, so that's the frequency that
+        # matters for the bound
+        freq = shingles.groupBy(*block_key).agg(F.count(F.lit(1)).alias("__df"))
+        ok = freq.filter(F.col("__df") <= max_shingle_df).select(*block_key)
+        shingles = shingles.join(ok, on=block_key, how="left_semi")
     shingles = _persist_tracked(shingles)
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     # distinct aliases per side — avoids Spark's self-join attribute

@@ -550,7 +550,13 @@ def nb_token_weights(
     :func:`_nb_feature`), the mode whose model broadcast is bounded by
     construction at any corpus size.
     """
-    tok = with_tokens(df, text_col).select(
+    # NULL labels are EXCLUDED from training, not trained as negatives:
+    # F.sum skips a NULL __pos but F.count counts the row, so without
+    # this filter an unlabeled row (e.g. a label derived from a join
+    # with misses) would silently inflate c_neg and skew every weight
+    # (review catch). Rows the seed heuristic couldn't label carry no
+    # signal either way.
+    tok = with_tokens(df.filter(label.isNotNull()), text_col).select(
         label.cast("int").alias("__pos"),
         F.explode(
             F.transform(TOKENS_COL, lambda t: _nb_feature(t, hash_dim))
@@ -585,7 +591,16 @@ def nb_token_weights(
         counts.crossJoin(F.broadcast(totals))
         .select(
             "token", "c_pos", "c_neg", w.alias("weight"),
-            F.lit(hash_dim).cast("int").alias("hash_dim"),
+            # the feature space is stamped twice: as a VALUE column (the
+            # lazy in-plan assert in nb_classifier_scores rides it) and
+            # as column METADATA (-1 = vocab mode), which lives in the
+            # schema and therefore survives even a ZERO-ROW table —
+            # the case the value-borne assert can never see (review
+            # catch). Spark persists column metadata through parquet.
+            F.lit(hash_dim).cast("int").alias(
+                "hash_dim",
+                metadata={"nb_hash_dim": -1 if hash_dim is None else hash_dim},
+            ),
         )
     )
 
@@ -629,9 +644,28 @@ def nb_classifier_scores(
         ).alias("token"),
     )
     if "hash_dim" in weights.columns:
-        # null-safe (<=>): vocab mode stamps NULL, which must equal a
-        # hash_dim=None scoring call and mismatch any integer; the
-        # assert rides the weight value so pruning can never drop it
+        # fast path: the train-time COLUMN METADATA stamp (-1 = vocab
+        # mode) is schema-level, so it catches a mismatch eagerly with
+        # zero jobs AND on a zero-row weight table — the case the
+        # value-borne assert below can never evaluate (review catch)
+        meta = weights.schema["hash_dim"].metadata or {}
+        if "nb_hash_dim" in meta:
+            trained = int(meta["nb_hash_dim"])
+            asked = -1 if hash_dim is None else hash_dim
+            if trained != asked:
+                raise ValueError(
+                    "nb_classifier_scores: weight table was trained with "
+                    f"hash_dim={None if trained == -1 else trained} but "
+                    f"scoring was asked for hash_dim={hash_dim} — the "
+                    "feature spaces differ and a partial join would score "
+                    "every document with wrong weights; pass the training "
+                    "value"
+                )
+        # backstop for tables that lost the metadata (built by hand, or
+        # round-tripped through an engine that drops Spark column
+        # metadata). null-safe (<=>): vocab mode stamps NULL, which must
+        # equal a hash_dim=None scoring call and mismatch any integer;
+        # the assert rides the weight value so pruning can never drop it
         ok = F.col("hash_dim").eqNullSafe(
             F.lit(hash_dim).cast("int")
         )

@@ -23,7 +23,9 @@ Two pieces:
   methods over its real service; the provider logic above it is
   unchanged.
 - :class:`ConditionalPutLeaseProvider` — the lease protocol itself:
-  lease records are ``"token:expires_at"`` strings; acquisition is
+  lease records are ``"token:expires_at:stale_after"`` strings (the
+  staleness window travels in the record so any process can verify);
+  acquisition is
   put-if-absent, or compare-and-swap over a record whose ``expires_at``
   has passed (the stale steal — CAS guarantees ONE winner, the property
   the filesystem path gets from atomic rename); a background heartbeat
@@ -93,8 +95,15 @@ class ConditionalPutLeaseProvider:
     """Single-writer lease protocol over conditional writes — the
     reference implementation behind ``set_lease_lock_provider``.
 
-    Record format: ``"{token}:{expires_at}"`` with ``expires_at`` an
-    epoch float. A lease is LIVE while ``clock() < expires_at`` and
+    Record format: ``"{token}:{expires_at}:{stale_after}"`` with
+    ``expires_at`` an epoch float and ``stale_after`` the acquirer's
+    configured staleness window. The window travels IN the record so a
+    ``verify`` from a different provider instance/process than the
+    acquirer re-extends by the acquirer's window, not a hard-coded
+    default (review catch — the in-memory ``self._stale`` map only
+    exists in the acquiring process). Two-field records written by
+    older builds still decode (window absent -> the verifier's
+    fallback). A lease is LIVE while ``clock() < expires_at`` and
     stealable after; every transition (acquire, steal, extend, release)
     is one conditional write, so concurrent writers serialize on the
     store's atomicity and exactly one wins each race.
@@ -122,26 +131,31 @@ class ConditionalPutLeaseProvider:
         self._stale: dict[tuple[str, str], float] = {}
 
     @staticmethod
-    def _encode(token: str, expires_at: float) -> str:
-        return f"{token}:{expires_at!r}"
+    def _encode(token: str, expires_at: float, stale_after: float) -> str:
+        return f"{token}:{expires_at!r}:{stale_after!r}"
 
     @staticmethod
-    def _decode(record: str) -> tuple[str, float]:
-        token, _, exp = record.partition(":")
-        return token, float(exp)
+    def _decode(record: str) -> tuple[str, float, float | None]:
+        """-> (token, expires_at, stale_after-or-None). The third field
+        is None for legacy two-field records."""
+        token, _, rest = record.partition(":")
+        exp, _, stale = rest.partition(":")
+        return token, float(exp), float(stale) if stale else None
 
     # -- the three seam methods (duck-typed by sidecar) ----------------
 
     def acquire(self, url: str, stale_after_sec: float = 600.0) -> str:
         token = uuid.uuid4().hex
         for _ in range(4):  # create, steal-retry, race-retry x2
-            record = self._encode(token, self._clock() + stale_after_sec)
+            record = self._encode(
+                token, self._clock() + stale_after_sec, stale_after_sec
+            )
             current = self._store.get(url)
             if current is None:
                 if self._store.put_if_absent(url, record):
                     return self._won(url, token, stale_after_sec)
                 continue  # lost a create race — re-read
-            _, expires_at = self._decode(current)
+            _, expires_at, _stale = self._decode(current)
             if self._clock() < expires_at:
                 raise ValueError(
                     f"another writer holds the lease at {url} (expires "
@@ -166,8 +180,17 @@ class ConditionalPutLeaseProvider:
                 "interleaving on one artifact; re-acquire and re-run "
                 "this mutation"
             )
-        _, expires_at = self._decode(current)
-        stale_after = self._stale.get((url, token), 600.0)
+        _, expires_at, rec_stale = self._decode(current)
+        # the acquirer's window travels in the record, so a verify from
+        # a DIFFERENT provider instance/process re-extends by the
+        # configured window; self._stale covers legacy two-field
+        # records in the acquiring process; 600s only when both are
+        # absent (cross-instance verify of a legacy record)
+        stale_after = (
+            rec_stale
+            if rec_stale is not None
+            else self._stale.get((url, token), 600.0)
+        )
         if self._clock() >= expires_at:
             # ours but expired (the beat stalled): a thief may CAS it
             # away at any moment — re-extend through CAS so ownership
@@ -175,7 +198,9 @@ class ConditionalPutLeaseProvider:
             # theft: our own heartbeat may have extended concurrently
             # (review catch) — re-read and abort only when the record
             # is gone or carries a foreign token.
-            extended = self._encode(token, self._clock() + stale_after)
+            extended = self._encode(
+                token, self._clock() + stale_after, stale_after
+            )
             if not self._store.compare_and_swap(url, current, extended):
                 after = self._store.get(url)
                 if after is None or self._decode(after)[0] != token:
@@ -251,7 +276,7 @@ class ConditionalPutLeaseProvider:
             if current is None or self._decode(current)[0] != token:
                 return  # positively stolen — verify aborts the commit
             extended = self._encode(
-                token, self._clock() + stale_after_sec
+                token, self._clock() + stale_after_sec, stale_after_sec
             )
             self._store.compare_and_swap(url, current, extended)
             # a lost CAS here is a concurrent verify-extend or a steal

@@ -54,6 +54,40 @@ def test_jaccard_finds_near_dup(docs):
     assert all(p[1] not in (3, 4) or p[0] in (3, 4) for p in found)
 
 
+def test_jaccard_max_shingle_df_bounds_boilerplate(spark):
+    """Planted boilerplate: 40 otherwise-disjoint docs share one hot
+    footer shingle. Unguarded, the self-join materializes all 780
+    co-footer pairs; with ``max_shingle_df`` the hot shingle is dropped
+    before the join, so only the genuine near-dup pair survives —
+    computed over the retained shingle universe."""
+    footer = "all rights reserved worldwide"
+    rows = [(i, f"unique{i} tokens{i} body{i} {footer}") for i in range(40)]
+    # one genuine near-dup pair that does NOT depend on the footer
+    rows += [
+        (100, "spark shuffles partition data across executors fast " + footer),
+        (101, "spark shuffles partition data across executors slow " + footer),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sh = shingle_rows(docs, n=3)
+
+    unguarded = jaccard_pairs(sh, threshold=0.01)
+    n_unguarded = unguarded.count()
+    assert n_unguarded > 500  # every co-footer pair materialized
+
+    guarded = jaccard_pairs(sh, threshold=0.01, max_shingle_df=5)
+    found = {(r.doc_id_1, r.doc_id_2) for r in guarded.collect()}
+    assert found == {(100, 101)}  # boilerplate-only pairs gone
+
+    # guard must not change results when no shingle exceeds the cap
+    same = jaccard_pairs(sh, threshold=0.01, max_shingle_df=10**9)
+    assert same.count() == n_unguarded
+
+    # containment mode shares the guarded plan
+    cont = jaccard_pairs(sh, containment_threshold=0.5, max_shingle_df=5)
+    cfound = {(r.doc_id_1, r.doc_id_2) for r in cont.collect()}
+    assert (100, 101) in cfound and len(cfound) == 1
+
+
 def test_minhash_lsh_recall(docs):
     got = minhash_dedup_pairs(docs, num_hashes=8, bands=4, threshold=0.3)
     found = {(r.doc_id_1, r.doc_id_2) for r in got.collect()}
@@ -2911,6 +2945,42 @@ def test_conditional_put_provider_mutual_exclusion_hammer():
         t.join()
     assert not overlaps, overlaps
     assert acquired[0] > 0  # the lock was actually exercised
+    assert store.get(url) is None
+
+
+def test_conditional_put_provider_cross_instance_verify_window():
+    """The staleness window travels in the lease RECORD, so a verify
+    from a DIFFERENT provider instance (fresh process over the same
+    store — no in-memory self._stale entry) re-extends an expired-but-
+    ours lease by the ACQUIRER's configured window, not the hard-coded
+    600s default (review catch: 600s would let a 60s-staleness lease
+    silently block thieves 10x longer after every cross-process
+    verify)."""
+    from etlutils_spark.sources.lease_providers import (
+        ConditionalPutLeaseProvider,
+        InMemoryConditionalStore,
+    )
+
+    now = [1000.0]
+    store = InMemoryConditionalStore()
+    clock = lambda: now[0]  # noqa: E731
+    acquirer = ConditionalPutLeaseProvider(store, clock=clock, heartbeat=False)
+    verifier = ConditionalPutLeaseProvider(store, clock=clock, heartbeat=False)
+    url = "s3a://bucket/xproc/.writer_lease"
+    t = acquirer.acquire(url, stale_after_sec=60.0)
+    now[0] += 61.0  # expired; verify must reconfirm via CAS re-extend
+    verifier.verify(url, t)  # fresh instance: no self._stale entry
+    _, expires_at, stale = verifier._decode(store.get(url))
+    assert stale == 60.0  # window preserved in the record
+    assert expires_at == now[0] + 60.0  # re-extended by 60s, not 600s
+    # legacy two-field record (older build): cross-instance verify
+    # falls back to 600s — documented, not silent corruption
+    store.compare_and_swap(store.get(url) and url, store.get(url),
+                           f"{t}:{now[0] - 1.0!r}")
+    verifier.verify(url, t)
+    _, expires_at, stale = verifier._decode(store.get(url))
+    assert expires_at == now[0] + 600.0
+    acquirer.release(url, t)
     assert store.get(url) is None
 
 

@@ -1059,10 +1059,11 @@ def test_nb_classifier_hash_dim_mismatch_raises(spark):
     """Two different hash_dims produce TYPE-COMPATIBLE bucket ids that
     partially join into plausible wrong scores — the scorer must refuse
     a weight table stamped with a different hash_dim (including
-    vocab-vs-hashed mismatches). The guard is a LAZY in-plan assert
-    (an eager driver probe would train the model at plan-construction
-    time), so the refusal surfaces at execution; plan construction
-    stays job-free."""
+    vocab-vs-hashed mismatches). The guard is two-layer: an eager
+    schema-METADATA check (job-free — metadata needs no execution) and
+    a LAZY in-plan assert riding the weight values as backstop for
+    tables that lost the metadata; neither layer runs a job at
+    plan-construction time."""
     from etlutils_spark.operators.quality import (
         nb_classifier_scores,
         nb_token_weights,
@@ -1082,6 +1083,63 @@ def test_nb_classifier_hash_dim_mismatch_raises(spark):
     with pytest.raises(Exception, match="hash_dim"):
         # hashed scoring against a vocab table
         nb_classifier_scores(docs, wv, hash_dim=1024).collect()
+
+
+def test_nb_hash_dim_mismatch_raises_on_empty_weights(spark, tmp_path):
+    """A ZERO-ROW weight table (empty/over-filtered training input) has
+    no weight values for the lazy in-plan assert to ride, so before the
+    metadata layer a hash_dim mismatch passed silently and scored
+    nothing — the exact silent-mismatch mode the guard exists to stop
+    (review catch). The schema-metadata stamp catches it with zero
+    jobs, and survives a parquet round-trip."""
+    from etlutils_spark.operators.quality import (
+        nb_classifier_scores,
+        nb_token_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", 1)], "doc_id bigint, text string, y int"
+    )
+    empty = docs.filter(F.lit(False))
+    w_empty = nb_token_weights(empty, label=F.col("y") == 1, hash_dim=1024)
+    assert w_empty.count() == 0
+    with pytest.raises(ValueError, match="hash_dim"):
+        nb_classifier_scores(docs, w_empty, hash_dim=64)
+    with pytest.raises(ValueError, match="hash_dim"):
+        nb_classifier_scores(docs, w_empty)  # vocab vs hashed
+    # matching dim on an empty table: fine, scores nothing, no error
+    assert nb_classifier_scores(docs, w_empty, hash_dim=1024).count() == 0
+    # the stamp is column metadata, which Spark persists through parquet
+    p = str(tmp_path / "w_empty")
+    w_empty.write.parquet(p)
+    reloaded = spark.read.parquet(p)
+    with pytest.raises(ValueError, match="hash_dim"):
+        nb_classifier_scores(docs, reloaded, hash_dim=64)
+
+
+def test_nb_null_labels_excluded_from_training(spark):
+    """NULL labels must not train as negatives: F.sum skips the NULL
+    but F.count counts the row, so unlabeled rows (label derived from
+    a join with misses) previously inflated c_neg silently (review
+    catch). Training on a frame with NULL-label rows must equal
+    training on the frame with those rows removed."""
+    from etlutils_spark.operators.quality import nb_token_weights
+
+    labeled = [(1, "alpha beta", True), (2, "alpha gamma", False)]
+    with_nulls = labeled + [(3, "alpha beta gamma delta", None),
+                            (4, "alpha alpha alpha", None)]
+    schema = "doc_id bigint, text string, y boolean"
+    w_clean = nb_token_weights(
+        spark.createDataFrame(labeled, schema), label=F.col("y")
+    )
+    w_nulls = nb_token_weights(
+        spark.createDataFrame(with_nulls, schema), label=F.col("y")
+    )
+    assert sorted(map(tuple, w_clean.collect())) == sorted(
+        map(tuple, w_nulls.collect())
+    )
+    wm = {r.token: (r.c_pos, r.c_neg) for r in w_nulls.collect()}
+    assert wm["alpha"] == (1, 1)  # not (1, 3): null-label rows ignored
 
 
 def test_curate_documents_classifier_stage(spark):

@@ -139,18 +139,14 @@ def test_gen_ledger_apply_is_idempotent_and_newline_stable():
         shutil.copy(os.path.join(ROOT, "__spark_entry__.py"), entry_copy)
         block = gen_ledger.render(gen_ledger.green_rows())
 
-        def apply_to(path, blk):
-            with open(path) as f:
-                src = f.read()
-            start = src.index("_LAST_DRIVER_CHECK = {")
-            end = src.index("\n}", start) + 2
-            with open(path, "w") as f:
-                f.write(src[:start] + blk + src[end:])
-
         before = open(entry_copy).read()
-        apply_to(entry_copy, block)
+        # the REAL apply(), pointed at the temp copy — a local
+        # re-implementation here would let a regression in apply()
+        # itself (e.g. the \n} index arithmetic) pass unseen (review
+        # catch)
+        gen_ledger.apply(block, path=entry_copy)
         once = open(entry_copy).read()
-        apply_to(entry_copy, block)
+        gen_ledger.apply(block, path=entry_copy)
         twice = open(entry_copy).read()
         assert once == twice  # fixed point: no growth round-over-round
         assert once == before  # committed file already carries it

@@ -82,9 +82,13 @@ def render(ledger: dict[str, int]) -> str:
     return "\n".join(out)
 
 
-def apply(block: str) -> None:
-    """Rewrite the _LAST_DRIVER_CHECK block in __spark_entry__.py in place."""
-    path = os.path.join(REPO, "__spark_entry__.py")
+def apply(block: str, path: str | None = None) -> None:
+    """Rewrite the _LAST_DRIVER_CHECK block in __spark_entry__.py in
+    place. ``path`` defaults to the repo's entry file; the smoke test
+    passes a temp copy so it exercises THIS function, not a
+    re-implementation (review catch)."""
+    if path is None:
+        path = os.path.join(REPO, "__spark_entry__.py")
     with open(path) as f:
         src = f.read()
     start = src.index("_LAST_DRIVER_CHECK = {")
