@@ -1644,6 +1644,135 @@ def q_quality_rank_blend(spark, sf_dir):
     )
 
 
+# Contract-tier oracle (same pattern as ccnet_lm_approx_contract): the
+# approx mode's percentile_approx thresholds are engine-specific sketch
+# values, so the oracle recomputes the per-signal doc mass as a VALUE
+# and pins the sketch-tolerance invariants TRUE; the invariants are
+# computed Spark-side against the registered exact-rank mode.
+@register(
+    "rank_blend_approx_contract",
+    """
+    SELECT 'n_chars' AS signal, CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS within_tolerance_of_exact,
+           TRUE AS monotone_in_signal,
+           TRUE AS blend_is_mean
+    FROM documents
+    UNION ALL
+    SELECT 'n_tokens' AS signal, CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS within_tolerance_of_exact,
+           TRUE AS monotone_in_signal,
+           TRUE AS blend_is_mean
+    FROM documents
+    """,
+)
+def q_rank_blend_approx_contract(spark, sf_dir):
+    """The 100 TB rank_blend path as a registered contract (r11 verdict
+    stretch #7, the ccnet_lm_approx_contract pattern):
+    ``rank_blend(approx_buckets=B)`` — one percentile_approx sketch per
+    signal broadcast onto a stateless bucket compare, NO global sort —
+    verified against the exact row_number ranks over the same signals
+    (one ascending, one descending, so both polarities of the bucket
+    mapping are under contract). Invariants per signal: (a) every doc's
+    approx rank sits within 1.5 bucket widths of its exact rank (one
+    width is the quantization floor — measured exactly 1/B at all three
+    SFs — plus half a width of tie/sketch margin); (b) the approx rank
+    is a CONSTANT, MONOTONE function of the raw signal value (equal
+    values get equal ranks; rank moves with the signal in the declared
+    direction — a collapsed or inverted sketch fails loudly); (c) the
+    blend is exactly the IEEE mean of the per-signal ranks. The exact-
+    rank reference pass (a global sort per signal) is the VERIFICATION
+    harness only — production runs the approx mode alone, whose
+    sort-free plan is the whole point at 100 TB."""
+    from pyspark.sql import Window
+
+    from etlutils_spark.operators.quality import rank_blend
+
+    B = 10
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("double").alias("n_tokens"),
+    )
+    signals = {"n_chars": True, "n_tokens": False}
+    a = rank_blend(docs, signals, approx_buckets=B)
+    e = rank_blend(docs, signals)
+    j = (
+        a.select(
+            "doc_id", F.col("rank_n_chars").alias("a_c"),
+            F.col("rank_n_tokens").alias("a_t"),
+            F.col("blend_rank").alias("a_blend"),
+        )
+        .join(
+            e.select(
+                "doc_id", F.col("rank_n_chars").alias("e_c"),
+                F.col("rank_n_tokens").alias("e_t"),
+            ),
+            "doc_id",
+        )
+        .join(docs, "doc_id")
+    )
+    # one row per (doc, signal): signal name, raw value, approx/exact
+    # rank, declared direction — the per-signal aggregates below fold it
+    per = j.select(
+        "doc_id",
+        (F.col("a_blend")
+         == (F.col("a_c") + F.col("a_t")) / F.lit(2.0)).alias("__mean_ok"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("n_chars").alias("signal"),
+                    F.col("n_chars").alias("v"),
+                    F.col("a_c").alias("ar"), F.col("e_c").alias("er"),
+                    F.lit(True).alias("hib"),
+                ),
+                F.struct(
+                    F.lit("n_tokens").alias("signal"),
+                    F.col("n_tokens").alias("v"),
+                    F.col("a_t").alias("ar"), F.col("e_t").alias("er"),
+                    F.lit(False).alias("hib"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "__mean_ok", "s.*")
+    # monotone+constant over DISTINCT (signal, value, rank) triples — a
+    # values-count-bounded frame (same harness-scale rationale as the
+    # ccnet contract's exact-percentile pass); the lag window is
+    # per-signal over distinct values only
+    vals = per.select("signal", "v", "ar", "hib").distinct()
+    w = Window.partitionBy("signal").orderBy("v")
+    step_ok = F.when(
+        F.lag("ar").over(w).isNull(), F.lit(True)
+    ).otherwise(
+        F.when(F.col("hib"), F.col("ar") >= F.lag("ar").over(w))
+        .otherwise(F.col("ar") <= F.lag("ar").over(w))
+    )
+    constant_ok = (
+        vals.groupBy("signal", "v")
+        .agg((F.count(F.lit(1)) == 1).alias("one_rank_per_value"))
+        .groupBy("signal")
+        .agg(F.min("one_rank_per_value").alias("__const"))
+    )
+    monotone = (
+        vals.select("signal", step_ok.alias("ok"))
+        .groupBy("signal")
+        .agg(F.min("ok").alias("__mono"))
+    )
+    agg = per.groupBy("signal").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.max(F.abs(F.col("ar") - F.col("er")))
+         <= F.lit(1.5 / B)).alias("within_tolerance_of_exact"),
+        F.min("__mean_ok").alias("blend_is_mean"),
+    )
+    return (
+        agg.join(monotone, "signal")
+        .join(constant_ok, "signal")
+        .select(
+            "signal", "n_docs", "within_tolerance_of_exact",
+            (F.col("__mono") & F.col("__const")).alias("monotone_in_signal"),
+            "blend_is_mean",
+        )
+    )
+
+
 def _profile_side_sql(pred: str) -> str:
     cols = ["doc_id", "lang", "n_chars"]
     parts = []

@@ -8,7 +8,15 @@ What the numbers must show for the 100 TB argument:
   per-doc agg are both combinable — no superlinear stage);
 - the VOCAB-mode model grows with the corpus (Heaps) while the HASHED
   model stays exactly hash_dim rows — the broadcast-side bound that
-  makes hashed mode safe at any corpus size.
+  makes hashed mode safe at any corpus size;
+- the SHUFFLE-JOIN escape hatch (broadcast_weights=False — the path a
+  vocab too big to broadcast must take) completes at a vocabulary that
+  exceeds the broadcast budget, measured with the budget actually
+  exceeded: the fat-vocab tier plants 8 unique tokens per doc and the
+  probe drops spark.sql.autoBroadcastJoinThreshold to 1 MB so Spark
+  cannot silently rescue the measurement with a broadcast (r11 verdict
+  stretch #6 — the escape hatch needs a recorded number like every
+  other scale claim).
 
 Usage: python3 tools/stress_nb.py   (records to stderr; paste into
 BASELINE.md)
@@ -88,6 +96,43 @@ def main() -> None:
             )
             w.unpersist()
         corpus.unpersist()
+
+    # fat-vocab tier: 8 extra unique tokens per doc at 10x -> vocab in
+    # the hundreds of thousands; broadcast threshold pinned to 1 MB so
+    # the weight table positively exceeds it and the join must shuffle
+    corpus = replicate(10)
+    corpus = corpus.withColumn(
+        "text",
+        F.concat_ws(
+            " ", F.col("text"),
+            F.concat_ws(
+                " ",
+                *[F.concat(F.lit(f"v{j}_"), F.col("doc_id"))
+                  for j in range(8)],
+            ),
+        ),
+    ).persist()
+    corpus.count()
+    label = F.col("n_chars") >= 300
+    w = nb_token_weights(corpus, label=label).persist()
+    rows = w.count()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(1024 * 1024))
+    try:
+        for bw, tag in ((False, "shuffle-join"), (True, "forced-broadcast")):
+            t0 = time.time()
+            nb_classifier_scores(
+                corpus, w, broadcast_weights=bw
+            ).write.format("noop").mode("overwrite").save()
+            print(
+                f"fat-vocab 10x {tag}: score {time.time() - t0:.2f}s "
+                f"model_rows {rows}",
+                file=sys.stderr,
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    w.unpersist()
+    corpus.unpersist()
     spark.stop()
 
 
