@@ -395,11 +395,18 @@ def rank_blend(
     ops. Each signal costs a global sort, fine up to dictionary scale.
 
     ``approx_buckets=B`` is the 100 TB mode (the percentile_prune
-    pattern): one percentile_approx sketch pass per signal gives B
-    thresholds, each row maps to its bucket index /B — no global sort,
-    one broadcast of B doubles per signal. Sketch thresholds are
-    engine-specific, so this mode is pytest-verified (monotone vs the
-    exact ranks) rather than oracle-checked.
+    pattern): ONE percentile_approx aggregation computes every
+    signal's B-1 thresholds in a single pass, broadcast-cross-joined
+    back (a 1-row frame of B doubles per signal); each row maps to its
+    bucket index /B by counting cleared thresholds — no global sort.
+    The thresholds stay IN the plan: an eager ``.first()`` collect
+    here would run one driver job per signal at plan-construction time
+    (the same plan-time-probe failure mode the NB hash_dim guard
+    removed — review catch) and crash on an empty frame. Sketch
+    thresholds are engine-specific, so this mode is verified by the
+    registered ``rank_blend_approx_contract`` (within 1.5 bucket
+    widths of the exact ranks, constant+monotone per value) rather
+    than full-value oracle recompute.
     """
     if not signal_cols:
         raise ValueError("signal_cols must be a non-empty {col: higher_is_better}")
@@ -420,16 +427,18 @@ def rank_blend(
             )
             rank_cols.append(f"rank_{c}")
     else:
-        out = df
+        probs = [i / approx_buckets for i in range(1, approx_buckets)]
+        thr = df.agg(
+            *[
+                F.percentile_approx(c, probs, 10_000).alias(f"__t_{c}")
+                for c in signal_cols
+            ]
+        )
+        out = df.crossJoin(F.broadcast(thr))
         for c, hib in signal_cols.items():
-            probs = [i / approx_buckets for i in range(1, approx_buckets)]
-            thresholds = df.agg(
-                F.percentile_approx(c, probs, 10_000).alias("t")
-            ).first()["t"]
-            lits = F.array(*[F.lit(float(t)) for t in thresholds])
-            bucket = F.size(F.filter(lits, lambda t: t <= F.col(c))).cast(
-                "double"
-            ) / F.lit(float(approx_buckets))
+            bucket = F.size(
+                F.filter(F.col(f"__t_{c}"), lambda t: t <= F.col(c))
+            ).cast("double") / F.lit(float(approx_buckets))
             out = out.withColumn(
                 f"rank_{c}", bucket if hib else (F.lit(1.0) - bucket)
             )

@@ -244,6 +244,13 @@ def test_temperature_and_rank_blend_empty(spark):
     out = rank_blend(sig, {"s": True})
     assert out.count() == 0
     assert out.columns == ["doc_id", "rank_s", "blend_rank"]
+    # approx mode on an empty frame: the in-plan thresholds make this a
+    # 0-row result; the old eager .first() collect crashed iterating a
+    # NULL threshold array (and ran one driver job per signal at
+    # plan-construction time — review catch)
+    out_a = rank_blend(sig, {"s": True}, approx_buckets=4)
+    assert out_a.count() == 0
+    assert out_a.columns == ["doc_id", "rank_s", "blend_rank"]
 
 
 def test_funnel_and_cadence_empty(spark):
