@@ -109,9 +109,7 @@ def q_dedup_exact_survivors(spark, sf_dir):
 # shingle_rows for the unguarded research form.
 NGRAM_JACCARD_MAX_DOC_FREQ = 8
 
-@register(
-    "dedup_ngram_jaccard",
-    f"""
+_NGRAM_JACCARD_ORACLE = f"""
     WITH {DUCK_SH},
     shf AS (
       SELECT doc_id, shingle FROM sh
@@ -127,8 +125,9 @@ NGRAM_JACCARD_MAX_DOC_FREQ = 8
     JOIN sizesf s1 ON doc_id_1 = s1.doc_id
     JOIN sizesf s2 ON doc_id_2 = s2.doc_id
     WHERE {_JAC.replace('n_1', 's1.n_sh').replace('n_2', 's2.n_sh')} >= 0.2
-    """,
-)
+    """
+
+@register("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard >= 0.2 over co-shingled pairs, with the
     scale-safe doc-frequency guard (``max_doc_freq``) the operator ships
@@ -139,6 +138,23 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         max_doc_freq=NGRAM_JACCARD_MAX_DOC_FREQ,
     )
     return jaccard_pairs(sh, threshold=0.2)
+
+
+@register("dedup_ngram_jaccard_guarded", _NGRAM_JACCARD_ORACLE)
+def q_dedup_ngram_jaccard_guarded(spark, sf_dir):
+    """The same result through the OPERATOR-BOUNDARY hot-shingle guard
+    (r12: ``jaccard_pairs(max_shingle_df=...)``, the r11 verdict's one
+    remaining 100 TB scale-killer fix): shingles arrive UNFILTERED and
+    the cap is enforced inside the operator via a semi-join on the
+    shingle before sizes and both join sides. Filtered-universe
+    semantics make this hash-identical to pre-filtering with
+    ``shingle_rows(max_doc_freq=)`` (the ``dedup_ngram_jaccard`` form),
+    so the SAME full-value oracle pins the guard path cross-engine —
+    the guard is oracle-checked, not just unit-tested."""
+    sh = shingle_rows(_t(spark, sf_dir, "documents"))
+    return jaccard_pairs(
+        sh, threshold=0.2, max_shingle_df=NGRAM_JACCARD_MAX_DOC_FREQ
+    )
 
 
 def _duck_minhash_ctes(num_hashes: int = 8, bands: int = 4) -> str:
