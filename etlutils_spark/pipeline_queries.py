@@ -62,6 +62,37 @@ def q_source_cap_sample(spark, sf_dir):
 
 
 @register(
+    "lang_cap_approx",
+    """
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN counts c ON d.lang IS NOT DISTINCT FROM c.lang
+    WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS DOUBLE)
+          < CASE WHEN c.n <= 70 THEN 1152921504606846976.0
+                 ELSE 70 / c.n * 1152921504606846976.0 END
+    """,
+)
+def q_lang_cap_approx(spark, sf_dir):
+    """``cap_per_group(approx=True)`` — the no-window, no-skew cap for
+    hot groups at web scale — as a FULL-VALUE oracle query (r12,
+    completing the exact→approx parity sweep): the digest threshold is
+    pure md5 + one IEEE division chain, so DuckDB recomputes the exact
+    kept set value-for-value (no tolerance contract needed, unlike the
+    percentile-sketch modes). cap=70 on lang exercises BOTH branches
+    at sf0.01: en/zh/es exceed the cap (digest-threshold filter,
+    ~±sqrt(cap) binomial noise around 70), de sits exactly AT it and
+    fr under it (kept whole exactly — the n <= cap branch). The plan
+    is one combinable count agg broadcast back onto a stateless scan
+    filter — no per-group sort, the shape that survives a 10^9-doc
+    domain."""
+    return cap_per_group(
+        _t(spark, sf_dir, "documents"), cap=70, group_col="lang",
+        approx=True,
+    ).select("doc_id", "lang", "source")
+
+
+@register(
     "sample_hash_10pct",
     f"""
     SELECT doc_id, lang, source
@@ -707,6 +738,115 @@ def q_quality_percentile_prune(spark, sf_dir):
     return percentile_prune(
         scored, "quality_score", "lang", keep_frac=_PRUNE_FRAC
     ).select("doc_id", "lang", "quality_score", "grp_rank")
+
+
+# Contract-tier oracle (ccnet/rank_blend pattern): percentile_approx
+# thresholds are engine-specific sketch values, so the oracle
+# recomputes the per-group doc mass and the EXACT kept count as values
+# (greatest(1, floor(frac*n)) — pure integer math) and pins the
+# sketch-tolerance invariants TRUE; the invariants are computed
+# Spark-side against the exact window mode.
+@register(
+    "percentile_prune_approx_contract",
+    f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(greatest(1, floor({_PRUNE_FRAC} * count(*))) AS BIGINT)
+             AS kept_exact,
+           TRUE AS superset_of_exact,
+           TRUE AS threshold_consistent,
+           TRUE AS extra_bounded_by_ties
+    FROM documents GROUP BY lang
+    """,
+)
+def q_percentile_prune_approx_contract(spark, sf_dir):
+    """The 100 TB percentile_prune path as a registered contract (r12,
+    completing the exact→approx parity sweep): ``percentile_prune(
+    exact=False)`` — one combinable percentile_approx agg per group
+    broadcast back onto a stateless ``score >= threshold`` filter, NO
+    per-group sort — verified per language against the exact window
+    mode over the same scored frame. Invariants (the pytest contract
+    of test_percentile_prune_approx_mode_contract, now cross-engine):
+    (a) the approx-kept set CONTAINS every exact survivor (the
+    threshold includes the boundary row the rank cut may exclude);
+    (b) threshold-consistency — no kept row scores below a dropped row
+    in its group; (c) the extra kept mass is bounded by the tie count
+    at the boundary score (plus nothing: sketch rank error n/10000 is
+    sub-row at every SF). kept_exact is recomputed INDEPENDENTLY by
+    DuckDB as greatest(1, floor(frac*n)), pinning the exact mode's cut
+    arithmetic as a value. The exact window pass is the VERIFICATION
+    harness; production runs the approx mode alone."""
+    from etlutils_spark.caching import persist_tracked
+    from etlutils_spark.operators.quality import percentile_prune
+    from etlutils_spark.operators.text import text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    # three consumers (exact, approx, tie/drop audits) — persist or the
+    # scoring scan runs four times
+    scored = persist_tracked(
+        text_stats(docs)
+        .select("doc_id", "quality_score")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    ex = percentile_prune(
+        scored, "quality_score", "lang", keep_frac=_PRUNE_FRAC
+    )
+    ap = persist_tracked(
+        percentile_prune(
+            scored, "quality_score", "lang", keep_frac=_PRUNE_FRAC,
+            exact=False,
+        )
+    )
+    n_docs = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    ex_n = ex.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_exact")
+    )
+    ap_n = ap.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("__kept_ap"),
+        F.min("quality_score").alias("__min_kept"),
+    )
+    # exact survivors missing from the approx set (must be zero)
+    miss = (
+        ex.select("doc_id", "lang")
+        .join(ap.select("doc_id"), "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("__miss"))
+    )
+    # rows the approx mode dropped: their max score per group
+    dropped = (
+        scored.join(ap.select("doc_id"), "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.max("quality_score").alias("__max_drop"))
+    )
+    # tie mass at the boundary (kept rows scoring exactly the minimum
+    # kept value) — the only legitimate source of extra kept rows
+    ties = (
+        scored.join(F.broadcast(ap_n), "lang")
+        .filter(F.col("quality_score") == F.col("__min_kept"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("__ties"))
+    )
+    return (
+        n_docs.join(ex_n, "lang")
+        .join(ap_n, "lang")
+        .join(miss, "lang", "left")
+        .join(dropped, "lang", "left")
+        .join(ties, "lang", "left")
+        .select(
+            "lang", "n_docs", "kept_exact",
+            (F.coalesce("__miss", F.lit(0)) == 0).alias("superset_of_exact"),
+            (
+                F.col("__max_drop").isNull()
+                | (F.col("__min_kept") >= F.col("__max_drop"))
+            ).alias("threshold_consistent"),
+            (
+                (F.col("__kept_ap") - F.col("kept_exact"))
+                <= F.coalesce("__ties", F.lit(0))
+            ).alias("extra_bounded_by_ties"),
+        )
+    )
 
 
 _CHUNK_MAX, _CHUNK_OVERLAP = 64, 8
