@@ -166,10 +166,17 @@ _LAST_DRIVER_CHECK = {
 # consumer wiring, or a semantics-relevant operator edit) — they must
 # re-verify in the new form regardless of a prior green row.
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # r11: the oracle now independently recomputes the exact-integer
-    # trace numerator as a value column (trace_num) instead of pinning
-    # only TRUE literals — new output schema, must re-verify
-    "pca_variance_contract",
+    # r12: the NB train plan gained the NULL-label exclusion filter and
+    # the hash_dim column-metadata stamp (quality.py) — values are
+    # unchanged on the test data (labels are never NULL there) but the
+    # registered plans changed, so their r11 greens don't vouch for the
+    # new form (review catch: leaving these out fronts them at the BACK
+    # of the driver window — the freshest tier — exactly when they were
+    # edited). pca_variance_contract's r11 schema change re-verified
+    # green in CORRECTNESS_r11.json and is dropped from this set.
+    "nb_quality_classifier",
+    "nb_classifier_hashed",
+    "streaming_nb_scoring",
 })
 
 # Derived view kept for the smoke-test invariant and round tooling: a

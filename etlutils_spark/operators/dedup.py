@@ -157,16 +157,24 @@ def jaccard_pairs(
     same materialize-before-fan-out rule a 100 TB pipeline follows by
     checkpointing its shingle table.
     """
+    # persist the RAW shingles first: the guard reads them twice (freq
+    # agg + semi-join probe), so persisting after it would re-run the
+    # CPU-heavy spread+tokenize+explode lineage per read — the exact
+    # double-execution the persist exists to prevent (review catch)
+    shingles = _persist_tracked(shingles)
     if max_shingle_df is not None:
-        block_key = ["shingle", *block_cols] if block_cols else ["shingle"]
+        block_key = ["shingle", *block_cols]
         # df counted within the blocking scope when blocks are given:
         # a shingle hot in one block but rare elsewhere only blows up
         # the join inside that block, so that's the frequency that
         # matters for the bound
         freq = shingles.groupBy(*block_key).agg(F.count(F.lit(1)).alias("__df"))
         ok = freq.filter(F.col("__df") <= max_shingle_df).select(*block_key)
-        shingles = shingles.join(ok, on=block_key, how="left_semi")
-    shingles = _persist_tracked(shingles)
+        # the guarded frame is persisted too: three consumers (sizes +
+        # both join sides) would otherwise each re-run the semi-join
+        shingles = _persist_tracked(
+            shingles.join(ok, on=block_key, how="left_semi")
+        )
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     # distinct aliases per side — avoids Spark's self-join attribute
     # ambiguity (and its trivially-true-predicate warning)

@@ -369,10 +369,18 @@ def percentile_prune(
         F.percentile_approx(score_col, 1.0 - keep_frac, approx_accuracy)
         .alias("__thr")
     )
+    # null-safe join: a NULL group is a group like any other — exact
+    # mode's window partitions NULL together and prunes it, so a plain
+    # equality join here would silently DROP every NULL-group row from
+    # the approx mode instead of thresholding them (the cap_per_group
+    # convention — review catch)
+    thr = thr.withColumnRenamed(group_col, "__grp")
     return (
-        df.join(F.broadcast(thr), group_col)
+        df.join(
+            F.broadcast(thr), F.col(group_col).eqNullSafe(F.col("__grp"))
+        )
         .filter(F.col(score_col) >= F.col("__thr"))
-        .drop("__thr")
+        .drop("__grp", "__thr")
     )
 
 
@@ -436,9 +444,26 @@ def rank_blend(
         )
         out = df.crossJoin(F.broadcast(thr))
         for c, hib in signal_cols.items():
+            # percentile_approx over an ALL-NULL signal yields a NULL
+            # threshold array, which would silently null every rank AND
+            # the blend for the whole corpus (the old eager collect at
+            # least crashed — review catch). The assert rides the rank
+            # value: a non-empty frame with a dead signal fails loudly;
+            # an EMPTY frame has no rows to evaluate it and stays a
+            # clean empty result.
+            arr_ok = F.assert_true(
+                F.col(f"__t_{c}").isNotNull(),
+                F.lit(
+                    f"rank_blend: signal column {c!r} has no non-NULL "
+                    "values — its percentile thresholds are undefined "
+                    "and every blend_rank would be NULL; drop the dead "
+                    "signal or fix the upstream join that nulled it"
+                ),
+            )
             bucket = F.size(
                 F.filter(F.col(f"__t_{c}"), lambda t: t <= F.col(c))
             ).cast("double") / F.lit(float(approx_buckets))
+            bucket = F.when(arr_ok.isNull(), bucket)
             out = out.withColumn(
                 f"rank_{c}", bucket if hib else (F.lit(1.0) - bucket)
             )

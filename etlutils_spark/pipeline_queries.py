@@ -822,18 +822,26 @@ def q_percentile_prune_approx_contract(spark, sf_dir):
     )
     # tie mass at the boundary (kept rows scoring exactly the minimum
     # kept value) — the only legitimate source of extra kept rows
+    # null-safe lang joins throughout (the cap_per_group convention —
+    # review catch): the DuckDB oracle's GROUP BY lang emits a NULL
+    # group as a row, and the operator's exact/approx modes both keep
+    # it, so a plain equality join here would silently drop it and
+    # turn a legitimate NULL group into a row-count mismatch
+    def _j(left, right, how="inner"):
+        r = right.withColumnRenamed("lang", "__rl")
+        return left.join(
+            r, F.col("lang").eqNullSafe(F.col("__rl")), how
+        ).drop("__rl")
+
     ties = (
-        scored.join(F.broadcast(ap_n), "lang")
+        _j(scored, F.broadcast(ap_n))
         .filter(F.col("quality_score") == F.col("__min_kept"))
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("__ties"))
     )
     return (
-        n_docs.join(ex_n, "lang")
-        .join(ap_n, "lang")
-        .join(miss, "lang", "left")
-        .join(dropped, "lang", "left")
-        .join(ties, "lang", "left")
+        _j(_j(_j(_j(_j(n_docs, ex_n), ap_n), miss, "left"), dropped, "left"),
+           ties, "left")
         .select(
             "lang", "n_docs", "kept_exact",
             (F.coalesce("__miss", F.lit(0)) == 0).alias("superset_of_exact"),

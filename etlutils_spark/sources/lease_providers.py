@@ -103,7 +103,11 @@ class ConditionalPutLeaseProvider:
     default (review catch — the in-memory ``self._stale`` map only
     exists in the acquiring process). Two-field records written by
     older builds still decode (window absent -> the verifier's
-    fallback). A lease is LIVE while ``clock() < expires_at`` and
+    fallback); the REVERSE is not true — an older build's decoder
+    crashes on a three-field record, so a mixed-version fleet must
+    upgrade all writers of a given lock URL together (flag-day per
+    lock), the standard constraint for a record-format extension. A
+    lease is LIVE while ``clock() < expires_at`` and
     stealable after; every transition (acquire, steal, extend, release)
     is one conditional write, so concurrent writers serialize on the
     store's atomicity and exactly one wins each race.

@@ -442,6 +442,51 @@ def test_percentile_prune_approx_mode_contract(spark):
     assert len(approx) <= len(exact) + 2
 
 
+def test_percentile_prune_approx_keeps_null_group(spark):
+    """A NULL group is a group like any other (the cap_per_group /
+    winsorize convention): exact mode's window partitions NULL rows
+    together and prunes them, so the approx mode's broadcast threshold
+    join must be null-safe — a plain equality join silently dropped
+    every NULL-group row (review catch)."""
+    from etlutils_spark.operators.quality import percentile_prune
+
+    rows = [(i, "a", float(i)) for i in range(10)]
+    rows += [(100 + i, None, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string, score double")
+    kept = percentile_prune(df, "score", "grp", 0.5, exact=False).collect()
+    by_grp = {}
+    for r in kept:
+        by_grp.setdefault(r.grp, set()).add(r.doc_id)
+    assert None in by_grp  # NULL group thresholded, not dropped
+    # top-half scores survive in BOTH groups (threshold includes the
+    # boundary row, so 5 or 6 kept)
+    assert {7, 8, 9} <= by_grp["a"] and len(by_grp["a"]) <= 6
+    assert {107, 108, 109} <= by_grp[None] and len(by_grp[None]) <= 6
+
+
+def test_rank_blend_approx_all_null_signal_is_loud(spark):
+    """An all-NULL signal makes every percentile threshold undefined;
+    the old eager collect crashed at plan construction, and the lazy
+    rewrite must NOT regress that into silently NULL ranks and a NULL
+    blend for the whole corpus (review catch) — it raises in-plan."""
+    from etlutils_spark.operators.quality import rank_blend
+
+    df = spark.createDataFrame(
+        [(1, None, 2.0), (2, None, 1.0)],
+        "doc_id bigint, dead double, live double",
+    )
+    with pytest.raises(Exception, match="no non-NULL values"):
+        rank_blend(
+            df, {"dead": True, "live": True}, approx_buckets=4
+        ).collect()
+    # the healthy signal alone still works; rows with a NULL value in a
+    # LIVE signal rank at the bottom (clears no thresholds), matching
+    # exact mode's nulls-first ordering
+    ok = {r.doc_id: r.rank_live for r in rank_blend(
+        df, {"live": True}, approx_buckets=4).collect()}
+    assert ok[2] <= ok[1]
+
+
 def test_percentile_prune_rejects_bad_fraction(spark):
     from etlutils_spark.operators.quality import percentile_prune
 

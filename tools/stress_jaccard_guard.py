@@ -82,8 +82,12 @@ def run_scale(spark, n: int) -> dict:
         out["unguarded_pairs"] = jaccard_pairs(sh, threshold=0.01).count()
         out["unguarded_sec"] = round(time.time() - t0, 2)
 
+    # cap scales with N so the footer (df = n_docs) is always dropped
+    # and the planted pairs' shingles (df = 2) always survive — a
+    # hardcoded 100 made the assert below fail for N <= 80
+    cap = min(100, max(2, n // 2))
     t0 = time.time()
-    guarded = jaccard_pairs(sh, threshold=0.01, max_shingle_df=100)
+    guarded = jaccard_pairs(sh, threshold=0.01, max_shingle_df=cap)
     got = {(r.doc_id_1, r.doc_id_2) for r in guarded.collect()}
     out["guarded_pairs"] = len(got)
     out["guarded_sec"] = round(time.time() - t0, 2)
