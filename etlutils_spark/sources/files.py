@@ -315,6 +315,43 @@ def heal_interrupted_compaction(spark: SparkSession, path: str) -> bool:
     return False
 
 
+def atomic_overwrite_parquet(df: DataFrame, path: str) -> None:
+    """Crash-safe replacement for ``df.write.mode("overwrite")`` on a
+    table that is the ONLY copy of accumulated state (e.g. the
+    streaming funnel's per-user state): write to ``{path}.compact_tmp``
+    first, then the two-rename swap — a direct overwrite deletes the
+    old files before the new job commits, so a crash inside it
+    silently truncates the state (the exact pattern
+    :func:`compact_parquet_inplace`'s docstring forbids; review
+    catch). Reuses the compaction tmp/old names so
+    :func:`heal_interrupted_compaction` heals the one mid-swap crash
+    window (path absent, tmp complete) for this writer too. ``df`` may
+    read from ``path`` itself: the tmp write executes while ``path``
+    is untouched, and the renames are pure metadata."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}.compact_tmp")
+    old = jvm.org.apache.hadoop.fs.Path(f"{path}.compact_old")
+    fs.delete(old, True)  # debris from a crash after rename1
+    fs.delete(tmp, True)
+    df.write.mode("overwrite").parquet(f"{path}.compact_tmp")
+    if fs.exists(jpath) and not fs.rename(jpath, old):
+        raise IOError(f"could not stage {path} for atomic overwrite")
+    if not fs.rename(tmp, jpath):
+        if fs.exists(old) and not fs.rename(old, jpath):
+            raise IOError(
+                f"atomic overwrite of {path} failed AND the rollback "
+                f"rename failed: the table is currently absent, with "
+                f"the previous copy intact at {path}.compact_old and "
+                f"the new copy at {path}.compact_tmp — restore one "
+                "manually (both are complete; no rows were lost)"
+            )
+        raise IOError(f"could not commit atomic overwrite of {path}")
+    fs.delete(old, True)
+
+
 def compact_parquet_inplace(
     spark: SparkSession,
     path: str,

@@ -77,18 +77,32 @@ def incremental_funnel(
     table (schema of ``funnel_stages``)."""
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        from etlutils_spark.sources.files import (
+            atomic_overwrite_parquet,
+            heal_interrupted_compaction,
+        )
+
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
+        # promote a complete .compact_tmp if the previous batch crashed
+        # between the swap renames — without this, the AnalysisException
+        # fallback below would misread that crash as a COLD START and
+        # silently rebuild state from this batch alone (review catch)
+        heal_interrupted_compaction(spark, state_dir)
         batch = batch_df.select("event_id", "user_id", "ts", "event_type")
         try:
             state = spark.read.parquet(state_dir)
             allev = batch.unionByName(_state_as_events(state))
         except AnalysisException:
             allev = batch
-        # materialize BEFORE overwriting the directory being read
-        new_state = funnel_stages(allev).localCheckpoint(eager=True)
-        new_state.write.mode("overwrite").parquet(state_dir)
+        # crash-safe swap, never a direct overwrite of the only copy of
+        # accumulated state: a direct mode("overwrite") deletes the old
+        # files before the new job commits, so a crash mid-write
+        # destroys every prior user's funnel state and the epoch replay
+        # rebuilds from one batch (review catch). The tmp write reads
+        # state_dir while it is still intact, so no checkpoint needed.
+        atomic_overwrite_parquet(funnel_stages(allev), state_dir)
 
     return (
         events.writeStream.foreachBatch(_process)

@@ -13,10 +13,14 @@ Index design (the 100 TB story):
   ``(__key string, __first struct<i,x>)`` — ~48 bytes per unique span,
   append-only parquet. Duplicate mass never grows the index.
 - Per batch, only the new documents are tokenized (incremental cost is
-  O(batch)); the batch's distinct keys probe the index with a left
-  join — the batch side is tiny, so Catalyst broadcasts it against the
-  index scan. At real scale the index is written bucketed by key
-  prefix so the probe prunes instead of scanning.
+  O(batch)); the probe is two broadcast joins — index INNER-joined
+  against the broadcast batch keys (the index scans in place, nothing
+  shuffles, output is at most one row per batch key), then that tiny
+  matched set left-joined back onto the batch. A one-step left-outer
+  with the batch as preserved side would force a full-index shuffle
+  per batch (BHJ LeftOuter requires build-right — review catch). At
+  real scale the index is written bucketed by key prefix so the probe
+  prunes instead of scanning.
 - Batch-local first occurrence uses the same combinable
   ``min(struct(id, idx))`` aggregate as the batch operator; the
   overall first is the struct-min of (index entry, batch-local min).
@@ -79,7 +83,20 @@ def incremental_span_dedup(
             index = spark.read.parquet(index_dir).withColumnRenamed(
                 "__first", "__if"
             )
-            joined = local.join(index, "__key", "left")
+            # probe shape matters (review catch): a direct left-outer
+            # with the tiny batch as the PRESERVED side cannot
+            # broadcast-hash-join (BHJ LeftOuter requires build-right,
+            # and the right side is the full index), so Catalyst would
+            # shuffle the ENTIRE index every micro-batch — O(corpus)
+            # per batch, not O(batch). Instead: inner-join the index
+            # against the broadcast batch keys (index scans in place,
+            # nothing shuffles, output is at most one row per batch
+            # key), THEN left-join that tiny matched set back — now the
+            # build side is batch-sized on both joins.
+            matched = index.join(
+                F.broadcast(local.select("__key")), "__key"
+            )
+            joined = local.join(F.broadcast(matched), "__key", "left")
             # overall first = struct-min of the index entry (earlier
             # batch, or THIS batch under failure replay) and the
             # batch-local min — replay-idempotent by construction

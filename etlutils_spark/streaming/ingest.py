@@ -24,10 +24,35 @@ from pyspark.sql import functions as F
 
 
 def stream_events_file(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream exactly the events parquet (one-file source)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    """Stream exactly the events parquet (one-file source).
+
+    Session requirements, checked loudly instead of mutated silently
+    (review catch — a reader helper that flips the session timezone
+    changes timestamp semantics for every OTHER query in the session):
+    the session timezone must already be UTC (``get_session`` pins it;
+    the NTZ normalization below is value-preserving only under UTC).
+    The one conf this helper does set is the legacy
+    ``nanosAsLong`` read shim, WHEN the events file needs it — without
+    it Spark cannot even read a TIMESTAMP(NANOS) parquet schema (it
+    throws), and the long it decodes to is normalized to a timestamp
+    immediately below; the session-global effect is that other readers
+    of nanos files see longs instead of an exception."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"stream_events_file requires a UTC session timezone (got "
+            f"{tz!r}): the NTZ->LTZ normalization below silently shifts "
+            "values under any other zone. Build the session with "
+            "get_session (which pins UTC) or set "
+            "spark.sql.session.timeZone=UTC explicitly"
+        )
+    try:
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    except Exception:
+        # TIMESTAMP(NANOS) events (driver generations 1-2) are
+        # unreadable without the legacy shim — set it and retry
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file-stream sources require a directory; glob-filter to the events file
     df = (
         spark.readStream.schema(raw_schema)

@@ -101,22 +101,40 @@ def sessionize_stateful(
         else:
             start_us = end_us = -1
             n = 0
+        # accumulate ACROSS chunks before sorting: a group larger than
+        # the Arrow batch size arrives as multiple pdfs with no
+        # cross-chunk time order, so per-chunk sorting mis-sessionizes
+        # big groups (an earlier chunk-2 timestamp would extend the
+        # newest session or spuriously roll one — review catch)
+        all_ts: list[int] = []
         for pdf in pdfs:
             # values.astype handles both ns- and us-unit pandas datetimes
-            ts_us = sorted(
+            all_ts.extend(
                 pd.to_datetime(pdf[event_time_col])
                 .values.astype("datetime64[us]")
                 .astype("int64")
+                .tolist()
             )
-            for t in ts_us:
-                t = int(t)
-                if n == 0:
-                    start_us, end_us, n = t, t, 1
-                elif t - end_us <= gap_us:
-                    end_us, n = max(end_us, t), n + 1
-                else:  # gap exceeded inside the batch: close + roll
-                    yield session_row(start_us, end_us, n)
-                    start_us, end_us, n = t, t, 1
+        for t in sorted(all_ts):
+            t = int(t)
+            if n == 0:
+                start_us, end_us, n = t, t, 1
+            elif t < start_us - gap_us:
+                # admitted-late event (>= watermark) from BEFORE the
+                # open session by more than the gap: it can never merge
+                # with it — emit as its own closed singleton session
+                # rather than wrongly absorbing it (review catch)
+                yield session_row(t, t, 1)
+            elif t - end_us <= gap_us:
+                # a late-but-admitted event may precede the open
+                # session's start: the session's earliest event defines
+                # session_start, so min() it (review catch — end-only
+                # tracking emitted a start later than its first event)
+                start_us = min(start_us, t)
+                end_us, n = max(end_us, t), n + 1
+            else:  # gap exceeded inside the batch: close + roll
+                yield session_row(start_us, end_us, n)
+                start_us, end_us, n = t, t, 1
         state.update((start_us, end_us, n))
         # the state-store timeout clock is millisecond-granular; round UP
         # so the timeout never fires before gap_us has fully elapsed
@@ -131,7 +149,10 @@ def sessionize_stateful(
                 "user_id bigint, session_start timestamp, "
                 "session_end timestamp, n_events bigint"
             ),
-            stateStructType="start_ms bigint, end_ms bigint, n bigint",
+            # field names say what the values ARE (epoch microseconds) —
+            # a debugger reading a checkpoint as millis would be 1000x
+            # off (review catch)
+            stateStructType="start_us bigint, end_us bigint, n bigint",
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
@@ -139,7 +160,24 @@ def sessionize_stateful(
 
 
 def _duration_ms(s: str) -> int:
-    """Parse '10 minutes' / '30 seconds' / '2 hours' to milliseconds."""
+    """Parse a duration string to milliseconds. Accepts the interval
+    forms Spark's ``withWatermark`` accepts for the same string —
+    abbreviated units ('10 min', '30 sec', '2 hr'), milliseconds, and
+    fractional quantities ('1.5 hours') — since both consumers read
+    the SAME gap argument; accepting only full unit names here while
+    withWatermark accepts the rest crashed valid gaps at query
+    construction (review catch)."""
     qty, unit = s.split()
-    per = {"second": 1_000, "minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
-    return int(qty) * per[unit.rstrip("s")]
+    per = {
+        "millisecond": 1, "milli": 1, "ms": 1,
+        "second": 1_000, "sec": 1_000, "s": 1_000,
+        "minute": 60_000, "min": 60_000, "m": 60_000,
+        "hour": 3_600_000, "hr": 3_600_000, "h": 3_600_000,
+        "day": 86_400_000, "d": 86_400_000,
+    }
+    key = unit.lower()
+    if key not in per:
+        key = key.rstrip("s")
+    if key not in per:
+        raise ValueError(f"unrecognized duration unit in {s!r}")
+    return int(float(qty) * per[key])

@@ -72,6 +72,104 @@ def test_sessionize_stateful_watermark_eviction(spark, tmp_path):
     assert not any(s.startswith("2024-01-01 02") for _, s, _ in got)
 
 
+def test_sessionize_stateful_late_event_extends_session_start(spark, tmp_path):
+    """A late-but-admitted event (>= watermark) that precedes the open
+    session's start must pull session_start back to it — end-only
+    tracking emitted a start later than the session's earliest event
+    (review catch). Batch 1 opens a session at 00:05; batch 2 delivers
+    00:01 (watermark after batch 1 is 23:55, so it is admitted and
+    merges); batch 3 advances the watermark past the timeout."""
+    import time
+
+    from etlutils_spark.streaming.stateful import sessionize_stateful
+
+    batches = [
+        [(1, "2024-01-01 00:05:00")],
+        [(1, "2024-01-01 00:01:00")],  # late, within the 10-min gap
+        [(2, "2024-01-01 03:00:00")],  # watermark -> 02:50 closes it
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "user_id bigint, ts_s string").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+        df.coalesce(1).write.parquet(str(src / f"b{i}"))
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = sessionize_stateful(stream, gap="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.table("t_late_sessions").collect()
+    }
+    # the late 00:01 event is the session's true start and counts
+    assert (1, "2024-01-01 00:01:00", "2024-01-01 00:05:00", 2) in got
+
+
+def test_sessionize_duration_parser_accepts_spark_interval_forms():
+    """_duration_ms must accept the forms withWatermark accepts for the
+    SAME gap string — abbreviated units, ms, fractional quantities
+    (review catch: '10 min' crashed with KeyError at construction)."""
+    from etlutils_spark.streaming.stateful import _duration_ms
+
+    assert _duration_ms("10 minutes") == 600_000
+    assert _duration_ms("10 min") == 600_000
+    assert _duration_ms("30 sec") == 30_000
+    assert _duration_ms("30 seconds") == 30_000
+    assert _duration_ms("2 hr") == 7_200_000
+    assert _duration_ms("500 milliseconds") == 500
+    assert _duration_ms("1.5 hours") == 5_400_000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unrecognized"):
+        _duration_ms("10 fortnights")
+
+
+def test_atomic_overwrite_parquet_swap_and_heal(spark, tmp_path):
+    """atomic_overwrite_parquet replaces a table without a window where
+    the only copy is deleted (a direct mode('overwrite') has one —
+    review catch), and heal_interrupted_compaction promotes a complete
+    tmp if a crash lands between the two renames."""
+    from etlutils_spark.sources.files import (
+        atomic_overwrite_parquet,
+        heal_interrupted_compaction,
+    )
+
+    path = str(tmp_path / "state")
+    spark.range(5).write.parquet(path)
+    # overwrite with a frame that READS from the path being replaced
+    # (the funnel's exact shape)
+    cur = spark.read.parquet(path)
+    atomic_overwrite_parquet(
+        cur.withColumn("id", F.col("id") + 100), path
+    )
+    assert {r.id for r in spark.read.parquet(path).collect()} == set(
+        range(100, 105)
+    )
+    # simulate the mid-swap crash: path renamed away, tmp complete
+    import os
+    import shutil
+
+    shutil.move(path, f"{path}.compact_tmp")
+    assert not os.path.exists(path)
+    assert heal_interrupted_compaction(spark, path)
+    assert {r.id for r in spark.read.parquet(path).collect()} == set(
+        range(100, 105)
+    )
+
+
 def test_incremental_lsh_finds_cross_batch_pairs(spark, tmp_path):
     """Docs arriving in a later micro-batch are deduplicated against the
     persisted signature index of everything seen before — without
