@@ -329,6 +329,11 @@ def atomic_overwrite_parquet(df: DataFrame, path: str) -> None:
     read from ``path`` itself: the tmp write executes while ``path``
     is untouched, and the renames are pure metadata."""
     spark = df.sparkSession
+    # heal FIRST: after a mid-swap crash the .compact_tmp may be the
+    # ONLY surviving copy of the state, and the entry delete below
+    # would destroy it while a caller that rebuilt df without reading
+    # the (absent) path then commits partial state (review catch)
+    heal_interrupted_compaction(spark, path)
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
@@ -337,18 +342,33 @@ def atomic_overwrite_parquet(df: DataFrame, path: str) -> None:
     fs.delete(old, True)  # debris from a crash after rename1
     fs.delete(tmp, True)
     df.write.mode("overwrite").parquet(f"{path}.compact_tmp")
+    _swap_tmp_into_place(fs, jpath, tmp, old, path)
+
+
+def _swap_tmp_into_place(fs, jpath, tmp, old, path: str) -> None:
+    """The shared two-rename commit (rename path->old, tmp->path with a
+    CHECKED rollback, drop old) of :func:`atomic_overwrite_parquet` and
+    :func:`compact_parquet_inplace` — one copy so the crash-window
+    reasoning and rollback guarantees cannot drift between writers
+    (review catch: the two inlined copies had already diverged on heal
+    behavior). Precondition: ``{path}.compact_tmp`` is fully written."""
     if fs.exists(jpath) and not fs.rename(jpath, old):
-        raise IOError(f"could not stage {path} for atomic overwrite")
+        raise IOError(f"could not stage {path} for the overwrite swap")
     if not fs.rename(tmp, jpath):
+        # put the original back — nothing lost, but the rollback must
+        # be CHECKED: rename-into-existing can report failure (or, on
+        # some stores, move the old copy INSIDE a recreated path) and
+        # silently swallowing that leaves the table unreadable with no
+        # hint that both complete copies still exist (r9 advice)
         if fs.exists(old) and not fs.rename(old, jpath):
             raise IOError(
-                f"atomic overwrite of {path} failed AND the rollback "
+                f"overwrite swap of {path} failed AND the rollback "
                 f"rename failed: the table is currently absent, with "
                 f"the previous copy intact at {path}.compact_old and "
                 f"the new copy at {path}.compact_tmp — restore one "
                 "manually (both are complete; no rows were lost)"
             )
-        raise IOError(f"could not commit atomic overwrite of {path}")
+        raise IOError(f"could not commit the overwrite swap of {path}")
     fs.delete(old, True)
 
 
@@ -408,24 +428,7 @@ def compact_parquet_inplace(
     # with BOTH copies intact.
     if pre_swap_check is not None:
         pre_swap_check()
-    if not fs.rename(jpath, old):
-        raise IOError(f"could not stage {path} for compaction swap")
-    if not fs.rename(tmp, jpath):
-        # put the original back — nothing lost, but the rollback must
-        # be CHECKED: rename-into-existing can report failure (or, on
-        # some stores, move the old copy INSIDE a recreated path) and
-        # silently swallowing that leaves the table unreadable with no
-        # hint that both complete copies still exist (r9 advice)
-        if not fs.rename(old, jpath):
-            raise IOError(
-                f"compaction swap of {path} failed AND the rollback "
-                f"rename failed: the table is currently absent, with "
-                f"the original intact at {path}.compact_old and the "
-                f"compacted copy at {path}.compact_tmp — restore one "
-                "manually (both are complete; no rows were lost)"
-            )
-        raise IOError(f"could not commit compaction of {path}")
-    fs.delete(old, True)
+    _swap_tmp_into_place(fs, jpath, tmp, old, path)
     return n
 
 

@@ -11,8 +11,6 @@ is the shape you run at 100 TB.
 
 from __future__ import annotations
 
-import os
-import shutil
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -73,36 +71,86 @@ def merge_upsert(
                 "partition_col defeats partition-scoped merge (use the "
                 "full-rewrite path, or raise max_partitions deliberately)"
             )
-        target = spark.read.parquet(target_path).filter(
-            F.col(partition_col).isin(parts)
+        _assert_layout(spark, target_path, partitioned=True)
+        # a NULL partition is a partition like any other: isin() never
+        # matches NULL (three-valued logic), so without the isNull arm
+        # the null-partition SURVIVORS would be excluded while dynamic
+        # overwrite still rewrites __HIVE_DEFAULT_PARTITION__ —
+        # permanently and silently deleting every unmatched row in it
+        # (review catch)
+        non_null = [p for p in parts if p is not None]
+        cond = (
+            F.col(partition_col).isin(non_null) if non_null else F.lit(False)
         )
+        if len(non_null) < len(parts):
+            cond = cond | F.col(partition_col).isNull()
+        target = spark.read.parquet(target_path).filter(cond)
         survivors = target.join(
             updates.select(*keys).distinct(), on=keys, how="left_anti"
         )
         merged = survivors.unionByName(updates.select(*survivors.columns))
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                merged.write.mode("overwrite")
-                .partitionBy(partition_col)
-                .parquet(target_path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-writer option, NOT a session-conf toggle: flipping the
+        # session conf around a long write job changes the semantics of
+        # every CONCURRENT overwrite in the session, and the
+        # finally-restore races a second merge (review catch)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(target_path)
+        )
         return
 
+    _assert_layout(spark, target_path, partitioned=False)
     target = spark.read.parquet(target_path)
     survivors = target.join(
         updates.select(*keys).distinct(), on=keys, how="left_anti"
     )
     merged = survivors.unionByName(updates.select(*survivors.columns))
-    staging = target_path.rstrip("/") + ".__merge_staging__"
-    # materialize BEFORE touching the target: the merged plan reads the
-    # live target lazily, so writing in place would corrupt the input
-    merged.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(target_path)
-    os.replace(staging, target_path)
+    # crash-safe Hadoop-FS swap (temp-write + two renames, shared heal):
+    # the previous shutil.rmtree + os.replace was local-filesystem-only
+    # (it threw on hdfs://-style targets this module advertises) and
+    # left an unrecoverable absent-table window on a crash between the
+    # two steps (review catch). merged reads the live target lazily;
+    # the tmp write executes while the target is untouched.
+    from etlutils_spark.sources.files import atomic_overwrite_parquet
+
+    atomic_overwrite_parquet(merged, target_path)
+
+
+def _assert_layout(
+    spark: SparkSession, target_path: str, partitioned: bool
+) -> None:
+    """Fail loudly when the target's on-disk layout contradicts the
+    chosen merge path (the compact_parquet_inplace convention — review
+    catch): dynamic partition overwrite onto a FLAT target leaves the
+    original root data files untouched alongside new partition
+    subdirectories (duplicates + conflicting-layout reads), and a full
+    rewrite of a PARTITIONED target silently flattens the directory
+    layout consumers prune on."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return
+    has_part_dirs = any(
+        st.isDirectory() and "=" in st.getPath().getName()
+        for st in fs.listStatus(jpath)
+    )
+    if partitioned and not has_part_dirs:
+        raise ValueError(
+            f"merge_upsert: partition-scoped merge requested but "
+            f"{target_path} has no partition subdirectories — dynamic "
+            "overwrite onto a flat layout would leave the old root "
+            "files alive as duplicates; rewrite the target partitioned "
+            "by the partition column first, or omit partition_col"
+        )
+    if not partitioned and has_part_dirs:
+        raise ValueError(
+            f"merge_upsert: {target_path} is partition-laid-out but no "
+            "partition_col was given — a full rewrite would silently "
+            "flatten the layout; pass partition_col"
+        )
 
 
 def scd2_apply(
@@ -174,8 +222,13 @@ def scd2_apply(
     untouched_cur = cur.join(
         changed.select(*keys).distinct(), on=keys, how="left_anti"
     ).select(*out_cols)
+    # anti-join against CURRENT keys, not all target keys: a key that
+    # exists only as closed history rows (logical delete, external
+    # closer) must REOPEN as a new current version — anti-joining
+    # against the full target silently dropped the reappearing
+    # entity's update (review catch)
     brand_new = (
-        updates.join(target.select(*keys).distinct(), on=keys, how="left_anti")
+        updates.join(cur.select(*keys).distinct(), on=keys, how="left_anti")
         .select(
             *keys,
             *attr_cols,

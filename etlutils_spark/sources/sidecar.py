@@ -113,16 +113,31 @@ def bootstrap_action(spark, url: str) -> str:
       state would silently DESTROY the stored corpus (review catches —
       "absent" and "damaged" must not share the rebuild path, in
       either sidecar generation)."""
+    from pyspark.errors import AnalysisException
+
+    # one kind stat + one content read per path (review catch: routing
+    # through params_committed re-statted the kind and re-read the
+    # JSON, doubling the cold-start FS round-trips and opening a
+    # TOCTOU seam between the torn-file check and the verdict)
     kind = sidecar_kind(spark, url)
-    if kind == "file" and read_sidecar_json(spark, url) is None:
-        raise ValueError(
-            f"{url} exists but is not readable (torn write?): this "
-            "looks like a DAMAGED committed artifact, not a fresh "
-            "path — refusing to bootstrap over it; restore the params "
-            "sidecar or rebuild explicitly"
-        )
-    committed = params_committed(spark, url)
-    if kind == "dir" and not committed:
+    if kind == "file":
+        if read_sidecar_json(spark, url) is None:
+            raise ValueError(
+                f"{url} exists but is not readable (torn write?): this "
+                "looks like a DAMAGED committed artifact, not a fresh "
+                "path — refusing to bootstrap over it; restore the "
+                "params sidecar or rebuild explicitly"
+            )
+        return "extend"
+    if kind is None:
+        return "build"
+    # legacy parquet-directory form: readable AND non-empty = committed
+    # (same rule as params_committed)
+    try:
+        committed = spark.read.parquet(url).first() is not None
+    except AnalysisException:
+        committed = False
+    if not committed:
         # unreadable legacy parquet directory: only a crashed build —
         # i.e. nothing else on the artifact path — may rebuild; with
         # committed sibling tables present this is damage, not absence
@@ -146,10 +161,7 @@ def bootstrap_action(spark, url: str) -> str:
                 "params sidecar or rebuild explicitly"
             )
         return "build"
-    # one params_committed evaluation serves both the dir-damage check
-    # and the verdict (review catch: the legacy-dir probe is a
-    # scheduled parquet job, and a cold start paid it twice)
-    return "extend" if committed else "build"
+    return "extend"
 
 
 # live heartbeat threads, keyed by (url, token); the Event stops the
@@ -647,10 +659,18 @@ def release_writer_lease(spark, url: str, token: str) -> None:
 
 
 def write_sidecar_text(spark, url: str, text: str) -> None:
-    """Commit ``text`` at ``url`` as one file via temp + rename. A
-    recursive delete first retires any legacy parquet DIRECTORY at the
-    same path (readers see that form as None -> migration path, so
-    mixed-generation artifacts self-upgrade on their next write)."""
+    """Commit ``text`` at ``url`` as one file via temp + OVERWRITE
+    rename (``FileContext.rename(..., Rename.OVERWRITE)`` — the
+    atomic-replace primitive HDFS/local provide), so rewriting an
+    EXISTING sidecar never exposes an absent-file window: the old
+    delete-then-rename commit had one, and a concurrent lease-less
+    cold-start probe (``bootstrap_action``) reading in that window got
+    kind=None -> "build" and rebuilt the artifact from one micro-batch
+    (review catch). A recursive delete still retires a legacy parquet
+    DIRECTORY at the same path first (rename cannot replace a
+    non-empty directory; those migration rewrites run lease-guarded),
+    and stores whose FileContext lacks atomic rename fall back to the
+    old two-step with its documented window."""
     jvm, fs, target = _fs_path(spark, url)
     parent, name = url.rsplit("/", 1)
     tmp = jvm.org.apache.hadoop.fs.Path(f"{parent}/.{name}.tmp")
@@ -659,6 +679,18 @@ def write_sidecar_text(spark, url: str, text: str) -> None:
         stream.write(bytearray(text.encode("utf-8")))
     finally:
         stream.close()
+    if fs.exists(target) and fs.getFileStatus(target).isDirectory():
+        fs.delete(target, True)  # legacy parquet dir: migration path
+    try:
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(conf)
+        ren = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = spark.sparkContext._gateway.new_array(ren, 1)
+        opts[0] = ren.OVERWRITE
+        fc.rename(tmp, target, opts)
+        return
+    except Exception:  # noqa: BLE001 - store without FileContext rename
+        pass
     fs.delete(target, True)
     if not fs.rename(tmp, target):
         raise IOError(f"could not commit sidecar {url}")

@@ -165,6 +165,37 @@ def read_sql(
                 "partition_column requires table= (Spark JDBC restriction); "
                 "wrap the query as a dbtable subquery instead"
             )
+        if lower_bound is None or upper_bound is None:
+            # discover the missing bound(s) with one pushed-down min/max
+            # probe, as the docstring promises — previously None reached
+            # Spark as the literal string 'None' and failed numeric
+            # parsing deep inside the JDBC relation with a message that
+            # never named the missing arguments (review catch)
+            probe = (
+                spark.read.format("jdbc")
+                .option("url", url)
+                .option(
+                    "dbtable",
+                    f"(SELECT MIN({partition_column}) AS lo, "
+                    f"MAX({partition_column}) AS hi FROM {table}) AS spark_b",
+                )
+            )
+            for k, v in (options or {}).items():
+                probe = probe.option(k, v)
+            for k, v in (properties or {}).items():
+                probe = probe.option(k, v)
+            # positional access: backends case-fold unquoted aliases
+            # (Derby upper-cases lo -> LO), so names are not portable
+            row = probe.load().first()
+            if row is None or row[0] is None or row[1] is None:
+                raise ValueError(
+                    f"read_sql: could not discover partition bounds for "
+                    f"{partition_column!r} on {table!r} (empty table or "
+                    "all-NULL column) — pass lower_bound/upper_bound "
+                    "explicitly or drop partition_column"
+                )
+            lower_bound = row[0] if lower_bound is None else lower_bound
+            upper_bound = row[1] if upper_bound is None else upper_bound
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

@@ -141,6 +141,102 @@ def test_merge_upsert_partition_budget_raises(spark, tmp_path):
     assert got.filter(F.col("v") == "new").count() == 10
 
 
+def test_merge_upsert_null_partition_survivors_kept(spark, tmp_path):
+    """A NULL partition is a partition like any other: isin() never
+    matches NULL, so without the isNull arm the null-partition
+    SURVIVORS were excluded while dynamic overwrite still rewrote
+    __HIVE_DEFAULT_PARTITION__ — silently deleting every unmatched row
+    in it (review catch)."""
+    from etlutils_spark.sources.merge import merge_upsert
+
+    p = str(tmp_path / "tgt_null")
+    base = spark.createDataFrame(
+        [(1, None, "old"), (2, None, "old"), (3, "a", "old")],
+        "k long, part string, v string",
+    )
+    base.write.partitionBy("part").parquet(p)
+    updates = spark.createDataFrame(
+        [(1, None, "new")], "k long, part string, v string"
+    )
+    merge_upsert(spark, p, updates, key_cols="k", partition_col="part")
+    got = {(r.k, r.part, r.v) for r in spark.read.parquet(p).collect()}
+    # k=2 (unmatched, NULL partition) SURVIVES; k=1 replaced; k=3
+    # (untouched partition) untouched
+    assert got == {(1, None, "new"), (2, None, "old"), (3, "a", "old")}
+
+
+def test_merge_upsert_layout_mismatch_raises(spark, tmp_path):
+    """Dynamic partition overwrite onto a FLAT target leaves the old
+    root files alive as duplicates, and a full rewrite of a PARTITIONED
+    target silently flattens the layout — both mismatches must fail
+    loudly before any write (review catch)."""
+    from etlutils_spark.sources.merge import merge_upsert
+
+    flat = str(tmp_path / "flat")
+    spark.createDataFrame(
+        [(1, "a", "old")], "k long, part string, v string"
+    ).write.parquet(flat)
+    updates = spark.createDataFrame(
+        [(1, "a", "new")], "k long, part string, v string"
+    )
+    with pytest.raises(ValueError, match="no partition subdirectories"):
+        merge_upsert(spark, flat, updates, key_cols="k", partition_col="part")
+    parted = str(tmp_path / "parted")
+    spark.createDataFrame(
+        [(1, "a", "old")], "k long, part string, v string"
+    ).write.partitionBy("part").parquet(parted)
+    with pytest.raises(ValueError, match="partition-laid-out"):
+        merge_upsert(spark, parted, updates, key_cols="k")
+
+
+def test_merge_upsert_full_rewrite_crash_safe_swap(spark, tmp_path):
+    """The full-rewrite commit goes through the Hadoop-FS atomic swap
+    (temp + two renames, shared heal), not shutil/os.replace — which
+    was local-only and left an absent-table window (review catch)."""
+    from etlutils_spark.sources.merge import merge_upsert
+
+    p = str(tmp_path / "full")
+    spark.createDataFrame(
+        [(1, "old"), (2, "old")], "k long, v string"
+    ).write.parquet(p)
+    updates = spark.createDataFrame([(1, "new"), (9, "new")], "k long, v string")
+    merge_upsert(spark, p, updates, key_cols="k")
+    got = {(r.k, r.v) for r in spark.read.parquet(p).collect()}
+    assert got == {(1, "new"), (2, "old"), (9, "new")}
+    import os
+
+    assert not os.path.exists(f"{p}.compact_tmp")
+    assert not os.path.exists(f"{p}.compact_old")
+
+
+def test_scd2_apply_reopens_history_only_key(spark):
+    """A key existing only as CLOSED history rows (logical delete) must
+    reopen as a new current version when it reappears in updates — the
+    anti-join against all target keys silently dropped it (review
+    catch)."""
+    from etlutils_spark.sources.merge import scd2_apply
+
+    target = spark.createDataFrame(
+        [(1, "A", "2000-01-01", "2001-01-01", False)],
+        "k int, attr string, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "k", "attr",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+    updates = spark.createDataFrame(
+        [(1, "B", "2002-01-01")], "k int, attr string, effective_date string"
+    ).withColumn("effective_date", F.col("effective_date").cast("timestamp"))
+    out = scd2_apply(target, updates, keys="k", attr_cols=["attr"])
+    rows = {(r.k, r.attr): r for r in out.collect()}
+    assert len(rows) == 2
+    assert rows[(1, "A")].is_current is False  # history untouched
+    assert rows[(1, "B")].is_current is True   # reappearing entity reopens
+    assert rows[(1, "B")].valid_from.year == 2002
+    assert rows[(1, "B")].valid_to is None
+
+
 def test_scd2_apply_history_passthrough_and_second_change(spark):
     """A key changed twice: the first version must survive untouched as
     history, the second change closes the current row and opens a third

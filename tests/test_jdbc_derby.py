@@ -103,6 +103,30 @@ def test_partitioned_parallel_read(spark, star, derby_url):
     assert df.count() == star["orders"].count()
 
 
+def test_partitioned_read_discovers_bounds(spark, star, derby_url):
+    """Omitted lower/upper bounds are discovered with one pushed-down
+    MIN/MAX probe (as the docstring promises) — previously None reached
+    Spark as the literal string 'None' and died deep in the JDBC
+    relation with an error that never named the missing arguments
+    (review catch). An empty table fails loudly instead."""
+    write_sql(star["orders"], derby_url, "orders_b", mode="overwrite", options=DRIVER)
+    df = read_sql(
+        spark, url=derby_url, table="orders_b",
+        partition_column='"o_orderkey"', num_partitions=4, options=DRIVER,
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == star["orders"].count()
+    write_sql(
+        star["orders"].limit(0), derby_url, "orders_empty",
+        mode="overwrite", options=DRIVER,
+    )
+    with pytest.raises(ValueError, match="could not discover"):
+        read_sql(
+            spark, url=derby_url, table="orders_empty",
+            partition_column='"o_orderkey"', options=DRIVER,
+        )
+
+
 def test_parallel_partitioned_write(spark, star, derby_url):
     # parallel JDBC writers (one connection per partition) into the
     # same embedded-Derby table
