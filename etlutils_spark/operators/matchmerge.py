@@ -102,13 +102,22 @@ def r_paste_key(df: DataFrame, cols: Sequence[str]) -> Column:
     via Spark's cast-to-string, which matches R for plain-decimal
     magnitudes but switches to ``1.5E-5``-style scientific notation
     where R prints ``1.5e-05`` — keys relying on scientific-notation
-    text equality diverge. Likewise integral magnitudes strictly above
+    text equality diverge. INTEGRAL doubles render all digits via the
+    decimal path, which matches R only while R's fixed form is the
+    shorter one: R's ``as.character`` switches to scientific whenever
+    that is narrower, so round magnitudes from 1e5 up diverge
+    (``100000.0`` -> Spark ``'100000'`` vs R ``'1e+05'``; ``123456.0``
+    agrees — review catch: the earlier note claimed parity to 2^63,
+    which only holds for values like 123456 whose digits don't
+    compress). Integral magnitudes strictly above
     2^63 (where ``floor`` saturates, so the integral test is false)
     render via the plain string cast (``1.0E38`` vs R's ``1e+38``);
     exactly ±2^63 still takes the decimal path (the saturated long
-    rounds back to the same double) and prints all digits where R
-    would print ``9.223372036854776e+18``. The hypothesis differential
-    pins the plain-decimal range."""
+    rounds back to the same double). The correctness GATE for this
+    mode is the DuckDB-coercion oracle (matchmerge_paste_key), which
+    pins the digit-for-digit decimal rendering cross-engine; R-text
+    parity is best-effort documentation, not a contract. The
+    hypothesis differential pins the plain-decimal range."""
     from pyspark.sql import types as T
 
     parts = []
@@ -325,13 +334,21 @@ def fuzzy_matchmerge(
     codes against a clean dictionary; the reference's ``recoder`` handles
     only exact values, R/utils.R:24-32).
 
-    ``best_only=True`` keeps one match per ``row_key`` (defaults to
-    ``by_x``; must uniquely identify x rows for deterministic output):
-    minimum distance, ties broken on the matched value. ``all_x=True``
-    left-joins, NULL-filling rows with no candidate within the budget.
+    ``best_only=True`` keeps one match per X ROW: minimum distance,
+    ties broken on the matched value. Row identity comes from
+    ``row_key`` when given; by default each x row gets a synthetic id,
+    so two distinct x rows sharing the same ``by_x`` string each keep
+    their best match — partitioning the rank window by ``by_x`` alone
+    silently collapsed such rows to one, deleting whole payload rows
+    nondeterministically (review catch). Pass ``row_key`` only when
+    you WANT per-key dedup of x itself. ``all_x=True`` left-joins,
+    NULL-filling rows with no candidate within the budget.
 
     Output: all of x ++ matched ``by_y`` value ++ ``add_columns`` ++
-    ``distance``.
+    ``distance``. ``add_columns`` colliding with x's column names are
+    suffixed ``_y`` (the matchmerge convention — an unsuffixed
+    collision crashed the final select with AMBIGUOUS_REFERENCE;
+    review catch).
 
     Scale: y is a *dictionary* (same dimension contract as matchmerge's
     unique-right-key side) — the join is a broadcast nested-loop with
@@ -348,19 +365,31 @@ def fuzzy_matchmerge(
     if missing:
         raise ValueError(f"columns not in y: {missing}")
     matched = "matched_" + by_y if by_y in x.columns else by_y
-    y_proj = y.select(F.col(by_y).alias(matched), *add_columns)
+    # suffix colliding payload columns like matchmerge does
+    renames = {c: f"{c}_y" for c in add_columns if c in x.columns}
+    added = [renames.get(c, c) for c in add_columns]
+    y_proj = y.select(
+        F.col(by_y).alias(matched),
+        *[F.col(c).alias(renames.get(c, c)) for c in add_columns],
+    )
     rhs = F.broadcast(y_proj) if broadcast_right else y_proj
     lk, rk = F.col(by_x), F.col(matched)
     cond = (
         (F.abs(F.length(lk) - F.length(rk)) <= max_distance)
         & (F.levenshtein(lk, rk) <= max_distance)
     )
+    # synthetic per-row id BEFORE the join: the default best_only
+    # identity is the x ROW, not the by_x value
+    x_id = x.withColumn("__fm_rid", F.monotonically_increasing_id())
     out = (
-        x.join(rhs, cond, "left" if all_x else "inner")
+        x_id.join(rhs, cond, "left" if all_x else "inner")
         .withColumn("distance", F.levenshtein(lk, rk))
     )
     if best_only:
-        keys = [row_key] if isinstance(row_key, str) else list(row_key or [by_x])
+        if row_key is None:
+            keys = ["__fm_rid"]
+        else:
+            keys = [row_key] if isinstance(row_key, str) else list(row_key)
         w = Window.partitionBy(*keys).orderBy(
             F.col("distance").asc_nulls_last(), F.col(matched).asc_nulls_last()
         )
@@ -369,7 +398,7 @@ def fuzzy_matchmerge(
             .filter(F.col("__fm_rank") == 1)
             .drop("__fm_rank")
         )
-    return out.select(*x.columns, matched, *add_columns, "distance")
+    return out.select(*x.columns, matched, *added, "distance")
 
 
 def _merge_on_expr(

@@ -19,7 +19,12 @@ def recoder(col: Column | str, from_vals: Sequence, to_vals: Sequence) -> Column
 
     Values not listed in ``from_vals`` map to themselves (the reference
     appends unseen values to both sides of the mapping, R/utils.R:25-30);
-    NULL maps to NULL (NA→NA). Compiled to a CASE WHEN chain —
+    an unlisted NULL maps to NULL (NA→NA), and a ``None`` LISTED in
+    ``from_vals`` remaps like any other value — R's ``match()`` does
+    match NA against an NA in ``from`` (R/utils.R:31), and the plain
+    ``==`` comparison silently never fired for it (three-valued logic;
+    review catch), so None entries compare with ``eqNullSafe``.
+    Compiled to a CASE WHEN chain —
     constant-folded by Catalyst, no lookup table shipped to executors
     (the map is in the plan itself, fine for the dictionary-sized
     mappings this is for).
@@ -29,7 +34,7 @@ def recoder(col: Column | str, from_vals: Sequence, to_vals: Sequence) -> Column
     c = F.col(col) if isinstance(col, str) else col
     expr = None
     for f_val, t_val in zip(from_vals, to_vals):
-        cond = c == F.lit(f_val)
+        cond = c.eqNullSafe(F.lit(f_val)) if f_val is None else c == F.lit(f_val)
         expr = F.when(cond, F.lit(t_val)) if expr is None else expr.when(cond, F.lit(t_val))
     if expr is None:
         return c
@@ -128,36 +133,59 @@ def profile_table(df, columns=None):
     types). The generalization of the reference's ``colClass``
     introspection (R/ffsql.R:1183-1199) from types to data.
 
-    Scale: ONE aggregation pass computes every column's stats together
-    (count/count-distinct/min/max are all partial-aggregable); the
-    per-column rows are exploded from that single row on the driver
-    side of the plan — the input is scanned once, never per-column.
-    For very-high-cardinality columns swap n_distinct to
-    approx_count_distinct (sketches.py) — exact distinct is the
-    oracle-checkable default.
+    Scale: ONE scan computes every column's stats together. Honest cost
+    model (review catch — this used to claim the aggregation itself was
+    single-pass): N exact ``countDistinct`` in one agg compile to
+    Catalyst's Expand, which multiplies each scanned row ~(N+1)x
+    through the partial aggregate, so the SCAN is single but the
+    aggregation work and shuffle are per-column. At very wide / very
+    large corpora swap n_distinct to approx_count_distinct
+    (sketches.py), which aggregates all columns in one pass with no
+    Expand — exact distinct stays the default because it is the
+    oracle-checkable form.
     """
     from pyspark.sql import functions as F
 
-    cols = columns or df.columns
+    cols = list(columns) if columns is not None else df.columns
+    if not cols:
+        raise ValueError("profile_table: no columns to profile")
+    # internal aliases are INDEX-based and the output label travels as a
+    # lit(): no column name is ever interpolated into parsed SQL, so
+    # names with spaces/dots/quotes profile fine (the old stack()
+    # selectExpr crashed on any non-bare-identifier name — review
+    # catch). Backtick-quote the input reference so a dotted name binds
+    # literally instead of parsing as a struct path.
+    def _ref(c: str) -> Column:
+        return F.col("`" + c.replace("`", "``") + "`")
+
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
-            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.sum(F.when(_ref(c).isNull(), 1).otherwise(0)).alias(f"__nn_{i}"),
+            F.countDistinct(_ref(c)).alias(f"__nd_{i}"),
             # aggregate in the column's native type, THEN render: a
             # lexicographic min over string-cast numerics is wrong as a
             # profile ('100' < '99')
-            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+            F.min(_ref(c)).cast("string").alias(f"__mn_{i}"),
+            F.max(_ref(c)).cast("string").alias(f"__mx_{i}"),
         ]
     one = df.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__nn_{i}").alias("n_nulls"),
+            F.col(f"__nd_{i}").alias("n_distinct"),
+            F.col(f"__mn_{i}").alias("min_str"),
+            F.col(f"__mx_{i}").alias("max_str"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return one.select(
+        F.col("__n").alias("n_rows"), F.explode(F.array(*entries)).alias("s")
+    ).select(
+        "s.column", "n_rows", "s.n_nulls", "s.n_distinct",
+        "s.min_str", "s.max_str",
     )
-    return one.selectExpr(
-        "__n AS n_rows",
-        f"stack({len(cols)}, {stack}) AS (column, n_nulls, n_distinct, min_str, max_str)",
-    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
 
 
 def profile_drift(df_a, df_b, columns=None):
@@ -175,6 +203,12 @@ def profile_drift(df_a, df_b, columns=None):
 
     if columns is None:
         cols = [c for c in df_a.columns if c in set(df_b.columns)]
+        if not cols:
+            raise ValueError(
+                "profile_drift: the two frames share no column names — "
+                "nothing to compare (review catch: this used to reach "
+                "a malformed stack(0,) parse error)"
+            )
     else:
         cols = list(columns)
         if not cols:

@@ -17,6 +17,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(df: DataFrame, salt: int) -> "F.Column":
+    """Deterministic-per-partitioning row salt: content hash mixed with
+    ``monotonically_increasing_id()`` so duplicate rows of a hot key
+    still spread across all ``salt`` sub-keys. Not rand(): a retried
+    task reproduces its assignment for a given input partitioning."""
+    return F.pmod(
+        F.xxhash64(
+            F.monotonically_increasing_id(),
+            *[F.col(c) for c in df.columns],
+        ),
+        F.lit(salt),
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -27,16 +41,21 @@ def salted_join(
     """Equi-join with the big side's hot keys spread over ``salt``
     sub-keys and the small side replicated ``salt`` times.
 
-    The salt is derived deterministically from the row content hash (not
-    rand()) so retried tasks produce identical partitioning — a
-    requirement for speculative execution / fault replay at scale.
+    The salt is deterministic for a given input partitioning (content
+    hash mixed with the row's position), never rand(): retried tasks
+    reproduce their partitioning — a requirement for speculative
+    execution / fault replay at scale. Mixing in the position matters
+    (review catch): a content-only hash maps IDENTICAL rows — the
+    classic hot key after a projection to key + low-cardinality
+    measures — to ONE salt value, silently providing zero splitting
+    exactly when it is needed. Join correctness holds for ANY salt
+    assignment (the small side is replicated over every salt), so the
+    position mix costs nothing.
     Output columns = plain ``big.join(small, on, how)``.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (small side is replicated)")
-    big_s = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
-    )
+    big_s = big.withColumn("__salt", _row_salt(big, salt))
     small_s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
@@ -56,16 +75,17 @@ def aggregate_with_salt(
 
     Catalyst already does map-side partial aggregation; explicit salting
     additionally splits a hot key ACROSS reducers, bounding any single
-    task at ~1/salt of the hot key's rows.
+    task at ~1/salt of the hot key's rows. The salt mixes in the row
+    position (see :func:`_row_salt`) so a hot key made of DUPLICATE
+    rows still splits — a content-only hash sent them all to one salt
+    (review catch); the two-stage merge is correct for any assignment.
     """
     fn_partial = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
     fn_merge = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     for name, (col, fn) in aggs.items():
         if fn not in fn_partial:
             raise ValueError(f"{fn} is not mergeable through a salt stage")
-    salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
-    )
+    salted = df.withColumn("__salt", _row_salt(df, salt))
     partial = salted.groupBy(*keys, "__salt").agg(
         *[fn_partial[fn](col).alias(name) for name, (col, fn) in aggs.items()]
     )
@@ -86,21 +106,35 @@ def bucketed_table(
     aggregations on the bucket columns then read co-located data and
     skip the exchange (and the sort, if sorted).
 
-    Rerun-safe: a killed writer (or a fresh metastore over an old
-    warehouse dir) leaves an orphaned table location that
-    ``mode=overwrite`` refuses to reclaim [LOCATION_ALREADY_EXISTS];
-    we drop the catalog entry and, for local file warehouses, the
-    orphaned directory before writing."""
+    Rerun-safe for ``mode="overwrite"`` ONLY: a killed writer (or a
+    fresh metastore over an old warehouse dir) leaves an orphaned
+    table location that the overwrite refuses to reclaim
+    [LOCATION_ALREADY_EXISTS], so in overwrite mode we drop the
+    catalog entry and, for local file warehouses, the orphaned
+    directory before writing. Other modes go straight to the writer
+    with their standard semantics — the unconditional pre-drop
+    silently destroyed existing data under ``mode="append"`` and made
+    ``mode="errorifexists"`` unable to ever error (review catch).
+    Qualified ``db.table`` names drop/reclaim the right identifier and
+    directory (``<warehouse>/<db>.db/<table>``), which the single
+    backtick-wrap got wrong (review catch)."""
     import os
     import shutil
     from urllib.parse import urlparse
 
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-    loc = os.path.join(wh.path, name.lower())
-    if wh.scheme in ("", "file") and os.path.exists(loc):
-        shutil.rmtree(loc)
+    if mode == "overwrite":
+        parts = name.split(".")
+        quoted = ".".join(f"`{p}`" for p in parts)
+        spark.sql(f"DROP TABLE IF EXISTS {quoted}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        if len(parts) == 1:
+            loc = os.path.join(wh.path, parts[0].lower())
+        else:
+            db = ".".join(parts[:-1]).lower()
+            loc = os.path.join(wh.path, f"{db}.db", parts[-1].lower())
+        if wh.scheme in ("", "file") and os.path.exists(loc):
+            shutil.rmtree(loc)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

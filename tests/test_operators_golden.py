@@ -131,6 +131,45 @@ def test_fuzzy_matchmerge_golden(spark):
     assert {r.row_id for r in inner.collect()} == {1, 2, 4}
 
 
+def test_fuzzy_matchmerge_duplicate_by_x_rows_both_kept(spark):
+    """best_only with the DEFAULT row identity must keep one best match
+    per x ROW: partitioning the rank window by by_x alone silently
+    collapsed two distinct x rows sharing a by_x string into one,
+    deleting a payload row nondeterministically (review catch)."""
+    from etlutils_spark.operators.matchmerge import fuzzy_matchmerge
+
+    dirty = spark.createDataFrame(
+        [(1, "aple"), (2, "aple")], "payload int, fruit string"
+    )
+    fruits = spark.createDataFrame([("apple",)], "name string")
+    out = fuzzy_matchmerge(dirty, fruits, by_x="fruit", by_y="name",
+                           max_distance=1)
+    got = {(r.payload, r.name) for r in out.collect()}
+    assert got == {(1, "apple"), (2, "apple")}  # both rows survive
+
+
+def test_fuzzy_matchmerge_add_columns_collision_suffixed(spark):
+    """add_columns colliding with x's names take the matchmerge '_y'
+    suffix instead of crashing the final select with
+    AMBIGUOUS_REFERENCE (review catch)."""
+    from etlutils_spark.operators.matchmerge import fuzzy_matchmerge
+
+    dirty = spark.createDataFrame(
+        [(1, "aple", "x-v")], "row_id int, fruit string, v string"
+    )
+    fruits = spark.createDataFrame(
+        [("apple", "y-v")], "name string, v string"
+    )
+    out = fuzzy_matchmerge(
+        dirty, fruits, by_x="fruit", by_y="name", max_distance=1,
+        add_columns=["v"],
+    )
+    rows = out.collect()
+    assert set(out.columns) == {"row_id", "fruit", "v", "name", "v_y",
+                                "distance"}
+    assert rows[0].v == "x-v" and rows[0].v_y == "y-v"
+
+
 def test_matchmerge_expression_keys(spark):
     # products×sales star (R/matchmerge.R:81-94): key is a concat expression
     products = spark.createDataFrame(
@@ -172,6 +211,44 @@ def test_recoder_numeric(spark):
     df = spark.createDataFrame([(1,), (2,), (3,), (None,)], "x int")
     out = df.select(recoder("x", [1, 2], [10, 20]).alias("x"))
     assert sorted([r.x for r in out.collect()], key=lambda v: (v is None, v)) == [3, 10, 20, None]
+
+
+def test_recoder_none_in_from_vals_remaps_null(spark):
+    """A None LISTED in from_vals remaps like any other value — R's
+    match() does match NA against an NA in `from` (R/utils.R:31), but
+    the plain == comparison silently never fired for it and NULLs
+    stayed NULL (review catch). Unlisted NULLs still pass through."""
+    df = spark.createDataFrame([("a",), (None,), ("z",)], "x string")
+    out = df.select(
+        recoder("x", [None, "a"], ["missing", "A"]).alias("x")
+    )
+    assert sorted(r.x for r in out.collect()) == ["A", "missing", "z"]
+    # without None in from_vals: NULL -> NULL unchanged
+    out2 = df.select(recoder("x", ["a"], ["A"]).alias("x"))
+    vals = [r.x for r in out2.collect()]
+    assert vals.count(None) == 1
+
+
+def test_profile_table_non_identifier_column_names(spark):
+    """Column names with spaces/dots profile fine: the output label
+    travels as a literal and internal aliases are index-based — the
+    old stack() selectExpr crashed on any non-bare-identifier name
+    (review catch). Disjoint drift inputs fail with a clear message."""
+    import pytest as _pytest
+
+    from etlutils_spark.operators.recode import profile_drift, profile_table
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None)], ["user id", "the.value"]
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["user id"].n_nulls == 0 and prof["user id"].n_distinct == 2
+    assert prof["the.value"].n_nulls == 1 and prof["the.value"].n_distinct == 1
+    with _pytest.raises(ValueError, match="no columns to profile"):
+        profile_table(df, columns=[])
+    other = spark.createDataFrame([(1,)], ["unrelated"])
+    with _pytest.raises(ValueError, match="share no column names"):
+        profile_drift(df, other)
 
 
 # ---- na_locf_plus_one (R/utils.R:45-52) -----------------------------------

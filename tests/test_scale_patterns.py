@@ -196,3 +196,45 @@ def test_temporal_split_warm_cold_integrity(spark):
         for r in temporal_split(ev, "2024-01-22 00:00:00").collect()
     }
     assert out == {1: "train", 2: "test_warm", 3: "test_cold", 4: "test_cold"}
+
+
+def test_salt_splits_duplicate_rows_of_hot_key(spark):
+    """A hot key made of IDENTICAL rows must still spread across salt
+    values: a content-only hash mapped them all to ONE salt, providing
+    zero splitting exactly in the classic skew case (review catch)."""
+    from etlutils_spark.operators.skew import _row_salt
+
+    hot = spark.createDataFrame([(1, "same")] * 2000, "k long, v string")
+    n_salts = (
+        hot.select(_row_salt(hot, 8).alias("s")).select("s").distinct().count()
+    )
+    assert n_salts >= 6  # duplicates spread over (nearly) all 8 salts
+    # aggregation correctness is unchanged by the position mix
+    from etlutils_spark.operators.skew import aggregate_with_salt
+
+    agg = aggregate_with_salt(
+        hot, keys=["k"], aggs={"n": ("v", "count")}, salt=8
+    ).collect()
+    assert [(r.k, r.n) for r in agg] == [(1, 2000)]
+
+
+def test_bucketed_table_append_preserves_rows(spark, tmp_path):
+    """mode='append' must APPEND: the unconditional pre-drop silently
+    destroyed the existing table's data first (review catch);
+    mode='errorifexists' must actually error."""
+    import pytest as _pytest
+    from pyspark.sql.utils import AnalysisException
+
+    from etlutils_spark.operators.skew import bucketed_table
+
+    base = spark.range(10).selectExpr("id AS k", "id * 2 AS v")
+    bucketed_table(base, "t_append_keep", ["k"], num_buckets=2)
+    bucketed_table(base, "t_append_keep", ["k"], num_buckets=2, mode="append")
+    assert spark.table("t_append_keep").count() == 20
+    with _pytest.raises(AnalysisException):
+        bucketed_table(
+            base, "t_append_keep", ["k"], num_buckets=2, mode="errorifexists"
+        )
+    bucketed_table(base, "t_append_keep", ["k"], num_buckets=2)  # overwrite
+    assert spark.table("t_append_keep").count() == 10
+    spark.sql("DROP TABLE IF EXISTS t_append_keep")
