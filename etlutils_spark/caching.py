@@ -12,6 +12,8 @@ fan-out and the next call evicts it.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
@@ -19,16 +21,27 @@ _TRACKED: list[DataFrame] = []
 _TRACKED_KEEP = 2  # LRU depth: lets back-to-back pipelines over the same
 # corpus reuse the cached table (CacheManager dedupes by canonicalized
 # plan) while still bounding total cached state.
+# process-global shared state mutated from any thread running a pipeline
+# (concurrent Spark jobs are a supported pattern): without the lock two
+# racing callers could both pop the same entry / leave more than KEEP
+# frames persisted (review catch)
+_TRACKED_LOCK = threading.Lock()
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
     """Persist ``df`` (memory-and-disk) under the shared LRU tracker;
-    the oldest tracked plan beyond the LRU depth is blocking-unpersisted."""
-    while len(_TRACKED) >= _TRACKED_KEEP:
+    the oldest tracked plan beyond the LRU depth is blocking-unpersisted.
+    Thread-safe."""
+    with _TRACKED_LOCK:
+        evicted = []
+        while len(_TRACKED) >= _TRACKED_KEEP:
+            evicted.append(_TRACKED.pop(0))
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _TRACKED.append(df)
+    # the (possibly slow) blocking unpersists run OUTSIDE the lock
+    for old in evicted:
         try:
-            _TRACKED.pop(0).unpersist(blocking=True)
+            old.unpersist(blocking=True)
         except Exception:  # noqa: BLE001 - session may be gone
             pass
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _TRACKED.append(df)
     return df

@@ -24,10 +24,22 @@ def _c(col: Column | str) -> Column:
 
 
 def dot_exact(a: Column | str, b: Column | str) -> Column:
-    """Exact (decimal-accumulated) dot product of two float arrays."""
+    """Exact (decimal-accumulated) dot product of two float arrays.
+
+    NULL products — a NULL element, or the padding ``zip_with`` adds
+    when the arrays are ragged — contribute ZERO, exactly like the
+    DuckDB twin whose SUM skips NULL products (review catch: an
+    uncoalesced fold let one NULL poison the whole dot into NULL,
+    silently diverging from the oracle fragment on malformed data).
+    The mismatched tail is thus a partial dot on BOTH engines — the
+    documented best-effort semantics for ragged embeddings."""
     a, b = _c(a), _c(b)
     prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC))
-    return F.aggregate(prods, F.lit(0).cast(DEC), lambda acc, v: (acc + v).cast(DEC)).cast("double")
+    return F.aggregate(
+        prods,
+        F.lit(0).cast(DEC),
+        lambda acc, v: (acc + F.coalesce(v, F.lit(0).cast(DEC))).cast(DEC),
+    ).cast("double")
 
 
 def norm_exact(a: Column | str) -> Column:
@@ -44,7 +56,10 @@ def cosine_exact(a: Column | str, b: Column | str) -> Column:
 def dot_fast(a: Column | str, b: Column | str) -> Column:
     a, b = _c(a), _c(b)
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+    # NULL products contribute zero — same contract as dot_exact
+    return F.aggregate(
+        prods, F.lit(0.0), lambda acc, v: acc + F.coalesce(v, F.lit(0.0))
+    )
 
 
 def norm_fast(a: Column | str) -> Column:

@@ -67,8 +67,17 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("bm25_topk: query_terms must be non-empty")
-    toks = with_tokens(df, text_col).select(
-        F.col(id_col), F.col(TOKENS_COL).alias("__w")
+    from etlutils_spark.caching import persist_tracked
+
+    # toks feeds THREE unshared subtrees (stats agg, dl projection, tf
+    # explode) — Catalyst does not dedupe common subtrees, so without
+    # the persist one action scans and tokenizes the full corpus 3x
+    # (review catch; the dedup.py shingle table follows the same
+    # materialize-before-fan-out rule)
+    toks = persist_tracked(
+        with_tokens(df, text_col).select(
+            F.col(id_col), F.col(TOKENS_COL).alias("__w")
+        )
     )
     # corpus stats: one tiny row, broadcast everywhere
     stats = toks.agg(
@@ -215,7 +224,15 @@ def _bigram_lm_scored(
     ``group_cols``, and every numeric convention (one IEEE division
     per transition, decimal-accumulated mean) lives HERE once — the
     two public faces must not be able to drift numerically."""
-    bg = bigram_rows(df, text_col, id_col, carry=group_cols or None)
+    from etlutils_spark.caching import persist_tracked
+
+    # bg feeds THREE unshared subtrees (both model aggs + the join
+    # base) — without the persist one action re-runs read + tokenize +
+    # explode over the whole corpus 3x (review catch; same rule as the
+    # bm25 token table)
+    bg = persist_tracked(
+        bigram_rows(df, text_col, id_col, carry=group_cols or None)
+    )
     c2 = bg.groupBy(*group_cols, "__ctx", "__nxt").agg(
         F.count(F.lit(1)).alias("__n2")
     )
@@ -298,6 +315,17 @@ def ccnet_lm_buckets(
     leading key; the scored table is one narrow row per doc."""
     if mode not in ("exact", "approx"):
         raise ValueError(f"mode must be exact|approx, got {mode!r}")
+    # guard next to the mode check (review catch: n_buckets=1 built
+    # percentile_approx with an EMPTY percentage array in approx mode
+    # while exact mode worked, and n_buckets<1 died as a deep ntile
+    # AnalysisException instead of a loud ValueError)
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if n_buckets == 1 and mode == "approx":
+        raise ValueError(
+            "n_buckets=1 has no thresholds to sketch — every doc is "
+            "bucket 1; use mode='exact' (or more buckets)"
+        )
     scored = _bigram_lm_scored(
         df, text_col, id_col, [lang_col], broadcast_model, with_min=False
     )

@@ -1381,11 +1381,13 @@ def q_train_val_test_split(spark, sf_dir):
       SELECT o.*, c.c_custkey AS fk
       FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
     a AS (SELECT
-      CAST(SUM(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      CAST(SUM(CASE WHEN fk IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
         AS fk_customer,
-      CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT)
+      -- pass-counts-0 / everything-else-counts-1 (incl. NULL): the
+      -- strict NULL-violates contract, mirrored from check_constraints
+      CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
         AS positive_price,
-      CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      CAST(SUM(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
         AS orderdate_not_null,
       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
         AS unique_orderkey

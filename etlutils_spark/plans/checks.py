@@ -108,12 +108,21 @@ def check_constraints(
     unique_keys: dict[str, str] | None = None,
 ) -> DataFrame:
     """Declarative data-quality audit: ``rules`` maps a rule name to a
-    boolean Column (True = row passes); ``unique_keys`` maps a rule
-    name to a column that must be duplicate-free. Returns one row per
-    rule — ``(rule, n_violations, passed)`` — computed in ONE
-    aggregation pass over ``df`` (every rule is a conditional count in
-    the same HashAggregate; uniqueness is count(*) - count(distinct)),
-    then unpivoted driver-free with ``stack``.
+    boolean Column (True = row passes — anything else, INCLUDING NULL,
+    is a violation); ``unique_keys`` maps a rule name to a column that
+    must be duplicate-free. Returns one row per rule —
+    ``(rule, n_violations, passed)`` — computed in ONE aggregation
+    pass over ``df`` (every rule is a conditional count in the same
+    HashAggregate; uniqueness is count(*) - count(distinct)), then
+    unpivoted driver-free via explode-of-structs.
+
+    NULL handling is strict on purpose (review catch): ``~cond`` is
+    NULL for a NULL predicate, and a when/otherwise keyed on it
+    counted the row as a PASS — a 100%-NULL column sailed through
+    every rule silently. The contract is "True passes"; a NULL
+    three-valued result violates. Empty input audits as 0 violations
+    per rule (coalesced sum), and rule names never reach parsed SQL,
+    so any name is legal (the stack() form broke on quotes).
 
     The generalization of the reference's two validations (unique
     right key, R/matchmerge.R:148-160; level domain, R/ffsql.R:190-200)
@@ -124,19 +133,30 @@ def check_constraints(
     overlap = set(rules) & set(unique_keys)
     if overlap:
         raise ValueError(f"rule names used twice: {sorted(overlap)}")
-    aggs = [
-        F.sum(F.when(~cond, 1).otherwise(0)).cast("long").alias(name)
-        for name, cond in rules.items()
-    ] + [
-        (F.count(F.lit(1)) - F.count_distinct(F.col(col))).cast("long").alias(name)
-        for name, col in unique_keys.items()
-    ]
     names = [*rules, *unique_keys]
+    if not names:
+        raise ValueError("check_constraints: no rules given")
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(cond, 0).otherwise(1)), F.lit(0)
+        ).cast("long").alias(f"__r_{i}")
+        for i, (name, cond) in enumerate(rules.items())
+    ] + [
+        (F.count(F.lit(1)) - F.count_distinct(F.col(col)))
+        .cast("long")
+        .alias(f"__u_{i}")
+        for i, (name, col) in enumerate(unique_keys.items())
+    ]
     one = df.agg(*aggs)
-    stack_args = ", ".join(f"'{n}', `{n}`" for n in names)
+    entries = [
+        F.struct(F.lit(n).alias("rule"), F.col(f"__r_{i}").alias("n_violations"))
+        for i, n in enumerate(rules)
+    ] + [
+        F.struct(F.lit(n).alias("rule"), F.col(f"__u_{i}").alias("n_violations"))
+        for i, n in enumerate(unique_keys)
+    ]
     return (
-        one.select(
-            F.expr(f"stack({len(names)}, {stack_args}) as (rule, n_violations)")
-        )
+        one.select(F.explode(F.array(*entries)).alias("s"))
+        .select("s.rule", "s.n_violations")
         .withColumn("passed", F.col("n_violations") == 0)
     )

@@ -56,7 +56,20 @@ def get_session(app_name: str = "etlutils_spark", **extra_conf: str) -> SparkSes
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     master = f"local[{cpus}]" if cpus else "local[*]"
     builder = SparkSession.builder.appName(app_name)
-    if "MASTER" not in os.environ and "SPARK_MASTER" not in os.environ:
+    # respect an environment-configured master. spark-submit conveys it
+    # via the spark.master conf/system property (which SparkConf's
+    # loadDefaults reads), NOT the MASTER/SPARK_MASTER env vars — the
+    # env-var-only check silently overrode `--master yarn` with local
+    # mode, running a submitted cluster job single-node on the driver
+    # (review catch)
+    from pyspark import SparkConf
+
+    env_master = (
+        os.environ.get("MASTER")
+        or os.environ.get("SPARK_MASTER")
+        or SparkConf(loadDefaults=True).get("spark.master", None)
+    )
+    if not env_master:
         builder = builder.master(master)
     conf = {**DEFAULT_CONF, **extra_conf}
     for k, v in conf.items():

@@ -208,3 +208,60 @@ def test_corpus_diff_null_text_is_presence_not_absence(spark):
     b = spark.createDataFrame([(1, None), (2, None)], "doc_id long, text string")
     out = {r.doc_id: r.status for r in corpus_diff(a, b).collect()}
     assert out == {1: "unchanged", 2: "changed"}
+
+
+def test_check_constraints_null_predicate_violates(spark):
+    """A NULL predicate result is a VIOLATION, not a pass: ~cond is
+    NULL for NULL inputs and the old when/otherwise counted the row as
+    passing — a 100%-NULL column sailed through every rule silently
+    (review catch). Empty input audits as 0 violations, and rule names
+    containing quotes work (no parsed SQL)."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from etlutils_spark.plans.checks import check_constraints
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (-2.0,)], "price double"
+    )
+    rows = {r.rule: r for r in check_constraints(
+        df, rules={"price isn't null and > 0": F.col("price") > 0}
+    ).collect()}
+    r = rows["price isn't null and > 0"]
+    assert r.n_violations == 2 and r.passed is False  # NULL + negative
+    empty = df.filter(F.lit(False))
+    out = check_constraints(
+        empty, rules={"pos": F.col("price") > 0},
+        unique_keys={"uniq": "price"},
+    ).collect()
+    assert all(x.n_violations == 0 and x.passed for x in out)
+    with pytest.raises(ValueError, match="no rules"):
+        check_constraints(df, {}, {})
+
+
+def test_vector_dot_null_products_contribute_zero(spark):
+    """Ragged arrays / NULL elements: zip_with's padding produces NULL
+    products, which must contribute ZERO like the DuckDB twin's SUM
+    (the uncoalesced fold turned the whole dot into NULL — review
+    catch)."""
+    from etlutils_spark.functions.vectors import dot_exact, dot_fast
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0, 4.0], [1.0, 1.0])], "a array<double>, b array<double>"
+    )
+    got = df.select(
+        dot_exact("a", "b").alias("de"), dot_fast("a", "b").alias("df")
+    ).first()
+    assert got.de == 3.0 and got.df == 3.0  # partial dot over shared dims
+
+
+def test_ccnet_n_buckets_guard(spark):
+    import pytest
+
+    from etlutils_spark.operators.search import ccnet_lm_buckets
+
+    df = spark.createDataFrame([(1, "a b c", "en")], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="n_buckets"):
+        ccnet_lm_buckets(df, n_buckets=0)
+    with pytest.raises(ValueError, match="no thresholds"):
+        ccnet_lm_buckets(df, n_buckets=1, mode="approx")
