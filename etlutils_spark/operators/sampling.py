@@ -92,10 +92,14 @@ def shard_stats(
     key_col: str = "doc_id",
     token_col: str | None = None,
     text_col: str = "text",
+    salt: str = "",
 ) -> DataFrame:
     """Per-shard manifest: row count + token mass. The balance check a
-    sharded export runs before committing a layout."""
-    sharded = assign_shards(df, n_shards, key_col)
+    sharded export runs before committing a layout. ``salt`` must match
+    the ``assign_shards`` salt of the layout being validated — without
+    the passthrough the manifest silently described the DEFAULT-salt
+    assignment, a layout that would never be written (review catch)."""
+    sharded = assign_shards(df, n_shards, key_col, salt)
     n_tok = (
         F.col(token_col)
         if token_col
@@ -156,9 +160,17 @@ def pack_sequences(
         "n_tokens",
         start.alias("start_offset"),
         (start / budget).cast("bigint").alias("pack_id"),
-        ((start / budget).cast("bigint") != (end_incl / budget).cast("bigint")).alias(
-            "spans_boundary"
-        ),
+        # a ZERO-token doc occupies no tokens: end_incl = start - 1
+        # makes the naive pack compare flag it as boundary-spanning
+        # when its offset lands exactly on a cut (review catch) — a
+        # doc spans only if it has tokens on both sides
+        (
+            (F.col("n_tokens") > 0)
+            & (
+                (start / budget).cast("bigint")
+                != (end_incl / budget).cast("bigint")
+            )
+        ).alias("spans_boundary"),
     )
 
 
@@ -200,7 +212,37 @@ def mixture_resample(
     # mass matches the target in expectation; see temperature_resample)
     mass = F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
     counts = df.groupBy(strata_col).agg(mass.alias("__n"))
-    joined = counts.join(F.broadcast(wdf), strata_col)
+    # wdf LEFT-joins counts so a weight stratum ABSENT from the data is
+    # visible (the inner join silently dropped it, computed feasibility
+    # over the remaining strata, and returned a wrong mixture — e.g. a
+    # requested 50/50 en/pt over en-only data came back 100% en; review
+    # catch). Per the formula its feasible total is 0; an empty result
+    # is a silent trap too, so the assert rides the rates and fails
+    # loudly at execution.
+    joined = wdf.join(counts, strata_col, "left")
+    # an ENTIRELY empty input (every weight stratum absent) keeps the
+    # empty-in -> empty-out contract: the NULL rates below filter
+    # everything; only a PARTIAL absence — some strata present, the
+    # requested mixture genuinely infeasible — is the silent trap that
+    # must be loud
+    tot = joined.agg(F.sum("__n").alias("__tot"))
+    joined = joined.crossJoin(F.broadcast(tot))
+    ok = F.assert_true(
+        (F.col("__n").isNotNull() & (F.col("__n") > 0))
+        | F.col("__tot").isNull(),
+        F.concat(
+            F.lit("mixture_resample: weight stratum "),
+            F.col(strata_col),
+            F.lit(
+                " has no rows in the data — the requested mixture is "
+                "infeasible (feasible total = 0); drop the stratum "
+                "from weights or fix the upstream filter"
+            ),
+        ),
+    )
+    joined = joined.select(
+        strata_col, F.when(ok.isNull(), F.col("__n")).alias("__n"), "__wt"
+    )
     feas = joined.agg(F.min(F.col("__n") / F.col("__wt")).alias("__total"))
     rates = (
         joined.crossJoin(F.broadcast(feas))
@@ -240,6 +282,12 @@ def shuffle_export(
         df.withColumn("__shuffle_key", digest)
         .repartitionByRange(n_shards, "__shuffle_key")
         .sortWithinPartitions("__shuffle_key")
+        # the digest is layout plumbing, not payload: leaving it in
+        # added a 33-byte column to every exported row (~330 GB at
+        # 10^10 rows) and an unexpected column for schema checks
+        # (review catch). The drop projects AFTER the range exchange
+        # and sort, which are already physically planned.
+        .drop("__shuffle_key")
     )
 
 
@@ -320,14 +368,22 @@ def cap_per_group(
             .drop("__capr")
         )
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
-    # digest's leading 60 bits as an integer vs cap/n * 2^60 (double
-    # precision is ample for a sampling threshold)
+    # digest's leading 60 bits as an INTEGER compared against
+    # floor(rate * 2^60) as an integer — the mixture_resample pattern.
+    # A double-side compare broke the "groups at or under the cap are
+    # kept whole EXACTLY" contract at the edge: prefixes within 64 of
+    # 2^60 round UP to exactly 2^60 as doubles and failed lead < 2^60
+    # (review catch; ~5.5e-17/row, but the invariant is stated exact)
     lead = F.conv(F.substring(_digest(key_col, salt), 1, 15), 16, 10).cast(
-        "double"
+        "long"
     )
     thresh = (
-        F.when(F.col("__n") <= cap, F.lit(float(1 << 60)))
-        .otherwise(F.lit(cap) / F.col("__n") * F.lit(float(1 << 60)))
+        F.when(F.col("__n") <= cap, F.lit(1 << 60).cast("long"))
+        .otherwise(
+            F.floor(
+                F.lit(cap) / F.col("__n") * F.lit(float(1 << 60))
+            ).cast("long")
+        )
     )
     # null-safe join: a NULL group is a group like any other (the exact
     # window mode caps it too); plain equality would silently drop
@@ -525,8 +581,16 @@ def leakage_safe_split(
         df.join(comp, df[id_col] == comp["node"], "left")
         .drop("node")
         .withColumn(
+            # STRING key, not long: a non-numeric doc id cast to long is
+            # NULL, whose digest is NULL, which fails every when() and
+            # dumped ~100% of unclustered docs into 'test' (review
+            # catch). Numeric ids render the same decimal string either
+            # way, so existing splits are unchanged.
             "split_key",
-            F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("long"),
+            F.coalesce(
+                F.col("cluster_id").cast("string"),
+                F.col(id_col).cast("string"),
+            ),
         )
         .drop("cluster_id")
     )
@@ -582,12 +646,18 @@ def temperature_resample(
     and engine. Scale: one tiny count aggregation, then a broadcast
     join + stateless filter at scan speed; no shuffle of ``df``.
     """
+    if alpha == 1.0:
+        # natural frequency — the documented no-op baseline (review
+        # catch: the docstring advertised alpha=1 while the validation
+        # rejected it); every stratum keeps rate 1.0, so the identity
+        # is exact, not a threshold compare
+        return df
     q4 = (1.0 - alpha) * 4
     if alpha not in (0.0, 0.25, 0.5, 0.75) or q4 != int(q4):
         raise ValueError(
-            "alpha must be one of {0, 0.25, 0.5, 0.75} (dyadic exponents "
-            "evaluate as correctly-rounded sqrt chains; pow is not "
-            "engine-portable)"
+            "alpha must be one of {0, 0.25, 0.5, 0.75, 1} (dyadic "
+            "exponents evaluate as correctly-rounded sqrt chains; pow "
+            "is not engine-portable)"
         )
     mass = (
         F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))

@@ -206,6 +206,14 @@ def corpus_rarity_stats(
     docs), ``rare_ratio`` (fraction of tokens occurring <=
     ``rare_max_count`` times corpus-wide — high for noise).
 
+    Contract note (review catch, documented not changed): a doc whose
+    text is NULL tokenizes to zero rows and is ABSENT from the output
+    (explode drops it), matching the DuckDB oracle's UNNEST shape —
+    unlike ``line_boilerplate_removal``/``tokens_to_ids``, which emit
+    a row for every input doc. Callers joining these stats back must
+    left-join (or pre-filter NULL text) or NULL-text docs silently
+    leave the pipeline; same contract in :func:`oov_stats`.
+
     Scale: two shuffles — the vocabulary count (token key) and the
     per-doc re-aggregation (id key). The token->count join is the skew
     point (stopwords hit every row): Spark AQE skew-join splits it, and
@@ -266,7 +274,18 @@ def chunk_documents(
     step = max_tokens - overlap
     base = with_tokens(df, text_col)
     toks = F.col(TOKENS_COL)
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(step))
+    # start bound is size - overlap, not size: a start inside the final
+    # overlap region emits a chunk FULLY CONTAINED in its predecessor
+    # (zero new tokens), which a training/embedding consumer indexes
+    # twice (review catch). Every token stays covered: the last kept
+    # start s > size - overlap - step reaches s + max_tokens - 1 >=
+    # size, and each dropped start's tokens lie inside the previous
+    # chunk by the same algebra.
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - F.lit(overlap), F.lit(1)),
+        F.lit(step),
+    )
     chunk = F.slice(toks, F.col("chunk_start"), max_tokens)
     return (
         base.select(id_col, TOKENS_COL, F.posexplode(starts).alias("chunk_idx", "chunk_start"))
@@ -319,7 +338,9 @@ def oov_stats(
     Scale: the vocab is top-N-bounded, so it broadcasts; the corpus side
     is one explode + left join + per-doc re-aggregation (one shuffle on
     the id key). The division is a single IEEE double op — bit-identical
-    on any engine/partitioning.
+    on any engine/partitioning. NULL-text docs are absent from the
+    output (explode drops them — see the corpus_rarity_stats contract
+    note); left-join these stats back or pre-filter NULL text.
     """
     tok = with_tokens(df, text_col).select(
         id_col, F.explode(TOKENS_COL).alias("token")
@@ -996,8 +1017,14 @@ def _bpe_encode_pandas(
                 "encoded": encoded,
             })
 
+    # id type DERIVED from the input schema (the png_roundtrip_stats
+    # pattern): hardcoding 'long' broke the chain/pandas byte-for-byte
+    # mode equivalence for string-id corpora — auto mode would silently
+    # change the id type (or die in Arrow) past the merge-count
+    # threshold (review catch)
+    id_type = df.schema[id_col].dataType.simpleString()
     return spread(df.select(id_col, text_col)).mapInPandas(
-        run, schema=f"{id_col} long, n_pieces bigint, encoded string"
+        run, schema=f"{id_col} {id_type}, n_pieces bigint, encoded string"
     )
 
 

@@ -67,10 +67,11 @@ def q_source_cap_sample(spark, sf_dir):
     WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
     SELECT d.doc_id, d.lang, d.source
     FROM documents d JOIN counts c ON d.lang IS NOT DISTINCT FROM c.lang
-    WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
-               AS BIGINT) AS DOUBLE)
-          < CASE WHEN c.n <= 70 THEN 1152921504606846976.0
-                 ELSE 70 / c.n * 1152921504606846976.0 END
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT)
+          < CASE WHEN c.n <= 70 THEN 1152921504606846976
+                 ELSE CAST(floor(70 / c.n * 1152921504606846976.0) AS BIGINT)
+                 END
     """,
 )
 def q_lang_cap_approx(spark, sf_dir):
@@ -556,6 +557,7 @@ _PACK_BUDGET = 512
     SELECT source, doc_id, n_tokens,
            CAST(cum_tokens - n_tokens AS BIGINT) AS start_offset,
            CAST((cum_tokens - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           n_tokens > 0 AND
            (cum_tokens - n_tokens) // {_PACK_BUDGET}
              != (cum_tokens - 1) // {_PACK_BUDGET} AS spans_boundary
     FROM cum
@@ -865,7 +867,10 @@ _CHUNK_MAX, _CHUNK_OVERLAP = 64, 8
     f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     s AS (SELECT doc_id, w,
-                 UNNEST(generate_series(1, greatest(len(w), 1),
+                 -- bound = len - overlap: a start inside the final
+                 -- overlap region is fully contained in its
+                 -- predecessor chunk (mirrors chunk_documents)
+                 UNNEST(generate_series(1, greatest(len(w) - {_CHUNK_OVERLAP}, 1),
                                         {_CHUNK_MAX - _CHUNK_OVERLAP})) AS chunk_start
           FROM t)
     SELECT doc_id,

@@ -351,11 +351,14 @@ def test_chunk_documents_geometry(spark):
     by_doc = {}
     for (_, __), r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    # doc 1: 10 tokens, step 3 -> starts 1,4,7,10 -> 4 chunks
-    assert [c["chunk_start"] for c in by_doc[1]] == [1, 4, 7, 10]
+    # doc 1: 10 tokens, step 3, bound = 10 - overlap = 9 -> starts
+    # 1,4,7. A start at 10 would emit just 't9', which chunk 7..10
+    # already fully covers — the zero-new-token duplicate the bound
+    # exists to drop (review catch)
+    assert [c["chunk_start"] for c in by_doc[1]] == [1, 4, 7]
     assert by_doc[1][0]["chunk_text"] == "t0 t1 t2 t3"
     assert by_doc[1][1]["chunk_text"] == "t3 t4 t5 t6"  # 1-token overlap
-    assert by_doc[1][3]["chunk_text"] == "t9" and by_doc[1][3]["n_chunk_tokens"] == 1
+    assert by_doc[1][2]["chunk_text"] == "t6 t7 t8 t9"  # tail covered
     # doc 2: 2 tokens -> one chunk
     assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b"
     # doc 3: empty text -> split('') == [''] -> one chunk of the empty token
@@ -561,9 +564,12 @@ def test_leakage_safe_split_components_cohere(spark):
     key = {r["doc_id"]: r["split_key"] for r in out}
     assert split[3] == split[7] == split[11]
     assert split[4] == split[15]
-    assert key[3] == key[7] == key[11] == 3   # min-id component label
-    assert key[4] == key[15] == 4
-    assert key[0] == 0                         # singleton keys on itself
+    # split_key is a STRING (numeric ids render the same digits, so
+    # digests/splits are unchanged; a long cast NULLed string ids and
+    # dumped every unclustered doc into 'test' — review catch)
+    assert key[3] == key[7] == key[11] == "3"  # min-id component label
+    assert key[4] == key[15] == "4"
+    assert key[0] == "0"                       # singleton keys on itself
     assert set(split.values()) <= {"train", "val", "test"}
 
 
@@ -1225,3 +1231,76 @@ def test_curate_documents_classifier_stage(spark):
     assert {r.doc_id for r in kept_h.select("doc_id").collect()} == set(
         range(20)
     )
+
+
+def test_leakage_safe_split_string_ids_split_properly(spark):
+    """String doc ids must split ~per-fractions: the old long cast
+    turned them into NULL split keys whose digest failed every when()
+    and dumped ~100% of unclustered docs into 'test' (review catch)."""
+    from etlutils_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(200)], "doc_id string"
+    )
+    comp = spark.createDataFrame([], "node long, cluster_id long")
+    out = leakage_safe_split(docs, components=comp).collect()
+    frac_test = sum(1 for r in out if r.split == "test") / len(out)
+    assert frac_test < 0.5  # was ~1.0 under the long-cast bug
+    assert sum(1 for r in out if r.split == "train") / len(out) > 0.5
+
+
+def test_mixture_resample_missing_weight_stratum_is_loud(spark):
+    """A weight stratum absent from the data makes the requested
+    mixture infeasible (feasible total = 0) — the inner join silently
+    returned a WRONG mixture instead (100% of the present stratum;
+    review catch). Must raise, naming the stratum."""
+    import pytest
+
+    from etlutils_spark.operators.sampling import mixture_resample
+
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(200)], "doc_id long, lang string"
+    )
+    with pytest.raises(Exception, match="has no rows"):
+        mixture_resample(
+            docs, {"en": 0.5, "pt": 0.5}, strata_col="lang"
+        ).collect()
+    # all strata present: unchanged behavior
+    assert mixture_resample(docs, {"en": 1.0}, strata_col="lang").count() > 0
+
+
+def test_temperature_alpha_one_is_identity(spark):
+    from etlutils_spark.operators.sampling import temperature_resample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(60)],
+        "doc_id long, lang string",
+    )
+    assert temperature_resample(docs, alpha=1.0, strata_col="lang").count() == 60
+
+
+def test_pack_sequences_zero_token_doc_never_spans(spark):
+    """A zero-token doc whose offset lands exactly on a pack cut must
+    not flag spans_boundary (it occupies no tokens — review catch)."""
+    from etlutils_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "g", 8), (2, "g", 0), (3, "g", 4)],
+        "doc_id long, g string, n long",
+    )
+    out = {r.doc_id: r for r in pack_sequences(
+        docs, budget=8, group_col="g", order_col="doc_id", token_col="n"
+    ).collect()}
+    assert out[2].start_offset == 8 and out[2].n_tokens == 0
+    assert out[2].spans_boundary is False
+    assert out[1].spans_boundary is False  # exactly fills pack 0
+    assert out[3].spans_boundary is False  # fits inside pack 1
+
+
+def test_shuffle_export_drops_internal_key(spark):
+    from etlutils_spark.operators.sampling import shuffle_export
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    out = shuffle_export(df, 2)
+    assert out.columns == ["doc_id"]
+    assert out.count() == 10

@@ -78,7 +78,9 @@ def test_chunk_documents_match_python(spark, doc_texts, max_tokens, overlap):
     expect = {}
     for i, t in enumerate(doc_texts):
         toks = t.split(" ")  # '' -> [''], mirroring F.split / string_split
-        starts = list(range(1, max(len(toks), 1) + 1, step))
+        # bound = len - overlap: a start inside the final overlap region
+        # would emit a chunk fully contained in its predecessor (r12)
+        starts = list(range(1, max(len(toks) - overlap, 1) + 1, step))
         for idx, s0 in enumerate(starts):
             sl = toks[s0 - 1 : s0 - 1 + max_tokens]
             expect[(i, idx)] = (s0, " ".join(sl), len(sl))
