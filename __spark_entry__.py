@@ -64,28 +64,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _LAST_DRIVER_CHECK = {
     # --- last green driver row: CORRECTNESS_r08.json ---
-    "ann_arrow_topk": 8, "ann_index_topk": 8, "ann_ivf_topk": 8,
-    "ann_lsh_topk": 8, "ann_pq_recall_contract": 8,
-    "approx_distinct_contract": 8, "approx_quantiles_contract": 8,
-    "asof_next_purchase": 8, "bm25_topk_search": 8, "cohort_retention": 8,
-    "constraint_audit": 8, "curation_pipeline_batch": 8,
-    "decontaminate_semantic_embeddings": 8,
-    "dedup_cluster_size_histogram": 8, "dedup_clusters_star": 8,
-    "dedup_containment": 8, "dedup_rate_report_by_source": 8,
-    "dedup_simhash": 8, "dedup_window_rewrite": 8, "dedup_window_spans": 8,
-    "dedup_window_spans_shifted": 8, "embedding_cluster_assign": 8,
-    "format_roundtrip_orc": 8, "funnel_stages_user": 8,
-    "heavy_hitters_contract": 8, "hilbert_curve_order2": 8,
-    "ingest_limit": 8, "knn_label_consistency": 8, "leakage_safe_split": 8,
-    "multimodal_features": 8, "multimodal_probe": 8,
-    "profile_embeddings": 8, "quality_percentile_prune": 8,
-    "quality_rank_blend": 8, "salted_agg_event_types": 8,
-    "salted_join_hotkey": 8, "scd2_history": 8,
-    "semantic_dedup_survivors": 8, "streaming_interval_join": 8,
-    "token_budget_sample": 8, "train_val_test_split": 8,
-    "triplet_mining_pairs": 8, "vocab_oov_rate": 8, "vocab_top_tokens": 8,
-    "winnow_fingerprints": 8, "winnow_overlap_pairs": 8,
-    "zorder_pruning_stats": 8,
+    "format_roundtrip_orc": 8, "hilbert_curve_order2": 8,
+    "quality_rank_blend": 8, "token_budget_sample": 8,
     # --- last green driver row: CORRECTNESS_r09.json ---
     "agg_cube": 9, "agg_rollup": 9, "ann_index_streaming": 9,
     "anti_join_customers": 9, "append_union": 9, "bigram_lm_quality": 9,
@@ -144,7 +124,6 @@ _LAST_DRIVER_CHECK = {
     "grouped_apply_rank": 11, "incremental_lsh_pairs": 11,
     "incremental_span_dedup": 11, "mixture_resample_lang": 11,
     "multimodal_audio_chunks": 11, "multimodal_meta": 11,
-    "nb_classifier_hashed": 11, "nb_quality_classifier": 11,
     "outlier_flags_events": 11, "pack_sequences_source": 11,
     "pandas_udf_normalize": 11, "pca_variance_contract": 11,
     "profile_documents": 11, "q11_important_stock": 11,
@@ -155,10 +134,35 @@ _LAST_DRIVER_CHECK = {
     "sample_stratified_lang": 11, "sessionize_events": 11,
     "sessionize_native_window": 11, "sessionize_stateful_evicted": 11,
     "shard_manifest": 11, "streaming_curation_pipeline": 11,
-    "streaming_nb_scoring": 11, "text_fingerprint": 11,
-    "text_redact_pii": 11, "text_repetition": 11, "text_token_counts": 11,
-    "time_rollup_multigrain": 11, "unpivot_order_metrics": 11,
-    "upsert_scd1": 11, "window_rolling_7d": 11, "write_roundtrip": 11,
+    "text_fingerprint": 11, "text_redact_pii": 11, "text_repetition": 11,
+    "text_token_counts": 11, "time_rollup_multigrain": 11,
+    "unpivot_order_metrics": 11, "upsert_scd1": 11, "window_rolling_7d": 11,
+    "write_roundtrip": 11,
+    # --- last green driver row: CORRECTNESS_r12.json ---
+    "ann_arrow_topk": 12, "ann_index_topk": 12, "ann_ivf_topk": 12,
+    "ann_lsh_topk": 12, "ann_pq_recall_contract": 12,
+    "approx_distinct_contract": 12, "approx_quantiles_contract": 12,
+    "asof_next_purchase": 12, "bm25_topk_search": 12,
+    "cohort_retention": 12, "constraint_audit": 12,
+    "curation_pipeline_batch": 12, "decontaminate_semantic_embeddings": 12,
+    "dedup_cluster_size_histogram": 12, "dedup_clusters_star": 12,
+    "dedup_containment": 12, "dedup_ngram_jaccard_guarded": 12,
+    "dedup_rate_report_by_source": 12, "dedup_simhash": 12,
+    "dedup_window_rewrite": 12, "dedup_window_spans": 12,
+    "dedup_window_spans_shifted": 12, "embedding_cluster_assign": 12,
+    "funnel_stages_user": 12, "heavy_hitters_contract": 12,
+    "ingest_limit": 12, "knn_label_consistency": 12, "lang_cap_approx": 12,
+    "leakage_safe_split": 12, "multimodal_features": 12,
+    "multimodal_probe": 12, "nb_classifier_hashed": 12,
+    "nb_quality_classifier": 12, "percentile_prune_approx_contract": 12,
+    "profile_embeddings": 12, "quality_percentile_prune": 12,
+    "rank_blend_approx_contract": 12, "salted_agg_event_types": 12,
+    "salted_join_hotkey": 12, "scd2_history": 12,
+    "semantic_dedup_survivors": 12, "streaming_interval_join": 12,
+    "streaming_nb_scoring": 12, "train_val_test_split": 12,
+    "triplet_mining_pairs": 12, "vocab_oov_rate": 12,
+    "vocab_top_tokens": 12, "winnow_fingerprints": 12,
+    "winnow_overlap_pairs": 12, "zorder_pruning_stats": 12,
 }
 
 
@@ -166,17 +170,11 @@ _LAST_DRIVER_CHECK = {
 # consumer wiring, or a semantics-relevant operator edit) — they must
 # re-verify in the new form regardless of a prior green row.
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # r12: the NB train plan gained the NULL-label exclusion filter and
-    # the hash_dim column-metadata stamp (quality.py) — values are
-    # unchanged on the test data (labels are never NULL there) but the
-    # registered plans changed, so their r11 greens don't vouch for the
-    # new form (review catch: leaving these out fronts them at the BACK
-    # of the driver window — the freshest tier — exactly when they were
-    # edited). pca_variance_contract's r11 schema change re-verified
-    # green in CORRECTNESS_r11.json and is dropped from this set.
-    "nb_quality_classifier",
-    "nb_classifier_hashed",
-    "streaming_nb_scoring",
+    # r13 starts empty: the r12-changed NB trio re-verified green in
+    # CORRECTNESS_r12.json in their new form (NULL-label filter +
+    # hash_dim stamp), so their r12 greens vouch for the registered
+    # plans. Entries are added below as r13 edits touch registered
+    # plans.
 })
 
 # Derived view kept for the smoke-test invariant and round tooling: a
