@@ -170,11 +170,29 @@ _LAST_DRIVER_CHECK = {
 # consumer wiring, or a semantics-relevant operator edit) — they must
 # re-verify in the new form regardless of a prior green row.
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # r13 starts empty: the r12-changed NB trio re-verified green in
-    # CORRECTNESS_r12.json in their new form (NULL-label filter +
-    # hash_dim stamp), so their r12 greens vouch for the registered
-    # plans. Entries are added below as r13 edits touch registered
-    # plans.
+    # r13: dot_exact/dot_fast now return NULL (not 0.0) for empty /
+    # all-NULL product arrays, matching the DuckDB SUM twin
+    # (functions/vectors.py) — values are unchanged on well-formed
+    # embeddings but every plan that embeds the fold changed, so prior
+    # greens don't vouch for the new form.
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_pq_recall_contract",
+    "ann_index_topk",
+    "ann_index_streaming",
+    "knn_label_consistency",
+    "embedding_cluster_assign",
+    "semantic_dedup_survivors",
+    "decontaminate_semantic_embeddings",
+    "hard_negative_mining",
+    # r13: sessionize_stateful merges consecutive admitted-late events
+    # into one session instead of N singletons (streaming/stateful.py)
+    "sessionize_stateful_evicted",
+    # r13: merge_upsert heals an interrupted prior swap before reading
+    # the target (sources/merge.py)
+    "upsert_scd1",
 })
 
 # Derived view kept for the smoke-test invariant and round tooling: a

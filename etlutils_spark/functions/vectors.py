@@ -32,13 +32,26 @@ def dot_exact(a: Column | str, b: Column | str) -> Column:
     uncoalesced fold let one NULL poison the whole dot into NULL,
     silently diverging from the oracle fragment on malformed data).
     The mismatched tail is thus a partial dot on BOTH engines — the
-    documented best-effort semantics for ragged embeddings."""
+    documented best-effort semantics for ragged embeddings.
+
+    An EMPTY or all-NULL product array yields NULL, again like the
+    DuckDB twin's SUM over zero qualifying rows (review catch: the
+    coalesce-to-zero fold returned 0.0 there, diverging from the
+    oracle on exactly the malformed-embedding edge it documents as
+    matched). One pass: the fold carries (sum, seen-non-null) and the
+    finish lambda nulls the sum when nothing qualified."""
     a, b = _c(a), _c(b)
     prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC))
     return F.aggregate(
         prods,
-        F.lit(0).cast(DEC),
-        lambda acc, v: (acc + F.coalesce(v, F.lit(0).cast(DEC))).cast(DEC),
+        F.struct(
+            F.lit(0).cast(DEC).alias("s"), F.lit(False).alias("any")
+        ),
+        lambda acc, v: F.struct(
+            (acc["s"] + F.coalesce(v, F.lit(0).cast(DEC))).cast(DEC).alias("s"),
+            (acc["any"] | v.isNotNull()).alias("any"),
+        ),
+        lambda acc: F.when(acc["any"], acc["s"]),
     ).cast("double")
 
 
@@ -56,9 +69,16 @@ def cosine_exact(a: Column | str, b: Column | str) -> Column:
 def dot_fast(a: Column | str, b: Column | str) -> Column:
     a, b = _c(a), _c(b)
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    # NULL products contribute zero — same contract as dot_exact
+    # NULL products contribute zero; empty/all-NULL arrays yield NULL —
+    # same contract as dot_exact
     return F.aggregate(
-        prods, F.lit(0.0), lambda acc, v: acc + F.coalesce(v, F.lit(0.0))
+        prods,
+        F.struct(F.lit(0.0).alias("s"), F.lit(False).alias("any")),
+        lambda acc, v: F.struct(
+            (acc["s"] + F.coalesce(v, F.lit(0.0))).alias("s"),
+            (acc["any"] | v.isNotNull()).alias("any"),
+        ),
+        lambda acc: F.when(acc["any"], acc["s"]),
     )
 
 
@@ -75,6 +95,8 @@ def cosine_fast(a: Column | str, b: Column | str) -> Column:
 # Spark expressions above (same cast order, same parenthesization).
 
 def duck_dot_exact(a: str, b: str, idx: str = "i") -> str:
+    # SUM over zero qualifying rows is NULL in DuckDB — dot_exact's
+    # finish lambda mirrors that for empty/all-NULL product arrays
     return (
         f"CAST(SUM(CAST(CAST({a}[{idx}] AS DOUBLE) * CAST({b}[{idx}] AS DOUBLE)"
         f" AS DECIMAL(30,12))) AS DOUBLE)"

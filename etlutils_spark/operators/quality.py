@@ -418,6 +418,15 @@ def rank_blend(
     """
     if not signal_cols:
         raise ValueError("signal_cols must be a non-empty {col: higher_is_better}")
+    if approx_buckets is not None and approx_buckets < 2:
+        # mirror the ccnet_lm_buckets guard: 1 bucket yields an empty
+        # threshold array (every rank silently 0 / 1.0), 0 divides by
+        # zero (NaN ranks) — both are misconfigurations, not modes
+        raise ValueError(
+            f"approx_buckets must be >= 2, got {approx_buckets}: one "
+            "bucket has no interior percentile thresholds so every "
+            "blend_rank collapses to a constant"
+        )
     rank_cols = []
     if approx_buckets is None:
         # n stays in-plan (1-row agg, broadcast) — no eager job here

@@ -49,6 +49,15 @@ def merge_upsert(
     if missing:
         raise ValueError(f"key columns not in updates: {missing}")
 
+    # heal FIRST, as incremental_funnel._process does: both merge paths
+    # read the target before any write-side heal runs, so a crash in a
+    # PRIOR swap between the two renames (target absent, .compact_tmp
+    # complete) would otherwise fail every subsequent merge_upsert on
+    # the read until someone manually promoted the tmp (review catch)
+    from etlutils_spark.sources.files import heal_interrupted_compaction
+
+    heal_interrupted_compaction(spark, target_path)
+
     if partition_col is not None:
         if partition_col not in updates.columns:
             raise ValueError(f"partition_col {partition_col!r} not in updates")

@@ -48,9 +48,16 @@ def stream_events_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     try:
         raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    except Exception:
+    except Exception as e:
         # TIMESTAMP(NANOS) events (driver generations 1-2) are
-        # unreadable without the legacy shim — set it and retry
+        # unreadable without the legacy shim — set it and retry. ONLY
+        # that failure: a missing file or permission error must
+        # re-raise untouched, not mutate the session-global nanosAsLong
+        # conf and then fail again with a misleading second error
+        # (review catch). Spark's illegal-type message names the NANOS
+        # unit ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))").
+        if "NANOS" not in str(e).upper():
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file-stream sources require a directory; glob-filter to the events file

@@ -72,6 +72,19 @@ def sessionize_stateful(
     A session that rolls within one batch (gap exceeded between two
     events of the same batch) is emitted immediately; only the open
     tail session waits for the watermark.
+
+    Late-event semantics (Spark delivers below-watermark rows to
+    arbitrary stateful operators; handling them is the operator's
+    job): admitted events older than the open session's start by more
+    than the gap accumulate into ONE pending late-session chain —
+    merged while within gap of each other, folded into the open
+    session when a subsequent event bridges both, and emitted as a
+    single closed session otherwise (not one singleton per event). If
+    a batch delivers only late stragglers for a user whose open
+    session's horizon the watermark has already passed, that session
+    is emitted and freed in the same batch — re-arming its timeout is
+    illegal then (Spark forbids a timeout at/below the watermark) and
+    no timeout callback would ever fire for it.
     """
     gap_us = _duration_ms(gap) * 1000
 
@@ -115,6 +128,11 @@ def sessionize_stateful(
                 .astype("int64")
                 .tolist()
             )
+        # pending chain of admitted-late events older than the open
+        # session's start by more than the gap: two such events within
+        # gap of each other are ONE session, not N singletons (review
+        # catch — the old per-event yield split them)
+        late: tuple[int, int, int] | None = None
         for t in sorted(all_ts):
             t = int(t)
             if n == 0:
@@ -122,10 +140,25 @@ def sessionize_stateful(
             elif t < start_us - gap_us:
                 # admitted-late event (>= watermark) from BEFORE the
                 # open session by more than the gap: it can never merge
-                # with it — emit as its own closed singleton session
-                # rather than wrongly absorbing it (review catch)
-                yield session_row(t, t, 1)
+                # with the OPEN session directly, but consecutive late
+                # events merge with each other — accumulate, emit a
+                # chain only when the next late event breaks it
+                if late is None:
+                    late = (t, t, 1)
+                elif t - late[1] <= gap_us:
+                    late = (late[0], t, late[2] + 1)
+                else:
+                    yield session_row(*late)
+                    late = (t, t, 1)
             elif t - end_us <= gap_us:
+                # t is within gap of the open session; if it is ALSO
+                # within gap of the pending late chain it bridges the
+                # two into one continuous session — fold the chain in
+                # instead of emitting it as a spurious separate session
+                if late is not None and t - late[1] <= gap_us:
+                    start_us = min(start_us, late[0])
+                    n += late[2]
+                    late = None
                 # a late-but-admitted event may precede the open
                 # session's start: the session's earliest event defines
                 # session_start, so min() it (review catch — end-only
@@ -133,12 +166,37 @@ def sessionize_stateful(
                 start_us = min(start_us, t)
                 end_us, n = max(end_us, t), n + 1
             else:  # gap exceeded inside the batch: close + roll
+                # no bridge check needed: here t > end_us + gap_us >=
+                # start_us + gap_us while the chain ends below
+                # start_us - gap_us, so t is > 2*gap from the chain
                 yield session_row(start_us, end_us, n)
                 start_us, end_us, n = t, t, 1
-        state.update((start_us, end_us, n))
+        if late is not None:
+            # an unbridged chain ends below start_us - gap_us, so no
+            # remaining in-batch event can merge with it — emit at
+            # batch end. (The one-session state schema cannot carry it
+            # across batches; a later batch's admitted-late neighbor
+            # would start a new chain, same bound as the old per-event
+            # emit but without the within-batch splits.)
+            yield session_row(*late)
         # the state-store timeout clock is millisecond-granular; round UP
         # so the timeout never fires before gap_us has fully elapsed
-        state.setTimeoutTimestamp(-((-(end_us + gap_us)) // 1000))
+        timeout_ms = -((-(end_us + gap_us)) // 1000)
+        if timeout_ms <= state.getCurrentWatermarkMs():
+            # the watermark already passed this session's horizon while
+            # the batch delivered only late stragglers for it (e.g.
+            # another user's events drove the watermark far ahead):
+            # re-arming would throw INVALID_TIMEOUT_TIMESTAMP — Spark
+            # forbids a timeout at/below the watermark — and a group
+            # that received data this batch gets no timeout callback,
+            # so the session would otherwise wedge the stream (the old
+            # unconditional re-arm crashed the query here). The session
+            # is watermark-closed: emit and free its state now.
+            state.remove()
+            yield session_row(start_us, end_us, n)
+        else:
+            state.update((start_us, end_us, n))
+            state.setTimeoutTimestamp(timeout_ms)
 
     return (
         events.withWatermark(event_time_col, gap)

@@ -255,6 +255,42 @@ def test_vector_dot_null_products_contribute_zero(spark):
     assert got.de == 3.0 and got.df == 3.0  # partial dot over shared dims
 
 
+def test_vector_dot_empty_or_all_null_is_null(spark):
+    """An EMPTY or all-NULL product array must yield NULL, like the
+    DuckDB twin's SUM over zero qualifying rows (the coalesce-to-zero
+    fold returned 0.0 there, diverging from the oracle on exactly the
+    malformed-embedding edge it documents as matched — review catch)."""
+    import duckdb
+
+    from etlutils_spark.functions.vectors import dot_exact, dot_fast
+
+    df = spark.createDataFrame(
+        [
+            (1, [], []),
+            (2, [None, None], [1.0, 1.0]),
+            (3, [1.0, None], [2.0, 5.0]),
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = {
+        r.id: (r.de, r.df)
+        for r in df.select(
+            "id", dot_exact("a", "b").alias("de"), dot_fast("a", "b").alias("df")
+        ).collect()
+    }
+    assert rows[1] == (None, None)  # empty arrays: undefined, not 0.0
+    assert rows[2] == (None, None)  # all products NULL
+    assert rows[3] == (2.0, 2.0)  # a NULL product still contributes zero
+    # the DuckDB twin (SUM over unnested subscripts) agrees on the edge
+    got = duckdb.sql(
+        "SELECT CAST(SUM(CAST(CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE)"
+        " AS DECIMAL(30,12))) AS DOUBLE)"
+        " FROM (SELECT [NULL, NULL]::DOUBLE[] AS a, [1.0, 1.0]::DOUBLE[] AS b),"
+        " UNNEST(generate_series(1, 2)) AS t(i)"
+    ).fetchone()[0]
+    assert got is None
+
+
 def test_ccnet_n_buckets_guard(spark):
     import pytest
 

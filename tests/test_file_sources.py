@@ -141,6 +141,28 @@ def test_merge_upsert_partition_budget_raises(spark, tmp_path):
     assert got.filter(F.col("v") == "new").count() == 10
 
 
+def test_merge_upsert_heals_interrupted_prior_swap(spark, tmp_path):
+    """A crash in a PRIOR atomic swap between its two renames leaves
+    the target absent with a complete .compact_tmp; merge_upsert must
+    heal that before its read (as incremental_funnel does) instead of
+    failing every subsequent merge until a manual promotion (review
+    catch)."""
+    import os
+
+    from etlutils_spark.sources.merge import merge_upsert
+
+    p = str(tmp_path / "tgt_heal")
+    spark.createDataFrame(
+        [(1, "old"), (2, "old")], "k long, v string"
+    ).write.parquet(p)
+    # simulate the mid-swap crash window: target gone, tmp complete
+    os.rename(p, f"{p}.compact_tmp")
+    updates = spark.createDataFrame([(1, "new")], "k long, v string")
+    merge_upsert(spark, p, updates, key_cols="k")
+    got = {(r.k, r.v) for r in spark.read.parquet(p).collect()}
+    assert got == {(1, "new"), (2, "old")}
+
+
 def test_merge_upsert_null_partition_survivors_kept(spark, tmp_path):
     """A NULL partition is a partition like any other: isin() never
     matches NULL, so without the isNull arm the null-partition

@@ -733,6 +733,21 @@ def test_rank_blend_exact_known_values(spark):
         rank_blend(df, {})
 
 
+def test_rank_blend_rejects_degenerate_approx_buckets(spark):
+    """approx_buckets=1 yields an empty threshold array (every rank
+    silently 0 / 1.0) and 0 divides by zero (NaN ranks) — both must
+    raise like the ccnet_lm_buckets guard instead of producing a
+    constant blend (review catch)."""
+    import pytest as _pt
+
+    from etlutils_spark.operators.quality import rank_blend
+
+    df = spark.createDataFrame([(1, 1.0)], "doc_id long, s double")
+    for bad in (1, 0, -3):
+        with _pt.raises(ValueError, match="approx_buckets"):
+            rank_blend(df, {"s": True}, approx_buckets=bad)
+
+
 def test_rank_blend_approx_mode_monotone(spark):
     from etlutils_spark.operators.quality import rank_blend
 

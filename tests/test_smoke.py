@@ -150,3 +150,26 @@ def test_gen_ledger_apply_is_idempotent_and_newline_stable():
         twice = open(entry_copy).read()
         assert once == twice  # fixed point: no growth round-over-round
         assert once == before  # committed file already carries it
+
+
+def test_api_docs_in_sync():
+    """docs/api/ is generated from the package docstrings by
+    tools/gen_api_docs.py (VERDICT r12 next #7); a byte diff means a
+    public surface changed without regenerating — run
+    `python tools/gen_api_docs.py` and commit."""
+    import sys
+
+    sys.path.insert(0, ROOT)
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from gen_api_docs import generate
+
+    out_dir = os.path.join(ROOT, "docs", "api")
+    files = generate()
+    assert os.path.isdir(out_dir), "docs/api missing — generate and commit"
+    on_disk = {f for f in os.listdir(out_dir) if f.endswith(".md")}
+    assert on_disk == set(files), (
+        f"stale/missing doc files: {sorted(on_disk ^ set(files))}"
+    )
+    for fname, content in files.items():
+        with open(os.path.join(out_dir, fname)) as fh:
+            assert fh.read() == content, f"docs/api/{fname} out of sync"

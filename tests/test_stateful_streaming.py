@@ -118,6 +118,71 @@ def test_sessionize_stateful_late_event_extends_session_start(spark, tmp_path):
     assert (1, "2024-01-01 00:01:00", "2024-01-01 00:05:00", 2) in got
 
 
+def test_sessionize_stateful_late_chain_merges_not_singletons(spark, tmp_path):
+    """Admitted-late events older than the open session's start by more
+    than the gap used to be emitted one singleton session EACH; two or
+    more of them within gap of each other are ONE session (review
+    catch). Also covers the bridge: a late chain the next event links
+    to the open session folds in instead of emitting separately."""
+    import time
+
+    from etlutils_spark.streaming.stateful import sessionize_stateful
+
+    batches = [
+        # user 1: open session at 01:00; user 2: open session at 02:00
+        [(1, "2024-01-01 01:00:00"), (2, "2024-01-01 02:00:00")],
+        # user 1: two late events within gap of each other, both more
+        # than gap before 01:00 -> ONE merged late session, n=2
+        # user 2: late chain 01:38+01:44 (6 min apart, both before
+        # 02:00 - gap) then 01:52, which is within gap of BOTH the
+        # chain end (8 min) and the open session start -> the whole
+        # thing is ONE session 01:38..02:00, n=4
+        [
+            (1, "2024-01-01 00:20:00"),
+            (1, "2024-01-01 00:23:00"),
+            (2, "2024-01-01 01:38:00"),
+            (2, "2024-01-01 01:44:00"),
+            (2, "2024-01-01 01:52:00"),
+        ],
+        # advance the watermark far enough to time out the open sessions
+        [(3, "2024-01-01 05:00:00")],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "user_id bigint, ts_s string").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+        df.coalesce(1).write.parquet(str(src / f"b{i}"))
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = sessionize_stateful(stream, gap="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late_chain")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.table("t_late_chain").collect()
+    }
+    # user 1: ONE late session (not two singletons) + the open session
+    assert (1, "2024-01-01 00:20:00", "2024-01-01 00:23:00", 2) in got
+    assert (1, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1) in got
+    assert not any(u == 1 and n == 1 and s.startswith("2024-01-01 00:2")
+                   for u, s, _, n in got)
+    # user 2: the bridged chain is one continuous session
+    assert (2, "2024-01-01 01:38:00", "2024-01-01 02:00:00", 4) in got
+    assert sum(1 for u, *_ in got if u == 2) == 1
+
+
 def test_sessionize_duration_parser_accepts_spark_interval_forms():
     """_duration_ms must accept the forms withWatermark accepts for the
     SAME gap string — abbreviated units, ms, fractional quantities

@@ -472,3 +472,21 @@ def test_streaming_dedup_index_heals_mid_swap_compaction_crash(spark, tmp_path):
     )
     assert labels[1] == labels[2] == labels[4] == 1 and labels[3] == 3
     assert not os.path.exists(f"{idx}/profiles.compact_tmp")
+
+
+def test_stream_events_file_reraises_non_nanos_read_errors(spark, tmp_path):
+    """A missing events file must re-raise the ORIGINAL error, not be
+    treated as the TIMESTAMP(NANOS) case — the old bare except set the
+    session-global nanosAsLong shim and then failed again with a
+    misleading second error (review catch)."""
+    import pytest
+
+    from etlutils_spark.streaming.ingest import stream_events_file
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(key, None)
+    with pytest.raises(Exception) as ei:
+        stream_events_file(spark, str(tmp_path / "no_such_dir"))
+    # the original path error surfaces, not a nanos-shim follow-on
+    assert "NANOS" not in str(ei.value).upper()
+    assert spark.conf.get(key, None) == before

@@ -23,6 +23,10 @@ Two key distributions, because they answer different questions:
   empty/template docs collapse into at warehouse scale) — the shape
   AQE's splitter exists for; it must fire and beat skew-off, and the
   salt must flatten the key histogram without AQE.
+- "dupmega" (r13): mega with the hot rows made LITERAL duplicates —
+  the r12 positional-salt change's motivating case. The probe records
+  both the live salt's balance and the pre-r12 content-only salt's
+  (which must show the pathology: every duplicate row on one sub-key).
 
     python3 tools/stress_skew_join.py [n_docs]   # default 500_000
 
@@ -111,12 +115,34 @@ def mega_labels(spark, n: int):
     return labeled, n // 2
 
 
+def dupmega_labels(spark, n: int):
+    """mega with the hot cluster's rows made LITERAL DUPLICATES (every
+    column identical — no doc_id, same payload): the classic hot key
+    after a projection to key + low-cardinality measures, and the
+    motivating case for the r12 positional salt — a content-only salt
+    hash maps all of these rows to ONE sub-key, silently providing
+    zero splitting exactly when it is needed."""
+    docs, _ = make_corpus(spark, n)
+    labeled = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("doc_id"))
+        .alias("cluster_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("boilerplate template row"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return labeled, n // 2
+
+
 def run(spark, n: int, shape: str = "zipf") -> dict:
     from etlutils_spark.operators.skew import salted_join
 
-    labeled, head = (
-        fat_tail_labels(spark, n) if shape == "zipf" else mega_labels(spark, n)
-    )
+    shapes = {
+        "zipf": fat_tail_labels,
+        "mega": mega_labels,
+        "dupmega": dupmega_labels,
+    }
+    labeled, head = shapes[shape](spark, n)
     labeled = labeled.persist()
     labeled.count()
     # survivor dim: one row per cluster (its min doc id == cluster_id).
@@ -194,18 +220,28 @@ def run(spark, n: int, shape: str = "zipf") -> dict:
             salted_join(labeled, dim, on="cluster_id")
         )
         out["salted_sec"] = timed(salted)
-        # the salted join's big-side shuffle key is (on, __salt) with
-        # __salt = pmod(xxhash64(all columns), salt) — same expression
-        # here, so this measures the actual post-salt reducer balance
+        # measure the ACTUAL salt expression (operators.skew._row_salt:
+        # position + content hash), not a re-derivation — the previous
+        # content-only copy here went stale when r12 mixed in the row
+        # position, so it measured a salt the join no longer uses
+        from etlutils_spark.operators.skew import _row_salt
+
         salted_keys = labeled.select(
-            "cluster_id",
-            F.pmod(
-                F.xxhash64(*[F.col(c) for c in labeled.columns]),
-                F.lit(32),
-            ).alias("__salt"),
+            "cluster_id", _row_salt(labeled, 32).alias("__salt")
         )
         out["imbalance_salted"] = partition_balance(
             salted_keys, ["cluster_id", "__salt"]
+        )
+        # the motivating contrast for dupmega: the pre-r12 content-only
+        # salt sends every duplicate hot row to ONE sub-key
+        content_only = labeled.select(
+            "cluster_id",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in labeled.columns]), F.lit(32)
+            ).alias("__salt"),
+        )
+        out["imbalance_salted_content_only"] = partition_balance(
+            content_only, ["cluster_id", "__salt"]
         )
     finally:
         for k, v in prev.items():
@@ -228,8 +264,11 @@ def main() -> None:
         "stress_skew_join",
         **{"spark.driver.memory": "8g", "spark.sql.shuffle.partitions": "32"},
     )
-    print(json.dumps([run(spark, n, "zipf"), run(spark, n, "mega")],
-                     indent=1))
+    print(json.dumps(
+        [run(spark, n, "zipf"), run(spark, n, "mega"),
+         run(spark, n, "dupmega")],
+        indent=1,
+    ))
     spark.stop()
 
 
