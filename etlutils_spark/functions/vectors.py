@@ -38,21 +38,25 @@ def dot_exact(a: Column | str, b: Column | str) -> Column:
     DuckDB twin's SUM over zero qualifying rows (review catch: the
     coalesce-to-zero fold returned 0.0 there, diverging from the
     oracle on exactly the malformed-embedding edge it documents as
-    matched). One pass: the fold carries (sum, seen-non-null) and the
-    finish lambda nulls the sum when nothing qualified."""
+    matched). The "anything qualified" test rides a separate boolean
+    ``zip_with`` + short-circuit ``exists`` over the INPUT elements (a
+    product is non-NULL iff both inputs are) rather than a struct
+    accumulator in the fold: the struct form taxed every element of
+    the all-pairs hot path ~13-40% (micro-benched at 2M x 64-dim),
+    while the boolean guard costs one early-exit scan — first element
+    for every well-formed vector."""
     a, b = _c(a), _c(b)
     prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC))
-    return F.aggregate(
+    s = F.aggregate(
         prods,
-        F.struct(
-            F.lit(0).cast(DEC).alias("s"), F.lit(False).alias("any")
-        ),
-        lambda acc, v: F.struct(
-            (acc["s"] + F.coalesce(v, F.lit(0).cast(DEC))).cast(DEC).alias("s"),
-            (acc["any"] | v.isNotNull()).alias("any"),
-        ),
-        lambda acc: F.when(acc["any"], acc["s"]),
-    ).cast("double")
+        F.lit(0).cast(DEC),
+        lambda acc, v: (acc + F.coalesce(v, F.lit(0).cast(DEC))).cast(DEC),
+    )
+    any_pair = F.exists(
+        F.zip_with(a, b, lambda x, y: x.isNotNull() & y.isNotNull()),
+        lambda t: t,
+    )
+    return F.when(any_pair, s).cast("double")
 
 
 def norm_exact(a: Column | str) -> Column:
@@ -70,16 +74,17 @@ def dot_fast(a: Column | str, b: Column | str) -> Column:
     a, b = _c(a), _c(b)
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     # NULL products contribute zero; empty/all-NULL arrays yield NULL —
-    # same contract as dot_exact
-    return F.aggregate(
+    # same contract (and same boolean-guard shape) as dot_exact
+    s = F.aggregate(
         prods,
-        F.struct(F.lit(0.0).alias("s"), F.lit(False).alias("any")),
-        lambda acc, v: F.struct(
-            (acc["s"] + F.coalesce(v, F.lit(0.0))).alias("s"),
-            (acc["any"] | v.isNotNull()).alias("any"),
-        ),
-        lambda acc: F.when(acc["any"], acc["s"]),
+        F.lit(0.0),
+        lambda acc, v: acc + F.coalesce(v, F.lit(0.0)),
     )
+    any_pair = F.exists(
+        F.zip_with(a, b, lambda x, y: x.isNotNull() & y.isNotNull()),
+        lambda t: t,
+    )
+    return F.when(any_pair, s)
 
 
 def norm_fast(a: Column | str) -> Column:

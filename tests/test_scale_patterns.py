@@ -238,3 +238,46 @@ def test_bucketed_table_append_preserves_rows(spark, tmp_path):
     bucketed_table(base, "t_append_keep", ["k"], num_buckets=2)  # overwrite
     assert spark.table("t_append_keep").count() == 10
     spark.sql("DROP TABLE IF EXISTS t_append_keep")
+
+
+def test_persist_tracked_same_plan_rerun_keeps_cache(spark):
+    """Re-running the same pipeline in one session must stay cached on
+    the 3rd+ call: CacheManager keys entries by canonicalized plan, so
+    unpersisting an evicted tracked frame whose plan matches the
+    just-persisted one would silently remove the NEW frame's cache
+    entry (measured: the semantic-dedup self-join flipped from
+    InMemoryTableScan+broadcast ~3.5 s to recompute+sort-merge ~42 s
+    at sf0.1 from the 3rd back-to-back run on)."""
+    from etlutils_spark import caching
+    from etlutils_spark.caching import persist_tracked
+
+    def pipeline():
+        return spark.range(100).selectExpr("id AS k", "id * 3 AS v")
+
+    before = list(caching._TRACKED)
+    try:
+        frames = []
+        for _ in range(4):  # > _TRACKED_KEEP so eviction fires
+            df = persist_tracked(pipeline())
+            df.count()
+            frames.append(df)
+        # the live (most recent) frame must still be cached after its
+        # same-plan predecessors were evicted
+        assert frames[-1].storageLevel.useMemory
+        # distinct-plan eviction still unpersists: push two different
+        # plans through and confirm the same-plan frame's entry drops
+        # once no tracked frame shares it
+        for i in range(2):
+            persist_tracked(
+                spark.range(50 + i).selectExpr("id AS a")
+            ).count()
+        assert not frames[-1].storageLevel.useMemory
+    finally:
+        with caching._TRACKED_LOCK:
+            leftover = [f for f in caching._TRACKED if f not in before]
+            caching._TRACKED[:] = before
+        for f in leftover:
+            try:
+                f.unpersist(blocking=True)
+            except Exception:
+                pass

@@ -11,7 +11,11 @@ prints a JSON blob whose min-of-5 values become the new pinned bands
 envelope BASELINE.md has documented since round 2).
 
 Usage: python3 tools/repin_bands.py [extra query names...]
+       python3 tools/repin_bands.py --only name1 name2 ...
 Writes tools/repin_bands_out.json and prints a markdown table stub.
+With --only, measures ONLY the named queries (for finishing a re-pin
+session that was interrupted partway) and writes
+tools/repin_bands_only_out.json so the main recording is not clobbered.
 """
 
 from __future__ import annotations
@@ -52,7 +56,13 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from etlutils_spark.session import get_session
 
-    names = bench.HEADLINE + PINNED_EXTRAS + sys.argv[1:]
+    only_mode = len(sys.argv) > 1 and sys.argv[1] == "--only"
+    if only_mode:
+        names = sys.argv[2:]
+        out_name = "repin_bands_only_out.json"
+    else:
+        names = bench.HEADLINE + PINNED_EXTRAS + sys.argv[1:]
+        out_name = "repin_bands_out.json"
     qs = entry_mod.queries()
     spark = get_session("repin")
     # same two-tier warmup as bench.py: tables + worker pool + one
@@ -92,7 +102,7 @@ def main() -> None:
         print(f"{name}: min {min(runs)} of {runs}", file=sys.stderr)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "tools", "repin_bands_out.json"), "w") as fh:
+    with open(os.path.join(repo, "tools", out_name), "w") as fh:
         json.dump({"sf_dir": SF_DIR, "attempts": ATTEMPTS, "queries": out},
                   fh, indent=1)
     # markdown stub for BASELINE.md
