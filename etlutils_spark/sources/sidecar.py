@@ -280,9 +280,12 @@ def acquire_writer_lease(
     API does not offer.
 
     Store semantics: mutual exclusion needs atomic exclusive CREATE
-    and atomic RENAME — true on HDFS, local filesystems, and ABFS
-    (``_RENAME_ATOMIC_SCHEMES``, an allowlist: unaudited connectors
-    fail closed). On object stores (s3/gs/oss/...) those primitives
+    and atomic RENAME — arbitrated server-side on HDFS/ABFS, and on
+    local paths obtained via java.nio CREATE_NEW (O_CREAT|O_EXCL),
+    NOT Hadoop's local create(overwrite=false), whose exists-check +
+    FileOutputStream let two racing writers both "win" (caught by the
+    two-OS-process race test). Allowlist in ``_RENAME_ATOMIC_SCHEMES``;
+    unaudited connectors fail closed. On object stores (s3/gs/oss/...) those primitives
     are check-then-put and copy+delete, so two racers can both "win":
     acquisition there RAISES unless ``allow_rename_weak_store=True``
     (an explicit footgun opt-out) — the SUPPORTED object-store path is
@@ -442,16 +445,54 @@ def acquire_writer_lease(
         t.start()
         return token
 
+    # Local paths need a REAL O_EXCL create: Hadoop's RawLocalFileSystem
+    # implements create(path, overwrite=false) as an exists() check
+    # followed by a plain FileOutputStream — check-then-act, and the
+    # second racer's stream TRUNCATES the first winner's file — so two
+    # processes racing the create can both "win" (caught by the
+    # two-OS-process race test: both writers acquired). HDFS/ABFS
+    # arbitrate the exclusive create server-side; for file:// we go
+    # through java.nio CREATE_NEW (O_CREAT|O_EXCL — create and token
+    # write in one atomic-on-exclusivity call).
+    local_like = scheme in ("", "file")
+    if local_like:
+        raw = urllib.parse.urlsplit(url).path if scheme else url
+        jlocal = jvm.java.io.File(raw)
+        gw = spark.sparkContext._gateway
+
+        def _nio_exclusive_create() -> None:
+            parent = jlocal.getParentFile()
+            if parent is not None:
+                parent.mkdirs()  # Files.write does not create parents
+            opts = gw.new_array(jvm.java.nio.file.OpenOption, 2)
+            opts[0] = jvm.java.nio.file.StandardOpenOption.CREATE_NEW
+            opts[1] = jvm.java.nio.file.StandardOpenOption.WRITE
+            jvm.java.nio.file.Files.write(
+                jlocal.toPath(), bytearray(token.encode("utf-8")), opts
+            )
+
     for _ in range(4):  # create, steal-retry, vanished-retry, race-retry
         created = False
         t_create = time.time()  # pre-RPC: see _start_beat's seed note
         try:
-            stream = fs.create(target, False)  # overwrite=False
-            created = True
-            try:
-                stream.write(bytearray(token.encode("utf-8")))
-            finally:
-                stream.close()
+            if local_like:
+                # CREATE_NEW raises FileAlreadyExistsException on a
+                # contended lease; any OTHER failure mid-write means WE
+                # created the file (exclusivity guarantees nobody else
+                # could have) — flagged so the orphan cleanup below runs
+                try:
+                    _nio_exclusive_create()
+                except Py4JJavaError as e:
+                    if "FileAlreadyExistsException" not in str(e):
+                        created = True
+                    raise
+            else:
+                stream = fs.create(target, False)  # overwrite=False
+                created = True
+                try:
+                    stream.write(bytearray(token.encode("utf-8")))
+                finally:
+                    stream.close()
             return _start_beat(t_create)
         except Py4JJavaError:
             if created:
