@@ -33,7 +33,14 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from etlutils_spark.caching import persist_tracked as _persist_tracked
-from etlutils_spark.functions.vectors import cosine_exact, cosine_fast
+from etlutils_spark.functions.vectors import (
+    cosine_exact,
+    cosine_fast,
+    dot_exact,
+    dot_fast,
+    norm_exact,
+    norm_fast,
+)
 from etlutils_spark.operators.text import TOKENS_COL, shingles_from_tokens, with_tokens
 from etlutils_spark.sources.files import spread
 from etlutils_spark.sources.sidecar import (
@@ -565,12 +572,27 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """All-pairs cosine >= threshold (the verify stage / small-N form;
     block with LSH from similarity.py before this at scale)."""
-    cos = cosine_exact if exact else cosine_fast
-    a = spread(df.select(F.col(id_col).alias(f"{id_col}_1"), F.col(vec_col).alias("va")))
-    b = df.select(F.col(id_col).alias(f"{id_col}_2"), F.col(vec_col).alias("vb"))
+    # norms once per vector per side, not 2 norm folds per PAIR — the
+    # quadratic stage keeps only the dot fold (bit-identical values;
+    # see cosine_topk). The broadcast side's norms are computed at
+    # broadcast build, the stream side's once per input row.
+    dot = dot_exact if exact else dot_fast
+    nrm = norm_exact if exact else norm_fast
+    a = spread(
+        df.select(F.col(id_col).alias(f"{id_col}_1"), F.col(vec_col).alias("va"))
+    ).withColumn("__na", nrm("va"))
+    b = df.select(
+        F.col(id_col).alias(f"{id_col}_2"), F.col(vec_col).alias("vb")
+    ).withColumn("__nb", nrm("vb"))
     return (
         a.join(b, a[f"{id_col}_1"] < b[f"{id_col}_2"])
-        .select(f"{id_col}_1", f"{id_col}_2", cos("va", "vb").alias("cosine"))
+        .select(
+            f"{id_col}_1",
+            f"{id_col}_2",
+            (dot("va", "vb") / (F.col("__na") * F.col("__nb"))).alias(
+                "cosine"
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 

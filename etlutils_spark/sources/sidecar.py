@@ -37,6 +37,29 @@ def _fs_path(spark, url: str):
     return jvm, fs, target
 
 
+def _nio_exclusive_create(spark, url: str, scheme: str, token: str) -> None:
+    """Atomically create the lease file at a LOCAL ``url`` with
+    ``token`` as its content, via java.nio ``CREATE_NEW`` (O_CREAT |
+    O_EXCL) — raises ``Py4JJavaError`` wrapping
+    ``FileAlreadyExistsException`` when the lease exists. Module-level
+    (not inlined in acquire) so store-failure tests can patch it."""
+    import urllib.parse
+
+    jvm = spark._jvm
+    raw = urllib.parse.urlsplit(url).path if scheme else url
+    jlocal = jvm.java.io.File(raw)
+    parent = jlocal.getParentFile()
+    if parent is not None:
+        parent.mkdirs()  # Files.write does not create parents
+    gw = spark.sparkContext._gateway
+    opts = gw.new_array(jvm.java.nio.file.OpenOption, 2)
+    opts[0] = jvm.java.nio.file.StandardOpenOption.CREATE_NEW
+    opts[1] = jvm.java.nio.file.StandardOpenOption.WRITE
+    jvm.java.nio.file.Files.write(
+        jlocal.toPath(), bytearray(token.encode("utf-8")), opts
+    )
+
+
 def _read_lease_token(jvm, fs, target) -> str | None:
     """The lease file's current token, or None when it cannot be read
     (absent, renamed away, IO error). One seam for the heartbeat,
@@ -455,21 +478,6 @@ def acquire_writer_lease(
     # through java.nio CREATE_NEW (O_CREAT|O_EXCL — create and token
     # write in one atomic-on-exclusivity call).
     local_like = scheme in ("", "file")
-    if local_like:
-        raw = urllib.parse.urlsplit(url).path if scheme else url
-        jlocal = jvm.java.io.File(raw)
-        gw = spark.sparkContext._gateway
-
-        def _nio_exclusive_create() -> None:
-            parent = jlocal.getParentFile()
-            if parent is not None:
-                parent.mkdirs()  # Files.write does not create parents
-            opts = gw.new_array(jvm.java.nio.file.OpenOption, 2)
-            opts[0] = jvm.java.nio.file.StandardOpenOption.CREATE_NEW
-            opts[1] = jvm.java.nio.file.StandardOpenOption.WRITE
-            jvm.java.nio.file.Files.write(
-                jlocal.toPath(), bytearray(token.encode("utf-8")), opts
-            )
 
     for _ in range(4):  # create, steal-retry, vanished-retry, race-retry
         created = False
@@ -481,7 +489,7 @@ def acquire_writer_lease(
                 # created the file (exclusivity guarantees nobody else
                 # could have) — flagged so the orphan cleanup below runs
                 try:
-                    _nio_exclusive_create()
+                    _nio_exclusive_create(spark, url, scheme, token)
                 except Py4JJavaError as e:
                     if "FileAlreadyExistsException" not in str(e):
                         created = True

@@ -2496,39 +2496,46 @@ def test_lease_token_write_failure_cleans_orphan(spark, tmp_path, monkeypatch):
 def test_lease_unremovable_orphan_raises_its_own_error(
     spark, tmp_path, monkeypatch
 ):
-    """When the token write fails AND the orphan delete keeps failing,
-    acquire must raise the dedicated misbehaving-store error naming the
-    token-less debris — falling through to the live/stale check would
-    misreport 'another writer holds the lease' for a holder that does
-    not exist (round-9 review finding)."""
+    """When the exclusive create wins but the token write fails AND the
+    orphan delete keeps failing, acquire must raise the dedicated
+    misbehaving-store error naming the token-less debris — falling
+    through to the live/stale check would misreport 'another writer
+    holds the lease' for a holder that does not exist (round-9 review
+    finding). Local acquisition goes through the atomic nio create, so
+    the mid-write failure is simulated by patching
+    ``_nio_exclusive_create`` to create the file and then fail with a
+    non-FileAlreadyExists store error."""
     from py4j.protocol import Py4JJavaError
 
     from etlutils_spark.sources import sidecar as sc
 
     url = str(tmp_path / "orphan2" / ".writer_lease")
     real_fs_path = sc._fs_path
+    real_nio_create = sc._nio_exclusive_create
+
+    class FakeStoreError(Py4JJavaError):
+        # Py4JJavaError.__str__ round-trips through the gateway; the
+        # production code str()s the error to classify it, so the fake
+        # must be str()-able without a JVM
+        def __init__(self, msg):
+            Exception.__init__(self, msg)
+            self._msg = msg
+
+        def __str__(self):
+            return self._msg
 
     def _err(msg):
-        e = Py4JJavaError.__new__(Py4JJavaError)
-        e.args = (msg,)
-        return e
+        return FakeStoreError(msg)
 
-    class FailingStream:
-        def __init__(self, inner):
-            self._inner = inner
-
-        def write(self, data):
-            raise _err("simulated token write failure")
-
-        def close(self):
-            self._inner.close()
+    def failing_nio_create(spark_, u, scheme, token):
+        os.makedirs(os.path.dirname(u), exist_ok=True)
+        with open(u, "w"):
+            pass  # the exclusive create "won"...
+        raise _err("simulated token write failure")  # ...the write died
 
     class FSWrap:
         def __init__(self, fs):
             self._fs = fs
-
-        def create(self, target, overwrite):
-            return FailingStream(self._fs.create(target, overwrite))
 
         def delete(self, target, recursive):
             raise _err("simulated delete failure")
@@ -2540,10 +2547,12 @@ def test_lease_unremovable_orphan_raises_its_own_error(
         jvm, fs, target = real_fs_path(spark_, u)
         return jvm, FSWrap(fs), target
 
+    monkeypatch.setattr(sc, "_nio_exclusive_create", failing_nio_create)
     monkeypatch.setattr(sc, "_fs_path", patched)
     with pytest.raises(ValueError, match="token-less"):
         sc.acquire_writer_lease(spark, url, stale_after_sec=60.0)
     monkeypatch.setattr(sc, "_fs_path", real_fs_path)
+    monkeypatch.setattr(sc, "_nio_exclusive_create", real_nio_create)
     # after the store recovers, the stale orphan is stolen and a fresh
     # acquire succeeds (the orphan is token-less so the beat of the new
     # holder owns the file outright)
