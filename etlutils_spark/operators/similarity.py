@@ -194,13 +194,24 @@ def ivf_topk(
         .select(query_id_col, "cluster_id")
     )
 
-    # search only the probed clusters: join prunes the scored set
+    # search only the probed clusters: join prunes the scored set.
+    # Norms hoisted: once per assigned corpus vector and per query
+    # (linear terms), not per (query, candidate) pair — bit-identical
+    # to the fused cosine (see cosine_topk)
     cand = (
-        assigned.join(F.broadcast(probes), on="cluster_id")
+        assigned.withColumn("__cn", norm_exact(vec_col))
+        .join(F.broadcast(probes), on="cluster_id")
         .filter(F.col(query_id_col) != F.col(id_col))
     )
-    scored = cand.join(F.broadcast(q), on=query_id_col).select(
-        query_id_col, id_col, cosine_exact("__qv", vec_col).alias("cosine")
+    scored = cand.join(
+        F.broadcast(q.withColumn("__qn", norm_exact("__qv"))),
+        on=query_id_col,
+    ).select(
+        query_id_col,
+        id_col,
+        (dot_exact("__qv", vec_col) / (F.col("__qn") * F.col("__cn"))).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -236,9 +247,14 @@ def lsh_topk(
     rpb = num_planes // bands
 
     def banded(df: DataFrame, ident: str) -> DataFrame:
+        # the norm rides from the pre-explode projection: one fold per
+        # input vector, duplicated (not recomputed) across band rows,
+        # so the post-bucket rescoring keeps only the dot fold per
+        # candidate pair (bit-identical values — see cosine_topk)
         sig = lsh_signature(F.col(vec_col), planes)
         out = df.select(
             F.col(id_col).alias(ident), F.col(vec_col).alias(f"__v_{ident}"),
+            norm_exact(vec_col).alias(f"__n_{ident}"),
             sig.alias("__sig"),
         )
         band_cols = [
@@ -246,9 +262,9 @@ def lsh_topk(
             .alias(f"band{b}")
             for b in range(bands)
         ]
-        out = out.select(ident, f"__v_{ident}", *band_cols)
+        out = out.select(ident, f"__v_{ident}", f"__n_{ident}", *band_cols)
         return out.select(
-            ident, f"__v_{ident}",
+            ident, f"__v_{ident}", f"__n_{ident}",
             F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_idx", "band_sig"),
         )
 
@@ -257,12 +273,19 @@ def lsh_topk(
     cand = (
         cb.join(F.broadcast(qb), on=["band_idx", "band_sig"])
         .filter(F.col(query_id_col) != F.col(id_col))
-        .select(query_id_col, id_col, f"__v_{query_id_col}", f"__v_{id_col}")
+        .select(
+            query_id_col, id_col,
+            f"__v_{query_id_col}", f"__v_{id_col}",
+            f"__n_{query_id_col}", f"__n_{id_col}",
+        )
         .distinct()
     )
     scored = cand.select(
         query_id_col, id_col,
-        cosine_exact(f"__v_{query_id_col}", f"__v_{id_col}").alias("cosine"),
+        (
+            dot_exact(f"__v_{query_id_col}", f"__v_{id_col}")
+            / (F.col(f"__n_{query_id_col}") * F.col(f"__n_{id_col}"))
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -1147,16 +1170,21 @@ def pq_topk(
     qdf = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
     )
-    cand_vecs = corpus.select(id_col, vec_col).join(
-        F.broadcast(short.select(id_col).distinct()), id_col
+    # norms hoisted: once per distinct shortlist vector and per query
+    # (the shortlist re-rank previously paid dot + 2 norm folds per
+    # (query, candidate) pair); values bit-identical — see cosine_topk
+    cand_vecs = (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(short.select(id_col).distinct()), id_col)
+        .withColumn("__cn", norm_exact(vec_col))
     )
     scored = (
         F.broadcast(short)
         .join(cand_vecs, id_col)
-        .join(F.broadcast(qdf), query_id_col)
+        .join(F.broadcast(qdf.withColumn("__qn", norm_exact("__qv"))), query_id_col)
         .select(
             query_id_col, id_col,
-            cosine_exact("__qv", vec_col).alias("cosine"),
+            (dot_exact("__qv", vec_col) / (F.col("__qn") * F.col("__cn"))).alias("cosine"),
         )
     )
     wf = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
@@ -1928,16 +1956,21 @@ def ann_index_topk(
     qdf = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
     )
-    cand_vecs = corpus.select(id_col, vec_col).join(
-        F.broadcast(short.select(id_col).distinct()), id_col
+    # norms hoisted: once per distinct shortlist vector and per query
+    # (the shortlist re-rank previously paid dot + 2 norm folds per
+    # (query, candidate) pair); values bit-identical — see cosine_topk
+    cand_vecs = (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(short.select(id_col).distinct()), id_col)
+        .withColumn("__cn", norm_exact(vec_col))
     )
     scored = (
         F.broadcast(short)
         .join(cand_vecs, id_col)
-        .join(F.broadcast(qdf), query_id_col)
+        .join(F.broadcast(qdf.withColumn("__qn", norm_exact("__qv"))), query_id_col)
         .select(
             query_id_col, id_col,
-            cosine_exact("__qv", vec_col).alias("cosine"),
+            (dot_exact("__qv", vec_col) / (F.col("__qn") * F.col("__cn"))).alias("cosine"),
         )
     )
     wf = Window.partitionBy(query_id_col).orderBy(
@@ -2055,15 +2088,22 @@ def decontaminate_semantic(
     # DuckDB oracle; ~8x the cost of plain doubles per row at B=10).
     # exact=False is the production scan: double accumulation, same
     # flags unless a score sits within an ulp of the threshold.
-    cos = cosine_exact if exact else cosine_fast
+    # the corpus vector's norm is hoisted to ONE fold per row (shared
+    # by all B benchmark comparisons — the fused cosine recomputed it
+    # B times per row); each benchmark literal's norm stays an in-plan
+    # expression so the decimal-exact semantics match the oracle
+    # bit-for-bit, at one fold per (row, benchmark) instead of two
+    dot = dot_exact if exact else dot_fast
+    nrm = norm_exact if exact else norm_fast
+    vn = F.col("__vn")
     cos_exprs = []
     for r in rows:
         lit_vec = F.array(*[F.lit(float(x)) for x in r[0]])
-        cos_exprs.append(cos(F.col(vec_col), lit_vec))
+        cos_exprs.append(dot(F.col(vec_col), lit_vec) / (vn * nrm(lit_vec)))
     max_cos = (
         F.greatest(*cos_exprs) if len(cos_exprs) > 1 else cos_exprs[0]
     )
-    return corpus.select(
+    return corpus.withColumn("__vn", nrm(vec_col)).select(
         F.col(id_col),
         max_cos.alias("max_benchmark_cosine"),
         (max_cos >= F.lit(threshold)).alias("contaminated"),
@@ -2095,8 +2135,12 @@ def hard_negative_mining(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qv"),
         F.col(label_col).alias("query_label"),
+    ).withColumn("__qn", norm_exact("__qv"))
+    # corpus norm once per row, not per (query, row) pair — same
+    # bit-identical hoist as cosine_topk
+    c = spread(corpus.select(id_col, vec_col, label_col)).withColumn(
+        "__cn", norm_exact(vec_col)
     )
-    c = spread(corpus.select(id_col, vec_col, label_col))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(
@@ -2105,7 +2149,7 @@ def hard_negative_mining(
         )
         .select(
             query_id_col, "query_label", id_col, label_col,
-            cosine_exact("__qv", vec_col).alias("cosine"),
+            (dot_exact("__qv", vec_col) / (F.col("__qn") * F.col("__cn"))).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
