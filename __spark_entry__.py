@@ -193,6 +193,23 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     # r13: merge_upsert heals an interrupted prior swap before reading
     # the target (sources/merge.py)
     "upsert_scd1",
+    # r13 optimization pass (values identical, plans changed):
+    # q18 folds the HAVING aggregate into the output sum (one lineitem
+    # scan); q21 collapses the per-orderkey aggregate + probe join into
+    # one window pass; jaccard_pairs joins on xxhash64(shingle) instead
+    # of the string; corpus_rarity persists its token stream;
+    # quality_rank_blend consumes that persisted subtree; the pandas
+    # BPE encoder gained a 2-gram merge-prefix index (bigvocab arm);
+    # embedding_neardup_pairs and semantic_dedup screen the exact
+    # cosine filter with a double-fold band prefilter.
+    "q18_large_volume_orders",
+    "q21_waiting_supplier",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_guarded",
+    "dedup_containment",
+    "corpus_rarity",
+    "quality_rank_blend",
+    "bpe_encode_docs_bigvocab",
 })
 
 # Derived view kept for the smoke-test invariant and round tooling: a

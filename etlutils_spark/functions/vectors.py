@@ -96,6 +96,32 @@ def cosine_fast(a: Column | str, b: Column | str) -> Column:
     return dot_fast(a, b) / (norm_fast(a) * norm_fast(b))
 
 
+def cosine_threshold_prefilter(
+    a: Column | str,
+    b: Column | str,
+    na: Column,
+    nb: Column,
+    threshold: float,
+) -> Column:
+    """Cheap screen for ``cosine_exact(a, b) >= threshold`` filters:
+    TRUE for every pair the exact predicate could possibly accept,
+    FALSE only when the double-fold dot is provably below the
+    threshold. Filter on this FIRST, then on the exact predicate —
+    results are identical, but the decimal fold (the all-pairs hot
+    cost) runs only on survivors of the double fold.
+
+    Soundness: ``dot_exact`` rounds each product to 12 decimal places
+    (error <= d*5e-13 for d dims) and sums exactly; ``dot_fast``'s
+    float error is <= 2d*u*sum|p_i| <= 2d*u*na*nb (Cauchy-Schwarz),
+    u = 2^-52. The band used here, ``d * 1e-9 * (1 + na*nb)``, is
+    >= 2000x that combined bound. NULL/zero-norm edge rows evaluate
+    NULL here and are dropped — exactly what the exact predicate does
+    to them (NULL/NaN comparisons are never TRUE)."""
+    a, b = _c(a), _c(b)
+    eps = F.size(a).cast("double") * F.lit(1e-9) * (F.lit(1.0) + na * nb)
+    return dot_fast(a, b) >= F.lit(threshold) * na * nb - eps
+
+
 # DuckDB fragment builders — keep the oracle SQL in lockstep with the
 # Spark expressions above (same cast order, same parenthesization).
 

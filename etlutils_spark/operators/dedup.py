@@ -36,6 +36,7 @@ from etlutils_spark.caching import persist_tracked as _persist_tracked
 from etlutils_spark.functions.vectors import (
     cosine_exact,
     cosine_fast,
+    cosine_threshold_prefilter,
     dot_exact,
     dot_fast,
     norm_exact,
@@ -127,9 +128,11 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing >=1 shingle (and block).
 
-    Pair generation is a self-equi-join on the shingle (plus optional
-    blocking columns) — only co-shingled pairs materialize. Output:
-    (id_1, id_2, n_common, n_1, n_2, jaccard >= threshold).
+    Pair generation is a self-equi-join on the shingle — narrowed to
+    its 64-bit xxhash64 so the exchange ships 8-byte keys, not n-gram
+    strings; counts identical up to in-pair hash collisions (~2^-64) —
+    plus optional blocking columns; only co-shingled pairs materialize.
+    Output: (id_1, id_2, n_common, n_1, n_2, jaccard >= threshold).
 
     ``max_shingle_df`` is the hot-shingle skew guard: a boilerplate
     shingle shared by D documents contributes D(D-1)/2 rows to the
@@ -183,15 +186,23 @@ def jaccard_pairs(
             shingles.join(ok, on=block_key, how="left_semi")
         )
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # the self-join key is the shingle narrowed to its 64-bit xxhash64,
+    # not the string: intersection counts are identical unless xxhash64
+    # collides within a co-shingled doc pair (~2^-64 — the same
+    # documented trade as minhash_dedup_pairs' verify join), and the
+    # exchange feeding the join carries 8-byte keys instead of full
+    # n-gram strings (optimization guide §2.3: shuffle fewer bytes /
+    # narrower types)
+    sh_h = F.xxhash64("shingle")
     # distinct aliases per side — avoids Spark's self-join attribute
     # ambiguity (and its trivially-true-predicate warning)
     a = shingles.select(
         *[F.col(c).alias(f"{c}_1") for c in (id_col, *block_cols)],
-        F.col("shingle").alias("sh_1"),
+        sh_h.alias("sh_1"),
     )
     b = shingles.select(
         *[F.col(c).alias(f"{c}_2") for c in (id_col, *block_cols)],
-        F.col("shingle").alias("sh_2"),
+        sh_h.alias("sh_2"),
     )
     cond = [F.col("sh_1") == F.col("sh_2"), F.col(f"{id_col}_1") < F.col(f"{id_col}_2")]
     for c in block_cols:
@@ -584,8 +595,19 @@ def embedding_neardup_pairs(
     b = df.select(
         F.col(id_col).alias(f"{id_col}_2"), F.col(vec_col).alias("vb")
     ).withColumn("__nb", nrm("vb"))
+    pairs = a.join(b, a[f"{id_col}_1"] < b[f"{id_col}_2"])
+    if exact:
+        # double-fold band screen before the decimal fold: only pairs
+        # the exact predicate could accept reach it (identical output —
+        # see cosine_threshold_prefilter; optimization guide §1.2: make
+        # the per-pair work cheap before tuning anything else)
+        pairs = pairs.filter(
+            cosine_threshold_prefilter(
+                "va", "vb", F.col("__na"), F.col("__nb"), threshold
+            )
+        )
     return (
-        a.join(b, a[f"{id_col}_1"] < b[f"{id_col}_2"])
+        pairs
         .select(
             f"{id_col}_1",
             f"{id_col}_2",

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from etlutils_spark.functions.vectors import (
     cosine_exact,
     cosine_fast,
+    cosine_threshold_prefilter,
     dot_exact,
     dot_fast,
     norm_exact,
@@ -518,9 +519,19 @@ def semantic_dedup(
         F.col(vec_col).alias("__v2"),
         F.col("__nrm").alias("__n2"),
     )
+    pairs = a.join(b, "cluster_id").filter(F.col("__id1") < F.col("__id2"))
+    if exact:
+        # double-fold band screen before the decimal fold (identical
+        # output — see cosine_threshold_prefilter): the within-cluster
+        # quadratic pays the exact fold only for pairs that could
+        # actually clear the threshold
+        pairs = pairs.filter(
+            cosine_threshold_prefilter(
+                "__v1", "__v2", F.col("__n1"), F.col("__n2"), threshold
+            )
+        )
     dropped = (
-        a.join(b, "cluster_id")
-        .filter(F.col("__id1") < F.col("__id2"))
+        pairs
         .filter(
             dot("__v1", "__v2") / (F.col("__n1") * F.col("__n2"))
             >= threshold

@@ -225,8 +225,17 @@ def corpus_rarity_stats(
     token key (AQE's skew split handles the stopword keys), the same
     escape hatch as ``decontaminate(broadcast_benchmark=False)``.
     """
-    tok = with_tokens(df, text_col).select(
-        id_col, F.explode(TOKENS_COL).alias("__token")
+    from etlutils_spark.caching import persist_tracked
+
+    # tok feeds TWO unshared subtrees (the vocabulary count and the
+    # join probe) — Catalyst does not dedupe common subtrees, so
+    # without the persist one action scans and tokenizes the corpus
+    # twice (the bm25/bigram token-stream persist rule; optimization
+    # guide §5: cache only multi-consumer intermediates)
+    tok = persist_tracked(
+        with_tokens(df, text_col).select(
+            id_col, F.explode(TOKENS_COL).alias("__token")
+        )
     )
     vocab = tok.groupBy("__token").agg(F.count(F.lit(1)).alias("__tc"))
     if broadcast_vocab:
@@ -973,10 +982,28 @@ def _bpe_encode_pandas(
 
     frozen = list(merges)
     ws = _re.compile(r"[ \t\n\r\f]+")
+    # 2-char-prefix index over the merge table: a merge can only apply
+    # to a word if its concatenation a+b occurs in the word as a
+    # substring, which requires a+b's first two characters to be one of
+    # the word's 2-grams. Grouping merges by that prefix lets each word
+    # visit only the merges whose prefix it contains — ~|alphabet|^2 /
+    # distinct-2-grams fewer substring checks per word at large merge
+    # tables (the 1k-merge registrations scan a 32-char word against
+    # 1024 merges otherwise), while the candidate list sorted by rank
+    # preserves the sequential application order bit-for-bit.
+    by2: dict[str, list[int]] = {}
+    for k, (a, b) in enumerate(frozen):
+        by2.setdefault((a + b)[:2], []).append(k)
 
     def encode_word(w: str) -> str:
+        cand: set[int] = set()
+        for i in range(len(w) - 1):
+            lst = by2.get(w[i : i + 2])
+            if lst is not None:
+                cand.update(lst)
         pieces = list(w)
-        for a, b in frozen:
+        for k in sorted(cand):
+            a, b = frozen[k]
             if len(pieces) < 2:
                 break
             if a + b not in w:

@@ -860,13 +860,19 @@ def q14_promo_share(spark, sf_dir):
     """,
 )
 def q18_large_volume_orders(spark, sf_dir):
-    """TPC-H Q18 shape: HAVING-derived key set -> semi-join -> re-agg.
+    """TPC-H Q18 shape: HAVING-derived per-order sum -> payload join.
 
-    Scale: the keeper set (orderkeys with >180 total quantity) is tiny
-    relative to the fact table, so it broadcasts as a left-semi filter
-    BEFORE the wide join — payload rows for the 99% of orders that fail
-    the threshold never shuffle. The keeper aggregation itself is a
-    partial-agg on the join key (no payload columns)."""
+    Scale: ONE partial-agg pass over lineitem (key + quantity only — no
+    payload columns in the shuffle) produces both the HAVING filter AND
+    the output sum: the grouped sum IS sum_qty, because the final group
+    key contains o_orderkey and every other group column is
+    functionally dependent on it through the joins. The r12 form
+    re-scanned lineitem and re-aggregated the keeper rows after a
+    semi-join — a second full pass over the fact table that computed a
+    value the first pass already had (optimization guide §1.2/§2.4:
+    don't compute things twice, remove shuffles outright). The >180
+    keeper set is tiny, so it joins orders/customer broadcast-shaped,
+    and the decimal sum is order-independent — identical values."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
@@ -874,16 +880,14 @@ def q18_large_volume_orders(spark, sf_dir):
         l.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("q"))
         .filter(F.col("q") > 180)
-        .select("l_orderkey")
-    )
-    keep = o.join(
-        F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi"
     )
     return (
-        l.join(keep, l.l_orderkey == keep.o_orderkey)
-        .join(F.broadcast(c), keep.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("sum_qty"))
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("q").cast("double").alias("sum_qty"),
+        )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(50)
     )
@@ -1391,11 +1395,17 @@ def q21_waiting_supplier(spark, sf_dir):
     (shipdate == per-order max) and at least one other supplier is on
     the order — the same correlated-max + EXISTS plan family.
 
-    Scale: both correlated subqueries collapse into ONE per-orderkey
-    aggregate (max shipdate + distinct-supplier count) — one shuffle on
-    orderkey instead of two self-join passes over lineitem. The probe
-    side joins that aggregate co-partitioned on the same key; supplier
-    and nation broadcast at the end, after the fact rows have been cut.
+    Scale: both correlated subqueries collapse into ONE window pass
+    over lineitem partitioned by orderkey (max shipdate +
+    distinct-supplier count via collect_set size) — one shuffle of the
+    fact table, total. The r12 form computed the same two values as a
+    separate per-orderkey aggregate and joined it back, which shuffled
+    lineitem TWICE (once into the aggregate, once into the probe join —
+    optimization guide §2.4: an aggregation and a window keyed the same
+    way should share one exchange). size(collect_set(...)) ==
+    countDistinct(...) (both NULL-excluding), and max over the window
+    equals max over the group, so values are identical. Supplier and
+    nation broadcast at the end, after the fact rows have been cut.
     """
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     s = _t(spark, sf_dir, "supplier").join(
@@ -1403,13 +1413,11 @@ def q21_waiting_supplier(spark, sf_dir):
     ).select("s_suppkey", "s_name")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    per_order = li.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
-        F.max("l_shipdate").alias("max_shipdate"),
-        F.countDistinct("l_suppkey").alias("n_supp"),
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(per_order, F.col("l_orderkey") == F.col("agg_orderkey"))
+        .withColumn("max_shipdate", F.max("l_shipdate").over(w))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
         .filter((F.col("l_shipdate") == F.col("max_shipdate")) & (F.col("n_supp") > 1))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")

@@ -128,8 +128,12 @@ def test_q10_broadcasts_dims_and_takeordered(spark, qs):
 
 def test_q18_keeper_set_broadcasts(spark, qs):
     plan = physical_plan(qs["q18_large_volume_orders"](spark, SF))
-    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    # r13: the HAVING aggregate IS the output sum — lineitem is scanned
+    # once (the r12 form re-scanned it through a LeftSemi + re-agg) and
+    # the keeper set joins orders broadcast-shaped
+    assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+    assert plan.count("lineitem.parquet") == 1  # single fact scan
 
 
 def test_q19_part_side_disjunction_prunes_build(spark, qs):
@@ -217,9 +221,12 @@ def test_q17_decorrelated_single_threshold_agg(spark, qs):
 def test_q21_one_aggregate_replaces_two_subqueries(spark, qs):
     df = qs["q21_waiting_supplier"](spark, SF)
     plan = physical_plan(df)
-    # correlated MAX + EXISTS collapse into one per-orderkey aggregate:
-    # lineitem appears exactly twice (probe + aggregate), not three times
-    assert plan.count("lineitem.parquet") == 2
+    # correlated MAX + EXISTS collapse into ONE window pass over the
+    # orderkey partitioning (r13; the r12 aggregate+probe-join form
+    # scanned and shuffled lineitem twice): single lineitem scan,
+    # single window node computing both values
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("Window") >= 1
     rows = df.collect()
     assert all(r["numwait"] >= 1 for r in rows)
 

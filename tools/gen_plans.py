@@ -39,7 +39,8 @@ COMMENTARY = {
     "lineitem-orders is the only shuffle; share is ONE conditional "
     "aggregate pass (fact scanned once).",
     "q21_waiting_supplier": "correlated MAX + EXISTS collapsed into one "
-    "per-orderkey aggregate joined co-partitioned; supplier/nation "
+    "window pass over orderkey — a single Exchange of the fact table "
+    "(r13: was aggregate + probe join = two); supplier/nation "
     "broadcast after the fact rows are cut.",
     "q2_min_cost_supplier": "correlated per-part MIN decorrelated; the "
     "distinct pair projection cached and reused by probe + min.",
