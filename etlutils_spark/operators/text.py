@@ -805,6 +805,11 @@ def _train_from_word_freq(
         (-c, p) for p, c in pairs.items()
     ]
     heapq.heapify(heap)
+    # lazily-filled per-word pair-multiset cache: a word's old Counter
+    # is exactly the new Counter stored when it was last rewritten, so
+    # each rewrite builds ONE Counter, not two. Entries exist only for
+    # words a merge has touched (bounded by hit words, not vocabulary).
+    pair_cache: "dict[int, Counter]" = {}
     merges: list[tuple[str, str]] = []
     dirty: "set[tuple[str, str]]" = set()
     for _ in range(num_merges):
@@ -820,39 +825,77 @@ def _train_from_word_freq(
         ab = a + b
         for wi in sorted(where.get((a, b), ())):
             word, f = words[wi], freqs[wi]
+            # left-to-right greedy rewrite via C-speed tuple.index /
+            # slice-extend: scan cost is per OCCURRENCE, not per
+            # position (identical output to the per-position loop,
+            # including the a == b overlap semantics — a match always
+            # resumes scanning after its second element)
             out: list[str] = []
+            n = len(word)
             i = 0
-            while i < len(word):
-                if i + 1 < len(word) and word[i] == a and word[i + 1] == b:
-                    out.append(ab)
-                    i += 2
-                else:
-                    out.append(word[i])
-                    i += 1
+            while True:
+                j = i
+                while True:
+                    try:
+                        j = word.index(a, j)
+                    except ValueError:
+                        j = -1
+                        break
+                    if j + 1 < n and word[j + 1] == b:
+                        break
+                    j += 1
+                if j < 0:
+                    out.extend(word[i:])
+                    break
+                out.extend(word[i:j])
+                out.append(ab)
+                i = j + 2
             new = tuple(out)
-            # retract the old word's pair stats, add the new word's.
-            # Count changes only mark the pair DIRTY here; the heap
-            # push happens once per dirty pair per merge, below —
-            # pushing per update meant H pushes for a pair touched by
-            # H hit words, and the stale entries made heappop the
-            # trainer's hottest call (profiled: ~45% of wall)
-            for j in range(len(word) - 1):
-                p = (word[j], word[j + 1])
-                c = pairs.get(p, 0) - f
-                if c <= 0:
-                    pairs.pop(p, None)
+            # retract the old word's pair stats, add the new word's —
+            # as a DELTA between the two pair multisets (built with
+            # C-speed Counter(zip(...))), so only net-changed pairs
+            # touch the counts/index/dirty set. The position-by-
+            # position form did 2 dict ops per position per word (the
+            # trainer's hottest loop, profiled ~60% of wall at the 1k-
+            # merge registration); a 32-char word with one merge site
+            # has ~3 net-changed pairs. Count arithmetic is identical
+            # (same integer totals, commutative), and the where-index
+            # net effect is the same: wi in where[p] iff p occurs in
+            # the new word. Count changes only mark the pair DIRTY
+            # here; the heap push happens once per dirty pair per
+            # merge, below — pushing per update meant H pushes for a
+            # pair touched by H hit words, and the stale entries made
+            # heappop the trainer's hottest call (profiled: ~45% of
+            # wall before that fix).
+            oldc = pair_cache.get(wi)
+            if oldc is None:
+                oldc = Counter(zip(word, word[1:]))
+            newc = Counter(zip(new, new[1:]))
+            pair_cache[wi] = newc
+            for p, c in oldc.items():
+                d = c - newc.get(p, 0)
+                if d > 0:
+                    nc = pairs.get(p, 0) - d * f
+                    if nc <= 0:
+                        pairs.pop(p, None)
+                    else:
+                        pairs[p] = nc
+                    dirty.add(p)
+                    if p not in newc:
+                        s = where.get(p)
+                        if s is not None:
+                            s.discard(wi)
+            for p, c in newc.items():
+                if p not in oldc:
+                    pairs[p] = pairs.get(p, 0) + c * f
+                    dirty.add(p)
+                    where.setdefault(p, set()).add(wi)
                 else:
-                    pairs[p] = c
-                dirty.add(p)
-                s = where.get(p)
-                if s is not None:
-                    s.discard(wi)
+                    d = c - oldc[p]
+                    if d > 0:
+                        pairs[p] = pairs.get(p, 0) + d * f
+                        dirty.add(p)
             words[wi] = new
-            for j in range(len(new) - 1):
-                p = (new[j], new[j + 1])
-                pairs[p] = pairs.get(p, 0) + f
-                dirty.add(p)
-                where.setdefault(p, set()).add(wi)
         # one live entry per surviving dirty pair at its FINAL count
         # (a pair retracted to zero just leaves its old entries stale)
         for p in dirty:
