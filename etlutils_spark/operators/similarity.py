@@ -72,18 +72,69 @@ def cosine_topk(
     c = spread(
         corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
     ).withColumn("__cn", nrm("__cv"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col(query_id_col) != F.col(id_col))
-        .select(
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    if exact:
+        # two-phase exact top-k: rank every pair by the cheap double
+        # fold first, keep only rows that could possibly reach the
+        # exact top-k (fast rank <= k, or fast cosine within a
+        # provably-conservative error band of the k-th fast cosine, or
+        # a NULL fast cosine — malformed rows rank NULLS LAST in both
+        # scoring modes), then evaluate the decimal-exact fold on that
+        # shortlist only and re-rank. |fast - exact| per pair is
+        # bounded by eps_row below (same bound as
+        # cosine_threshold_prefilter, >= 2000x the true float+rounding
+        # error), and the k-th EXACT cosine is >= the k-th FAST cosine
+        # minus the query's max eps, so every true top-k member
+        # clears the band. Emitted cosines/ranks are the exact fold's —
+        # identical output, exact folds only on ~k rows per query.
+        eps_row = (
+            F.size("__qv").cast("double")
+            * F.lit(1e-9)
+            * (F.lit(1.0) + F.col("__qn") * F.col("__cn"))
+            / (F.col("__qn") * F.col("__cn"))
+        )
+        fast_cos = dot_fast("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))
+        wf = Window.partitionBy(query_id_col).orderBy(
+            F.desc("__fast"), F.col(id_col)
+        )
+        wq = Window.partitionBy(query_id_col)
+        shortlist = (
+            pairs.withColumn("__fast", fast_cos)
+            .withColumn("__eps", eps_row)
+            .withColumn("__rf", F.row_number().over(wf))
+            .withColumn(
+                "__kth",
+                F.max(F.when(F.col("__rf") == k, F.col("__fast"))).over(wq),
+            )
+            .withColumn("__max_eps", F.max("__eps").over(wq))
+            .filter(
+                (F.col("__rf") <= k)
+                | F.col("__fast").isNull()
+                | F.col("__kth").isNull()
+                | (
+                    F.col("__fast")
+                    >= F.col("__kth") - F.col("__eps") - F.col("__max_eps")
+                )
+            )
+        )
+        scored = shortlist.select(
             query_id_col,
             id_col,
             (dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias(
                 "cosine"
             ),
         )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    else:
+        scored = pairs.select(
+            query_id_col,
+            id_col,
+            (dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias(
+                "cosine"
+            ),
+        )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
