@@ -40,6 +40,62 @@ from etlutils_spark.sources.sidecar import (
 )
 
 
+def _topk_fast_screen(
+    pairs: DataFrame,
+    query_id_col: str,
+    id_col: str,
+    qv_col: str,
+    cv_col: str,
+    qn_col: str,
+    cn_col: str,
+    k: int,
+) -> DataFrame:
+    """Two-phase exact top-k, phase one: rank every (query, candidate)
+    pair by the cheap double fold and keep only rows that could
+    possibly reach the exact top-k — fast rank <= k, or fast cosine
+    within a provably-conservative error band of the k-th fast cosine,
+    or a NULL fast cosine (malformed rows rank NULLS LAST in both
+    scoring modes). The caller evaluates the decimal-exact fold on the
+    survivors only and re-ranks; output is identical to exact-scoring
+    every pair, because |fast - exact| per pair is bounded by eps_row
+    below (the cosine_threshold_prefilter bound, >= 2000x the true
+    float+rounding error) and the k-th EXACT cosine is >= the k-th
+    FAST cosine minus the query's max eps, so every true top-k member
+    clears the band."""
+    qn, cn = F.col(qn_col), F.col(cn_col)
+    eps_row = (
+        F.size(qv_col).cast("double")
+        * F.lit(1e-9)
+        * (F.lit(1.0) + qn * cn)
+        / (qn * cn)
+    )
+    fast_cos = dot_fast(qv_col, cv_col) / (qn * cn)
+    wf = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__fast"), F.col(id_col)
+    )
+    wq = Window.partitionBy(query_id_col)
+    return (
+        pairs.withColumn("__fast", fast_cos)
+        .withColumn("__eps", eps_row)
+        .withColumn("__rf", F.row_number().over(wf))
+        .withColumn(
+            "__kth",
+            F.max(F.when(F.col("__rf") == k, F.col("__fast"))).over(wq),
+        )
+        .withColumn("__max_eps", F.max("__eps").over(wq))
+        .filter(
+            (F.col("__rf") <= k)
+            | F.col("__fast").isNull()
+            | F.col("__kth").isNull()
+            | (
+                F.col("__fast")
+                >= F.col("__kth") - F.col("__eps") - F.col("__max_eps")
+            )
+        )
+        .drop("__fast", "__eps", "__rf", "__kth", "__max_eps")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -77,48 +133,11 @@ def cosine_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     if exact:
-        # two-phase exact top-k: rank every pair by the cheap double
-        # fold first, keep only rows that could possibly reach the
-        # exact top-k (fast rank <= k, or fast cosine within a
-        # provably-conservative error band of the k-th fast cosine, or
-        # a NULL fast cosine — malformed rows rank NULLS LAST in both
-        # scoring modes), then evaluate the decimal-exact fold on that
-        # shortlist only and re-rank. |fast - exact| per pair is
-        # bounded by eps_row below (same bound as
-        # cosine_threshold_prefilter, >= 2000x the true float+rounding
-        # error), and the k-th EXACT cosine is >= the k-th FAST cosine
-        # minus the query's max eps, so every true top-k member
-        # clears the band. Emitted cosines/ranks are the exact fold's —
-        # identical output, exact folds only on ~k rows per query.
-        eps_row = (
-            F.size("__qv").cast("double")
-            * F.lit(1e-9)
-            * (F.lit(1.0) + F.col("__qn") * F.col("__cn"))
-            / (F.col("__qn") * F.col("__cn"))
-        )
-        fast_cos = dot_fast("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))
-        wf = Window.partitionBy(query_id_col).orderBy(
-            F.desc("__fast"), F.col(id_col)
-        )
-        wq = Window.partitionBy(query_id_col)
-        shortlist = (
-            pairs.withColumn("__fast", fast_cos)
-            .withColumn("__eps", eps_row)
-            .withColumn("__rf", F.row_number().over(wf))
-            .withColumn(
-                "__kth",
-                F.max(F.when(F.col("__rf") == k, F.col("__fast"))).over(wq),
-            )
-            .withColumn("__max_eps", F.max("__eps").over(wq))
-            .filter(
-                (F.col("__rf") <= k)
-                | F.col("__fast").isNull()
-                | F.col("__kth").isNull()
-                | (
-                    F.col("__fast")
-                    >= F.col("__kth") - F.col("__eps") - F.col("__max_eps")
-                )
-            )
+        # two-phase exact top-k (see _topk_fast_screen): emitted
+        # cosines/ranks come from the exact fold — identical output,
+        # exact folds only on ~k rows per query
+        shortlist = _topk_fast_screen(
+            pairs, query_id_col, id_col, "__qv", "__cv", "__qn", "__cn", k
         )
         scored = shortlist.select(
             query_id_col,
@@ -255,10 +274,17 @@ def ivf_topk(
         .join(F.broadcast(probes), on="cluster_id")
         .filter(F.col(query_id_col) != F.col(id_col))
     )
-    scored = cand.join(
-        F.broadcast(q.withColumn("__qn", norm_exact("__qv"))),
-        on=query_id_col,
-    ).select(
+    # two-phase exact scoring (see _topk_fast_screen): the decimal
+    # fold runs on ~k screened rows per query instead of every probed
+    # candidate, with identical output
+    probed_pairs = _topk_fast_screen(
+        cand.join(
+            F.broadcast(q.withColumn("__qn", norm_exact("__qv"))),
+            on=query_id_col,
+        ),
+        query_id_col, id_col, "__qv", vec_col, "__qn", "__cn", k,
+    )
+    scored = probed_pairs.select(
         query_id_col,
         id_col,
         (dot_exact("__qv", vec_col) / (F.col("__qn") * F.col("__cn"))).alias(
@@ -332,6 +358,11 @@ def lsh_topk(
         )
         .distinct()
     )
+    # NOT two-phase screened (unlike cosine_topk / ivf_topk / the
+    # artifact re-ranks): LSH candidates are already bucket-limited to
+    # a small fraction of the corpus, so the screen's extra window
+    # exchange over vector-laden pair rows measured net-negative here
+    # (3.37 -> 3.76 s min-of-5 at sf0.1) while saving few exact folds
     scored = cand.select(
         query_id_col, id_col,
         (
@@ -1240,14 +1271,18 @@ def pq_topk(
         .join(F.broadcast(short.select(id_col).distinct()), id_col)
         .withColumn("__cn", norm_exact(vec_col))
     )
-    scored = (
+    # two-phase exact re-rank (see _topk_fast_screen): the decimal
+    # fold runs on ~k screened rows per query instead of every
+    # shortlisted candidate, with identical output
+    rerank_pairs = _topk_fast_screen(
         F.broadcast(short)
         .join(cand_vecs, id_col)
-        .join(F.broadcast(qdf.withColumn("__qn", norm_exact("__qv"))), query_id_col)
-        .select(
-            query_id_col, id_col,
-            (dot_exact("__qv", vec_col) / (F.col("__qn") * F.col("__cn"))).alias("cosine"),
-        )
+        .join(F.broadcast(qdf.withColumn("__qn", norm_exact("__qv"))), query_id_col),
+        query_id_col, id_col, "__qv", vec_col, "__qn", "__cn", k,
+    )
+    scored = rerank_pairs.select(
+        query_id_col, id_col,
+        (dot_exact("__qv", vec_col) / (F.col("__qn") * F.col("__cn"))).alias("cosine"),
     )
     wf = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(wf)).filter(F.col("rank") <= k)
@@ -2026,14 +2061,18 @@ def ann_index_topk(
         .join(F.broadcast(short.select(id_col).distinct()), id_col)
         .withColumn("__cn", norm_exact(vec_col))
     )
-    scored = (
+    # two-phase exact re-rank (see _topk_fast_screen): the decimal
+    # fold runs on ~k screened rows per query instead of every
+    # shortlisted candidate, with identical output
+    rerank_pairs = _topk_fast_screen(
         F.broadcast(short)
         .join(cand_vecs, id_col)
-        .join(F.broadcast(qdf.withColumn("__qn", norm_exact("__qv"))), query_id_col)
-        .select(
-            query_id_col, id_col,
-            (dot_exact("__qv", vec_col) / (F.col("__qn") * F.col("__cn"))).alias("cosine"),
-        )
+        .join(F.broadcast(qdf.withColumn("__qn", norm_exact("__qv"))), query_id_col),
+        query_id_col, id_col, "__qv", vec_col, "__qn", "__cn", k,
+    )
+    scored = rerank_pairs.select(
+        query_id_col, id_col,
+        (dot_exact("__qv", vec_col) / (F.col("__qn") * F.col("__cn"))).alias("cosine"),
     )
     wf = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.col(id_col)
@@ -2203,16 +2242,19 @@ def hard_negative_mining(
     c = spread(corpus.select(id_col, vec_col, label_col)).withColumn(
         "__cn", norm_exact(vec_col)
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(
+    # two-phase exact scoring (see _topk_fast_screen): the decimal
+    # fold runs on ~k screened rows per query instead of every
+    # label-mismatched pair, with identical output
+    neg_pairs = _topk_fast_screen(
+        c.crossJoin(F.broadcast(q)).filter(
             (F.col(query_id_col) != F.col(id_col))
             & (F.col(label_col) != F.col("query_label"))
-        )
-        .select(
-            query_id_col, "query_label", id_col, label_col,
-            (dot_exact("__qv", vec_col) / (F.col("__qn") * F.col("__cn"))).alias("cosine"),
-        )
+        ),
+        query_id_col, id_col, "__qv", vec_col, "__qn", "__cn", k,
+    )
+    scored = neg_pairs.select(
+        query_id_col, "query_label", id_col, label_col,
+        (dot_exact("__qv", vec_col) / (F.col("__qn") * F.col("__cn"))).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
