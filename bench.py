@@ -267,7 +267,13 @@ def main() -> None:
         if (m := re.match(r"BENCH_r(\d+)\.json$", f))
     ]
     this_round = (max(rounds) + 1) if rounds else 1
-    with open(os.path.join(repo, f"BENCH_full_r{this_round:02d}.json"),
+    # Provenance (r13 verdict item 8): idle/manual runs tag the sidecar
+    # (`SPARK_GRAFT_BENCH_TAG=idle` -> BENCH_full_r14_idle.json) so they
+    # stop clobbering the driver's committed shared-box record of the
+    # same round. Untagged (driver) behavior is unchanged.
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG", "")
+    suffix = f"_{tag}" if tag else ""
+    with open(os.path.join(repo, f"BENCH_full_r{this_round:02d}{suffix}.json"),
               "w") as fh:
         json.dump(full, fh, indent=1)
     print(json.dumps(full), file=sys.stderr)
