@@ -114,9 +114,14 @@ def cosine_threshold_prefilter(
     (error <= d*5e-13 for d dims) and sums exactly; ``dot_fast``'s
     float error is <= 2d*u*sum|p_i| <= 2d*u*na*nb (Cauchy-Schwarz),
     u = 2^-52. The band used here, ``d * 1e-9 * (1 + na*nb)``, is
-    >= 2000x that combined bound. NULL/zero-norm edge rows evaluate
-    NULL here and are dropped — exactly what the exact predicate does
-    to them (NULL/NaN comparisons are never TRUE)."""
+    >= 2000x that combined bound. Edge rows: a zero-norm side makes
+    the right-hand side ``-eps`` (< 0) so the row passes as TRUE, and
+    a NaN element makes ``dot_fast`` NaN, which Spark compares greater
+    than everything — also TRUE; both are settled by the downstream
+    exact predicate, which this screen must only over-approximate.
+    Only rows whose product array is empty or all-NULL evaluate NULL
+    here (dot_fast returns NULL) and are dropped — exactly what the
+    exact predicate does to them (a NULL comparison is never TRUE)."""
     a, b = _c(a), _c(b)
     eps = F.size(a).cast("double") * F.lit(1e-9) * (F.lit(1.0) + na * nb)
     return dot_fast(a, b) >= F.lit(threshold) * na * nb - eps

@@ -126,7 +126,8 @@ def jaccard_pairs(
     containment_threshold: float | None = None,
     max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over pairs sharing >=1 shingle (and block).
+    """N-gram Jaccard (exact up to 64-bit hash collisions) over pairs
+    sharing >=1 shingle (and block).
 
     Pair generation is a self-equi-join on the shingle — narrowed to
     its 64-bit xxhash64 so the exchange ships 8-byte keys, not n-gram

@@ -49,19 +49,44 @@ def _topk_fast_screen(
     qn_col: str,
     cn_col: str,
     k: int,
+    corpus_side: DataFrame | None = None,
+    query_side: DataFrame | None = None,
 ) -> DataFrame:
     """Two-phase exact top-k, phase one: rank every (query, candidate)
     pair by the cheap double fold and keep only rows that could
     possibly reach the exact top-k — fast rank <= k, or fast cosine
     within a provably-conservative error band of the k-th fast cosine,
-    or a NULL fast cosine (malformed rows rank NULLS LAST in both
-    scoring modes). The caller evaluates the decimal-exact fold on the
+    or a NULL/NaN fast cosine (malformed rows are kept conservatively
+    and settled by the exact fold; Spark orders NaN above every value,
+    so without the explicit NaN keeps a NaN-laden vector would seize
+    the top fast ranks, poison ``__kth`` into NaN, and the band
+    comparison — false against NaN — would silently drop true top-k
+    members). The caller evaluates the decimal-exact fold on the
     survivors only and re-ranks; output is identical to exact-scoring
     every pair, because |fast - exact| per pair is bounded by eps_row
     below (the cosine_threshold_prefilter bound, >= 2000x the true
     float+rounding error) and the k-th EXACT cosine is >= the k-th
     FAST cosine minus the query's max eps, so every true top-k member
-    clears the band."""
+    clears the band.
+
+    Exchange shape (optimization guide §2.3/§8): the screen's window
+    needs a shuffle on ``query_id``, but the ranking/band decision
+    depends only on SCALARS — so the pair rows are projected to
+    ``(query_id, id, __fast, __eps)`` (~28 B/row) BEFORE that
+    exchange, with the folds evaluated map-side. The d-dim embedding
+    arrays (~1 KB/row at d=64) never ride the shuffle; survivors
+    (~k + band rows per query) are broadcast back and re-joined to
+    ``corpus_side`` (by ``id_col``; its ``cn_col`` norm is recomputed
+    post-join — same expression tree, bit-identical) and
+    ``query_side`` (by ``query_id_col``; must already carry
+    ``qn_col``) to fetch vectors for the exact fold. The heavy bytes
+    move once, the decision moves as metadata — at the cost of the
+    corpus-side subtree being computed twice (screen pass + fetch
+    pass), the right trade at scale where exchange bytes, not scans,
+    dominate. The survivor set is ``distinct`` so a (pathological)
+    duplicate corpus id fans out exactly once per corpus row, matching
+    the pre-join semantics. Callers that pass no sides get the
+    filtered ``pairs`` via a survivor semi-join (legacy shape)."""
     qn, cn = F.col(qn_col), F.col(cn_col)
     eps_row = (
         F.size(qv_col).cast("double")
@@ -74,9 +99,13 @@ def _topk_fast_screen(
         F.desc("__fast"), F.col(id_col)
     )
     wq = Window.partitionBy(query_id_col)
-    return (
-        pairs.withColumn("__fast", fast_cos)
-        .withColumn("__eps", eps_row)
+    survivors = (
+        pairs.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            fast_cos.alias("__fast"),
+            eps_row.alias("__eps"),
+        )
         .withColumn("__rf", F.row_number().over(wf))
         .withColumn(
             "__kth",
@@ -87,13 +116,23 @@ def _topk_fast_screen(
             (F.col("__rf") <= k)
             | F.col("__fast").isNull()
             | F.col("__kth").isNull()
+            | F.isnan("__fast")
+            | F.isnan("__kth")
+            | F.isnan("__max_eps")
             | (
                 F.col("__fast")
                 >= F.col("__kth") - F.col("__eps") - F.col("__max_eps")
             )
         )
-        .drop("__fast", "__eps", "__rf", "__kth", "__max_eps")
+        .select(query_id_col, id_col)
+        .distinct()
     )
+    if corpus_side is None or query_side is None:
+        return pairs.join(F.broadcast(survivors), [query_id_col, id_col])
+    fetched = corpus_side.join(F.broadcast(survivors), id_col).withColumn(
+        cn_col, norm_exact(cv_col)
+    )
+    return fetched.join(F.broadcast(query_side), query_id_col)
 
 
 def cosine_topk(
@@ -125,9 +164,8 @@ def cosine_topk(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
     ).withColumn("__qn", nrm("__qv"))
     # spread: the per-(query, vector) cosine work is the CPU stage
-    c = spread(
-        corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
-    ).withColumn("__cn", nrm("__cv"))
+    c0 = spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")))
+    c = c0.withColumn("__cn", nrm("__cv"))
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col(query_id_col) != F.col(id_col)
     )
@@ -135,9 +173,11 @@ def cosine_topk(
     if exact:
         # two-phase exact top-k (see _topk_fast_screen): emitted
         # cosines/ranks come from the exact fold — identical output,
-        # exact folds only on ~k rows per query
+        # exact folds only on ~k rows per query; the screen exchange
+        # carries scalars only and survivors re-join c0 for vectors
         shortlist = _topk_fast_screen(
-            pairs, query_id_col, id_col, "__qv", "__cv", "__qn", "__cn", k
+            pairs, query_id_col, id_col, "__qv", "__cv", "__qn", "__cn", k,
+            corpus_side=c0, query_side=q,
         )
         scored = shortlist.select(
             query_id_col,
@@ -266,23 +306,26 @@ def ivf_topk(
     )
 
     # search only the probed clusters: join prunes the scored set.
-    # Norms hoisted: once per assigned corpus vector and per query
-    # (linear terms), not per (query, candidate) pair — bit-identical
-    # to the fused cosine (see cosine_topk)
+    # Norms hoisted: once per probed candidate and per query (linear
+    # terms), not per (query, candidate) pair — bit-identical to the
+    # fused cosine (see cosine_topk)
     cand = (
-        assigned.withColumn("__cn", norm_exact(vec_col))
-        .join(F.broadcast(probes), on="cluster_id")
+        assigned.join(F.broadcast(probes), on="cluster_id")
         .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn("__cn", norm_exact(vec_col))
     )
     # two-phase exact scoring (see _topk_fast_screen): the decimal
     # fold runs on ~k screened rows per query instead of every probed
-    # candidate, with identical output
+    # candidate, with identical output; the screen exchange carries
+    # scalars only — survivors re-join the raw corpus (probe
+    # membership is already encoded in the surviving pairs) and the
+    # broadcast query side for the vectors the exact fold needs
+    qq = q.withColumn("__qn", norm_exact("__qv"))
     probed_pairs = _topk_fast_screen(
-        cand.join(
-            F.broadcast(q.withColumn("__qn", norm_exact("__qv"))),
-            on=query_id_col,
-        ),
+        cand.join(F.broadcast(qq), on=query_id_col),
         query_id_col, id_col, "__qv", vec_col, "__qn", "__cn", k,
+        corpus_side=corpus.select(id_col, vec_col),
+        query_side=qq,
     )
     scored = probed_pairs.select(
         query_id_col,
@@ -1263,22 +1306,31 @@ def pq_topk(
     qdf = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
     )
+    from etlutils_spark.caching import persist_tracked
+
     # norms hoisted: once per distinct shortlist vector and per query
     # (the shortlist re-rank previously paid dot + 2 norm folds per
-    # (query, candidate) pair); values bit-identical — see cosine_topk
-    cand_vecs = (
+    # (query, candidate) pair); values bit-identical — see cosine_topk.
+    # The shortlisted vector table is bounded (max_shortlist_rows
+    # guard) and consumed twice by the two-phase re-rank (screen pass
+    # + survivor fetch): materialize once so the corpus is still
+    # touched exactly once
+    cand_vecs0 = persist_tracked(
         corpus.select(id_col, vec_col)
         .join(F.broadcast(short.select(id_col).distinct()), id_col)
-        .withColumn("__cn", norm_exact(vec_col))
     )
+    cand_vecs = cand_vecs0.withColumn("__cn", norm_exact(vec_col))
     # two-phase exact re-rank (see _topk_fast_screen): the decimal
     # fold runs on ~k screened rows per query instead of every
-    # shortlisted candidate, with identical output
+    # shortlisted candidate, with identical output; the screen
+    # exchange carries scalars only
+    qq = qdf.withColumn("__qn", norm_exact("__qv"))
     rerank_pairs = _topk_fast_screen(
         F.broadcast(short)
         .join(cand_vecs, id_col)
-        .join(F.broadcast(qdf.withColumn("__qn", norm_exact("__qv"))), query_id_col),
+        .join(F.broadcast(qq), query_id_col),
         query_id_col, id_col, "__qv", vec_col, "__qn", "__cn", k,
+        corpus_side=cand_vecs0, query_side=qq,
     )
     scored = rerank_pairs.select(
         query_id_col, id_col,
@@ -2053,22 +2105,30 @@ def ann_index_topk(
     qdf = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
     )
+    from etlutils_spark.caching import persist_tracked
+
     # norms hoisted: once per distinct shortlist vector and per query
     # (the shortlist re-rank previously paid dot + 2 norm folds per
-    # (query, candidate) pair); values bit-identical — see cosine_topk
-    cand_vecs = (
+    # (query, candidate) pair); values bit-identical — see cosine_topk.
+    # The shortlisted vector table is bounded and consumed twice by
+    # the two-phase re-rank (screen pass + survivor fetch):
+    # materialize once so the corpus is still touched exactly once
+    cand_vecs0 = persist_tracked(
         corpus.select(id_col, vec_col)
         .join(F.broadcast(short.select(id_col).distinct()), id_col)
-        .withColumn("__cn", norm_exact(vec_col))
     )
+    cand_vecs = cand_vecs0.withColumn("__cn", norm_exact(vec_col))
     # two-phase exact re-rank (see _topk_fast_screen): the decimal
     # fold runs on ~k screened rows per query instead of every
-    # shortlisted candidate, with identical output
+    # shortlisted candidate, with identical output; the screen
+    # exchange carries scalars only
+    qq = qdf.withColumn("__qn", norm_exact("__qv"))
     rerank_pairs = _topk_fast_screen(
         F.broadcast(short)
         .join(cand_vecs, id_col)
-        .join(F.broadcast(qdf.withColumn("__qn", norm_exact("__qv"))), query_id_col),
+        .join(F.broadcast(qq), query_id_col),
         query_id_col, id_col, "__qv", vec_col, "__qn", "__cn", k,
+        corpus_side=cand_vecs0, query_side=qq,
     )
     scored = rerank_pairs.select(
         query_id_col, id_col,
@@ -2239,18 +2299,20 @@ def hard_negative_mining(
     ).withColumn("__qn", norm_exact("__qv"))
     # corpus norm once per row, not per (query, row) pair — same
     # bit-identical hoist as cosine_topk
-    c = spread(corpus.select(id_col, vec_col, label_col)).withColumn(
-        "__cn", norm_exact(vec_col)
-    )
+    c0 = spread(corpus.select(id_col, vec_col, label_col))
+    c = c0.withColumn("__cn", norm_exact(vec_col))
     # two-phase exact scoring (see _topk_fast_screen): the decimal
     # fold runs on ~k screened rows per query instead of every
-    # label-mismatched pair, with identical output
+    # label-mismatched pair, with identical output; the screen
+    # exchange carries scalars only — survivors re-join c0 (labels
+    # ride along) and the broadcast query side for the exact fold
     neg_pairs = _topk_fast_screen(
         c.crossJoin(F.broadcast(q)).filter(
             (F.col(query_id_col) != F.col(id_col))
             & (F.col(label_col) != F.col("query_label"))
         ),
         query_id_col, id_col, "__qv", vec_col, "__qn", "__cn", k,
+        corpus_side=c0, query_side=q,
     )
     scored = neg_pairs.select(
         query_id_col, "query_label", id_col, label_col,

@@ -192,6 +192,89 @@ def test_lsh_topk_recall_vs_bruteforce(emb):
     assert approx_top1.get(0) == 10
 
 
+def test_cosine_topk_screen_matches_unscreened_all_pairs(emb):
+    """The two-phase fast screen (scalar-width exchange + survivor
+    re-join) must be invisible: cosine_topk's output equals exact-
+    scoring every pair with the same decimal fold and ranking rule."""
+    from pyspark.sql import Window
+
+    from etlutils_spark.functions.vectors import cosine_exact
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = cosine_topk(emb, queries, k=4).collect()
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    ref_pairs = (
+        emb.crossJoin(q)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "vec_id", cosine_exact("qv", "embedding").alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    ref = (
+        ref_pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4)
+        .collect()
+    )
+    assert {(r.query_id, r.vec_id, r.rank, r.cosine) for r in got} == {
+        (r.query_id, r.vec_id, r.rank, r.cosine) for r in ref
+    }
+
+
+def test_cosine_topk_screen_survives_nan_embeddings(spark):
+    """A NaN element must not let the fast screen drop true top-k
+    members: NaN fast cosines rank above everything in Spark's
+    ordering, so without the explicit NaN keeps the k-th fast value
+    goes NaN and the band comparison (false vs NaN) silently discards
+    finite rows. Screened output must equal exact-scoring every pair."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from etlutils_spark.functions.vectors import cosine_exact
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(8)]
+    # poison three corpus vectors with NaN elements (k=2 < 3 poisoned
+    # rows, so the k-th fast rank is NaN without the guard)
+    for i in (3, 5, 6):
+        v = list(rows[i][1])
+        v[0] = float("nan")
+        rows[i] = (i, v)
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 2)
+    got = cosine_topk(emb, queries, k=2).collect()
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    ref = (
+        emb.crossJoin(q)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "vec_id", cosine_exact("qv", "embedding").alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .collect()
+    )
+
+    def canon(rs):
+        return {
+            (
+                r.query_id,
+                r.vec_id,
+                r.rank,
+                None if r.cosine is None else round(r.cosine, 12),
+            )
+            for r in rs
+        }
+
+    assert canon(got) == canon(ref)
+
+
 def test_ivf_topk_recall_vs_bruteforce(emb):
     from etlutils_spark.operators.similarity import ivf_topk
 

@@ -66,7 +66,10 @@ def main() -> None:
             print(f"SKIP unknown query: {name}", file=sys.stderr)
             continue
         df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
+        # drive the DataFrame's OWN QueryExecution (a noop write plans a
+        # separate one whose metrics this walk would never see); result
+        # sets of registered queries are small, so collect() is safe
+        df.collect()
         out: list[dict] = []
         walk(df._jdf.queryExecution().executedPlan(), out)
         report[name] = out
