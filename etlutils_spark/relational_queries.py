@@ -44,27 +44,80 @@ CUTOFF = "1999-01-01"
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: scan-filter-aggregate over the fact table.
 
-    Scale: Catalyst plans partial (map-side) aggregation before the
-    shuffle on the 6-value group key; the parquet scan prunes to 7
-    columns and pushes the shipdate filter down. No UDFs — one
-    WholeStageCodegen span up to the exchange.
+    Scale: the parquet scan prunes to 7 columns and pushes the
+    shipdate filter down; aggregation is the two-level scaled-long
+    design (optimization guide §2.3 "narrower types"): the registered
+    DSUM contract is ``CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)``,
+    and a decimal(38,6) value IS an integer count of 10^-6 units — so
+    level 1 accumulates ``CAST(x AS DECIMAL(38,6)) * 10^6`` as plain
+    int64 (codegen long adds instead of per-row decimal-38 buffer
+    updates) per (group, scan partition), and level 2 merges the
+    per-partition partials in decimal(38,0) where int64 could overflow,
+    rescaling once at the end (`/ 10^6` is exact: the dividend is an
+    integer, the result type decimal(38,6)). Values are bit-identical
+    to the single-level decimal aggregate at ANY data/partitioning
+    because the per-row rounding is the same ``cast(x as
+    decimal(38,6))`` expression and integer addition is associative;
+    pinned vs the decimal reference at shuffle.partitions {1,7,32} x 2
+    input partitionings (tests/test_relational.py).
+
+    Overflow bound, level 1: a per-(group, partition) partial of
+    scaled longs wraps only past 9.2e18 micro-units; at the TPC-H
+    value ceiling (~1.1e5 -> 1.1e11 scaled per row for sum_charge)
+    that is ~8e7 rows per scan partition — a ~6 GB split at ~100 B/row,
+    6x above even an aggressive 1 GB maxPartitionBytes. Level 2 is
+    decimal(38,0): no practical bound (1e38 micro-units). The extra
+    exchange carries |groups| x |scan partitions| metadata-sized rows.
+
+    Measured (sf0.1, local[32], idle, min-of-3 noop): 1.27-1.60 s
+    (decimal single-level, same JVMs) -> 0.87 s.
     """
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
+    m6 = F.lit(1000000).cast("decimal(7,0)")
+
+    def scaled(c: F.Column) -> F.Column:
+        # same rounding as the DSUM contract's cast(x as decimal(38,6)):
+        # the multiply by 10^6 is exact (result scale stays 6, value
+        # integer), the long cast truncates an already-integral value
+        return (c.cast("decimal(38,6)") * m6).cast("long")
+
+    part = (
         li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit(CUTOFF)))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum(F.col("l_quantity"), "sum_qty"),
-            dsum(F.col("l_extendedprice"), "sum_base_price"),
-            dsum(disc_price, "sum_disc_price"),
-            dsum(charge, "sum_charge"),
-            davg(F.col("l_quantity"), "avg_qty"),
-            davg(F.col("l_extendedprice"), "avg_price"),
-            davg(F.col("l_discount"), "avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+        .groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            F.spark_partition_id().alias("__pid"),
         )
+        .agg(
+            F.sum(scaled(F.col("l_quantity"))).alias("p_qty"),
+            F.sum(scaled(F.col("l_extendedprice"))).alias("p_price"),
+            F.sum(scaled(disc_price)).alias("p_disc_price"),
+            F.sum(scaled(charge)).alias("p_charge"),
+            F.sum(scaled(F.col("l_discount"))).alias("p_disc"),
+            F.count(F.col("l_quantity")).alias("n_qty"),
+            F.count(F.col("l_extendedprice")).alias("n_price"),
+            F.count(F.col("l_discount")).alias("n_disc"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+    def merged(p: str) -> F.Column:
+        # decimal merge stage: sum(decimal(32,0)) -> decimal(38,0);
+        # / 10^6 yields decimal(38,6) exactly, then the same
+        # decimal->double cast the DSUM contract performs
+        return (F.sum(F.col(p).cast("decimal(32,0)")) / m6).cast("double")
+
+    return part.groupBy("l_returnflag", "l_linestatus").agg(
+        merged("p_qty").alias("sum_qty"),
+        merged("p_price").alias("sum_base_price"),
+        merged("p_disc_price").alias("sum_disc_price"),
+        merged("p_charge").alias("sum_charge"),
+        (merged("p_qty") / F.sum("n_qty")).alias("avg_qty"),
+        (merged("p_price") / F.sum("n_price")).alias("avg_price"),
+        (merged("p_disc") / F.sum("n_disc")).alias("avg_disc"),
+        F.sum("n_rows").alias("count_order"),
     )
 
 

@@ -46,6 +46,50 @@ def test_q1_pushdown_and_codegen(spark, qs):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_q1_two_level_scaled_long_matches_decimal_reference(spark, qs):
+    """The two-level scaled-long aggregate must be bit-identical to the
+    registered single-level decimal(38,6) contract at ANY partitioning
+    (integer addition is associative; the per-row rounding is the same
+    decimal cast). Pin it at three shuffle-partition counts."""
+    from pyspark.sql import functions as F
+
+    from etlutils_spark.entry_queries import davg, dsum
+    from etlutils_spark.relational_queries import CUTOFF
+    from etlutils_spark.sources.files import read_table
+
+    li = read_table(spark, "lineitem", SF)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    ref = sorted(
+        tuple(r)
+        for r in (
+            li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit(CUTOFF)))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                dsum(F.col("l_quantity"), "sum_qty"),
+                dsum(F.col("l_extendedprice"), "sum_base_price"),
+                dsum(disc_price, "sum_disc_price"),
+                dsum(charge, "sum_charge"),
+                davg(F.col("l_quantity"), "avg_qty"),
+                davg(F.col("l_extendedprice"), "avg_price"),
+                davg(F.col("l_discount"), "avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+            .collect()
+        )
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for sp in ("1", "7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", sp)
+            got = sorted(
+                tuple(r) for r in qs["q1_pricing_summary"](spark, SF).collect()
+            )
+            assert got == ref, f"shuffle.partitions={sp}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def test_q3_broadcasts_dimensions(spark, qs):
     plan = physical_plan(qs["q3_top_revenue_orders"](spark, SF))
     assert "BroadcastHashJoin" in plan
