@@ -445,9 +445,11 @@ def q_incremental_lsh_pairs(spark, sf_dir):
     it. Every near-dup pair is discovered exactly once — in the batch
     that completes it — so the union over batches equals the BATCH
     pipeline's output, and the r1-green ``dedup_minhash_lsh`` oracle
-    checks the incremental path end to end (signatures and bands are
-    the same portable md5; jaccard over stored 64-bit shingle-hash
-    sets equals exact shingle jaccard absent xxhash64 collisions).
+    checks the incremental path end to end (minhash mins are the same
+    portable md5 the oracle recomputes; band digests are narrow
+    xxhash64 int64 — identical equality classes up to ~2^-64
+    collisions; jaccard over stored 64-bit shingle-hash sets equals
+    exact shingle jaccard absent xxhash64 collisions).
 
     Scale: per-batch cost is O(batch) shingling + a broadcast join of
     the batch's bands against the index — never O(corpus) re-work."""
@@ -2231,9 +2233,10 @@ def q_incremental_span_dedup(spark, sf_dir):
 
     Scale: per-batch cost is O(batch) tokenization + a broadcast probe
     of the batch's distinct keys against the index — never O(corpus)
-    re-work; the index holds one (md5, first-occurrence) row per
-    distinct span, which is also what makes failure replay emit
-    byte-identical stats (see module docstring)."""
+    re-work; the index holds one (xxhash64 span key, first-occurrence)
+    row per distinct span — 8-byte keys, dup/kept decisions identical
+    to the md5 form up to ~2^-64 collisions — which is also what makes
+    failure replay emit byte-identical stats (see module docstring)."""
     import os
     import shutil
 

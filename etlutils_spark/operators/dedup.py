@@ -297,20 +297,36 @@ def pick_lsh_bands(num_hashes: int, threshold: float) -> int:
     return best
 
 
-def band_sig_array(num_hashes: int = 8, bands: int = 4, portable: bool = True) -> Column:
+def band_sig_array(
+    num_hashes: int = 8,
+    bands: int = 4,
+    portable: bool = True,
+    as_long: bool = False,
+) -> Column:
     """Array of LSH band signatures (index = band number) computed from
     mh0..mhK signature columns; band signature = digest of the band's
-    concatenated row hashes."""
+    concatenated row hashes.
+
+    ``as_long=True`` emits the band digest as a raw xxhash64 int64
+    instead of a digest string (``portable`` is then ignored) — the
+    §2.3 narrow-key form for paths where the signature is ONLY ever an
+    equality join key and never leaves the operator: 8-byte keys in
+    the stored index and the probe joins, with identical equality
+    classes up to ~2^-64 digest collisions (the minhash mins the
+    digest is computed OVER stay portable md5 — they decide which
+    shingle represents each row, so changing them would change the
+    candidate set materially, not at collision level)."""
     rpb = num_hashes // bands
+    bodies = [
+        F.concat_ws(
+            "|", *[F.col(f"mh{b * rpb + r}").cast("string") for r in range(rpb)]
+        )
+        for b in range(bands)
+    ]
+    if as_long:
+        return F.array(*[F.xxhash64(body) for body in bodies])
     digest = F.md5 if portable else F.xxhash64
-    return F.array(
-        *[
-            digest(
-                F.concat_ws("|", *[F.col(f"mh{b * rpb + r}").cast("string") for r in range(rpb)])
-            ).cast("string")
-            for b in range(bands)
-        ]
-    )
+    return F.array(*[digest(body).cast("string") for body in bodies])
 
 
 def band_rows(
@@ -2358,10 +2374,17 @@ def span_rows(
     stride: int | None = None,
     with_key: bool = True,
     pre_tokenized: bool = False,
+    long_key: bool = False,
 ) -> DataFrame:
     """``window``-token span rows: ``(id, __idx, __n[, __key][,
     __text])`` — one row per span, key = md5 of the span text
-    (portable) or xxhash64-hex (fast path). ``with_key=False`` skips
+    (portable) or xxhash64-hex (fast path). ``long_key=True``
+    (overrides ``portable``) emits the key as a raw xxhash64 int64 —
+    the §2.3 narrow-key form for consumers where the key is only ever
+    an equality join/group key and never leaves the operator (the
+    streaming incremental span index): 8-byte stored keys and probe
+    joins, dup/kept decisions identical up to ~2^-64 collisions.
+    ``with_key=False`` skips
     the key entirely for consumers that only need the span text (the
     decontamination rewrite) — one less corpus-wide hash pass and
     narrower persisted rows. ``pre_tokenized=True`` means ``df``
@@ -2390,7 +2413,10 @@ def span_rows(
         F.size(chunk).alias("__n"),
     ]
     if with_key:
-        key = F.md5(span_text) if portable else F.hex(F.xxhash64(span_text))
+        if long_key:
+            key = F.xxhash64(span_text)
+        else:
+            key = F.md5(span_text) if portable else F.hex(F.xxhash64(span_text))
         cols.append(key.alias("__key"))
     if keep_text:
         cols.append(span_text.alias("__text"))

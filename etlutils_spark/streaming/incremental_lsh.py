@@ -10,11 +10,17 @@ continuously, and each must be deduplicated against *everything already
 ingested* without re-shingling the corpus.
 
 Index design (the 100 TB story):
-- One row per document: ``(doc_id, band_sigs array<string>,
+- One row per document: ``(doc_id, band_sigs array<bigint>,
   shingle_hashes array<bigint>, n_sh)``. Shingle sets are stored as
   64-bit xxhash64 values — exact intersection counts (modulo ~2^-64
   collisions) at 8 bytes per shingle, so the index is ~1-2% of corpus
-  bytes and append-only parquet.
+  bytes and append-only parquet. Band signatures are likewise 8-byte
+  xxhash64 digests of the (portable md5) minhash rows — the band sig
+  is only ever an equality join key, so the narrow form keeps the
+  stored index and every probe-join key at 8 bytes with identical
+  equality classes up to ~2^-64 digest collisions (guide §2.3; the
+  md5 MINS are unchanged — they pick each row's representative
+  shingle, which the oracle recomputes).
 - Per batch, only the NEW documents are shingled (incremental cost is
   O(batch), never O(corpus)); the candidate join explodes band
   signatures on both sides and equi-joins on (band_idx, band_sig) —
@@ -40,7 +46,7 @@ from pyspark.sql.utils import AnalysisException
 from etlutils_spark.operators.dedup import band_sig_array, shingle_rows
 
 _PROFILE_SCHEMA = (
-    "doc_id bigint, band_sigs array<string>, shingle_hashes array<bigint>, n_sh int"
+    "doc_id bigint, band_sigs array<bigint>, shingle_hashes array<bigint>, n_sh int"
 )
 
 
@@ -73,7 +79,10 @@ def batch_profiles(
     )
     out = sigs.select(
         F.col(id_col).alias("doc_id"),
-        band_sig_array(num_hashes, bands, portable=True).alias("band_sigs"),
+        # narrow band keys (8-byte xxhash64 digests over the md5 mins;
+        # module docstring) — equality classes identical to the
+        # portable string digests up to ~2^-64 collisions
+        band_sig_array(num_hashes, bands, as_long=True).alias("band_sigs"),
         "shingle_hashes",
         F.size("shingle_hashes").alias("n_sh"),
     )

@@ -70,9 +70,13 @@ def incremental_span_dedup(
         if batch_df.isEmpty():
             return
         # re-read ~3x downstream (firsts agg, kept join, stats agg):
-        # materialize once
+        # materialize once. Narrow span keys (xxhash64 int64, guide
+        # §2.3): the key is only an equality join/group key that never
+        # leaves the operator, so 8-byte keys shrink the stored index
+        # ~4x and every probe join, with dup/kept decisions identical
+        # up to ~2^-64 collisions (same trade as the LSH band digests)
         keyed = span_rows(
-            batch_df, window, text_col, id_col, portable=True
+            batch_df, window, text_col, id_col, long_key=True
         ).localCheckpoint(eager=True)
         local = keyed.groupBy("__key").agg(
             F.min(
