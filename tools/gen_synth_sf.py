@@ -70,10 +70,13 @@ def main() -> None:
         df = spark.read.parquet(f"{SRC}/{tbl}.parquet")
         text_col = "text" if tbl == "documents" else None
         rep = replicate(df, keys, replicas, text_col)
-        # a few well-sized output files per table (guide §6)
-        rep.repartition(8 if tbl in ("lineitem", "orders") else 4).write.mode(
-            "overwrite"
-        ).parquet(f"{outdir}/{tbl}.parquet")
+        # enough files that a 32-core scan has headroom (guide §6:
+        # splits cap scan parallelism — the first cut of this dataset
+        # wrote 4-8 files/table and the 32-core run could not beat the
+        # 8-core run on scans)
+        rep.repartition(
+            64 if tbl in ("lineitem", "orders", "events", "documents") else 32
+        ).write.mode("overwrite").parquet(f"{outdir}/{tbl}.parquet")
         n = spark.read.parquet(f"{outdir}/{tbl}.parquet").count()
         print(f"{tbl}: {n} rows x{replicas}")
     spark.stop()
