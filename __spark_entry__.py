@@ -63,42 +63,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # green rows.
 
 _LAST_DRIVER_CHECK = {
-    # --- last green driver row: CORRECTNESS_r08.json ---
-    "format_roundtrip_orc": 8, "hilbert_curve_order2": 8,
-    "quality_rank_blend": 8, "token_budget_sample": 8,
     # --- last green driver row: CORRECTNESS_r09.json ---
-    "agg_cube": 9, "agg_rollup": 9, "ann_index_streaming": 9,
-    "anti_join_customers": 9, "append_union": 9, "bigram_lm_quality": 9,
-    "bpe_encode_docs": 9, "bpe_roundtrip_docs": 9,
-    "corpus_diff_releases": 9, "dedup_clusters_incremental": 9,
-    "dedup_clusters_streaming": 9, "distinct_agg_segments": 9,
-    "embedding_quantize_int8": 9, "embedding_standardize": 9,
-    "factor_levels_brand": 9, "format_roundtrip_text": 9,
-    "fuzzy_matchmerge_segments": 9, "hard_negative_mining": 9,
-    "locf_events": 9, "matchmerge_composite_key": 9,
-    "matchmerge_expr_key": 9, "matchmerge_inner": 9, "matchmerge_left": 9,
-    "matchmerge_paste_key": 9, "matchmerge_vector_y": 9,
+    "anti_join_customers": 9, "bigram_lm_quality": 9, "bpe_encode_docs": 9,
+    "bpe_roundtrip_docs": 9, "corpus_diff_releases": 9,
+    "dedup_clusters_incremental": 9, "dedup_clusters_streaming": 9,
+    "distinct_agg_segments": 9, "embedding_quantize_int8": 9,
+    "embedding_standardize": 9, "format_roundtrip_text": 9,
     "mixture_temperature_lang": 9, "multimodal_frame_sample": 9,
     "multimodal_resize": 9, "pivot_status_counts": 9,
-    "profile_drift_documents": 9, "q1_pricing_summary": 9,
-    "q3_top_revenue_orders": 9, "q5_nation_revenue": 9,
-    "recode_mktsegment": 9, "rename_project": 9,
-    "scalar_funcs_projection": 9, "semi_join_customers": 9, "set_except": 9,
-    "set_intersect": 9, "source_cap_sample": 9, "streaming_funnel": 9,
-    "text_token_gini": 9, "transfun_derived_date": 9,
-    "user_cadence_stats": 9, "window_multi_horizon": 9,
-    "window_rank_functions": 9, "window_running_spend": 9,
-    "window_topk_per_customer": 9, "winsorize_order_totals": 9,
+    "profile_drift_documents": 9, "scalar_funcs_projection": 9,
+    "semi_join_customers": 9, "source_cap_sample": 9, "text_token_gini": 9,
+    "window_rank_functions": 9, "winsorize_order_totals": 9,
     # --- last green driver row: CORRECTNESS_r10.json ---
-    "ann_cosine_topk": 10, "ccnet_lm_buckets": 10,
-    "collect_sorted_sizes": 10, "correlated_subquery": 10,
-    "curation_pipeline_tokens": 10, "decontaminate_attribution": 10,
-    "decontaminate_rewrite_docs": 10, "dedup_embedding_cosine": 10,
+    "ccnet_lm_buckets": 10, "collect_sorted_sizes": 10,
+    "correlated_subquery": 10, "curation_pipeline_tokens": 10,
+    "decontaminate_attribution": 10, "decontaminate_rewrite_docs": 10,
     "dedup_exact": 10, "dedup_exact_survivors": 10,
     "dedup_minhash_clusters": 10, "dedup_minhash_lsh": 10,
-    "dedup_ngram_jaccard": 10, "delegated_sql": 10,
-    "embedding_covariance": 10, "explode_token_freq": 10,
-    "gopher_quality_docs": 10, "grouping_sets_sql": 10, "having_filter": 10,
+    "delegated_sql": 10, "embedding_covariance": 10,
+    "explode_token_freq": 10, "gopher_quality_docs": 10,
+    "grouping_sets_sql": 10, "having_filter": 10,
     "histogram_price_buckets": 10, "json_extract_props": 10,
     "json_map_explode": 10, "lateral_topk_per_nation": 10,
     "line_boilerplate_docs": 10, "multimodal_png_roundtrip": 10,
@@ -106,19 +90,17 @@ _LAST_DRIVER_CHECK = {
     "percentile_quantity": 10, "q10_returned_items": 10,
     "q12_late_shipment_priority": 10, "q13_customer_order_distribution": 10,
     "q14_promo_share": 10, "q15_top_supplier": 10,
-    "q18_large_volume_orders": 10, "q19_disjunctive_filter": 10,
-    "q22_idle_rich_customers": 10, "q4_priority_returns": 10,
-    "q6_revenue_forecast": 10, "q7_volume_shipping": 10,
-    "q8_market_share": 10, "q9_product_type_profit": 10,
-    "stats_moments": 10, "streaming_window_counts": 10,
-    "temporal_split_events": 10, "text_lang_id": 10, "text_stats": 10,
-    "tokenize_to_ids": 10, "tokenize_to_ids_bigvocab": 10,
-    "union_distinct_nations": 10,
+    "q19_disjunctive_filter": 10, "q22_idle_rich_customers": 10,
+    "q4_priority_returns": 10, "q6_revenue_forecast": 10,
+    "q7_volume_shipping": 10, "q8_market_share": 10,
+    "q9_product_type_profit": 10, "stats_moments": 10,
+    "streaming_window_counts": 10, "temporal_split_events": 10,
+    "text_lang_id": 10, "text_stats": 10, "tokenize_to_ids": 10,
+    "tokenize_to_ids_bigvocab": 10, "union_distinct_nations": 10,
     # --- last green driver row: CORRECTNESS_r11.json ---
-    "asof_last_purchase": 11, "bpe_encode_docs_bigvocab": 11,
-    "c4_quality_docs": 11, "ccnet_lm_approx_contract": 11,
-    "chunk_documents_windows": 11, "cogroup_asof_enrich": 11,
-    "corpus_rarity": 11, "decontaminate_overlap": 11,
+    "asof_last_purchase": 11, "c4_quality_docs": 11,
+    "ccnet_lm_approx_contract": 11, "chunk_documents_windows": 11,
+    "cogroup_asof_enrich": 11, "decontaminate_overlap": 11,
     "dedup_cluster_survivors": 11, "format_roundtrip_csv": 11,
     "format_roundtrip_json": 11, "full_outer_reconcile": 11,
     "grouped_apply_rank": 11, "incremental_lsh_pairs": 11,
@@ -128,41 +110,58 @@ _LAST_DRIVER_CHECK = {
     "pandas_udf_normalize": 11, "pca_variance_contract": 11,
     "profile_documents": 11, "q11_important_stock": 11,
     "q16_supplier_part_counts": 11, "q17_small_quantity_revenue": 11,
-    "q20_excess_stock_suppliers": 11, "q21_waiting_supplier": 11,
-    "q2_min_cost_supplier": 11, "quality_filter_flags": 11,
-    "range_join_purchase_window": 11, "sample_hash_10pct": 11,
-    "sample_stratified_lang": 11, "sessionize_events": 11,
-    "sessionize_native_window": 11, "sessionize_stateful_evicted": 11,
+    "q20_excess_stock_suppliers": 11, "q2_min_cost_supplier": 11,
+    "quality_filter_flags": 11, "range_join_purchase_window": 11,
+    "sample_hash_10pct": 11, "sample_stratified_lang": 11,
+    "sessionize_events": 11, "sessionize_native_window": 11,
     "shard_manifest": 11, "streaming_curation_pipeline": 11,
     "text_fingerprint": 11, "text_redact_pii": 11, "text_repetition": 11,
     "text_token_counts": 11, "time_rollup_multigrain": 11,
-    "unpivot_order_metrics": 11, "upsert_scd1": 11, "window_rolling_7d": 11,
+    "unpivot_order_metrics": 11, "window_rolling_7d": 11,
     "write_roundtrip": 11,
     # --- last green driver row: CORRECTNESS_r12.json ---
-    "ann_arrow_topk": 12, "ann_index_topk": 12, "ann_ivf_topk": 12,
-    "ann_lsh_topk": 12, "ann_pq_recall_contract": 12,
-    "approx_distinct_contract": 12, "approx_quantiles_contract": 12,
-    "asof_next_purchase": 12, "bm25_topk_search": 12,
-    "cohort_retention": 12, "constraint_audit": 12,
-    "curation_pipeline_batch": 12, "decontaminate_semantic_embeddings": 12,
-    "dedup_cluster_size_histogram": 12, "dedup_clusters_star": 12,
-    "dedup_containment": 12, "dedup_ngram_jaccard_guarded": 12,
-    "dedup_rate_report_by_source": 12, "dedup_simhash": 12,
-    "dedup_window_rewrite": 12, "dedup_window_spans": 12,
-    "dedup_window_spans_shifted": 12, "embedding_cluster_assign": 12,
+    "ann_arrow_topk": 12, "approx_distinct_contract": 12,
+    "approx_quantiles_contract": 12, "asof_next_purchase": 12,
+    "bm25_topk_search": 12, "cohort_retention": 12, "constraint_audit": 12,
+    "curation_pipeline_batch": 12, "dedup_cluster_size_histogram": 12,
+    "dedup_clusters_star": 12, "dedup_rate_report_by_source": 12,
+    "dedup_simhash": 12, "dedup_window_rewrite": 12,
+    "dedup_window_spans": 12, "dedup_window_spans_shifted": 12,
     "funnel_stages_user": 12, "heavy_hitters_contract": 12,
-    "ingest_limit": 12, "knn_label_consistency": 12, "lang_cap_approx": 12,
-    "leakage_safe_split": 12, "multimodal_features": 12,
-    "multimodal_probe": 12, "nb_classifier_hashed": 12,
-    "nb_quality_classifier": 12, "percentile_prune_approx_contract": 12,
-    "profile_embeddings": 12, "quality_percentile_prune": 12,
-    "rank_blend_approx_contract": 12, "salted_agg_event_types": 12,
-    "salted_join_hotkey": 12, "scd2_history": 12,
-    "semantic_dedup_survivors": 12, "streaming_interval_join": 12,
+    "ingest_limit": 12, "lang_cap_approx": 12, "leakage_safe_split": 12,
+    "multimodal_features": 12, "multimodal_probe": 12,
+    "nb_classifier_hashed": 12, "nb_quality_classifier": 12,
+    "percentile_prune_approx_contract": 12, "profile_embeddings": 12,
+    "quality_percentile_prune": 12, "rank_blend_approx_contract": 12,
+    "salted_agg_event_types": 12, "salted_join_hotkey": 12,
+    "scd2_history": 12, "streaming_interval_join": 12,
     "streaming_nb_scoring": 12, "train_val_test_split": 12,
     "triplet_mining_pairs": 12, "vocab_oov_rate": 12,
     "vocab_top_tokens": 12, "winnow_fingerprints": 12,
     "winnow_overlap_pairs": 12, "zorder_pruning_stats": 12,
+    # --- last green driver row: CORRECTNESS_r13.json ---
+    "agg_cube": 13, "agg_rollup": 13, "ann_cosine_topk": 13,
+    "ann_index_streaming": 13, "ann_index_topk": 13, "ann_ivf_topk": 13,
+    "ann_lsh_topk": 13, "ann_pq_recall_contract": 13, "append_union": 13,
+    "bpe_encode_docs_bigvocab": 13, "corpus_rarity": 13,
+    "decontaminate_semantic_embeddings": 13, "dedup_containment": 13,
+    "dedup_embedding_cosine": 13, "dedup_ngram_jaccard": 13,
+    "dedup_ngram_jaccard_guarded": 13, "embedding_cluster_assign": 13,
+    "factor_levels_brand": 13, "format_roundtrip_orc": 13,
+    "fuzzy_matchmerge_segments": 13, "hard_negative_mining": 13,
+    "hilbert_curve_order2": 13, "knn_label_consistency": 13,
+    "locf_events": 13, "matchmerge_composite_key": 13,
+    "matchmerge_expr_key": 13, "matchmerge_inner": 13,
+    "matchmerge_left": 13, "matchmerge_paste_key": 13,
+    "matchmerge_vector_y": 13, "q18_large_volume_orders": 13,
+    "q1_pricing_summary": 13, "q21_waiting_supplier": 13,
+    "q3_top_revenue_orders": 13, "q5_nation_revenue": 13,
+    "quality_rank_blend": 13, "recode_mktsegment": 13, "rename_project": 13,
+    "semantic_dedup_survivors": 13, "sessionize_stateful_evicted": 13,
+    "set_except": 13, "set_intersect": 13, "streaming_funnel": 13,
+    "token_budget_sample": 13, "transfun_derived_date": 13,
+    "upsert_scd1": 13, "user_cadence_stats": 13, "window_multi_horizon": 13,
+    "window_running_spend": 13, "window_topk_per_customer": 13,
 }
 
 
@@ -170,46 +169,31 @@ _LAST_DRIVER_CHECK = {
 # consumer wiring, or a semantics-relevant operator edit) — they must
 # re-verify in the new form regardless of a prior green row.
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # r13: dot_exact/dot_fast now return NULL (not 0.0) for empty /
-    # all-NULL product arrays, matching the DuckDB SUM twin
-    # (functions/vectors.py) — values are unchanged on well-formed
-    # embeddings but every plan that embeds the fold changed, so prior
-    # greens don't vouch for the new form.
-    "dedup_embedding_cosine",
+    # r14: q1 aggregation became the two-level scaled-long form
+    # (per-partition int64 partials of the contract's own decimal
+    # cast, merged in decimal — values bit-identical, plan changed;
+    # relational_queries.py).
+    "q1_pricing_summary",
+    # r14: _topk_fast_screen reshaped to a scalar-width exchange with
+    # a survivor re-join (+ conservative NaN keeps in the screen
+    # filter) — every two-phase serve path's plan changed
+    # (operators/similarity.py).
     "ann_cosine_topk",
     "ann_ivf_topk",
-    "ann_lsh_topk",
     "ann_pq_recall_contract",
     "ann_index_topk",
     "ann_index_streaming",
     "knn_label_consistency",
-    "embedding_cluster_assign",
-    "semantic_dedup_survivors",
-    "decontaminate_semantic_embeddings",
     "hard_negative_mining",
-    # r13: sessionize_stateful merges consecutive admitted-late events
-    # into one session instead of N singletons (streaming/stateful.py)
-    "sessionize_stateful_evicted",
-    # r13: merge_upsert heals an interrupted prior swap before reading
-    # the target (sources/merge.py)
-    "upsert_scd1",
-    # r13 optimization pass (values identical, plans changed):
-    # q18 folds the HAVING aggregate into the output sum (one lineitem
-    # scan); q21 collapses the per-orderkey aggregate + probe join into
-    # one window pass; jaccard_pairs joins on xxhash64(shingle) instead
-    # of the string; corpus_rarity persists its token stream;
-    # quality_rank_blend consumes that persisted subtree; the pandas
-    # BPE encoder gained a 2-gram merge-prefix index (bigvocab arm);
-    # embedding_neardup_pairs and semantic_dedup screen the exact
-    # cosine filter with a double-fold band prefilter.
-    "q18_large_volume_orders",
-    "q21_waiting_supplier",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_guarded",
-    "dedup_containment",
-    "corpus_rarity",
-    "quality_rank_blend",
-    "bpe_encode_docs_bigvocab",
+    # r14: the incremental LSH band digests and the incremental span
+    # index key narrowed to xxhash64 int64 (equality classes identical
+    # up to ~2^-64 collisions; stored index schema changed —
+    # streaming/incremental_lsh.py, streaming/incremental_spans.py,
+    # operators/dedup.py band_sig_array/span_rows).
+    "incremental_lsh_pairs",
+    "incremental_span_dedup",
+    "dedup_clusters_incremental",
+    "dedup_clusters_streaming",
 })
 
 # Derived view kept for the smoke-test invariant and round tooling: a

@@ -377,15 +377,38 @@ def decimal_vs_double_experiment(spark) -> dict[str, float]:
     count / cluster size — what the correctness gate and any
     audit-reproducibility contract require) vs plain double sums (the
     production fast path when last-ulp stability isn't contractual).
-    Both run from the same scan; the delta is pure aggregation cost."""
+    Both run from the same scan; the delta is pure aggregation cost.
+
+    r14 measurement fix (OPTIMIZATION_r14.md): the registered
+    q1_pricing_summary became the two-level scaled-long form, so
+    `q1_decimal_exact_sec` now builds the single-level decimal(38,6)
+    aggregate INLINE (the form the key has always measured — reusing
+    the registered query would silently time the scaled-long path and
+    break the key's round-over-round meaning); the registered form is
+    added as `q1_registered_two_level_sec`."""
     from pyspark.sql import functions as F
 
+    from etlutils_spark.entry_queries import davg, dsum
     from etlutils_spark.relational_queries import CUTOFF, q1_pricing_summary
     from etlutils_spark.sources.files import read_table
 
     li = read_table(spark, "lineitem", SF_DIR)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    decimal_exact = (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit(CUTOFF)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
     fast = (
         li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit(CUTOFF)))
         .groupBy("l_returnflag", "l_linestatus")
@@ -403,10 +426,12 @@ def decimal_vs_double_experiment(spark) -> dict[str, float]:
     # Third mode: scaled-long accumulation — round(x * 10^6) summed as
     # int64 then rescaled. Same IEEE ops on any engine (portable like
     # the decimal path; measured bit-equal to it on this data) at
-    # near-double speed. NOT the registered form because int64 overflows
-    # once a group's scaled sum passes ~9.2e18 (≈ 9.2e12 in value units
-    # at scale 1e6) — fine at sf0.1, unsafe at 100 TB without a
-    # decimal merge stage; decimal(38,6) has no such bound.
+    # near-double speed. Still not the registered form: int64 overflows
+    # once a group's scaled sum passes ~9.2e18, and round(x*1e6) is only
+    # empirically equal to the decimal cast's rounding. The REGISTERED
+    # q1 (r14) is the two-level variant that fixes both — per-partition
+    # long partials of the contract's own decimal cast, merged in
+    # decimal — timed below as q1_registered_two_level_sec.
     sl = lambda c: (F.sum(F.round(c * 1e6).cast("long")) / F.lit(1e6))  # noqa: E731
     scaled = (
         li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit(CUTOFF)))
@@ -420,9 +445,12 @@ def decimal_vs_double_experiment(spark) -> dict[str, float]:
         )
     )
     return {
-        "q1_decimal_exact_sec": time_min2(q1_pricing_summary(spark, SF_DIR)),
+        "q1_decimal_exact_sec": time_min2(decimal_exact),
         "q1_double_fast_sec": time_min2(fast),
         "q1_scaled_long_sec": time_min2(scaled),
+        "q1_registered_two_level_sec": time_min2(
+            q1_pricing_summary(spark, SF_DIR)
+        ),
     }
 
 
