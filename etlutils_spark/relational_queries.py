@@ -179,22 +179,43 @@ def q5_nation_revenue(spark, sf_dir):
     Scale: nation/region/customer broadcast (dims); the only shuffled
     join is lineitem⋈orders on orderkey. Group key is low-cardinality —
     partial agg collapses the shuffle to ~|nations| rows per task.
+
+    The revenue sum is the same two-level scaled-long design as q1
+    (guide §2.3 "narrower types"): level 1 accumulates
+    ``cast(x as decimal(38,6)) * 10^6`` as int64 per (group,
+    spark_partition_id) — the per-row rounding IS the DSUM contract's
+    own decimal cast — level 2 merges in decimal(32,0)->decimal(38,0)
+    and rescales once, so values are bit-identical to the single-level
+    decimal aggregate at any partitioning (integer addition is
+    associative; pinned in tests/test_plans.py alongside q1's
+    proof). Overflow bound identical to q1's (level-1 partials wrap
+    only past ~8e7 rows per partition). Group cardinality is |nation|
+    (~25), so the extra exchange carries |groups| x |partitions|
+    metadata rows. Measured (sf0.1, local[32], same JVM, min-of-3
+    noop): decimal 2.87 -> two-level 2.21 s (double ceiling 1.59,
+    join-only floor 1.26).
     """
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
-    return (
+    m6 = F.lit(1000000).cast("decimal(7,0)")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    scaled = (rev.cast("decimal(38,6)") * m6).cast("long")
+    part = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("n_name", "r_name")
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
+        .groupBy("n_name", "r_name", F.spark_partition_id().alias("__pid"))
+        .agg(F.sum(scaled).alias("p_rev"), F.count(F.lit(1)).alias("n_rows"))
+    )
+    return part.groupBy("n_name", "r_name").agg(
+        (F.sum(F.col("p_rev").cast("decimal(32,0)")) / m6)
+        .cast("double")
+        .alias("revenue"),
+        F.sum("n_rows").alias("n_lines"),
     )
 
 

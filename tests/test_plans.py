@@ -103,6 +103,47 @@ def test_q5_single_fact_shuffle(spark, qs):
     assert plan.count("BroadcastHashJoin") >= 3
 
 
+def test_q5_two_level_scaled_long_matches_decimal_reference(spark, qs):
+    """q5's revenue sum uses the same two-level scaled-long design as
+    q1 — pin bit-identity to the single-level decimal(38,6) contract at
+    three shuffle-partition counts (the order-independence proof)."""
+    from pyspark.sql import functions as F
+
+    from etlutils_spark.entry_queries import dsum
+    from etlutils_spark.sources.files import read_table
+
+    l = read_table(spark, "lineitem", SF)
+    o = read_table(spark, "orders", SF)
+    c = read_table(spark, "customer", SF)
+    n = read_table(spark, "nation", SF)
+    r = read_table(spark, "region", SF)
+    ref = sorted(
+        tuple(x)
+        for x in (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name", "r_name")
+            .agg(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+            .collect()
+        )
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for sp in ("1", "7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", sp)
+            got = sorted(
+                tuple(x) for x in qs["q5_nation_revenue"](spark, SF).collect()
+            )
+            assert got == ref, f"shuffle.partitions={sp}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def test_column_pruning_reaches_scan(spark, qs):
     df = qs["factor_levels_brand"](spark, SF)
     plan = physical_plan(df)
