@@ -224,12 +224,20 @@ def mixture_resample(
     # empty-in -> empty-out contract: the NULL rates below filter
     # everything; only a PARTIAL absence — some strata present, the
     # requested mixture genuinely infeasible — is the silent trap that
-    # must be loud
-    tot = joined.agg(F.sum("__n").alias("__tot"))
-    joined = joined.crossJoin(F.broadcast(tot))
+    # must be loud.
+    # The total and the feasibility min are UNPARTITIONED WINDOWS over
+    # the <=|weights| joined rows rather than separate aggregate
+    # subtrees: the crossJoin(broadcast(agg)) form re-planned and
+    # re-ran the counts aggregation once per derived scalar (tot, feas,
+    # rates — ~4 sequential jobs of fixed cost each); the windows keep
+    # one aggregation job and one single-partition pass over a handful
+    # of rows (guide §2.4 — operations keyed the same way share one
+    # exchange). Per-row arithmetic is unchanged, so rates (and thus
+    # the kept set) are bit-identical.
+    allw = Window.partitionBy()
     ok = F.assert_true(
         (F.col("__n").isNotNull() & (F.col("__n") > 0))
-        | F.col("__tot").isNull(),
+        | F.sum("__n").over(allw).isNull(),
         F.concat(
             F.lit("mixture_resample: weight stratum "),
             F.col(strata_col),
@@ -243,13 +251,10 @@ def mixture_resample(
     joined = joined.select(
         strata_col, F.when(ok.isNull(), F.col("__n")).alias("__n"), "__wt"
     )
-    feas = joined.agg(F.min(F.col("__n") / F.col("__wt")).alias("__total"))
-    rates = (
-        joined.crossJoin(F.broadcast(feas))
-        .select(
-            strata_col,
-            (F.col("__wt") * F.col("__total") / F.col("__n")).alias("__rate"),
-        )
+    total = F.min(F.col("__n") / F.col("__wt")).over(allw)
+    rates = joined.select(
+        strata_col,
+        (F.col("__wt") * total / F.col("__n")).alias("__rate"),
     )
     prefix = F.conv(F.substring(_digest(key_col, salt), 1, 15), 16, 10).cast("long")
     threshold = F.floor(F.col("__rate") * F.lit(float(1 << 60))).cast("long")
@@ -665,9 +670,16 @@ def temperature_resample(
     counts = df.groupBy(strata_col).agg(mass.alias("__n"))
     pw = _dyadic_pow(F.col("__n").cast("double"), int(q4))
     pwc = counts.select(strata_col, pw.alias("__pw"))
-    feas = pwc.agg(F.min("__pw").alias("__mn"))
-    rates = pwc.crossJoin(F.broadcast(feas)).select(
-        strata_col, (F.col("__mn") / F.col("__pw")).alias("__rate")
+    # the feasibility min is an UNPARTITIONED WINDOW over the
+    # <=|strata| count rows, not a separate aggregate subtree: the
+    # crossJoin(broadcast(agg)) form re-planned and re-ran the counts
+    # aggregation for the broadcast build (two full count jobs per
+    # run); the window keeps one aggregation and a single-partition
+    # pass over a handful of rows (guide §2.4). Per-row arithmetic is
+    # unchanged, so rates (and the kept set) are bit-identical.
+    rates = pwc.select(
+        strata_col,
+        (F.min("__pw").over(Window.partitionBy()) / F.col("__pw")).alias("__rate"),
     )
     prefix = F.conv(F.substring(_digest(key_col, salt), 1, 15), 16, 10).cast("long")
     threshold = F.floor(F.col("__rate") * F.lit(float(1 << 60))).cast("long")
