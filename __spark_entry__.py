@@ -194,6 +194,15 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     "incremental_span_dedup",
     "dedup_clusters_incremental",
     "dedup_clusters_streaming",
+    # r14: q5 revenue sum became the same two-level scaled-long form
+    # as q1 (values bit-identical, plan changed;
+    # relational_queries.py).
+    "q5_nation_revenue",
+    # r14: resample rates computed with unpartitioned windows instead
+    # of crossJoin(broadcast(agg)) — kept set bit-identical, plan
+    # changed (operators/sampling.py).
+    "mixture_resample_lang",
+    "mixture_temperature_lang",
 })
 
 # Derived view kept for the smoke-test invariant and round tooling: a
