@@ -99,17 +99,25 @@ def shingle_rows(
     n: int = 3,
     extra_cols: tuple[str, ...] = (),
     max_doc_freq: int | None = None,
+    keep_empty_docs: bool = False,
 ) -> DataFrame:
     """Explode distinct word n-gram shingles to rows (doc_id, shingle).
 
     ``max_doc_freq`` drops shingles appearing in more than that many
     documents — the skew guard for boilerplate at scale. The input is
     ``spread`` first: shingle construction is the CPU-heavy stage and
-    must not be serialized by a single-file scan."""
+    must not be serialized by a single-file scan.
+
+    ``keep_empty_docs`` switches to ``explode_outer``: a doc shorter
+    than ``n`` tokens emits one row with a NULL shingle instead of
+    vanishing — consumers that must report every doc (decontaminate)
+    then need no second scan of ``df`` to recover the zero-shingle
+    rows."""
     base = with_tokens(spread(df), text_col)
+    explode_fn = F.explode_outer if keep_empty_docs else F.explode
     out = base.select(
         F.col(id_col), *extra_cols,
-        F.explode(shingles_from_tokens(TOKENS_COL, n)).alias("shingle"),
+        explode_fn(shingles_from_tokens(TOKENS_COL, n)).alias("shingle"),
     )
     if max_doc_freq is not None:
         freq = out.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
@@ -142,8 +150,8 @@ def jaccard_pairs(
     :func:`lsh_candidate_pairs` caps with ``max_bucket_size``. When
     set, shingles whose document frequency exceeds the cap are dropped
     from the shingle universe (sizes AND both join sides — one
-    semi-join on the shingle, the same shuffle key the pair join uses,
-    so AQE coalesces the exchanges) before any pair materializes. The
+    semi-join on the shingle hash, the same shuffle key the pair join
+    uses, so AQE coalesces the exchanges) before any pair materializes. The
     metric stays a true Jaccard, computed over the retained shingles —
     identical semantics to pre-filtering with
     :func:`shingle_rows`'s ``max_doc_freq``, enforced here at the
@@ -168,13 +176,24 @@ def jaccard_pairs(
     same materialize-before-fan-out rule a 100 TB pipeline follows by
     checkpointing its shingle table.
     """
-    # persist the RAW shingles first: the guard reads them twice (freq
-    # agg + semi-join probe), so persisting after it would re-run the
-    # CPU-heavy spread+tokenize+explode lineage per read — the exact
-    # double-execution the persist exists to prevent (review catch)
-    shingles = _persist_tracked(shingles)
+    # Everything downstream is equality/counting on the shingle, so
+    # narrow the string to its 64-bit xxhash64 ONCE at entry: the
+    # persisted table stores 8-byte keys instead of n-gram strings
+    # (~4x smaller cache), the guard's freq groupBy and semi-join key
+    # on longs, and the pair self-join key is computed once, not per
+    # side. Counts are identical unless xxhash64 collides within a
+    # co-shingled doc pair / guard class (~2^-64 — the same documented
+    # trade as minhash_dedup_pairs' verify join). Guide §2.3.
+    # Persist BEFORE the guard: it reads the frame twice (freq agg +
+    # semi-join probe), so persisting after it would re-run the
+    # CPU-heavy spread+tokenize+explode lineage per read (review catch)
+    shingles = _persist_tracked(
+        shingles.select(
+            id_col, *block_cols, F.xxhash64("shingle").alias("__sh")
+        )
+    )
     if max_shingle_df is not None:
-        block_key = ["shingle", *block_cols]
+        block_key = ["__sh", *block_cols]
         # df counted within the blocking scope when blocks are given:
         # a shingle hot in one block but rare elsewhere only blows up
         # the join inside that block, so that's the frequency that
@@ -187,23 +206,15 @@ def jaccard_pairs(
             shingles.join(ok, on=block_key, how="left_semi")
         )
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    # the self-join key is the shingle narrowed to its 64-bit xxhash64,
-    # not the string: intersection counts are identical unless xxhash64
-    # collides within a co-shingled doc pair (~2^-64 — the same
-    # documented trade as minhash_dedup_pairs' verify join), and the
-    # exchange feeding the join carries 8-byte keys instead of full
-    # n-gram strings (optimization guide §2.3: shuffle fewer bytes /
-    # narrower types)
-    sh_h = F.xxhash64("shingle")
     # distinct aliases per side — avoids Spark's self-join attribute
     # ambiguity (and its trivially-true-predicate warning)
     a = shingles.select(
         *[F.col(c).alias(f"{c}_1") for c in (id_col, *block_cols)],
-        sh_h.alias("sh_1"),
+        F.col("__sh").alias("sh_1"),
     )
     b = shingles.select(
         *[F.col(c).alias(f"{c}_2") for c in (id_col, *block_cols)],
-        sh_h.alias("sh_2"),
+        F.col("__sh").alias("sh_2"),
     )
     cond = [F.col("sh_1") == F.col("sh_2"), F.col(f"{id_col}_1") < F.col(f"{id_col}_2")]
     for c in block_cols:
@@ -2101,54 +2112,65 @@ def decontaminate(
     the train-test decontamination primitive (the reference has no
     analog; this is the scale-extension tier).
 
-    Returns one row per ``docs`` row: ``(id_col, n_shingles,
+    Returns one row per ``docs`` id: ``(id_col, n_shingles,
     n_contaminated, contamination_ratio, is_contaminated)`` where
     ``n_contaminated`` counts the doc's distinct n-grams that appear
-    anywhere in ``benchmark`` and ``is_contaminated`` is
+    anywhere in ``benchmark`` (exact up to 64-bit hash collisions —
+    the probe keys on ``xxhash64(shingle)``, the same documented trade
+    as :func:`jaccard_pairs`) and ``is_contaminated`` is
     ``n_contaminated >= min_overlap``.
 
     Scale: the benchmark's distinct shingle set is the small side — for
-    a typical eval suite it is a few million strings, so it broadcasts
+    a typical eval suite it is a few million entries, so it broadcasts
     (``broadcast_benchmark=True``) and the corpus-side probe is
-    shuffle-free: shingle -> left-semi probe -> per-doc count, all in
-    one stage before the id_col aggregation. With a huge benchmark set
-    it falls back to a shuffle semi-join on the shingle key. Zero-
-    shingle docs (shorter than n tokens) report 0/0 with ratio 0.0.
+    shuffle-free: shingle hash -> probe -> per-doc count, all in one
+    stage before the id_col aggregation; both the broadcast build and
+    the probe carry 8-byte hashes, not n-gram strings (guide §2.3).
+    With a huge benchmark set it falls back to a shuffle semi-join on
+    the hash key. Zero-shingle docs (shorter than n tokens) report 0/0
+    with ratio 0.0 — they ride the same explode (``explode_outer``
+    emits their NULL-shingle row), so ``docs`` is scanned ONCE; no
+    second scan + re-join to recover them.
     """
     bench_sh = (
         shingle_rows(benchmark, text_col, id_col, n)
-        .select("shingle")
+        .select(F.xxhash64("shingle").alias("__sh"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
-    doc_sh = shingle_rows(docs, text_col, id_col, n)
-    # one left join + ONE aggregation: count(*) = shingles, count(__hit)
-    # = contaminated (COUNT skips nulls) — not a semi-join plus a second
-    # groupBy over the same exploded rows
+    # NULL-preserving hash: xxhash64 maps NULL to the seed hash, which
+    # would let a zero-shingle doc's outer row spuriously probe the
+    # benchmark set — keep it NULL so the left join passes it through
+    # and count() skips it
+    doc_sh = shingle_rows(docs, text_col, id_col, n, keep_empty_docs=True).select(
+        id_col,
+        F.when(
+            F.col("shingle").isNotNull(), F.xxhash64("shingle")
+        ).alias("__sh"),
+    )
+    # one left join + ONE aggregation: count(__sh) = shingles,
+    # count(__hit) = contaminated (COUNT skips nulls) — not a semi-join
+    # plus a second groupBy over the same exploded rows
     stats = (
-        doc_sh.join(bench_sh, "shingle", "left")
+        doc_sh.join(bench_sh, "__sh", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__sh").alias("n_shingles"),
             F.count("__hit").alias("n_contaminated"),
         )
     )
-    n_hit = F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long"))
-    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0).cast("long"))
-    return (
-        docs.select(id_col)
-        .join(stats, id_col, "left")
-        .select(
-            id_col,
-            n_sh.alias("n_shingles"),
-            n_hit.alias("n_contaminated"),
-            F.when(n_sh > 0, n_hit / n_sh).otherwise(F.lit(0.0)).alias(
-                "contamination_ratio"
-            ),
-            (n_hit >= min_overlap).alias("is_contaminated"),
-        )
+    n_hit = F.col("n_contaminated")
+    n_sh = F.col("n_shingles")
+    return stats.select(
+        id_col,
+        n_sh.alias("n_shingles"),
+        n_hit.alias("n_contaminated"),
+        F.when(n_sh > 0, n_hit / n_sh).otherwise(F.lit(0.0)).alias(
+            "contamination_ratio"
+        ),
+        (n_hit >= min_overlap).alias("is_contaminated"),
     )
 
 
@@ -2255,9 +2277,12 @@ def decontaminate_rewrite(
     )  # the non-overlapping rewrite partition; no span key is needed
     # (contamination is judged by positioned grams, not identity), so
     # the corpus-wide md5 pass the dedup forms pay is skipped
+    # the probe and per-span distinct key on xxhash64(shingle) — 8-byte
+    # broadcast entries and distinct keys instead of n-gram strings
+    # (exact up to ~2^-64 collisions, the module's documented trade)
     bench_sh = (
         shingle_rows(benchmark, text_col, id_col, n)
-        .select("shingle")
+        .select(F.xxhash64("shingle").alias("__sh"))
         .distinct()
     )
     if broadcast_benchmark:
@@ -2285,16 +2310,16 @@ def decontaminate_rewrite(
         id_col, F.explode(gram_structs).alias("__g")
     ).select(
         id_col,
-        F.col("__g.s").alias("shingle"),
+        F.xxhash64(F.col("__g.s")).alias("__sh"),
         F.floor((F.col("__g.i") - 1) / window).alias("__r0"),
         F.floor((F.col("__g.i") + (n - 2)) / window).alias("__r1"),
     )
     contaminated = (
-        grams.join(bench_sh, "shingle")  # broadcast probe FIRST: only
+        grams.join(bench_sh, "__sh")  # broadcast probe FIRST: only
         # benchmark-matching grams reach the explode/distinct shuffle
         .select(
             id_col,
-            "shingle",
+            "__sh",
             F.explode(F.sequence("__r0", "__r1")).alias("__idx"),
         )
         .distinct()
@@ -2337,28 +2362,30 @@ def decontaminate_attribution(
     distinct training docs sharing >= 1 word-``n``-gram,
     ``n_shared_shingles`` counts the bench doc's distinct shingles
     seen anywhere in training, and ``n_hits`` counts (train doc,
-    shingle) co-occurrences. Pure counting — decimal/float-free, so
-    the DuckDB oracle is bit-exact.
+    shingle) co-occurrences. Pure counting (exact up to 64-bit hash
+    collisions — the probe and the distinct both key on
+    ``xxhash64(shingle)``, the module's documented trade), so the
+    DuckDB oracle is bit-exact.
 
-    Scale: the benchmark side broadcasts (per-doc distinct shingles);
-    the training side is one shingle pass probed by the broadcast —
-    only MATCHING shingles (contamination mass, not corpus mass)
-    reach the distinct/count aggregation, keyed by bench_id (suite-
-    sized)."""
+    Scale: the benchmark side broadcasts (per-doc distinct shingles as
+    8-byte hashes, not strings); the training side is one shingle pass
+    probed by the broadcast — only MATCHING shingles (contamination
+    mass, not corpus mass) reach the distinct/count aggregation, keyed
+    by bench_id (suite-sized)."""
     bench_sh = shingle_rows(benchmark, text_col, id_col, n).select(
-        F.col(id_col).alias("bench_id"), "shingle"
+        F.col(id_col).alias("bench_id"), F.xxhash64("shingle").alias("__sh")
     )
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
     train_sh = shingle_rows(docs, text_col, id_col, n).select(
-        F.col(id_col).alias("train_id"), "shingle"
+        F.col(id_col).alias("train_id"), F.xxhash64("shingle").alias("__sh")
     )
     return (
-        train_sh.join(bench_sh, "shingle")
+        train_sh.join(bench_sh, "__sh")
         .groupBy("bench_id")
         .agg(
             F.countDistinct("train_id").alias("n_quoting_docs"),
-            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("__sh").alias("n_shared_shingles"),
             F.count(F.lit(1)).cast("bigint").alias("n_hits"),
         )
     )
@@ -2558,23 +2585,32 @@ def winnow_overlap_pairs(
     stays low. Output: ``(id_1, id_2, n_common)``.
 
     Scale: identical join discipline to ``jaccard_pairs`` — self-equi-
-    join on the fingerprint key, and ``max_doc_freq`` drops fingerprints
-    shared by too many documents (boilerplate passages), the same
-    O(freq^2) guard the exact-Jaccard path ships.
+    join on the fingerprint narrowed to its 64-bit xxhash64 (8-byte
+    persisted/shuffled keys instead of 32-char md5 hex; counts
+    identical up to ~2^-64 in-pair collisions, the same documented
+    trade), and ``max_doc_freq`` drops fingerprints shared by too many
+    documents (boilerplate passages), the same O(freq^2) guard the
+    exact-Jaccard path ships.
     """
     from etlutils_spark.operators.text import winnow_fingerprints
 
-    fps = winnow_fingerprints(df, k=k, window=window, text_col=text_col,
-                              id_col=id_col)
+    # persist BEFORE the guard (same review catch as jaccard_pairs):
+    # the guard reads the frame twice (freq agg + semi-join probe), and
+    # unpersisted each read re-runs the md5-per-kgram winnow algebra
+    fps = _persist_tracked(
+        winnow_fingerprints(df, k=k, window=window, text_col=text_col,
+                            id_col=id_col).select(
+            id_col, F.xxhash64("fingerprint").alias("__fp")
+        )
+    )
     if max_doc_freq is not None:
-        freq = fps.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("__df"))
-        keep = freq.filter(F.col("__df") <= max_doc_freq).select("fingerprint")
-        fps = fps.join(keep, "fingerprint", "left_semi")
-    fps = _persist_tracked(fps)
-    a = fps.select(F.col(id_col).alias(f"{id_col}_1"), F.col("fingerprint"))
-    b = fps.select(F.col(id_col).alias(f"{id_col}_2"), F.col("fingerprint"))
+        freq = fps.groupBy("__fp").agg(F.count(F.lit(1)).alias("__df"))
+        keep = freq.filter(F.col("__df") <= max_doc_freq).select("__fp")
+        fps = _persist_tracked(fps.join(keep, "__fp", "left_semi"))
+    a = fps.select(F.col(id_col).alias(f"{id_col}_1"), F.col("__fp"))
+    b = fps.select(F.col(id_col).alias(f"{id_col}_2"), F.col("__fp"))
     return (
-        a.join(b, "fingerprint")
+        a.join(b, "__fp")
         .filter(F.col(f"{id_col}_1") < F.col(f"{id_col}_2"))
         .groupBy(f"{id_col}_1", f"{id_col}_2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))

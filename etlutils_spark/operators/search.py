@@ -229,16 +229,32 @@ def _bigram_lm_scored(
     # bg feeds THREE unshared subtrees (both model aggs + the join
     # base) — without the persist one action re-runs read + tokenize +
     # explode over the whole corpus 3x (review catch; same rule as the
-    # bm25 token table)
+    # bm25 token table).
+    # The model lookups are pure equality on (group, ctx[, next]), so
+    # the persisted stream narrows the strings to 8-byte xxhash64 keys
+    # at the explode (guide §2.3): __ck hashes the context (c1's key),
+    # __bk the full transition (c2's key). Counts — and therefore every
+    # probability — are identical unless xxhash64 collides within one
+    # model key space (~2^-64, the same documented trade as
+    # jaccard_pairs' join key).
+    ck = F.xxhash64(*group_cols, "__ctx")
+    bk = F.xxhash64(*group_cols, "__ctx", "__nxt")
     bg = persist_tracked(
-        bigram_rows(df, text_col, id_col, carry=group_cols or None)
+        bigram_rows(df, text_col, id_col, carry=group_cols or None).select(
+            F.col(id_col), *[F.col(c) for c in group_cols],
+            ck.alias("__ck"), bk.alias("__bk"),
+        )
     )
-    c2 = bg.groupBy(*group_cols, "__ctx", "__nxt").agg(
-        F.count(F.lit(1)).alias("__n2")
-    )
-    c1 = bg.groupBy(*group_cols, "__ctx").agg(F.count(F.lit(1)).alias("__n1"))
+    # Build the MODEL first — count/count joined on the distinct-bigram
+    # table, which is vocabulary-sized — then attach it to the bigram
+    # mass with ONE join (guide §2.4): the old shape joined bg with c2
+    # and then c1 separately, shuffling the full bigram mass twice
+    # (once per key) wherever the model outgrows a broadcast.
+    c2 = bg.groupBy("__ck", "__bk").agg(F.count(F.lit(1)).alias("__n2"))
+    c1 = bg.groupBy("__ck").agg(F.count(F.lit(1)).alias("__n1"))
+    model = c2.join(c1, "__ck").select("__bk", "__n2", "__n1")
     if broadcast_model:
-        c2, c1 = F.broadcast(c2), F.broadcast(c1)
+        model = F.broadcast(model)
     prob = F.col("__n2").cast("double") / F.col("__n1").cast("double")
     proj = [F.col(id_col), *[F.col(c) for c in group_cols],
             prob.cast(DEC).alias("__p")]
@@ -251,8 +267,7 @@ def _bigram_lm_scored(
         proj.append(prob.alias("__pd"))
         aggs.append(F.min("__pd").alias("min_bigram_prob"))
     return (
-        bg.join(c2, [*group_cols, "__ctx", "__nxt"])
-        .join(c1, [*group_cols, "__ctx"])
+        bg.join(model, "__bk")
         .select(*proj)
         .groupBy(id_col, *group_cols)
         .agg(*aggs)
@@ -310,9 +325,9 @@ def ccnet_lm_buckets(
     pattern as ``quality.percentile_prune``'s sketch mode), at the
     cost of sketch-grade bucket boundaries.
 
-    Scale: the model aggregations key on (lang, ctx[, next]) — same
-    shuffle shape as the corpus-wide model, with language as a free
-    leading key; the scored table is one narrow row per doc."""
+    Scale: the model aggregations key on xxhash64(lang, ctx[, next]) —
+    same shuffle shape as the corpus-wide model, with language folded
+    into the 8-byte key; the scored table is one narrow row per doc."""
     if mode not in ("exact", "approx"):
         raise ValueError(f"mode must be exact|approx, got {mode!r}")
     # guard next to the mode check (review catch: n_buckets=1 built
