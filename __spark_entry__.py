@@ -203,6 +203,22 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     # changed (operators/sampling.py).
     "mixture_resample_lang",
     "mixture_temperature_lang",
+    # r14: shingle/fingerprint/bigram keys narrowed to xxhash64;
+    # decontaminate went single-scan (explode_outer); the bigram model
+    # is joined once instead of twice (operators/dedup.py,
+    # operators/search.py) — outputs exact-tuple-identical, plans
+    # changed.
+    "decontaminate_overlap",
+    "decontaminate_attribution",
+    "decontaminate_rewrite_docs",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_guarded",
+    "dedup_containment",
+    "winnow_overlap_pairs",
+    "bigram_lm_quality",
+    "ccnet_lm_buckets",
+    "ccnet_lm_approx_contract",
+    "curation_pipeline_batch",
 })
 
 # Derived view kept for the smoke-test invariant and round tooling: a
