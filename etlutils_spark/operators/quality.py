@@ -429,9 +429,15 @@ def rank_blend(
         )
     rank_cols = []
     if approx_buckets is None:
-        # n stays in-plan (1-row agg, broadcast) — no eager job here
-        out = df.crossJoin(
-            F.broadcast(df.agg(F.count(F.lit(1)).alias("__n")))
+        # n is an unpartitioned-window count, not a
+        # crossJoin(broadcast(agg)): the agg form re-planned and re-ran
+        # df's WHOLE subtree (here: every upstream signal pipeline) a
+        # second time just to count it, while the window rides the
+        # single-partition exchange the global rank windows below
+        # already require — exact mode is documented dictionary-scale,
+        # so that exchange is a given, not a new cost (guide §2.4).
+        out = df.withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy())
         )
         denom = F.greatest(F.col("__n") - 1, F.lit(1)).cast("double")
         for c, hib in signal_cols.items():
