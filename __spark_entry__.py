@@ -219,6 +219,11 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     "ccnet_lm_buckets",
     "ccnet_lm_approx_contract",
     "curation_pipeline_batch",
+    # r14: rank_blend's exact-mode denominator became a window count
+    # (the crossJoin(broadcast(agg)) form re-ran the whole signal
+    # subtree; operators/quality.py) — values identical, plan changed.
+    "quality_rank_blend",
+    "rank_blend_approx_contract",
 })
 
 # Derived view kept for the smoke-test invariant and round tooling: a
