@@ -231,11 +231,16 @@ def corpus_rarity_stats(
     # join probe) — Catalyst does not dedupe common subtrees, so
     # without the persist one action scans and tokenizes the corpus
     # twice (the bm25/bigram token-stream persist rule; optimization
-    # guide §5: cache only multi-consumer intermediates)
+    # guide §5: cache only multi-consumer intermediates).
+    # The token is only ever an equality key (vocab groupBy + probe
+    # join), so the stream narrows it to xxhash64 at the explode
+    # (guide §2.3): 8-byte persisted/joined keys instead of token
+    # strings; counts identical up to ~2^-64 collisions (the module's
+    # documented jaccard-key trade).
     tok = persist_tracked(
-        with_tokens(df, text_col).select(
-            id_col, F.explode(TOKENS_COL).alias("__token")
-        )
+        with_tokens(df, text_col)
+        .select(id_col, F.explode(TOKENS_COL).alias("__t"))
+        .select(id_col, F.xxhash64("__t").alias("__token"))
     )
     vocab = tok.groupBy("__token").agg(F.count(F.lit(1)).alias("__tc"))
     if broadcast_vocab:
