@@ -378,22 +378,30 @@ def lsh_candidate_pairs(
     (those should be collapsed by exact dedup first); dropping them
     bounds the join output at corpus scale. Recall loss is explicit and
     documented: pairs only co-blocked in a dropped bucket are missed."""
-    banded = band_rows(signatures, id_col, num_hashes, bands, portable)
+    # the bucket key is pure equality plumbing (never output), so it
+    # narrows to one xxhash64 of (band_idx, band_sig): 8-byte exchange
+    # keys instead of a 32-char md5 hex + int pair in portable mode —
+    # bucket classes identical up to ~2^-64 collisions, the same
+    # documented trade as the incremental index's int64 band digests
+    # (guide §2.3)
+    banded = band_rows(signatures, id_col, num_hashes, bands, portable).select(
+        id_col, F.xxhash64("band_idx", "band_sig").alias("__bk")
+    )
     if max_bucket_size is not None:
         # one extra partial-agg pass over the banded rows; the semi-join
-        # key (band_idx, band_sig) is the same shuffle key the pair join
-        # uses, so AQE coalesces these exchanges at scale
+        # key is the same shuffle key the pair join uses, so AQE
+        # coalesces these exchanges at scale
         ok = (
-            banded.groupBy("band_idx", "band_sig")
+            banded.groupBy("__bk")
             .agg(F.count(F.lit(1)).alias("__bucket_n"))
             .filter(F.col("__bucket_n") <= max_bucket_size)
-            .select("band_idx", "band_sig")
+            .select("__bk")
         )
-        banded = banded.join(ok, on=["band_idx", "band_sig"], how="left_semi")
-    a = banded.select(F.col(id_col).alias(f"{id_col}_1"), "band_idx", "band_sig")
-    b = banded.select(F.col(id_col).alias(f"{id_col}_2"), "band_idx", "band_sig")
+        banded = banded.join(ok, on=["__bk"], how="left_semi")
+    a = banded.select(F.col(id_col).alias(f"{id_col}_1"), "__bk")
+    b = banded.select(F.col(id_col).alias(f"{id_col}_2"), "__bk")
     return (
-        a.join(b, on=["band_idx", "band_sig"])
+        a.join(b, on=["__bk"])
         .filter(F.col(f"{id_col}_1") < F.col(f"{id_col}_2"))
         .select(f"{id_col}_1", f"{id_col}_2")
         .distinct()
