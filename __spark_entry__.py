@@ -224,6 +224,15 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     # subtree; operators/quality.py) — values identical, plan changed.
     "quality_rank_blend",
     "rank_blend_approx_contract",
+    # r14: corpus_rarity's persisted token stream narrowed to xxhash64
+    # keys (operators/text.py); the LSH bucket join key narrowed to one
+    # xxhash64 of (band_idx, band_sig) (operators/dedup.py) — outputs
+    # exact-tuple-identical, plans changed.
+    "corpus_rarity",
+    "dedup_minhash_lsh",
+    "dedup_minhash_clusters",
+    "dedup_cluster_survivors",
+    "dedup_clusters_star",
 })
 
 # Derived view kept for the smoke-test invariant and round tooling: a
