@@ -120,9 +120,25 @@ def shingle_rows(
         explode_fn(shingles_from_tokens(TOKENS_COL, n)).alias("shingle"),
     )
     if max_doc_freq is not None:
-        freq = out.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        keep = freq.filter(F.col("__df") <= max_doc_freq).select("shingle")
-        out = out.join(keep, "shingle", "left_semi")
+        # the guard reads the stream twice (freq agg + semi-join
+        # probe) — persist first or the CPU-heavy tokenize+explode
+        # lineage runs twice (the jaccard_pairs/winnow review catch,
+        # applied at this boundary too). The semi-join itself keys on
+        # xxhash64(shingle) — 8-byte exchange keys; the string column
+        # rides through untouched for downstream consumers (minhash
+        # md5 signatures need it). Frequency classes identical up to
+        # ~2^-64 collisions (the module's documented trade).
+        out = _persist_tracked(out)
+        key = F.xxhash64("shingle")
+        freq = out.groupBy(key.alias("__k")).agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        keep = freq.filter(F.col("__df") <= max_doc_freq).select("__k")
+        out = (
+            out.withColumn("__k", key)
+            .join(keep, "__k", "left_semi")
+            .drop("__k")
+        )
     return out
 
 
